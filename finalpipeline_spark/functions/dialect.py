@@ -1,0 +1,152 @@
+"""Dual-dialect expression builders (Spark SQL + DuckDB).
+
+The driver verifies every query against a DuckDB oracle by value-hash,
+so any non-trivial scalar logic (tokenization, deterministic hashing,
+shingling, LSH planes) must produce *bit-identical* results in both
+engines. These builders emit the same computation in each dialect from
+one definition, so the Spark implementation and its oracle can't drift.
+
+All hashing here is plain 64-bit integer arithmetic (no engine hash()
+builtins — Spark xxhash64 and DuckDB hash are different algorithms).
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duck"
+
+# Large multiplier (Knuth) and Mersenne-ish moduli kept small enough that
+# every intermediate stays < 2^62 in 64-bit integer arithmetic.
+MULT = 2654435761
+POS_MOD = 1048573
+HASH_MOD = 1000003
+
+
+def tokens(col: str, dialect: str) -> str:
+    """Lowercased alnum word tokens of a text column (empty-safe)."""
+    if dialect == SPARK:
+        return (
+            f"filter(split(lower(regexp_replace({col}, '[^A-Za-z0-9]+', ' ')), ' '),"
+            " x -> x != '')"
+        )
+    return (
+        f"list_filter(string_split(lower(regexp_replace({col}, '[^A-Za-z0-9]+', ' ', 'g')), ' '),"
+        " x -> x != '')"
+    )
+
+
+def char_positional_hash(s: str, dialect: str) -> str:
+    """Deterministic 64-bit hash of a string: sum_i code(c_i) * w(i).
+
+    Position-weighted but order-independent in summation (exact integer
+    adds), so partial aggregation order can't change the result.
+    """
+    if dialect == SPARK:
+        return (
+            f"aggregate(sequence(1, length({s})), cast(0 as bigint), "
+            f"(acc, i) -> acc + cast(ascii(substr({s}, i, 1)) as bigint)"
+            f" * ((cast(i as bigint) * {MULT}) % {POS_MOD}))"
+        )
+    return (
+        f"cast(list_sum(list_transform(range(1, length({s}) + 1), "
+        f"i -> ord(substr({s}, i, 1)) * ((i * {MULT}) % {POS_MOD}))) as bigint)"
+    )
+
+
+def transform_arr(arr: str, var: str, body: str, dialect: str) -> str:
+    fn = "transform" if dialect == SPARK else "list_transform"
+    return f"{fn}({arr}, {var} -> {body})"
+
+
+def filter_arr(arr: str, var: str, body: str, dialect: str) -> str:
+    fn = "filter" if dialect == SPARK else "list_filter"
+    return f"{fn}({arr}, {var} -> {body})"
+
+
+def arr_size(arr: str, dialect: str) -> str:
+    """Array length as bigint in both dialects."""
+    if dialect == SPARK:
+        return f"cast(size({arr}) as bigint)"
+    return f"cast(len({arr}) as bigint)"
+
+
+def arr_min(arr: str, dialect: str) -> str:
+    return f"array_min({arr})" if dialect == SPARK else f"list_min({arr})"
+
+
+def arr_distinct(arr: str, dialect: str) -> str:
+    return f"array_distinct({arr})" if dialect == SPARK else f"list_distinct({arr})"
+
+
+def arr_sum_bigint(arr: str, dialect: str) -> str:
+    """Exact integer sum of a bigint array."""
+    if dialect == SPARK:
+        return f"aggregate({arr}, cast(0 as bigint), (acc, x) -> acc + x)"
+    return f"cast(list_sum({arr}) as bigint)"
+
+
+def arr_sum_double(arr: str, dialect: str) -> str:
+    """Sequential (left-fold) double sum — same add order in both engines."""
+    if dialect == SPARK:
+        return f"aggregate({arr}, cast(0 as double), (acc, x) -> acc + x)"
+    return f"list_reduce(list_prepend(cast(0 as double), {arr}), (acc, x) -> acc + x)"
+
+
+def seq(lo: str | int, hi_inclusive: str | int, dialect: str) -> str:
+    """Integer sequence [lo, hi] inclusive."""
+    if dialect == SPARK:
+        return f"sequence({lo}, {hi_inclusive})"
+    return f"range({lo}, ({hi_inclusive}) + 1)"
+
+
+def arr_index(arr: str, one_based_idx: str, dialect: str) -> str:
+    """1-based element access."""
+    if dialect == SPARK:
+        return f"element_at({arr}, {one_based_idx})"
+    return f"list_extract({arr}, {one_based_idx})"
+
+
+def jaccard(a: str, b: str, dialect: str) -> str:
+    """Jaccard similarity of two pre-distinct arrays, as double.
+
+    Spark mapping of the reference's Tanimoto |A∧B|/|A∨B|
+    (reference tanimoto.py:138-139) onto set-valued columns.
+    """
+    if dialect == SPARK:
+        inter = f"cast(size(array_intersect({a}, {b})) as double)"
+        union = f"cast(size(array_union({a}, {b})) as double)"
+    else:
+        inter = f"cast(len(list_intersect({a}, {b})) as double)"
+        union = f"cast(len(list_distinct(list_concat({a}, {b}))) as double)"
+    return f"({inter} / {union})"
+
+
+def dot(a: str, b: str, dim: int, dialect: str) -> str:
+    """Dot product of two float arrays (cast to double, sequential sum)."""
+    prods = transform_arr(
+        seq(1, dim, dialect),
+        "i",
+        f"cast({arr_index(a, 'i', dialect)} as double)"
+        f" * cast({arr_index(b, 'i', dialect)} as double)",
+        dialect,
+    )
+    return arr_sum_double(prods, dialect)
+
+
+def token_hash(tok: str, dialect: str) -> str:
+    """Token → integer in [0, HASH_MOD) via the positional char hash."""
+    return f"({char_positional_hash(tok, dialect)} % {HASH_MOD})"
+
+
+def minhash_sig(tokens_arr: str, coeffs: list[tuple[int, int]], dialect: str) -> str:
+    """MinHash signature array over hashed tokens.
+
+    One min per (a, b) hash family h(x) = (a*x + b) % HASH_MOD. All
+    intermediates < HASH_MOD^2 ≈ 1e12 — exact in int64 in both engines.
+    """
+    hashed = transform_arr(tokens_arr, "t", token_hash("t", dialect), dialect)
+    mins = ", ".join(
+        arr_min(transform_arr(hashed, "x", f"(({a} * x + {b}) % {HASH_MOD})", dialect), dialect)
+        for a, b in coeffs
+    )
+    return f"array({mins})" if dialect == SPARK else f"[{mins}]"

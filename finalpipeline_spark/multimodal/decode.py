@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design for 100 TB media tables: the payload is a single ``binary``
+column (never exploded, never shuffled unless keyed), metadata is typed
+columns, and all decode/feature work runs in Arrow-batched
+``mapInPandas`` so each task streams record batches without
+materializing a partition.
+
+The actual image/audio decode libraries are not available in this
+container, so ``decode_image_meta`` is a clearly-marked deterministic
+stub: it derives fake (width, height) from the byte length and md5 from
+the real bytes. The Spark-side plumbing — schema, batching, UDF
+signature — is real and oracle-tested (queries/multimodal.py). A real
+deployment replaces ``_fake_decode_dims`` with PIL/ffmpeg and keeps
+everything else.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("content_md5", StringType()),
+    ]
+)
+
+
+def _fake_decode_dims(n_bytes: int) -> tuple[int, int]:
+    """STUB decoder: deterministic dims from payload size.
+
+    Replace with a real image decode (PIL.Image.open on BytesIO) when
+    the codec libraries are available; everything downstream is
+    unchanged.
+    """
+    width = 1 + n_bytes % 64
+    height = 1 + n_bytes % 37
+    return width, height
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len)
+        width = (1 + n_bytes % 64).astype("int32")
+        height = (1 + n_bytes % 37).astype("int32")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes.astype("int64"),
+                "width": width,
+                "height": height,
+                "n_pixels": (width.astype("int64") * height.astype("int64")),
+                "content_md5": pdf["payload"].map(
+                    lambda b: hashlib.md5(b).hexdigest()
+                ),
+            }
+        )
+
+
+def decode_image_meta(df: DataFrame) -> DataFrame:
+    """(doc_id, payload: binary) → typed image metadata via mapInPandas.
+
+    Arrow-batched; scales with input partitioning — no collect, no
+    per-row Python calls (vectorized ops except the md5 map).
+    """
+    return df.select("doc_id", "payload").mapInPandas(
+        _decode_batches, schema=IMAGE_META_SCHEMA
+    )
+
+
+def documents_as_binary(docs: DataFrame) -> DataFrame:
+    """Testdata adapter: treat the UTF-8 text payload as an opaque blob
+    (the testdata ships no real media; schema/plumbing is what's under
+    test)."""
+    return docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )

@@ -1,0 +1,365 @@
+"""Text-analysis and deduplication queries over the documents table.
+
+The training-data-pipeline surface (north star): language-ID heuristic,
+quality scoring, token counting, document fingerprinting, exact dedup,
+n-gram Jaccard near-dup, MinHash-LSH near-dup, SimHash. Every scalar
+kernel is built from the dual-dialect expression builders in
+functions/dialect.py so the Spark plan and the DuckDB oracle compute
+bit-identical integers — no engine hash() builtins anywhere.
+
+Scale notes: everything here is a single scan plus at most one shuffle
+(group-by or bucket self-join). The brute-force n-gram pairwise query
+uses size-bucket blocking and exists as the exact baseline; the scale
+path for near-dup at 100 TB is doc_dedup_minhash_lsh (band-bucket join
+— candidate pairs ∝ collisions, not n²).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finalpipeline_spark.functions import dialect as D
+from finalpipeline_spark.queries.registry import register
+from finalpipeline_spark.tables import load_table
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+# MinHash family: deterministic coefficients, fixed seed.
+_rng = random.Random(20240813)
+MINHASH_COEFFS = [
+    (_rng.randrange(1, D.HASH_MOD), _rng.randrange(0, D.HASH_MOD)) for _ in range(16)
+]
+_BANDS = 4
+_ROWS_PER_BAND = 4
+
+
+def _toks(dialect: str) -> str:
+    return D.tokens("text", dialect)
+
+
+def _stop_arr(dialect: str) -> str:
+    vals = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"array({vals})" if dialect == D.SPARK else f"[{vals}]"
+
+
+def _shingles(toks_col: str, dialect: str) -> str:
+    """Distinct word-3-gram shingle strings of a token-array *column*.
+
+    Guarded for <3 tokens: Spark's sequence(1, 0) counts *down* and
+    ANSI-mode element_at errors out of bounds, so the Spark branch
+    wraps the construction in a CASE; DuckDB's range(1, 1) is empty and
+    out-of-bounds list indexing yields NULL, so no guard is needed.
+    """
+    size = D.arr_size(toks_col, dialect)
+    if dialect == D.SPARK:
+        gram = (
+            f"concat_ws(' ', element_at({toks_col}, i), "
+            f"element_at({toks_col}, i + 1), element_at({toks_col}, i + 2))"
+        )
+        body = f"transform(sequence(1, size({toks_col}) - 2), i -> {gram})"
+        return (
+            f"(CASE WHEN {size} >= 3 THEN {D.arr_distinct(body, dialect)} "
+            f"ELSE array() END)"
+        )
+    gram = f"{toks_col}[i] || ' ' || {toks_col}[i + 1] || ' ' || {toks_col}[i + 2]"
+    body = f"list_transform(range(1, greatest({size} - 2, 0) + 1), i -> {gram})"
+    return D.arr_distinct(body, dialect)
+
+
+# --------------------------------------------------------------------------
+# Token stats per language
+# --------------------------------------------------------------------------
+def _token_stats_sql(dialect: str) -> str:
+    toks = _toks(dialect)
+    return f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               avg({D.arr_size(toks, dialect)}) AS avg_tokens,
+               avg(length(text)) AS avg_chars
+        FROM documents
+        GROUP BY lang
+    """
+
+
+@register("doc_token_stats", oracle=_token_stats_sql(D.DUCK), tags=("extension",))
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace/alnum tokenizer) aggregated per lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.expr(D.arr_size(_toks(D.SPARK), D.SPARK))).alias("avg_tokens"),
+        F.avg(F.length("text")).alias("avg_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring per document
+# --------------------------------------------------------------------------
+def _quality_exprs(dialect: str) -> dict[str, str]:
+    toks = _toks(dialect)
+    n_tok = D.arr_size(toks, dialect)
+    n_uniq = D.arr_size(D.arr_distinct(toks, dialect), dialect)
+    contains = "array_contains" if dialect == D.SPARK else "list_contains"
+    stops = D.filter_arr(toks, "t", f"{contains}({_stop_arr(dialect)}, t)", dialect)
+    n_stop = D.arr_size(stops, dialect)
+    return {
+        "n_tokens": n_tok,
+        "ttr": f"(cast({n_uniq} as double) / cast({n_tok} as double))",
+        "stop_ratio": f"(cast({n_stop} as double) / cast({n_tok} as double))",
+    }
+
+
+def _quality_sql(dialect: str) -> str:
+    e = _quality_exprs(dialect)
+    score = (
+        f"0.4 * least(cast({e['n_tokens']} as double) / 100.0, 1.0)"
+        f" + 0.3 * {e['ttr']} + 0.3 * (1.0 - {e['stop_ratio']})"
+    )
+    return f"""
+        SELECT doc_id,
+               {e["n_tokens"]} AS n_tokens,
+               {e["ttr"]} AS ttr,
+               {e["stop_ratio"]} AS stop_ratio,
+               ({score}) AS quality_score
+        FROM documents
+        WHERE {e["n_tokens"]} > 0
+    """
+
+
+@register("doc_quality_score", oracle=_quality_sql(D.DUCK), tags=("extension", "headline"))
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length saturation, type-token ratio, stopword
+    ratio, combined score — all JVM-side expressions, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = _quality_exprs(D.SPARK)
+    score = (
+        f"0.4 * least(cast({e['n_tokens']} as double) / 100.0, 1.0)"
+        f" + 0.3 * {e['ttr']} + 0.3 * (1.0 - {e['stop_ratio']})"
+    )
+    return (
+        docs.filter(F.expr(f"{e['n_tokens']} > 0"))
+        .select(
+            "doc_id",
+            F.expr(e["n_tokens"]).alias("n_tokens"),
+            F.expr(e["ttr"]).alias("ttr"),
+            F.expr(e["stop_ratio"]).alias("stop_ratio"),
+            F.expr(score).alias("quality_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic
+# --------------------------------------------------------------------------
+def _langid_sql(dialect: str) -> str:
+    e = _quality_exprs(dialect)
+    return f"""
+        SELECT doc_id, lang AS labeled_lang,
+               CASE WHEN {e["n_tokens"]} < 5 THEN 'short'
+                    WHEN {e["stop_ratio"]} >= 0.08 THEN 'en'
+                    ELSE 'other' END AS guessed_lang
+        FROM documents
+    """
+
+
+@register("doc_langid", oracle=_langid_sql(D.DUCK), tags=("extension",))
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram/stopword heuristic: classify by function-word
+    density (a real system swaps in per-language marker sets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = _quality_exprs(D.SPARK)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.expr(
+            f"CASE WHEN {e['n_tokens']} < 5 THEN 'short' "
+            f"WHEN {e['stop_ratio']} >= 0.08 THEN 'en' ELSE 'other' END"
+        ).alias("guessed_lang"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprint (position-weighted rolling-style hash)
+# --------------------------------------------------------------------------
+def _fingerprint_sql(dialect: str) -> str:
+    fp = D.char_positional_hash("text", dialect)
+    return f"""
+        SELECT doc_id, ({fp}) % 9007199254740881 AS fingerprint
+        FROM documents
+    """
+
+
+@register("doc_fingerprint", oracle=_fingerprint_sql(D.DUCK), tags=("extension",))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 64-bit document fingerprint (position-weighted char
+    hash) — the cheap first-pass identity for exact dedup at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = D.char_positional_hash("text", D.SPARK)
+    return docs.select(
+        "doc_id", F.expr(f"({fp}) % 9007199254740881").alias("fingerprint")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# --------------------------------------------------------------------------
+@register(
+    "doc_dedup_exact",
+    oracle="""
+        SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    tags=("extension",),
+)
+def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, deterministic canonical
+    representative (min id). At 100 TB: group on md5, never on raw text
+    (shuffle carries 32 bytes/row instead of the document)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dup (exact baseline, size-bucket blocking)
+# --------------------------------------------------------------------------
+def _ngram_pairs_sql(dialect: str) -> str:
+    sh = _shingles("toks", dialect)
+    jac = D.jaccard("a.shingles", "b.shingles", dialect)
+    intdiv = "div" if dialect == D.SPARK else "//"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {_toks(dialect)} AS toks FROM documents
+        ),
+        d AS (
+            SELECT doc_id, shingles,
+                   {D.arr_size("shingles", dialect)} {intdiv} 10 AS blk
+            FROM (SELECT doc_id, {sh} AS shingles FROM toks) s
+            WHERE {D.arr_size("shingles", dialect)} >= 3
+        )
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               {jac} AS jaccard
+        FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE {jac} >= 0.2
+    """
+
+
+@register("doc_dedup_ngram_jaccard", oracle=_ngram_pairs_sql(D.DUCK), tags=("extension",))
+def doc_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (word-3-gram) Jaccard near-dup pairs, size-bucket blocked.
+
+    Exact baseline for near-dup detection; quadratic within a bucket, so
+    the 100 TB path is doc_dedup_minhash_lsh — this stays the
+    verification oracle for samples.
+    """
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_ngram_pairs_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup (the scale path)
+# --------------------------------------------------------------------------
+def _band_key(dialect: str, band: int) -> str:
+    """Concatenated band slice of the signature (4 rows/band)."""
+    lo = band * _ROWS_PER_BAND + 1
+    parts = [
+        f"cast({D.arr_index('sig', str(i), dialect)} as string)"
+        if dialect == D.SPARK
+        else f"{D.arr_index('sig', str(i), dialect)}::varchar"
+        for i in range(lo, lo + _ROWS_PER_BAND)
+    ]
+    sep = " || '_' || "
+    return "(" + sep.join(parts) + ")"
+
+
+def _lsh_pairs_sql(dialect: str) -> str:
+    sh = _shingles("toks", dialect)
+    jac = D.jaccard("sa.shingles", "sb.shingles", dialect)
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, {_band_key(dialect, b)} AS key FROM sigs"
+        for b in range(_BANDS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {_toks(dialect)} AS toks FROM documents
+        ),
+        sigs AS (
+            SELECT doc_id, {D.minhash_sig("toks", MINHASH_COEFFS, dialect)} AS sig
+            FROM toks WHERE {D.arr_size("toks", dialect)} > 0
+        ),
+        bands AS ({band_rows}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        sh AS (SELECT doc_id, {sh} AS shingles FROM toks)
+        SELECT c.doc_id_a, c.doc_id_b, {jac} AS jaccard
+        FROM cand c
+        JOIN sh sa ON c.doc_id_a = sa.doc_id
+        JOIN sh sb ON c.doc_id_b = sb.doc_id
+        WHERE {jac} >= 0.2
+    """
+
+
+@register("doc_dedup_minhash_lsh", oracle=_lsh_pairs_sql(D.DUCK), tags=("extension", "headline"))
+def doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) near-dup candidates, verified
+    with exact shingle Jaccard.
+
+    The 100 TB design: signatures are one scan; the band self-join
+    shuffles only (band, key) buckets, so candidate pairs scale with
+    collisions, not n². Skewed buckets (boilerplate docs) are handled
+    by AQE skew-join; pathological buckets can be capped by count.
+    """
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_lsh_pairs_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def _simhash_sql(dialect: str) -> str:
+    toks = D.arr_distinct(_toks(dialect), dialect)
+    th = D.char_positional_hash("t", dialect)
+    # scramble into 61 bits (inputs < 2^32 ⇒ product < 2^63)
+    scramble = f"(({th} * {D.MULT}) % 2305843009213693951)"
+    hs = D.transform_arr(toks, "t", scramble, dialect)
+    if dialect == D.SPARK:
+        bit = "(shiftright(h, b) % 2)"
+        bitsum = f"aggregate(hs, cast(0 as bigint), (acc, h) -> acc + (CASE WHEN {bit} = 1 THEN 1 ELSE -1 END))"
+        simhash = (
+            f"aggregate(sequence(0, 61), cast(0 as bigint), "
+            f"(acc2, b) -> acc2 + (CASE WHEN {bitsum} >= 0 THEN shiftleft(cast(1 as bigint), b) ELSE 0 END))"
+        )
+    else:
+        bit = "((h >> b) & 1)"
+        bitsum = (
+            f"cast(list_sum(list_transform(hs, h -> CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)) as bigint)"
+        )
+        simhash = (
+            f"cast(list_sum(list_transform(range(0, 62), "
+            f"b -> CASE WHEN {bitsum} >= 0 THEN (1::bigint << b) ELSE 0::bigint END)) as bigint)"
+        )
+    return f"""
+        SELECT doc_id, {simhash} AS simhash
+        FROM (SELECT doc_id, {hs} AS hs FROM documents
+              WHERE {D.arr_size(toks, dialect)} > 0) t
+    """
+
+
+@register("doc_simhash", oracle=_simhash_sql(D.DUCK), tags=("extension",))
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """62-bit SimHash per document (sign of per-bit vote over distinct
+    token hashes). Near-dup = small hamming distance; pairing is done
+    downstream by banding the simhash like any LSH key."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_simhash_sql(D.SPARK))

@@ -1,0 +1,137 @@
+"""Similarity search over the embeddings table (array<float>, dim 64).
+
+Three tiers, mirroring how an ANN system is built at 100 TB:
+  * brute-force cosine top-k (the exact baseline; queries broadcast)
+  * random-hyperplane LSH bucketing (the candidate-generation path —
+    planes are deterministic literals shared with the oracle)
+  * per-cluster centroids (the IVF coarse-quantizer building block)
+
+All dot products are computed as a *sequential* left-fold over double-
+cast elements in both engines, then rounded at the output, so the
+DuckDB oracle hashes identically.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finalpipeline_spark.functions import dialect as D
+from finalpipeline_spark.queries.registry import register
+from finalpipeline_spark.tables import load_table
+
+DIM = 64
+_N_PLANES = 8
+
+_rng = random.Random(42424242)
+# Deterministic hyperplanes, embedded as literals in BOTH dialects.
+PLANES = [
+    [round(_rng.gauss(0.0, 1.0), 6) for _ in range(DIM)] for _ in range(_N_PLANES)
+]
+
+
+def _arr_lit(vals: list[float], dialect: str) -> str:
+    body = ", ".join(f"cast({v!r} as double)" for v in vals)
+    return f"array({body})" if dialect == D.SPARK else f"[{body}]"
+
+
+def _cosine(a: str, b: str, dialect: str) -> str:
+    dot = D.dot(a, b, DIM, dialect)
+    na = D.dot(a, a, DIM, dialect)
+    nb = D.dot(b, b, DIM, dialect)
+    return f"({dot} / sqrt({na} * {nb}))"
+
+
+def _topk_sql(dialect: str) -> str:
+    cos = _cosine("q.embedding", "e.embedding", dialect)
+    rn_cast = "cast(rn as int)" if dialect == D.SPARK else "rn::int"
+    return f"""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   {cos} AS cosine
+            FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
+            JOIN embeddings e ON q.vec_id != e.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, {rn_cast} AS rn
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM scored
+        ) t WHERE rn <= 5
+    """
+
+
+@register("emb_cosine_topk", oracle=_topk_sql(D.DUCK), tags=("extension", "headline"))
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the query subset
+    (vec_id % 50 == 0): broadcast queries × full scan — the exact-ANN
+    baseline. Ranking uses the rounded score + id tiebreak so order is
+    engine-stable."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_topk_sql(D.SPARK))
+
+
+def _lsh_bucket_expr(vec: str, dialect: str) -> str:
+    """Bucket id = bitmask of sign(plane · vec) over the 8 planes."""
+    terms = []
+    for i, plane in enumerate(PLANES):
+        dot = D.dot(_arr_lit(plane, dialect), vec, DIM, dialect)
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_sql(dialect: str) -> str:
+    bucket = _lsh_bucket_expr("embedding", dialect)
+    cnt = "count(*)"
+    return f"""
+        SELECT bucket, {cnt} AS n_vectors,
+               count(DISTINCT label) AS n_labels
+        FROM (SELECT {bucket} AS bucket, label FROM embeddings) t
+        GROUP BY bucket
+    """
+
+
+@register("emb_lsh_buckets", oracle=_lsh_sql(D.DUCK), tags=("extension",))
+def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 8-bit bucket per vector. At scale this is
+    the shuffle key for bucketed ANN joins — only same-bucket (or
+    neighboring-bucket) pairs get scored, collapsing n² to collisions."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_lsh_sql(D.SPARK))
+
+
+@register(
+    "emb_ivf_centroids",
+    oracle="""
+        SELECT label, dim_i, round(avg(component), 6) AS centroid_component,
+               count(*) AS n_vectors
+        FROM (
+            SELECT label,
+                   generate_subscripts(embedding, 1) - 1 AS dim_i,
+                   unnest(embedding)::double AS component
+            FROM embeddings
+        ) t
+        GROUP BY label, dim_i
+    """,
+    tags=("extension",),
+)
+def emb_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer building block: per-cluster centroid via
+    posexplode + group-by (label stands in for the assignment). One
+    shuffle of (cluster, dim) partial sums — no vector collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim_i", "component"))
+        .select(
+            "label",
+            F.col("dim_i").cast("bigint").alias("dim_i"),
+            F.col("component").cast("double").alias("component"),
+        )
+        .groupBy("label", "dim_i")
+        .agg(
+            F.round(F.avg("component"), 6).alias("centroid_component"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

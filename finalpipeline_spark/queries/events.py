@@ -1,0 +1,157 @@
+"""Event-stream queries (batch analogues of the streaming surface).
+
+The reference is batch-only; the events table adds the windowed /
+sessionized / semi-structured surface a modern pipeline needs
+(SURVEY.md §2.8). All time math here is integer epoch arithmetic on
+the raw nanosecond column — bit-identical across Spark and DuckDB and
+immune to session-timezone differences. The true Structured Streaming
+versions (watermarks, session_window) live in
+finalpipeline_spark/streaming/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from finalpipeline_spark.functions.numeric import exact_avg, exact_avg_sql, exact_sum, exact_sum_sql
+from finalpipeline_spark.queries.registry import register
+from finalpipeline_spark.tables import load_table
+
+_NS = 1_000_000_000
+_HOUR_S = 3600
+_GAP_S = 30 * 60  # session gap
+
+
+@register(
+    "events_hourly_rollup",
+    oracle=f"""
+        SELECT ((epoch_us(ts) // 1000000) // {_HOUR_S}) * {_HOUR_S} AS hour_epoch_s,
+               event_type,
+               count(*) AS n_events,
+               {exact_sum_sql("value", 2)} AS sum_value,
+               {exact_avg_sql("value", 2)} AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("extension", "headline"),
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (batch form of a streaming
+    windowed agg): bucket = floor(epoch_s / 3600) * 3600."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour_epoch_s", F.expr(f"(ts_epoch_s div {_HOUR_S}) * {_HOUR_S}"))
+        .groupBy("hour_epoch_s", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum(F.col("value"), 2).alias("sum_value"),
+            exact_avg(F.col("value"), 2).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle=f"""
+        SELECT win_start_s, count(*) AS n_events, {exact_sum_sql("value", 2)} AS sum_value
+        FROM (
+            SELECT unnest([
+                       ((epoch_us(ts) // 1000000) // {_HOUR_S}) * {_HOUR_S},
+                       (((epoch_us(ts) // 1000000) - {_HOUR_S // 2}) // {_HOUR_S}) * {_HOUR_S}
+                           + {_HOUR_S // 2}
+                   ]) AS win_start_s,
+                   value
+            FROM events
+        )
+        GROUP BY win_start_s
+    """,
+    tags=("extension",),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h width, 30m slide): each event lands in exactly
+    two windows, generated inline then aggregated — the batch expansion
+    Spark's streaming window() does internally."""
+    ev = load_table(spark, sf_dir, "events")
+    w1 = F.expr(f"(ts_epoch_s div {_HOUR_S}) * {_HOUR_S}")
+    w2 = F.expr(
+        f"((ts_epoch_s - {_HOUR_S // 2}) div {_HOUR_S}) * {_HOUR_S} + {_HOUR_S // 2}"
+    )
+    return (
+        ev.select(F.explode(F.array(w1, w2)).alias("win_start_s"), "value")
+        .groupBy("win_start_s")
+        .agg(F.count(F.lit(1)).alias("n_events"), exact_sum(F.col("value"), 2).alias("sum_value"))
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+        SELECT user_id, session_id, count(*) AS n_events,
+               (max(es) - min(es))::bigint AS duration_s,
+               {exact_sum_sql("value", 2)} AS sum_value
+        FROM (
+            SELECT user_id, event_id, value, es,
+                   (sum(CASE WHEN prev_es IS NULL OR es - prev_es > {_GAP_S}
+                             THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY es, event_id
+                              ROWS UNBOUNDED PRECEDING))::bigint AS session_id
+            FROM (
+                SELECT user_id, event_id, value,
+                       (epoch_us(ts) // 1000000) AS es,
+                       lag((epoch_us(ts) // 1000000))
+                           OVER (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000), event_id)
+                           AS prev_es
+                FROM events
+            )
+        )
+        GROUP BY user_id, session_id
+    """,
+    tags=("extension",),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via gaps-and-islands:
+    lag → new-session marker → running sum = session id. Batch analogue
+    of session_window (streaming version in streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.col("ts_epoch_s").alias("es")
+    )
+    w_order = Window.partitionBy("user_id").orderBy("es", "event_id")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("prev_es", F.lag("es").over(w_order))
+        .withColumn(
+            "is_new",
+            (F.col("prev_es").isNull() | ((F.col("es") - F.col("prev_es")) > _GAP_S)).cast("int"),
+        )
+        .withColumn("session_id", F.sum("is_new").over(w_run).cast("long"))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("es") - F.min("es")).cast("long").alias("duration_s"),
+        exact_sum(F.col("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle=f"""
+        SELECT (json_extract_string(props, '$.k')::bigint % 10) AS k_bucket,
+               count(*) AS n_events,
+               {exact_avg_sql("value", 2)} AS avg_value
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("extension",),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON path extraction + typed cast + agg
+    (get_json_object stays JVM-side — no Python UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k_bucket", (F.get_json_object("props", "$.k").cast("bigint") % 10)
+        )
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), exact_avg(F.col("value"), 2).alias("avg_value"))
+    )

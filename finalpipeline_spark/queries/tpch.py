@@ -1,0 +1,183 @@
+"""TPC-H-shaped headline queries on the driver's synthetic star schema.
+
+These are the benchmark workhorses (tagged "headline", run by
+bench.py): scan-heavy aggregation (q1), selective multi-join top-k
+(q3), and the classic co-located multi-join (q5). They exercise the
+physical paths that matter at 100 TB — predicate pushdown into the
+parquet scan, partial aggregation, broadcast joins for the dims, and a
+single shuffle on the large fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finalpipeline_spark.functions.numeric import exact_avg, exact_avg_sql, exact_sum, exact_sum_sql
+from finalpipeline_spark.operators.topk import top_k_per_group
+from finalpipeline_spark.queries.registry import register
+from finalpipeline_spark.tables import load_table
+
+
+@register(
+    "tpch_q1",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {exact_sum_sql("l_quantity", 0)} AS sum_qty,
+               {exact_sum_sql("l_extendedprice", 2)} AS sum_base_price,
+               {exact_sum_sql("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+               {exact_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+               {exact_avg_sql("l_quantity", 0)} AS avg_qty,
+               {exact_avg_sql("l_extendedprice", 2)} AS avg_price,
+               {exact_avg_sql("l_discount", 2)} AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("headline",),
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: the scan+partial-agg stress test. The filter and
+    the 7-column projection must reach the parquet scan (PushedFilters/
+    ReadSchema) — verified in tests/test_plans.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum(F.col("l_quantity"), 0).alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            exact_sum(disc_price, 4).alias("sum_disc_price"),
+            exact_sum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            exact_avg(F.col("l_quantity"), 0).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            exact_avg(F.col("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3",
+    oracle=f"""
+        SELECT l_orderkey, revenue, o_orderdate, o_orderpriority
+        FROM (
+            SELECT l_orderkey,
+                   {exact_sum_sql("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+        ) grouped
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    tags=("headline",),
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority: selective dim filter (broadcast) → fact join →
+    agg → global top-10. Revenue is rounded before ordering so the sort
+    key is bit-identical across engines."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5",
+    oracle=f"""
+        SELECT n_name, {exact_sum_sql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    tags=("headline",),
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume: 6-way join where every dim side is
+    broadcast; the only shuffle is the orders⋈lineitem fact join and
+    the final group-by."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_topk_join",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn::int AS rn, c_name
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) t
+        JOIN customer ON o_custkey = c_custkey
+        WHERE rn <= 3
+    """,
+    tags=("headline",),
+)
+def tpch_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer enriched with the customer dim — the
+    reference's datamart shape on the orders table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    top = top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.col("o_orderkey")],
+        k=3,
+    )
+    return top.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_custkey", "o_orderkey", "o_totalprice", "rn", "c_name"
+    )
