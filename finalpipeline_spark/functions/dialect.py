@@ -138,15 +138,36 @@ def token_hash(tok: str, dialect: str) -> str:
     return f"({char_positional_hash(tok, dialect)} % {HASH_MOD})"
 
 
-def minhash_sig(tokens_arr: str, coeffs: list[tuple[int, int]], dialect: str) -> str:
-    """MinHash signature array over hashed tokens.
+def minhash_sig_ints(hashed_arr: str, coeffs: list[tuple[int, int]], dialect: str) -> str:
+    """MinHash signature array over an already-hashed integer array.
 
     One min per (a, b) hash family h(x) = (a*x + b) % HASH_MOD. All
     intermediates < HASH_MOD^2 ≈ 1e12 — exact in int64 in both engines.
     """
-    hashed = transform_arr(tokens_arr, "t", token_hash("t", dialect), dialect)
     mins = ", ".join(
-        arr_min(transform_arr(hashed, "x", f"(({a} * x + {b}) % {HASH_MOD})", dialect), dialect)
+        arr_min(
+            transform_arr(hashed_arr, "x", f"(({a} * x + {b}) % {HASH_MOD})", dialect),
+            dialect,
+        )
         for a, b in coeffs
     )
     return f"array({mins})" if dialect == SPARK else f"[{mins}]"
+
+
+def shingle_hashes(hs_col: str, dialect: str) -> str:
+    """3-gram shingle hashes from a token-hash array column.
+
+    Combines consecutive token hashes arithmetically instead of
+    re-hashing shingle strings — O(1) per shingle vs O(chars). The
+    caller must ensure len(hs) >= 3 (Spark guarded by CASE; DuckDB's
+    empty range/NULL indexing is already safe).
+    """
+    body = (
+        f"(({arr_index(hs_col, 'i', dialect)} * 131"
+        f" + {arr_index(hs_col, 'i + 1', dialect)} * 31"
+        f" + {arr_index(hs_col, 'i + 2', dialect)}) % {HASH_MOD})"
+    )
+    if dialect == SPARK:
+        inner = f"transform(sequence(1, size({hs_col}) - 2), i -> {body})"
+        return f"(CASE WHEN size({hs_col}) >= 3 THEN {inner} ELSE array() END)"
+    return f"list_transform(range(1, greatest(len({hs_col}) - 2, 0) + 1), i -> {body})"
