@@ -1,0 +1,105 @@
+"""End-to-end medallion pipeline test: bronze bootstrap → incremental
+ingest → cross-score → datamart → views, plus the invariants the
+reference enforced via Postgres constraints (FIXTURES.md §8) and the
+idempotence property (second run with no new inputs adds 0 rows)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from finalpipeline_spark.plans.medallion import TOP_K, MedallionPipeline
+
+
+@pytest.fixture()
+def molecules(spark):
+    rows = [
+        # molregno, chembl_id, smiles, alogp (None ~ nullable alogp path)
+        (i, f"CHEMBL{i}", f"C{'C' * (i % 7)}O{i % 5}N", float(i % 13) if i % 9 else None)
+        for i in range(200)
+    ]
+    return spark.createDataFrame(
+        rows, "molregno long, chembl_id string, smiles string, alogp double"
+    )
+
+
+def _write_input_csv(path: str, rows: list[tuple[str, str, str]]) -> None:
+    with open(path, "w") as f:
+        f.write("molecule name,smiles,extra\n")
+        for r in rows:
+            f.write(",".join(r) + "\n")
+
+
+def test_pipeline_end_to_end_and_idempotent(spark, tmp_path, molecules):
+    warehouse = str(tmp_path / "warehouse")
+    inputs = str(tmp_path / "inputs")
+    os.makedirs(inputs)
+    # Damaged IDs exercising the regex repair (tanimoto.py:72-75 cases),
+    # a duplicate, an invalid SMILES (whitespace → parse-fail stand-in),
+    # and an unresolvable id (not in bronze).
+    _write_input_csv(
+        os.path.join(inputs, "batch1.csv"),
+        [
+            ("chembl-7-x", "CCCO1N", "junk"),
+            # NB: digit run is kept verbatim ('042' would yield the
+            # unresolvable CHEMBL042 — reference behavior, tanimoto.py:72-75)
+            ("mol 42 (v2)", "CCO2N", "junk"),
+            ("CHEMBL7", "CCCO1N", "dup"),
+            ("CHEMBL13", "BAD SMILES", "junk"),
+            ("CHEMBL99999", "CCO0N", "junk"),
+        ],
+    )
+
+    pipe = MedallionPipeline(spark, warehouse)
+    n = pipe.run(molecules, inputs + "/*.csv")
+    assert n == 1
+
+    facts = spark.read.parquet(pipe.paths.silver_fact)
+    dim = spark.read.parquet(pipe.paths.silver_dim)
+
+    # Invariants from FIXTURES.md §8 (reference DDL datamart.py:110-145):
+    # <= 10 rows per target.
+    per_target = facts.groupBy("target_molregno").count().agg(F.max("count")).first()[0]
+    assert per_target <= TOP_K
+    # (source, target) unique.
+    assert (
+        facts.groupBy("source_molregno", "target_molregno").count().filter("count > 1").count()
+        == 0
+    )
+    # Every fact molregno present in the dim.
+    fact_ids = facts.select(F.col("source_molregno").alias("m")).union(
+        facts.select(F.col("target_molregno").alias("m"))
+    ).distinct()
+    missing = fact_ids.join(dim, fact_ids.m == dim.molregno, "left_anti")
+    assert missing.count() == 0
+    # Both resolvable targets scored; the unresolvable one is absent.
+    tgt_ids = {r.target_molregno for r in facts.select("target_molregno").distinct().collect()}
+    assert tgt_ids == {7, 42}
+
+    # Gold views evaluate.
+    assert spark.table("v_avg_similarity").count() > 0
+    assert spark.table("v_avg_alogp_diff").count() > 0
+    nonull = spark.table("v_avg_alogp_diff_nonull")
+    assert nonull.filter(F.col("avg_alogp_diff").isNull()).count() == 0
+
+    # Idempotence: re-run with the same inputs → no new files, no new rows.
+    fact_count = facts.count()
+    dim_count = dim.count()
+    n2 = pipe.run(molecules, inputs + "/*.csv")
+    assert n2 == 0
+    assert spark.read.parquet(pipe.paths.silver_fact).count() == fact_count
+    assert spark.read.parquet(pipe.paths.silver_dim).count() == dim_count
+
+    # Incremental: a second batch adds only the new target's partition.
+    _write_input_csv(
+        os.path.join(inputs, "batch2.csv"), [("CHEMBL55", "CCCCO0N", "x")]
+    )
+    n3 = pipe.run(molecules, inputs + "/*.csv")
+    assert n3 == 1
+    facts3 = spark.read.parquet(pipe.paths.silver_fact)
+    tgt_ids3 = {r.target_molregno for r in facts3.select("target_molregno").distinct().collect()}
+    assert tgt_ids3 == {7, 42, 55}
+    assert facts3.count() > fact_count
