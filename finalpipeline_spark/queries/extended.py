@@ -1,0 +1,268 @@
+"""Extended operator surface beyond the reference (SURVEY.md §2 'not
+present' gaps + north-star additions): multi-level aggregation
+(rollup), date arithmetic, lag/lead deltas, per-group top-k users,
+edit-distance near-dup, LSH-bucketed embedding near-dup, skew-safe
+two-phase aggregation, and approximate distinct counting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from finalpipeline_spark.functions import dialect as D
+from finalpipeline_spark.functions.numeric import exact_avg_sql, exact_sum, exact_sum_sql
+from finalpipeline_spark.queries.registry import register
+from finalpipeline_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# ROLLUP — multi-level aggregates (absent from the reference; A-extension)
+# --------------------------------------------------------------------------
+@register(
+    "tpch_rollup_sales",
+    oracle=f"""
+        SELECT p_brand, l_returnflag,
+               {exact_sum_sql("l_extendedprice", 2)} AS sum_price,
+               count(*) AS n_rows
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY ROLLUP (p_brand, l_returnflag)
+    """,
+    tags=("extension",),
+)
+def tpch_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (brand, returnflag): per-group, per-brand subtotal,
+    and grand total in one pass (Spark expands to grouping sets with
+    partial aggregation — one shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .rollup("p_brand", "l_returnflag")
+        .agg(
+            exact_sum(F.col("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Date arithmetic (the reference had none; F-extension)
+# --------------------------------------------------------------------------
+@register(
+    "orders_date_math",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate)::int AS order_year,
+               month(o_orderdate)::int AS order_month,
+               date_diff('day', DATE '1995-01-01', o_orderdate)::int AS days_since_epoch_start,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+        FROM orders
+    """,
+    tags=("extension",),
+)
+def orders_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month extraction, datediff, date_trunc — all tz-safe on the
+    naive (NTZ) order dates."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since_epoch_start"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# lag/lead deltas (window surface beyond row_number)
+# --------------------------------------------------------------------------
+@register(
+    "events_user_deltas",
+    oracle="""
+        SELECT user_id, event_id, es,
+               (es - lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id))::bigint
+                   AS delta_s,
+               (lead(es) OVER (PARTITION BY user_id ORDER BY es, event_id) - es)::bigint
+                   AS next_in_s
+        FROM (SELECT user_id, event_id, (epoch_us(ts) // 1000000) AS es FROM events) t
+    """,
+    tags=("extension",),
+)
+def events_user_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gaps per user via lag/lead (the building block under
+    sessionization, exposed as its own operator)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts_epoch_s").alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "es",
+        (F.col("es") - F.lag("es").over(w)).cast("long").alias("delta_s"),
+        (F.lead("es").over(w) - F.col("es")).cast("long").alias("next_in_s"),
+    )
+
+
+@register(
+    "events_top_users_per_type",
+    oracle="""
+        SELECT event_type, user_id, n_events, rn::int AS rn
+        FROM (
+            SELECT event_type, user_id, n_events,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY n_events DESC, user_id) AS rn
+            FROM (
+                SELECT event_type, user_id, count(*) AS n_events
+                FROM events GROUP BY event_type, user_id
+            ) c
+        ) r WHERE rn <= 3
+    """,
+    tags=("extension",),
+)
+def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate then rank: top-3 most active users per event type
+    (count shuffle + window shuffle — the canonical two-shuffle shape;
+    map-side partial counts keep the first one small)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"), "user_id")
+    return counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+# --------------------------------------------------------------------------
+# Edit-distance near-dup (string-similarity family; levenshtein is
+# exact-integer so cross-engine parity is trivial)
+# --------------------------------------------------------------------------
+@register(
+    "doc_edit_distance_pairs",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, text, source, n_chars // 100 AS blk FROM documents
+        )
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               levenshtein(a.text, b.text)::int AS edit_distance,
+               (1.0 - levenshtein(a.text, b.text)::double
+                     / greatest(length(a.text), length(b.text))) AS edit_similarity
+        FROM d a JOIN d b
+          ON a.blk = b.blk AND a.source = b.source
+         AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 100
+    """,
+    tags=("extension",),
+)
+def doc_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein similarity over blocked candidate pairs (same source
+    + length bucket + id proximity). Blocking bounds the quadratic
+    kernel; at scale the candidate generator would be MinHash-LSH with
+    this as the verification kernel."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "text", "source", F.expr("n_chars div 100").alias("blk")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    lev = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    maxlen = F.greatest(F.length(F.col("a.text")), F.length(F.col("b.text")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & ((F.col("b.doc_id") - F.col("a.doc_id")) <= 100),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            lev.cast("int").alias("edit_distance"),
+            (F.lit(1.0) - lev.cast("double") / maxlen).alias("edit_similarity"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup via LSH buckets (dedup family, embedding-cosine)
+# --------------------------------------------------------------------------
+def _emb_near_dup_sql(dialect: str) -> str:
+    from finalpipeline_spark.queries.embeddings import _cosine, _lsh_bucket_expr
+
+    cos = _cosine("a.embedding", "b.embedding", dialect)
+    bucket = _lsh_bucket_expr("embedding", dialect)
+    return f"""
+        WITH d AS (
+            SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        )
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, {cos} AS cosine
+        FROM d a JOIN d b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {cos} >= 0.3
+    """
+
+
+@register(
+    "emb_near_dup_pairs",
+    oracle=_emb_near_dup_sql(D.DUCK),
+    tags=("extension",),
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: candidate pairs from same-LSH-bucket
+    collisions, verified by exact cosine ≥ threshold. At 100 TB the
+    bucket id is the shuffle key (candidates ∝ collisions, not n²);
+    recall is tuned by bands of planes, exactly like the MinHash
+    banding for text."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_emb_near_dup_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Skew-safe two-phase aggregation (salting — §4 scale technique)
+# --------------------------------------------------------------------------
+@register(
+    "events_salted_agg",
+    oracle=f"""
+        SELECT event_type, count(*) AS n_events,
+               {exact_sum_sql("value", 2)} AS sum_value,
+               {exact_avg_sql("value", 2)} AS avg_value
+        FROM events GROUP BY event_type
+    """,
+    tags=("extension",),
+)
+def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a low-cardinality (skew-prone)
+    key: phase 1 aggregates (key, salt) partials, phase 2 combines —
+    the oracle is the plain GROUP BY, proving the decomposition is
+    exact (scaled-integer sums commute). On real skew this is the
+    manual fallback when AQE's skew handling isn't enough (e.g.
+    aggregation skew, which AQE does not split)."""
+    ev = load_table(spark, sf_dir, "events")
+    phase1 = (
+        ev.withColumn("salt", F.col("event_id") % 8)
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("_cents"),
+        )
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("_n").alias("n_events"),
+        (F.sum("_cents") / F.lit(100.0)).alias("sum_value"),
+        ((F.sum("_cents") / F.lit(100.0)) / F.sum("_n")).alias("avg_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate distinct (HLL) — rows-only (sketch differs from any oracle)
+# --------------------------------------------------------------------------
+@register("ref_approx_distinct", oracle=None, tags=("extension",))
+def ref_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    the 100 TB cardinality-estimation path (no oracle: sketch results
+    are engine-specific; driver records a rows-only check)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

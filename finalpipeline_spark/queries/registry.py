@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
         documents,
         embeddings,
         events,
+        extended,
         multimodal,
         relational,
         tpch,
