@@ -420,3 +420,57 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream by banding the simhash like any LSH key."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_simhash_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairing (banded hamming search)
+# --------------------------------------------------------------------------
+_SIMHASH_CHUNKS = 4  # 62 bits → 4 chunks; hamming<=3 ⇒ one chunk equal
+_HAMMING_MAX = 8
+
+
+def _simhash_pairs_sql(dialect: str) -> str:
+    # Chunk boundaries over the 62-bit simhash: 16/16/16/14 bits.
+    bounds = [(0, 16), (16, 16), (32, 16), (48, 14)]
+    shift = "shiftright" if dialect == D.SPARK else None
+    chunk_rows = []
+    for ci, (lo, width) in enumerate(bounds):
+        mask = (1 << width) - 1
+        if dialect == D.SPARK:
+            ch = f"(shiftright(simhash, {lo}) & {mask})"
+        else:
+            ch = f"((simhash >> {lo}) & {mask})"
+        chunk_rows.append(
+            f"SELECT doc_id, simhash, {ci} AS chunk_id, {ch} AS chunk_val FROM sims"
+        )
+    chunks = "\nUNION ALL\n".join(chunk_rows)
+    if dialect == D.SPARK:
+        ham = "bit_count(a.simhash ^ b.simhash)"
+    else:
+        ham = "bit_count(xor(a.simhash, b.simhash))::int"
+    return f"""
+        WITH sims AS ({_simhash_sql(dialect)}),
+        chunks AS ({chunks}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_a, a.simhash AS sim_a,
+                            b.doc_id AS doc_id_b, b.simhash AS sim_b
+            FROM chunks a JOIN chunks b
+              ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_id_a, doc_id_b,
+               {ham.replace("a.simhash", "sim_a").replace("b.simhash", "sim_b")} AS hamming
+        FROM cand
+        WHERE {ham.replace("a.simhash", "sim_a").replace("b.simhash", "sim_b")} <= {_HAMMING_MAX}
+    """
+
+
+@register("doc_simhash_near_dup", oracle=_simhash_pairs_sql(D.DUCK), tags=("extension",))
+def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup search: band the 62-bit hash into 4 chunks
+    (pigeonhole: hamming ≤ 3 guarantees a shared chunk; we accept the
+    recall trade at the ≤ 8 reporting threshold), candidate pairs from
+    chunk-equality collisions, verified by popcount(xor). The chunk
+    value is the shuffle key — same LSH shape as MinHash banding."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_simhash_pairs_sql(D.SPARK))
