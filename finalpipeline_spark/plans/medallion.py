@@ -32,7 +32,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from finalpipeline_spark.functions.fingerprints import fingerprint, tanimoto
-from finalpipeline_spark.operators.incremental import new_items
+from finalpipeline_spark.operators.incremental import (
+    new_items,
+    write_idempotent_partitions,
+)
 from finalpipeline_spark.operators.tiebreak import top_k_with_tie_flag
 from finalpipeline_spark.sources.catalog import (
     append_ledger_entries,
@@ -153,10 +156,7 @@ class MedallionPipeline:
         )
 
         # S13/I2: idempotent partitioned write (one partition per target).
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        scored.write.mode("overwrite").partitionBy("target_chembl_id").parquet(
-            self.paths.similarities
-        )
+        write_idempotent_partitions(scored, self.paths.similarities, ["target_chembl_id"])
 
         append_ledger_entries(self.spark, self.paths.ledger, new_files)
         return len(new_files)

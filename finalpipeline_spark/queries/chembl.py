@@ -38,8 +38,9 @@ _BITS_PER_WORD = 62  # ≤62 so neither engine overflows a signed shift
 _FP_SPACE = _FP_WORDS * _BITS_PER_WORD  # 248-bit space
 
 
-def _fp_word_expr(key: str, word: int, dialect: str) -> str:
-    """One 62-bit word of the synthetic fingerprint bitmap.
+def _fp_word_expr(h: str, word: int, dialect: str) -> str:
+    """One 62-bit word of the synthetic fingerprint bitmap, from a
+    staged per-key hash column ``h`` (computed once per row).
 
     The fingerprint is 32 pseudo-random bit positions in [0,248) packed
     into 4 bigint words — the physical layout that makes the 10M-pair
@@ -47,8 +48,13 @@ def _fp_word_expr(key: str, word: int, dialect: str) -> str:
     ~30× slower: per-pair hash-set intersects). A real Morgan/2048
     fingerprint (reference mpp.py:81-93) is the same thing with 32
     words.
+
+    The intermediate hash runs mod a large prime BEFORE the bit-space
+    mod: arithmetic done directly mod 248 would make keys congruent
+    mod 248 share identical fingerprints (degenerate tanimoto=1.0
+    twins). h < 1e6, h*(i+1) < 3.3e7 — no overflow anywhere.
     """
-    pos = f"(({key} * {D.MULT} + i * i * 40503 + i) % {_FP_SPACE})"
+    pos = f"((({h} * (i + 1) + i * i * 97) % {D.HASH_MOD}) % {_FP_SPACE})"
     if dialect == D.SPARK:
         return (
             f"aggregate(sequence(0, {_FP_BITS - 1}), cast(0 as bigint), "
@@ -66,7 +72,7 @@ def _fp_word_expr(key: str, word: int, dialect: str) -> str:
 
 def _tanimoto_sql(dialect: str) -> str:
     words = ", ".join(
-        f"{_fp_word_expr('p_partkey', w, dialect)} AS w{w}" for w in range(_FP_WORDS)
+        f"{_fp_word_expr('h', w, dialect)} AS w{w}" for w in range(_FP_WORDS)
     )
     # DuckDB bit_count returns TINYINT (overflows when summed) — widen.
     cnt = "bit_count({x})" if dialect == D.SPARK else "bit_count({x})::int"
@@ -75,8 +81,13 @@ def _tanimoto_sql(dialect: str) -> str:
     tani = f"(cast({inter} as double) / cast({union} as double))"
     rn_cast = "cast(rn as int)" if dialect == D.SPARK else "rn::int"
     return f"""
-        WITH fps AS (
-            SELECT p_partkey AS molregno, {words} FROM part
+        WITH keyed AS (
+            SELECT p_partkey AS molregno,
+                   ((p_partkey * {D.MULT}) % {D.HASH_MOD}) AS h
+            FROM part
+        ),
+        fps AS (
+            SELECT molregno, {words} FROM keyed
         ),
         targets AS (SELECT * FROM fps WHERE molregno % 40 = 0),
         scored AS (

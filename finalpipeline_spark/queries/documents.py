@@ -432,7 +432,6 @@ _HAMMING_MAX = 8
 def _simhash_pairs_sql(dialect: str) -> str:
     # Chunk boundaries over the 62-bit simhash: 16/16/16/14 bits.
     bounds = [(0, 16), (16, 16), (32, 16), (48, 14)]
-    shift = "shiftright" if dialect == D.SPARK else None
     chunk_rows = []
     for ci, (lo, width) in enumerate(bounds):
         mask = (1 << width) - 1
