@@ -86,6 +86,57 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("byte_offset", LongType()),
+        StructField("first_byte", IntegerType()),
+    ]
+)
+
+_MAX_FRAMES = 8
+_MIN_BYTES_PER_FRAME = 32
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "byte_offset": [], "first_byte": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_bytes = len(payload)
+            n_frames = min(_MAX_FRAMES, n_bytes // _MIN_BYTES_PER_FRAME)
+            if n_frames <= 0:
+                continue
+            stride = n_bytes // n_frames
+            for i in range(n_frames):
+                off = i * stride
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["byte_offset"].append(off)
+                out["first_byte"].append(payload[off])
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "byte_offset": pd.Series(out["byte_offset"], dtype="int64"),
+                "first_byte": pd.Series(out["first_byte"], dtype="int32"),
+            }
+        )
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """(doc_id, payload) → evenly-spaced 'frame' samples via mapInPandas.
+
+    STUB for video frame extraction: a real implementation decodes
+    frames at these offsets (ffmpeg); schema, batching and partitioning
+    are the production shape. Rows fan out ≤8× — still a narrow
+    transformation, no shuffle.
+    """
+    return df.select("doc_id", "payload").mapInPandas(
+        _frame_batches, schema=FRAME_SCHEMA
+    )
+
+
 def documents_as_binary(docs: DataFrame) -> DataFrame:
     """Testdata adapter: treat the UTF-8 text payload as an opaque blob
     (the testdata ships no real media; schema/plumbing is what's under

@@ -204,6 +204,41 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE-ish regex token counting
+# --------------------------------------------------------------------------
+_BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def _bpe_sql(dialect: str) -> str:
+    if dialect == D.SPARK:
+        toks = f"regexp_extract_all(text, '({_BPE_PATTERN})', 0)"
+    else:
+        toks = f"regexp_extract_all(text, '{_BPE_PATTERN}')"
+    n = D.arr_size(toks, dialect)
+    return f"""
+        SELECT doc_id, {n} AS n_bpe_tokens,
+               length(text) AS n_chars_actual
+        FROM documents
+    """
+
+
+@register("doc_bpe_token_count", oracle=_bpe_sql(D.DUCK), tags=("extension",))
+def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: letter runs, single digits, and single
+    punctuation marks — the pre-tokenizer split a byte-pair encoder
+    applies before merges (count ≈ upper bound on BPE tokens). Pure
+    regexp, JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(D.arr_size(f"regexp_extract_all(text, '({_BPE_PATTERN})', 0)", D.SPARK)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Exact dedup (hash-groupBy)
 # --------------------------------------------------------------------------
 @register(
