@@ -45,14 +45,22 @@ def _cosine(a: str, b: str, dialect: str) -> str:
 
 
 def _topk_sql(dialect: str) -> str:
-    cos = _cosine("q.embedding", "e.embedding", dialect)
+    # Norms are staged per vector (computed once), not per pair — the
+    # pairwise work is a single dot product. Identical staging in the
+    # oracle keeps values bit-identical.
+    dot = D.dot("q.embedding", "e.embedding", DIM, dialect)
+    cos = f"({dot} / sqrt(q.nrm * e.nrm))"
+    nrm = D.dot("embedding", "embedding", DIM, dialect)
     rn_cast = "cast(rn as int)" if dialect == D.SPARK else "rn::int"
     return f"""
-        WITH scored AS (
+        WITH d AS (
+            SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+        ),
+        scored AS (
             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                    {cos} AS cosine
-            FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
-            JOIN embeddings e ON q.vec_id != e.vec_id
+            FROM (SELECT * FROM d WHERE vec_id % 50 = 0) q
+            JOIN d e ON q.vec_id != e.vec_id
         )
         SELECT query_id, neighbor_id, cosine, {rn_cast} AS rn
         FROM (

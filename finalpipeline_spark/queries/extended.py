@@ -254,6 +254,123 @@ def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# As-of join (sorted-window merge — new surface per SURVEY.md §2.3)
+# --------------------------------------------------------------------------
+@register(
+    "events_asof_signup",
+    oracle="""
+        SELECT event_id, user_id, es, event_type,
+               last_signup_es,
+               (es - last_signup_es)::bigint AS since_signup_s
+        FROM (
+            SELECT event_id, user_id, es, event_type,
+                   max(CASE WHEN event_type = 'signup' THEN es END)
+                       OVER (PARTITION BY user_id ORDER BY es, event_id
+                             ROWS UNBOUNDED PRECEDING) AS last_signup_es
+            FROM (SELECT event_id, user_id, event_type,
+                         (epoch_us(ts) // 1000000) AS es FROM events) t
+        ) w
+        WHERE event_type != 'signup'
+    """,
+    tags=("extension",),
+)
+def events_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the latest at-or-before signup
+    of the same user — implemented as a sorted-window running max over
+    the unioned stream, not a range join. One shuffle on user_id, no
+    pair blowup: the formulation that survives 100 TB (the naive
+    inequality join is quadratic per user)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts_epoch_s").alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("es"))
+    ).over(w)
+    return (
+        ev.withColumn("last_signup_es", last_signup)
+        .filter(F.col("event_type") != "signup")
+        .select(
+            "event_id",
+            "user_id",
+            "es",
+            "event_type",
+            "last_signup_es",
+            (F.col("es") - F.col("last_signup_es")).cast("long").alias("since_signup_s"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Range (interval) self-join via time bucketing
+# --------------------------------------------------------------------------
+_RANGE_S = 60
+
+
+@register(
+    "events_range_self_join",
+    oracle=f"""
+        SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
+               a.user_id, (b.es - a.es)::bigint AS gap_s
+        FROM (SELECT event_id, user_id, (epoch_us(ts) // 1000000) AS es FROM events) a
+        JOIN (SELECT event_id, user_id, (epoch_us(ts) // 1000000) AS es FROM events) b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND b.es >= a.es - {_RANGE_S} AND b.es <= a.es + {_RANGE_S}
+    """,
+    tags=("extension",),
+)
+def events_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: pairs of events of the same user within ±60s.
+
+    Spark-first formulation: equi-join on (user, time-bucket) with each
+    left row exploded into its bucket and both neighbors, then the
+    exact range filter — candidates ∝ events per 60s bucket, never the
+    per-user cross product the naive inequality join would scan. The
+    oracle states the plain range predicate; results are identical.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts_epoch_s").alias("es")
+    )
+    bucketed_a = ev.select(
+        F.col("event_id").alias("event_id_a"),
+        "user_id",
+        F.col("es").alias("es_a"),
+        F.explode(
+            F.expr(f"array(es div {_RANGE_S} - 1, es div {_RANGE_S}, es div {_RANGE_S} + 1)")
+        ).alias("bucket"),
+    )
+    bucketed_b = ev.select(
+        F.col("event_id").alias("event_id_b"),
+        F.col("user_id").alias("user_id_b"),
+        F.col("es").alias("es_b"),
+        F.expr(f"es div {_RANGE_S}").alias("bucket_b"),
+    )
+    # Each pair matches exactly once (the right side carries a single
+    # bucket), so no dedup pass is needed after the join.
+    return (
+        bucketed_a.join(
+            bucketed_b,
+            (F.col("user_id") == F.col("user_id_b"))
+            & (F.col("bucket") == F.col("bucket_b")),
+        )
+        .filter(
+            (F.col("event_id_a") < F.col("event_id_b"))
+            & (F.col("es_b") >= F.col("es_a") - _RANGE_S)
+            & (F.col("es_b") <= F.col("es_a") + _RANGE_S)
+        )
+        .select(
+            "event_id_a",
+            "event_id_b",
+            "user_id",
+            (F.col("es_b") - F.col("es_a")).cast("long").alias("gap_s"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Approximate distinct (HLL) — rows-only (sketch differs from any oracle)
 # --------------------------------------------------------------------------
 @register("ref_approx_distinct", oracle=None, tags=("extension",))
