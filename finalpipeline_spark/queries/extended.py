@@ -254,6 +254,37 @@ def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Percentiles (continuous interpolation — verified to match DuckDB's
+# quantile_cont convention exactly: position (n-1)*q, linear interp)
+# --------------------------------------------------------------------------
+@register(
+    "lineitem_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS p25,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               quantile_cont(l_extendedprice, 0.95) AS p95,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("extension",),
+)
+def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (sort-based; for 100 TB
+    use approx_percentile's t-digest instead — this is the exact
+    baseline the sketch is validated against)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+# --------------------------------------------------------------------------
 # As-of join (sorted-window merge — new surface per SURVEY.md §2.3)
 # --------------------------------------------------------------------------
 @register(
