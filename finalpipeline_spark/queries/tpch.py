@@ -153,6 +153,148 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q6",
+    oracle=f"""
+        SELECT {exact_sum_sql("l_extendedprice * l_discount", 4)} AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.05
+          AND l_quantity < 24
+    """,
+    tags=("headline",),
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting revenue change: pure scan + conjunctive pushdown +
+    global agg — the minimal full-scan benchmark (no shuffle at all
+    beyond the final single-row combine)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "tpch_q10",
+    oracle=f"""
+        SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+        FROM (
+            SELECT c_custkey, c_name,
+                   {exact_sum_sql("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+                   c_acctbal, n_name
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ) g
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    tags=("headline",),
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting: fact join with two broadcast dims,
+    agg on a composite customer key, global top-20 by exact revenue."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14",
+    oracle=f"""
+        SELECT (100.0 * {exact_sum_sql(
+            "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)}
+                / {exact_sum_sql("l_extendedprice * (1 - l_discount)", 4)}) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+    tags=("headline",),
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect: conditional aggregate ratio (both sums exact
+    fixed-point, so the ratio is one identical IEEE division)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0) * exact_sum(promo, 4) / exact_sum(disc_price, 4)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle=f"""
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   {exact_sum_sql("l_quantity", 0)} AS sum_qty
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_custkey, o_orderkey, o_totalprice
+        ) big
+        JOIN customer ON o_custkey = c_custkey
+        WHERE sum_qty > 200
+    """,
+    tags=("headline",),
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers: HAVING-style post-aggregation filter
+    then dim enrichment (threshold 200 keeps the result non-empty at
+    every scale factor)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey", "o_orderkey", "o_totalprice")
+        .agg(exact_sum(F.col("l_quantity"), 0).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    return big.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")).select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty"
+    )
+
+
+@register(
     "tpch_topk_join",
     oracle="""
         SELECT o_custkey, o_orderkey, o_totalprice, rn::int AS rn, c_name
