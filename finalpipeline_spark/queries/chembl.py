@@ -70,6 +70,13 @@ def _fp_word_expr(h: str, word: int, dialect: str) -> str:
     )
 
 
+SPARK_VIEW = "__fps_part"
+
+
+def _part_tbl(dialect: str) -> str:
+    return SPARK_VIEW if dialect == D.SPARK else "part"
+
+
 def _tanimoto_sql(dialect: str) -> str:
     words = ", ".join(
         f"{_fp_word_expr('h', w, dialect)} AS w{w}" for w in range(_FP_WORDS)
@@ -84,7 +91,7 @@ def _tanimoto_sql(dialect: str) -> str:
         WITH keyed AS (
             SELECT p_partkey AS molregno,
                    ((p_partkey * {D.MULT}) % {D.HASH_MOD}) AS h
-            FROM part
+            FROM {_part_tbl(dialect)}
         ),
         fps AS (
             SELECT molregno, {words} FROM keyed
@@ -114,7 +121,7 @@ def chembl_tanimoto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-matches excluded — tanimoto.py:141-144) then window top-10 per
     target. The reference's per-target Python loop and per-target
     parquet files collapse into this single distributed plan."""
-    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView(SPARK_VIEW)
     return spark.sql(_tanimoto_sql(D.SPARK))
 
 

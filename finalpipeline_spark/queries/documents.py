@@ -36,6 +36,15 @@ _BANDS = 4
 _ROWS_PER_BAND = 4
 
 
+SPARK_VIEW = "__fps_documents"
+
+
+def _doc_tbl(dialect: str) -> str:
+    """Spark side reads a namespaced temp view so registering it never
+    clobbers a `documents` view the host session may already have."""
+    return SPARK_VIEW if dialect == D.SPARK else "documents"
+
+
 def _toks(dialect: str) -> str:
     return D.tokens("text", dialect)
 
@@ -79,7 +88,7 @@ def _token_stats_sql(dialect: str) -> str:
                count(*) AS n_docs,
                avg({D.arr_size(toks, dialect)}) AS avg_tokens,
                avg(length(text)) AS avg_chars
-        FROM documents
+        FROM {_doc_tbl(dialect)}
         GROUP BY lang
     """
 
@@ -124,7 +133,7 @@ def _quality_sql(dialect: str) -> str:
                {e["ttr"]} AS ttr,
                {e["stop_ratio"]} AS stop_ratio,
                ({score}) AS quality_score
-        FROM documents
+        FROM {_doc_tbl(dialect)}
         WHERE {e["n_tokens"]} > 0
     """
 
@@ -161,7 +170,7 @@ def _langid_sql(dialect: str) -> str:
                CASE WHEN {e["n_tokens"]} < 5 THEN 'short'
                     WHEN {e["stop_ratio"]} >= 0.08 THEN 'en'
                     ELSE 'other' END AS guessed_lang
-        FROM documents
+        FROM {_doc_tbl(dialect)}
     """
 
 
@@ -188,7 +197,7 @@ def _fingerprint_sql(dialect: str) -> str:
     fp = D.char_positional_hash("text", dialect)
     return f"""
         SELECT doc_id, ({fp}) % 9007199254740881 AS fingerprint
-        FROM documents
+        FROM {_doc_tbl(dialect)}
     """
 
 
@@ -218,7 +227,7 @@ def _bpe_sql(dialect: str) -> str:
     return f"""
         SELECT doc_id, {n} AS n_bpe_tokens,
                length(text) AS n_chars_actual
-        FROM documents
+        FROM {_doc_tbl(dialect)}
     """
 
 
@@ -272,7 +281,7 @@ def _ngram_pairs_sql(dialect: str) -> str:
     intdiv = "div" if dialect == D.SPARK else "//"
     return f"""
         WITH toks AS (
-            SELECT doc_id, {_toks(dialect)} AS toks FROM documents
+            SELECT doc_id, {_toks(dialect)} AS toks FROM {_doc_tbl(dialect)}
         ),
         d AS (
             SELECT doc_id, shingles,
@@ -295,7 +304,7 @@ def doc_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB path is doc_dedup_minhash_lsh — this stays the
     verification oracle for samples.
     """
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
     return spark.sql(_ngram_pairs_sql(D.SPARK))
 
 
@@ -325,7 +334,7 @@ def _lsh_pairs_sql(dialect: str) -> str:
     )
     return f"""
         WITH toks AS (
-            SELECT doc_id, {_toks(dialect)} AS toks FROM documents
+            SELECT doc_id, {_toks(dialect)} AS toks FROM {_doc_tbl(dialect)}
         ),
         hs AS (
             SELECT doc_id, toks, {hashed} AS hs
@@ -443,7 +452,7 @@ def _simhash_sql(dialect: str) -> str:
         )
     return f"""
         SELECT doc_id, {simhash} AS simhash
-        FROM (SELECT doc_id, {hs} AS hs FROM documents
+        FROM (SELECT doc_id, {hs} AS hs FROM {_doc_tbl(dialect)}
               WHERE {D.arr_size(toks, dialect)} > 0) t
     """
 
@@ -453,7 +462,7 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """62-bit SimHash per document (sign of per-bit vote over distinct
     token hashes). Near-dup = small hamming distance; pairing is done
     downstream by banding the simhash like any LSH key."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
     return spark.sql(_simhash_sql(D.SPARK))
 
 
@@ -506,5 +515,5 @@ def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall trade at the ≤ 8 reporting threshold), candidate pairs from
     chunk-equality collisions, verified by popcount(xor). The chunk
     value is the shuffle key — same LSH shape as MinHash banding."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
     return spark.sql(_simhash_pairs_sql(D.SPARK))

@@ -32,6 +32,13 @@ PLANES = [
 ]
 
 
+SPARK_VIEW = "__fps_embeddings"
+
+
+def _emb_tbl(dialect: str) -> str:
+    return SPARK_VIEW if dialect == D.SPARK else "embeddings"
+
+
 def _arr_lit(vals: list[float], dialect: str) -> str:
     body = ", ".join(f"cast({v!r} as double)" for v in vals)
     return f"array({body})" if dialect == D.SPARK else f"[{body}]"
@@ -54,7 +61,7 @@ def _topk_sql(dialect: str) -> str:
     rn_cast = "cast(rn as int)" if dialect == D.SPARK else "rn::int"
     return f"""
         WITH d AS (
-            SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings
+            SELECT vec_id, embedding, {nrm} AS nrm FROM {_emb_tbl(dialect)}
         ),
         scored AS (
             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -77,7 +84,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id % 50 == 0): broadcast queries × full scan — the exact-ANN
     baseline. Ranking uses the rounded score + id tiebreak so order is
     engine-stable."""
-    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(SPARK_VIEW)
     return spark.sql(_topk_sql(D.SPARK))
 
 
@@ -96,7 +103,7 @@ def _lsh_sql(dialect: str) -> str:
     return f"""
         SELECT bucket, {cnt} AS n_vectors,
                count(DISTINCT label) AS n_labels
-        FROM (SELECT {bucket} AS bucket, label FROM embeddings) t
+        FROM (SELECT {bucket} AS bucket, label FROM {_emb_tbl(dialect)}) t
         GROUP BY bucket
     """
 
@@ -106,7 +113,7 @@ def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH: 8-bit bucket per vector. At scale this is
     the shuffle key for bucketed ANN joins — only same-bucket (or
     neighboring-bucket) pairs get scored, collapsing n² to collisions."""
-    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(SPARK_VIEW)
     return spark.sql(_lsh_sql(D.SPARK))
 
 
