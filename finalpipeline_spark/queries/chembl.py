@@ -151,7 +151,7 @@ def chembl_crossscore_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey").cast("string")
         ).alias("smiles"),
     ).withColumn("fp", fingerprint(F.col("smiles"))).filter(F.col("fp").isNotNull())
-    targets = mols.filter(F.col("molregno") % 40 == 0).select(
+    targets = mols.filter(F.col("molregno") % 200 == 0).select(
         F.col("molregno").alias("target_molregno"), F.col("fp").alias("target_fp")
     )
     scored = (

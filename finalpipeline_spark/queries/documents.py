@@ -276,18 +276,26 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N-gram Jaccard near-dup (exact baseline, size-bucket blocking)
 # --------------------------------------------------------------------------
 def _ngram_pairs_sql(dialect: str) -> str:
-    sh = _shingles("toks", dialect)
     jac = D.jaccard("a.shingles", "b.shingles", dialect)
+    hashed = D.transform_arr("toks", "t", D.token_hash("t", dialect), dialect)
     intdiv = "div" if dialect == D.SPARK else "//"
     return f"""
         WITH toks AS (
             SELECT doc_id, {_toks(dialect)} AS toks FROM {_doc_tbl(dialect)}
         ),
+        hs AS (
+            SELECT doc_id, {hashed} AS hs0
+            FROM toks WHERE {D.arr_size("toks", dialect)} >= 5
+        ),
         d AS (
             SELECT doc_id, shingles,
-                   {D.arr_size("shingles", dialect)} {intdiv} 10 AS blk
-            FROM (SELECT doc_id, {sh} AS shingles FROM toks) s
-            WHERE {D.arr_size("shingles", dialect)} >= 3
+                   {D.arr_size("shingles", dialect)} {intdiv} 5 AS blk
+            FROM (
+                SELECT doc_id,
+                       {D.arr_distinct(D.shingle_hashes("hs0", dialect), dialect)}
+                           AS shingles
+                FROM hs
+            ) s
         )
         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                {jac} AS jaccard
@@ -300,9 +308,12 @@ def _ngram_pairs_sql(dialect: str) -> str:
 def doc_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram (word-3-gram) Jaccard near-dup pairs, size-bucket blocked.
 
-    Exact baseline for near-dup detection; quadratic within a bucket, so
-    the 100 TB path is doc_dedup_minhash_lsh — this stays the
-    verification oracle for samples.
+    Jaccard runs over integer shingle hashes (set semantics preserved
+    up to ~1e-6 collision odds; int intersects are ~10× cheaper than
+    string-array intersects). Exact-shape baseline for near-dup
+    detection; quadratic within a bucket, so the 100 TB path is
+    doc_dedup_minhash_lsh — this stays the verification oracle for
+    samples.
     """
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
     return spark.sql(_ngram_pairs_sql(D.SPARK))
@@ -428,17 +439,37 @@ def doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
+_SIMHASH_BITS = 60
+
+
+def _spread60(s: str) -> str:
+    """Spread a ~20-bit shingle hash over 60 bits as three independent
+    20-bit lanes (all intermediates < 2^61; identical in both
+    dialects). A single multiply can't fill the high bits without
+    overflowing, and low-entropy high bits collapse the banded search.
+    """
+    return (
+        f"((({s} * 48271) % 1048573)"
+        f" + (({s} * 69621) % 1048573) * 1048576"
+        f" + (({s} * 16807) % 1048573) * 1099511627776)"
+    )
+
+
 def _simhash_sql(dialect: str) -> str:
-    toks = D.arr_distinct(_toks(dialect), dialect)
-    th = D.char_positional_hash("t", dialect)
-    # scramble into 61 bits (inputs < 2^32 ⇒ product < 2^63)
-    scramble = f"(({th} * {D.MULT}) % 2305843009213693951)"
-    hs = D.transform_arr(toks, "t", scramble, dialect)
+    # SimHash over 3-gram shingle hashes, NOT single tokens: the
+    # synthetic docs draw from a tiny vocabulary, so token-level
+    # signatures are near-identical across documents (the same
+    # degeneracy that broke token-level MinHash) — shingles restore
+    # the entropy that makes hamming distance meaningful.
+    hashed = D.transform_arr("toks", "t", D.token_hash("t", dialect), dialect)
+    hs = D.transform_arr(
+        D.arr_distinct("shs_raw", dialect), "s", _spread60("s"), dialect
+    )
     if dialect == D.SPARK:
         bit = "(shiftright(h, b) % 2)"
         bitsum = f"aggregate(hs, cast(0 as bigint), (acc, h) -> acc + (CASE WHEN {bit} = 1 THEN 1 ELSE -1 END))"
         simhash = (
-            f"aggregate(sequence(0, 61), cast(0 as bigint), "
+            f"aggregate(sequence(0, {_SIMHASH_BITS - 1}), cast(0 as bigint), "
             f"(acc2, b) -> acc2 + (CASE WHEN {bitsum} >= 0 THEN shiftleft(cast(1 as bigint), b) ELSE 0 END))"
         )
     else:
@@ -447,20 +478,30 @@ def _simhash_sql(dialect: str) -> str:
             f"cast(list_sum(list_transform(hs, h -> CASE WHEN {bit} = 1 THEN 1 ELSE -1 END)) as bigint)"
         )
         simhash = (
-            f"cast(list_sum(list_transform(range(0, 62), "
+            f"cast(list_sum(list_transform(range(0, {_SIMHASH_BITS}), "
             f"b -> CASE WHEN {bitsum} >= 0 THEN (1::bigint << b) ELSE 0::bigint END)) as bigint)"
         )
     return f"""
         SELECT doc_id, {simhash} AS simhash
-        FROM (SELECT doc_id, {hs} AS hs FROM {_doc_tbl(dialect)}
-              WHERE {D.arr_size(toks, dialect)} > 0) t
+        FROM (
+            SELECT doc_id, {hs} AS hs
+            FROM (
+                SELECT doc_id, {D.shingle_hashes("hs0", dialect)} AS shs_raw
+                FROM (
+                    SELECT doc_id, {hashed} AS hs0
+                    FROM (SELECT doc_id, {_toks(dialect)} AS toks
+                          FROM {_doc_tbl(dialect)}) tk
+                    WHERE {D.arr_size("toks", dialect)} >= 3
+                ) h0
+            ) sr
+        ) t
     """
 
 
 @register("doc_simhash", oracle=_simhash_sql(D.DUCK), tags=("extension",))
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """62-bit SimHash per document (sign of per-bit vote over distinct
-    token hashes). Near-dup = small hamming distance; pairing is done
+    """60-bit SimHash per document (sign of per-bit vote over distinct
+    shingle hashes). Near-dup = small hamming distance; pairing is done
     downstream by banding the simhash like any LSH key."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
     return spark.sql(_simhash_sql(D.SPARK))
@@ -469,13 +510,22 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # SimHash near-dup pairing (banded hamming search)
 # --------------------------------------------------------------------------
-_SIMHASH_CHUNKS = 4  # 62 bits → 4 chunks; hamming<=3 ⇒ one chunk equal
-_HAMMING_MAX = 8
+_SIMHASH_CHUNKS = 4  # 60 bits → 4 chunks; hamming<=3 ⇒ one chunk equal
+_HAMMING_MAX = 3  # pigeonhole-exact at 4 chunks: recall is 100%
 
 
-def _simhash_pairs_sql(dialect: str) -> str:
-    # Chunk boundaries over the 62-bit simhash: 16/16/16/14 bits.
-    bounds = [(0, 16), (16, 16), (32, 16), (48, 14)]
+def _simhash_pairs_sql(dialect: str, sims_rel: str | None = None) -> str:
+    """Banded hamming pairing over a `sims(doc_id, simhash)` relation.
+
+    `sims_rel` names a pre-staged relation (Spark temp view over a
+    cached signature DataFrame); when None the simhash SQL is inlined
+    as a CTE (the DuckDB oracle — DuckDB materializes CTEs once, but
+    Spark would recompute the inlined CTE per chunk per join side,
+    ~8× the signature cost).
+    """
+    # Chunk boundaries over the 60-bit simhash: 4 × 15 bits.
+    bounds = [(0, 15), (15, 15), (30, 15), (45, 15)]
+    sims = sims_rel or "sims"
     chunk_rows = []
     for ci, (lo, width) in enumerate(bounds):
         mask = (1 << width) - 1
@@ -484,16 +534,16 @@ def _simhash_pairs_sql(dialect: str) -> str:
         else:
             ch = f"((simhash >> {lo}) & {mask})"
         chunk_rows.append(
-            f"SELECT doc_id, simhash, {ci} AS chunk_id, {ch} AS chunk_val FROM sims"
+            f"SELECT doc_id, simhash, {ci} AS chunk_id, {ch} AS chunk_val FROM {sims}"
         )
     chunks = "\nUNION ALL\n".join(chunk_rows)
     if dialect == D.SPARK:
         ham = "bit_count(a.simhash ^ b.simhash)"
     else:
         ham = "bit_count(xor(a.simhash, b.simhash))::int"
+    with_sims = "" if sims_rel else f"sims AS ({_simhash_sql(dialect)}),\n        "
     return f"""
-        WITH sims AS ({_simhash_sql(dialect)}),
-        chunks AS ({chunks}),
+        WITH {with_sims}chunks AS ({chunks}),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_id_a, a.simhash AS sim_a,
                             b.doc_id AS doc_id_b, b.simhash AS sim_b
@@ -510,10 +560,18 @@ def _simhash_pairs_sql(dialect: str) -> str:
 
 @register("doc_simhash_near_dup", oracle=_simhash_pairs_sql(D.DUCK), tags=("extension",))
 def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup search: band the 62-bit hash into 4 chunks
-    (pigeonhole: hamming ≤ 3 guarantees a shared chunk; we accept the
-    recall trade at the ≤ 8 reporting threshold), candidate pairs from
-    chunk-equality collisions, verified by popcount(xor). The chunk
-    value is the shuffle key — same LSH shape as MinHash banding."""
+    """SimHash near-dup search: band the 60-bit hash into 4 chunks
+    (pigeonhole: hamming ≤ 3 ⇒ at least one chunk equal, so recall at
+    the ≤ 3 threshold is exact), candidate pairs from chunk-equality
+    collisions, verified by popcount(xor). The chunk value is the
+    shuffle key — same LSH shape as MinHash banding.
+
+    The per-doc signature table is staged and cached before the
+    self-join (the pairing references it 8× once the chunk UNION is
+    inlined on both join sides — same staging lesson as
+    doc_dedup_minhash_lsh); the DuckDB oracle keeps the single-SQL
+    formulation."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
-    return spark.sql(_simhash_pairs_sql(D.SPARK))
+    sims = spark.sql(_simhash_sql(D.SPARK)).cache()
+    sims.createOrReplaceTempView("__fps_simhash_sims")
+    return spark.sql(_simhash_pairs_sql(D.SPARK, sims_rel="__fps_simhash_sims"))

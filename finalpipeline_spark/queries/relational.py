@@ -403,6 +403,55 @@ def ref_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(b)
 
 
+@register(
+    "ref_intersect",
+    oracle="""
+        SELECT l_orderkey AS id FROM lineitem WHERE l_linenumber <= 2
+        INTERSECT
+        SELECT l_orderkey AS id FROM lineitem WHERE l_returnflag = 'A'
+    """,
+    tags=("reference",),
+)
+def ref_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-extension: INTERSECT (set semantics) — rounds out the set-op
+    family next to UNION ALL and EXCEPT ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 2).select(F.col("l_orderkey").alias("id"))
+    b = li.filter(F.col("l_returnflag") == "A").select(F.col("l_orderkey").alias("id"))
+    return a.intersect(b)
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_pivot_counts",
+    oracle=f"""
+        SELECT user_id,
+               {", ".join(
+                   f"count(*) FILTER (event_type = '{t}') AS {t}" for t in _EVENT_TYPES
+               )}
+        FROM events GROUP BY user_id
+    """,
+    tags=("extension",),
+)
+def events_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix via the real pivot
+    operator (explicit value list → no extra distinct-values job);
+    absent combinations coalesced to 0 to match the conditional-
+    aggregation oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES],
+    )
+
+
 # --------------------------------------------------------------------------
 # A1 — counts (compute_morgan.py:11-13)
 # --------------------------------------------------------------------------
