@@ -71,3 +71,40 @@ def test_flagship_no_python_udf(spark, sf_dir):
     for name in ("flagship_datamart_chain", "tpch_q1", "ref_tie_flag_topk"):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_q4_semi_join_with_residual(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q4")
+    # EXISTS compiles to a broadcast LEFT SEMI with the non-equi
+    # shipped-after-ordered predicate riding on the join, and the date
+    # range pushed to the orders scan.
+    assert "LeftSemi" in plan, plan
+    assert "l_shipdate" in plan.split("LeftSemi")[0].splitlines()[-1] or \
+           "l_shipdate" in [ln for ln in plan.splitlines() if "LeftSemi" in ln][0]
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln and "o_orderdate" in ln]
+    assert scan and ">=" in scan[0], plan
+
+
+def test_q16_and_q22_broadcast_anti(spark, sf_dir):
+    for name in ("tpch_q16", "tpch_q22"):
+        plan = _plan(spark, sf_dir, name)
+        anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti and "Broadcast" in anti[0], f"{name}\n{plan}"
+
+
+def test_q19_or_predicates_push_to_both_scans(spark, sf_dir):
+    # Catalyst decomposes the cross-side OR into per-side disjuncts
+    # that reach BOTH parquet scans — OR must not defeat pushdown.
+    plan = _plan(spark, sf_dir, "tpch_q19")
+    li_scan = [ln for ln in plan.splitlines()
+               if "FileScan parquet" in ln and "l_quantity" in ln][0]
+    p_scan = [ln for ln in plan.splitlines()
+              if "FileScan parquet" in ln and "p_brand" in ln][0]
+    assert "l_quantity" in li_scan.split("DataFilters")[1], plan
+    assert "Brand#12" in p_scan.split("DataFilters")[1], plan
+
+
+def test_ivf_topk_stays_jvm_side(spark, sf_dir):
+    # The whole IVF probe-and-search is built-in SQL — no Python UDF.
+    plan = _plan(spark, sf_dir, "emb_ivf_topk")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
