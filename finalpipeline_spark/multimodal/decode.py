@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -143,4 +145,113 @@ def documents_as_binary(docs: DataFrame) -> DataFrame:
     test)."""
     return docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("in_width", IntegerType()),
+        StructField("in_height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("sample_sum", LongType()),
+    ]
+)
+
+_RESIZE_BOX = 32  # fit-within target box (stub of a thumbnail pass)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows: dict[str, list] = {k.name: [] for k in RESIZE_SCHEMA.fields}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_bytes = len(payload)
+            if n_bytes == 0:
+                continue
+            in_w, in_h = _fake_decode_dims(n_bytes)
+            # Integer fit-within scaling (floor), never upscale.
+            out_w = max(1, min(in_w, (in_w * _RESIZE_BOX) // max(in_w, in_h)))
+            out_h = max(1, min(in_h, (in_h * _RESIZE_BOX) // max(in_w, in_h)))
+            n_px = out_w * out_h
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            idx = (np.arange(n_px, dtype=np.int64) * n_bytes) // n_px
+            rows["doc_id"].append(doc_id)
+            rows["in_width"].append(in_w)
+            rows["in_height"].append(in_h)
+            rows["out_width"].append(out_w)
+            rows["out_height"].append(out_h)
+            rows["sample_sum"].append(int(buf[idx].sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "in_width": pd.Series(rows["in_width"], dtype="int32"),
+                "in_height": pd.Series(rows["in_height"], dtype="int32"),
+                "out_width": pd.Series(rows["out_width"], dtype="int32"),
+                "out_height": pd.Series(rows["out_height"], dtype="int32"),
+                "sample_sum": pd.Series(rows["sample_sum"], dtype="int64"),
+            }
+        )
+
+
+def resize_images(df: DataFrame) -> DataFrame:
+    """(doc_id, payload) → resize-pass summary via mapInPandas.
+
+    STUB for an image thumbnail stage: nearest-neighbor byte sampling
+    onto a fit-within 32x32 grid, digested as the sum of the sampled
+    bytes (a real implementation emits the resized payload instead of
+    the digest; schema/batching/partitioning are the production
+    shape). Narrow transformation — one output row per image, no
+    shuffle."""
+    return df.select("doc_id", "payload").mapInPandas(
+        _resize_batches, schema=RESIZE_SCHEMA
+    )
+
+
+N_FEATURE_BINS = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        doc_ids, n_bytes_l, feats = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            if n == 0:
+                continue
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            hist = np.bincount(buf >> 4, minlength=N_FEATURE_BINS).astype("float64")
+            doc_ids.append(doc_id)
+            n_bytes_l.append(n)
+            feats.append((hist / n).tolist())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "n_bytes": pd.Series(n_bytes_l, dtype="int64"),
+                "features": pd.Series(feats, dtype="object"),
+            }
+        )
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """(doc_id, payload) → fixed-dim feature vector via mapInPandas.
+
+    STUB for a media feature extractor (CLIP/wav2vec/etc.): a 16-bin
+    normalized byte histogram — deterministic, vectorized (numpy
+    bincount per row), and the exact shape a learned embedding takes
+    downstream (array<double> keyed by doc_id, ready for the
+    embeddings-table similarity operators)."""
+    return df.select("doc_id", "payload").mapInPandas(
+        _feature_batches, schema=FEATURE_SCHEMA
     )

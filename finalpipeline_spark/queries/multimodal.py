@@ -10,10 +10,13 @@ Arrow) is value-hash verified, not just smoke-tested.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from finalpipeline_spark.multimodal.decode import (
     decode_image_meta,
     documents_as_binary,
+    extract_features,
+    resize_images,
     sample_frames,
 )
 from finalpipeline_spark.queries.registry import register
@@ -70,3 +73,70 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the payloads are ASCII."""
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(documents_as_binary(docs))
+
+
+@register(
+    "mm_resize",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n
+            FROM documents WHERE octet_length(encode(text)) > 0
+        ),
+        dims AS (
+            SELECT doc_id, text, n,
+                   (1 + n % 64) AS in_w, (1 + n % 37) AS in_h
+            FROM d
+        ),
+        o AS (
+            SELECT doc_id, text, n, in_w, in_h,
+                   greatest(1, least(in_w, (in_w * 32) // greatest(in_w, in_h))) AS out_w,
+                   greatest(1, least(in_h, (in_h * 32) // greatest(in_w, in_h))) AS out_h
+            FROM dims
+        )
+        SELECT doc_id, in_w::int AS in_width, in_h::int AS in_height,
+               out_w::int AS out_width, out_h::int AS out_height,
+               list_sum(list_transform(range(0, out_w * out_h),
+                   k -> ord(substr(text, ((k * n) // (out_w * out_h))::int + 1, 1))
+               ))::bigint AS sample_sum
+        FROM o
+    """,
+    tags=("extension",),
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail-resize pass over opaque image payloads: fit-within
+    32x32 integer scaling + nearest-neighbor byte sampling, digested as
+    the sampled-byte sum (multimodal/decode.resize_images). The oracle
+    recomputes the sampling arithmetic in SQL — ord(char) = byte value
+    because the payloads are ASCII."""
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(documents_as_binary(docs))
+
+
+@register(
+    "mm_feature_extract",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n
+            FROM documents WHERE octet_length(encode(text)) > 0
+        ),
+        b AS (SELECT doc_id, text, n, unnest(range(0, 16)) AS bin FROM d)
+        SELECT doc_id, bin::int AS bin,
+               (len(list_filter(
+                   list_transform(range(0, n),
+                       i -> ord(substr(text, i::int + 1, 1)) // 16),
+                   v -> v = bin)))::double / n AS feature
+        FROM b
+    """,
+    tags=("extension",),
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over opaque payloads: the 16-bin normalized
+    byte histogram stub (multimodal/decode.extract_features), exploded
+    to (doc_id, bin, feature) rows so the oracle hash covers every
+    vector component. The real extractor (CLIP/wav2vec) emits the same
+    array<double> shape into the embeddings-table operators."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_binary(docs))
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bin", "feature")
+    )
