@@ -414,3 +414,44 @@ def ref_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+@register(
+    "events_window_frames",
+    oracle="""
+        SELECT user_id, event_id,
+               (sum(event_id) OVER (
+                   PARTITION BY user_id ORDER BY es, event_id))::bigint AS run_idsum,
+               (count(*) OVER (
+                   PARTITION BY user_id ORDER BY es, event_id))::bigint AS run_n,
+               max(value) OVER (
+                   PARTITION BY user_id ORDER BY es, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS max3,
+               (ntile(4) OVER (
+                   PARTITION BY user_id ORDER BY value, event_id))::int AS quartile
+        FROM (SELECT user_id, event_id, value,
+                     (epoch_us(ts) // 1000000) AS es FROM events) t
+    """,
+    tags=("extension",),
+)
+def events_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame breadth on one pass: cumulative sum/count (default
+    growing frame), an explicit ROWS BETWEEN sliding frame (3-row max —
+    order-stable, no float accumulation), and ntile bucketing. All
+    four share the user_id partition, so Spark evaluates them in a
+    single window stage over one shuffle; the (es, event_id) tiebreak
+    makes every frame deterministic across engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.col("ts_epoch_s").alias("es")
+    )
+    w_run = Window.partitionBy("user_id").orderBy("es", "event_id")
+    w_3 = w_run.rowsBetween(-2, Window.currentRow)
+    w_q = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum("event_id").over(w_run).cast("long").alias("run_idsum"),
+        F.count(F.lit(1)).over(w_run).cast("long").alias("run_n"),
+        F.max("value").over(w_3).alias("max3"),
+        F.ntile(4).over(w_q).cast("int").alias("quartile"),
+    )

@@ -567,3 +567,81 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.col("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q15",
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   {exact_sum_sql("l_extendedprice * (1 - l_discount)", 4)} AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_rev
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+    tags=("reference",),
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15): a derived revenue view consumed twice
+    — once joined to the dim, once reduced to its max for the argmax
+    filter. The view is computed once and cached (Spark would otherwise
+    inline and recompute the aggregation per reference); the max is a
+    one-row broadcast. Exact fixed-point revenue makes the equality
+    comparison safe across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_rev"))
+        .cache()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    max_rev = revenue.agg(F.max("total_rev").alias("mr"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_rev") == F.col("mr"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "tpch_q17",
+    oracle=f"""
+        SELECT {exact_sum_sql("l_extendedprice", 2)} / 7.0 AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN (
+            SELECT l_partkey AS a_partkey,
+                   {exact_avg_sql("l_quantity", 0)} AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        ) pa ON a_partkey = l_partkey
+        WHERE p_brand = 'Brand#23' AND l_quantity < 0.5 * avg_qty
+    """,
+    tags=("reference",),
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape; the container
+    filter becomes brand-only on the trimmed schema): the correlated
+    per-part average-quantity subquery decorrelates into an aggregate
+    joined back to lineitem. Exact fixed-point per-part averages (one
+    IEEE division each) keep the 0.5*avg threshold bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    per_part = (
+        li.groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg(exact_avg(F.col("l_quantity"), 0).alias("avg_qty"))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("a_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((exact_sum(F.col("l_extendedprice"), 2) / 7.0).alias("avg_yearly"))
+    )

@@ -13,6 +13,11 @@ SPECS = load_all()
 
 
 def _plan(spark, sf_dir, name: str, execute: bool = False) -> str:
+    # Scan metadata (DataFilters/PushedFilters) is truncated at
+    # maxMetadataStringLength chars; expression IDs grow over a long
+    # session, shifting the cut point — widen it so assertions on
+    # filter contents are order-independent.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     df = SPECS[name].fn(spark, sf_dir)
     if execute:  # AQE final plan (codegen spans) exists only post-run
         df.collect()
