@@ -582,3 +582,84 @@ def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = spark.sql(_simhash_sql(D.SPARK)).cache()
     sims.createOrReplaceTempView("__fps_simhash_sims")
     return spark.sql(_simhash_pairs_sql(D.SPARK, sims_rel="__fps_simhash_sims"))
+
+
+# --------------------------------------------------------------------------
+# Corpus curation funnel (the end-to-end training-data pipeline shape)
+# --------------------------------------------------------------------------
+_CURATION_MIN_TOKENS = 5
+_CURATION_MIN_QUALITY = 0.6
+
+
+def _curation_sql(dialect: str) -> str:
+    """Filter → score → exact-dedup → language gate → corpus stats,
+    in ONE declarative plan: a single scan computes tokens/quality/
+    language/fingerprint, one window shuffle (on the fingerprint) picks
+    the canonical copy per content class, and one final aggregation
+    emits per-language corpus statistics. This is the whole
+    pretraining-data curation funnel at its 100 TB shape — no
+    intermediate materialization, no second scan.
+    """
+    # Tokenize ONCE into a column, then derive every signal from it —
+    # the naive form re-ran the tokenizer regex per expression (Catalyst
+    # does not CSE across independent aggregate-input expressions).
+    n_tok = D.arr_size("toks", dialect)
+    n_uniq = D.arr_size(D.arr_distinct("toks", dialect), dialect)
+    contains = "array_contains" if dialect == D.SPARK else "list_contains"
+    n_stop = D.arr_size(
+        D.filter_arr("toks", "t", f"{contains}({_stop_arr(dialect)}, t)", dialect),
+        dialect,
+    )
+    ttr = f"(cast({n_uniq} as double) / cast({n_tok} as double))"
+    stop_ratio = f"(cast({n_stop} as double) / cast({n_tok} as double))"
+    score = (
+        f"0.4 * least(cast({n_tok} as double) / 100.0, 1.0)"
+        f" + 0.3 * {ttr} + 0.3 * (1.0 - {stop_ratio})"
+    )
+    fp = D.char_positional_hash("text", dialect)
+    guess = (
+        f"CASE WHEN {n_tok} < {_CURATION_MIN_TOKENS} THEN 'short' "
+        f"WHEN {stop_ratio} >= 0.08 THEN 'en' ELSE 'other' END"
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, lang, text, {_toks(dialect)} AS toks
+            FROM {_doc_tbl(dialect)}
+        ),
+        scored AS (
+            SELECT doc_id, lang,
+                   {n_tok} AS n_tokens,
+                   ({score}) AS quality_score,
+                   {guess} AS guessed_lang,
+                   ({fp}) % 9007199254740881 AS fingerprint
+            FROM tok
+            WHERE {n_tok} >= {_CURATION_MIN_TOKENS}
+        ),
+        canon AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY fingerprint ORDER BY doc_id) AS rn
+            FROM scored
+        ),
+        kept AS (
+            SELECT * FROM canon
+            WHERE rn = 1 AND quality_score >= {_CURATION_MIN_QUALITY}
+        )
+        SELECT lang, guessed_lang,
+               count(*) AS n_docs,
+               cast(sum(n_tokens) as bigint) AS total_tokens,
+               round(avg(quality_score), 6) AS avg_quality
+        FROM kept
+        GROUP BY lang, guessed_lang
+    """
+
+
+@register("doc_corpus_curation", oracle=_curation_sql(D.DUCK), tags=("extension", "headline"))
+def doc_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation funnel end to end (see _curation_sql):
+    min-length gate, quality scoring, exact dedup with a deterministic
+    canonical pick, language identification, and per-language token
+    accounting — one scan, one window shuffle, one aggregation."""
+    load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_curation_sql(D.SPARK))
