@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 # Imposed 3-column input schema (reference tanimoto.py:88 — including
 # the throwaway third column the reference named `Ellipsis`).
@@ -51,3 +51,59 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     """S14: partitioned parquet read — one scan replaces the
     reference's loop of per-file get_object + BytesIO reads."""
     return spark.read.parquet(path)
+
+
+DOCUMENT_JSONL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession, path_glob: str, keep_corrupt: bool = False
+) -> DataFrame:
+    """JSONL corpus reader — the dominant interchange format for
+    training-data pipelines (one JSON document per line).
+
+    Explicit schema (never infer at 100 TB: inference is a second full
+    scan). Malformed lines never fail the job — a bad shard quarantines
+    instead of killing a 10-hour run: ``keep_corrupt=False`` reads
+    DROPMALFORMED (bad lines skipped at the scan); ``keep_corrupt=True``
+    reads PERMISSIVE with the raw line in ``_corrupt_record`` for a
+    dead-letter sink (NB Spark requires materializing before a query
+    that touches ONLY the corrupt column —
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN). The input filename rides along
+    for ledger anti-joins, exactly as with the CSV reader.
+    """
+    if keep_corrupt:
+        schema = StructType(
+            DOCUMENT_JSONL_SCHEMA.fields
+            + [StructField("_corrupt_record", StringType())]
+        )
+        df = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path_glob)
+        )
+    else:
+        # DROPMALFORMED only drops lines that fail to PARSE; a valid
+        # JSON object whose field fails type coercion yields a null
+        # field instead — so the required-key (identity) filter is
+        # explicit.
+        df = (
+            spark.read.schema(DOCUMENT_JSONL_SCHEMA)
+            .option("mode", "DROPMALFORMED")
+            .json(path_glob)
+            .filter(F.col("doc_id").isNotNull())
+        )
+    return df.withColumn("input_file", F.input_file_name())
+
+
+def write_documents_jsonl(df: DataFrame, path: str) -> None:
+    """JSONL writer (one JSON object per line, one file per partition)
+    — the export half of the corpus interchange round-trip."""
+    df.write.mode("overwrite").json(path)

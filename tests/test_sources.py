@@ -64,3 +64,40 @@ def test_ledger_append_and_read(spark, tmp_path):
     append_ledger_entries(spark, path, ["c.csv"])
     got = {r.file for r in read_ledger(spark, path).collect()}
     assert got == {"a.csv", "b.csv", "c.csv"}
+
+
+def test_jsonl_round_trip_and_quarantine(spark, sf_dir, tmp_path):
+    from finalpipeline_spark.sources.readers import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+    from finalpipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = str(tmp_path / "corpus")
+    write_documents_jsonl(docs, out)
+
+    back = read_documents_jsonl(spark, out + "/*.json")
+    assert back.count() == docs.count()
+    assert (
+        back.select("doc_id", "lang", "text").exceptAll(docs).count() == 0
+    )
+
+    # A shard with malformed lines quarantines rows, not the job.
+    bad = tmp_path / "corpus" / "part-bad.json"
+    bad.write_text(
+        '{"doc_id": 900001, "lang": "en", "text": "ok line"}\n'
+        "{not json at all\n"
+        '{"doc_id": "NOT A NUMBER", "lang": 3}\n'
+    )
+    merged = read_documents_jsonl(spark, out + "/*.json")
+    assert merged.count() == docs.count() + 1  # only the good line lands
+    # Spark disallows queries touching ONLY _corrupt_record on a raw
+    # scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materialize first, as
+    # a dead-letter sink would.
+    kept = read_documents_jsonl(spark, out + "/*.json", keep_corrupt=True).cache()
+    try:
+        n_corrupt = kept.filter("_corrupt_record IS NOT NULL").count()
+        assert n_corrupt == 2
+    finally:
+        kept.unpersist()
