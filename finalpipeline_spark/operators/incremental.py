@@ -41,3 +41,25 @@ def write_idempotent_partitions(
         df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def merge_upsert(
+    existing: DataFrame, incoming: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Update-else-insert (the MERGE statement's core, constraint-free).
+
+    Incoming rows REPLACE existing rows with the same key; unmatched
+    existing rows survive; unmatched incoming rows insert. Implemented
+    as an anti-join (existing minus updated keys) + union — one shuffle
+    on the key, no full outer join needed because incoming wins
+    unconditionally. Incoming must be key-unique (caller dedups, as
+    everywhere in the engine: uniqueness is by construction).
+
+    At scale this is the table-format MERGE (Delta/Iceberg) without the
+    transaction log: pair it with write_idempotent_partitions so only
+    partitions containing touched keys rewrite.
+    """
+    kept = existing.join(
+        incoming.select(*keys).dropDuplicates(list(keys)), list(keys), "left_anti"
+    )
+    return kept.unionByName(incoming)

@@ -103,3 +103,25 @@ def test_pipeline_end_to_end_and_idempotent(spark, tmp_path, molecules):
     tgt_ids3 = {r.target_molregno for r in facts3.select("target_molregno").distinct().collect()}
     assert tgt_ids3 == {7, 42, 55}
     assert facts3.count() > fact_count
+
+
+def test_merge_upsert_semantics(spark):
+    from finalpipeline_spark.operators.incremental import merge_upsert
+
+    existing = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, v double"
+    )
+    incoming = spark.createDataFrame(
+        [(2, "B", 200.0), (4, "d", 40.0)], "k int, name string, v double"
+    )
+    merged = merge_upsert(existing, incoming, ["k"])
+    got = {r.k: (r.name, r.v) for r in merged.collect()}
+    assert got == {
+        1: ("a", 10.0),   # untouched survives
+        2: ("B", 200.0),  # updated: incoming wins
+        3: ("c", 30.0),
+        4: ("d", 40.0),   # new key inserts
+    }
+    # Idempotent: merging the same increment again changes nothing.
+    again = merge_upsert(merged, incoming, ["k"])
+    assert {r.k: (r.name, r.v) for r in again.collect()} == got
