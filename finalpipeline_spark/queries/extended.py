@@ -455,3 +455,56 @@ def events_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").over(w_3).alias("max3"),
         F.ntile(4).over(w_q).cast("int").alias("quartile"),
     )
+
+
+@register(
+    "events_conversion_funnel",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'click' THEN es END) AS first_click,
+                   min(CASE WHEN event_type = 'purchase' THEN es END) AS first_purchase
+            FROM (SELECT user_id, event_type,
+                         (epoch_us(ts) // 1000000) AS es FROM events) t
+            GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               count(first_click) AS n_clicked,
+               count(CASE WHEN first_purchase >= first_click THEN 1 END)
+                   AS n_converted,
+               count(CASE WHEN first_purchase >= first_click
+                           AND first_purchase <= first_click + 86400 THEN 1 END)
+                   AS n_converted_24h,
+               cast(sum(CASE WHEN first_purchase >= first_click
+                             THEN first_purchase - first_click END) as bigint)
+                   AS total_lag_s
+        FROM per_user
+    """,
+    tags=("extension",),
+)
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase conversion funnel: first-touch per stage via
+    conditional mins (one shuffle on user_id), then funnel counts and
+    total conversion lag in a single-row combine. NULL comparison
+    semantics do the stage gating — users who never clicked or never
+    purchased fall out of each >= test. All-integer outputs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts_epoch_s").alias("es")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("es"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("es"))).alias(
+            "first_purchase"
+        ),
+    )
+    converted = F.col("first_purchase") >= F.col("first_click")
+    within = converted & (F.col("first_purchase") <= F.col("first_click") + 86400)
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_click").alias("n_clicked"),
+        F.count(F.when(converted, F.lit(1))).alias("n_converted"),
+        F.count(F.when(within, F.lit(1))).alias("n_converted_24h"),
+        F.sum(F.when(converted, F.col("first_purchase") - F.col("first_click")))
+        .cast("long")
+        .alias("total_lag_s"),
+    )
