@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from finalpipeline_spark.functions import dialect as D
@@ -663,3 +663,214 @@ def doc_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     ).createOrReplaceTempView(SPARK_VIEW)
     return spark.sql(_curation_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms (explode / lateral-view family)
+# --------------------------------------------------------------------------
+def _tfidf_oracle_sql() -> str:
+    toks = _toks(D.DUCK)
+    score = "(tf.tf::double) * ((n.n_docs::double) / (df.df::double))"
+    return f"""
+        WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+        t AS (SELECT doc_id, unnest(toks) AS term FROM tok WHERE len(toks) > 0),
+        tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM t GROUP BY doc_id, term),
+        df AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*)::bigint AS n_docs FROM tok WHERE len(toks) > 0)
+        SELECT doc_id, term, tf, tfidf, rank FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, {score} AS tfidf,
+                   (row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY {score} DESC, tf.term))::int AS rank
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        ) ranked
+        WHERE rank <= 3
+    """
+
+
+@register("doc_tfidf_topterms", oracle=_tfidf_oracle_sql(), tags=("extension",))
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms by TF-IDF over the exploded
+    token stream (the lateral-view / flatten operator family).
+
+    IDF is the *rational* variant N/df, not ln(N/df): ln() is not
+    guaranteed correctly-rounded on either engine, while one IEEE
+    division + one multiply is bit-identical by construction (same
+    dual-dialect discipline as everywhere else; the ranking is what
+    matters and df-monotonicity is preserved).
+
+    Scale shape: explode → partial-agg groupBy(doc_id, term) is the
+    only wide shuffle over the token stream; the document-frequency
+    table is vocabulary-sized and broadcast; the corpus count is a
+    single-row broadcast cross join (no driver collect); the top-k is
+    a doc_id-partitioned window over the already-aggregated tf table.
+    The tf table is cached because both the df aggregation and the
+    final join consume it.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select("doc_id", F.expr(_toks(D.SPARK)).alias("toks")).filter(
+        F.expr(D.arr_size("toks", D.SPARK)) > 0
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # Corpus size from the cached tf table (docs with >=1 token appear
+    # there by construction) — deriving it from `toks` would rescan the
+    # parquet and re-run the tokenizer.
+    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    score = F.col("tf").cast("double") * (
+        F.col("n_docs").cast("double") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n))
+        .withColumn("tfidf", score)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/valid/test split + hash sampling
+# --------------------------------------------------------------------------
+def _split_sql(dialect: str) -> str:
+    # Mix through a large prime BEFORE the small-space mod, else doc_ids
+    # congruent mod 1000 collide structurally (same lesson as the
+    # synthetic fingerprints).
+    h = f"(((doc_id * {D.MULT}) % {D.HASH_MOD}) % 1000)"
+    h2 = f"(((doc_id * 48271) % {D.HASH_MOD}) % 10)"
+    cast_int = "cast({x} as int)" if dialect == D.SPARK else "({x})::int"
+    return f"""
+        SELECT doc_id, lang,
+               {cast_int.format(x=h)} AS bucket,
+               CASE WHEN {h} < 800 THEN 'train'
+                    WHEN {h} < 900 THEN 'valid'
+                    ELSE 'test' END AS split,
+               ({h2} = 0) AS in_10pct_sample
+        FROM {_doc_tbl(dialect)}
+    """
+
+
+@register("doc_train_test_split", oracle=_split_sql(D.DUCK), tags=("extension",))
+def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment plus an
+    independent 10% sampling flag, both pure integer-hash functions of
+    doc_id (second hash uses a different multiplier lane so the sample
+    is independent of the split).
+
+    This is the scale-correct way to split/sample a 100 TB corpus:
+    content-addressed, reproducible across runs and engines, no
+    shuffle, no RNG state, embarrassingly parallel, and stable under
+    re-partitioning — unlike df.sample()/rand(), which are
+    partition-order-dependent. Stratification falls out for free
+    because the hash is uniform within every stratum."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_split_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Dedup clusters: connected components over the near-dup pair graph
+# --------------------------------------------------------------------------
+def _clusters_oracle_sql() -> str:
+    # Transitive closure via a recursive CTE: min reachable id over the
+    # symmetrized edge set IS the component id (reachability is
+    # symmetric once edges are undirected).
+    return f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_id_a, doc_id_b FROM ({_lsh_pairs_sql(D.DUCK)}) lsh
+        ),
+        edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION
+            SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src AS doc_id, src AS root FROM edges
+            UNION
+            SELECT e.dst AS doc_id, r.root
+            FROM reach r JOIN edges e ON e.src = r.doc_id
+        )
+        SELECT doc_id,
+               cast(min(root) as bigint) AS cluster_id,
+               (doc_id = min(root)) AS is_canonical
+        FROM reach
+        GROUP BY doc_id
+    """
+
+
+@register("doc_dedup_clusters", oracle=_clusters_oracle_sql(), tags=("extension",))
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *cluster* formation — the step that turns pairwise
+    MinHash-LSH matches into keep-one-per-group decisions, which is how
+    production corpus dedup actually concludes (pairs alone don't dedup
+    anything; components do).
+
+    Connected components by iterative min-label propagation over the
+    symmetrized pair graph (Pregel shape: each round every node takes
+    the min of its label and its neighbors' labels; converged when the
+    exact int64 label-sum stops decreasing — the sum is strictly
+    monotone until fixpoint, so one scalar comparison is a sound
+    convergence test). Rounds are bounded by graph diameter; dup
+    clusters are near-cliques, so 2-3 rounds in practice.
+
+    Scale notes: edges and labels are doc_id-keyed shuffles; each
+    round is one join + one groupBy. localCheckpoint truncates the
+    iteration lineage (without it the plan doubles per round). At
+    100 TB-with-deep-chains the alternating large-star/small-star
+    variant bounds per-round skew; the convergence protocol here is
+    unchanged. The DuckDB oracle is the same closure as a recursive
+    CTE.
+
+    Output: every clustered doc with its component id (= min doc_id in
+    the component) and the canonical-keeper flag.
+    """
+    pairs = doc_dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    fwd = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+    rev = pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
+    edges = fwd.union(rev).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(50):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("src"), F.col("label").alias("src_label")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("src_label").alias("nbr_min"))
+            .select(F.col("dst").alias("doc_id"), "nbr_min")
+        )
+        labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )

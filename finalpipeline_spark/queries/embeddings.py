@@ -247,6 +247,60 @@ def _ivf_topk_sql(dialect: str, d_rel: str | None = None) -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Scalar quantization (vector compression for ANN at scale)
+# --------------------------------------------------------------------------
+def _quantize_sql(dialect: str) -> str:
+    """Per-vector uint8 scalar quantization: q_i = floor((x_i - mn) *
+    255/(mx - mn)), clamped. Every step is min/max selection, one
+    subtract, one multiply, one floor — all exactly-rounded IEEE ops,
+    so both engines emit identical integers with no rounding step.
+    Constant vectors (mx == mn) quantize to 0 via the scale guard.
+    """
+    if dialect == D.SPARK:
+        mn, mx = "array_min(embedding)", "array_max(embedding)"
+        arr_max = "array_max"
+    else:
+        mn, mx = "list_min(embedding)", "list_max(embedding)"
+        arr_max = "list_max"
+    x = f"cast({D.arr_index('embedding', 'i', dialect)} as double)"
+    qd = f"least(floor(({x} - mn) * scale), cast(255 as double))"
+    qs = D.transform_arr(
+        D.seq(1, DIM, dialect), "i", f"cast({qd} as bigint)", dialect
+    )
+    staged = f"""
+        SELECT vec_id, label, embedding,
+               cast({mn} as double) AS mn, cast({mx} as double) AS mx,
+               CASE WHEN {mx} > {mn}
+                    THEN cast(255 as double) / (cast({mx} as double) - cast({mn} as double))
+                    ELSE cast(0 as double) END AS scale
+        FROM {_emb_tbl(dialect)}
+    """
+    sat = D.arr_size(D.filter_arr("qs", "q", "q = 255", dialect), dialect)
+    cast_int = "cast({x} as int)" if dialect == D.SPARK else "({x})::int"
+    return f"""
+        WITH staged AS ({staged}),
+        quant AS (SELECT vec_id, label, mn, mx, {qs} AS qs FROM staged)
+        SELECT vec_id, label, mn, mx,
+               {D.arr_sum_bigint("qs", dialect)} AS q_sum,
+               {cast_int.format(x=f"{arr_max}(qs)")} AS q_max,
+               {cast_int.format(x=sat)} AS n_saturated
+        FROM quant
+    """
+
+
+@register("emb_scalar_quantize_int8", oracle=_quantize_sql(D.DUCK), tags=("extension",))
+def emb_scalar_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uint8 scalar quantization of the embedding column — the
+    compression step that makes 100 TB of float32 vectors fit the ANN
+    serving tier (4× smaller + SIMD-friendly integer distance). Pure
+    per-row map (no shuffle); emits per-vector integer checksums
+    (q_sum, q_max, saturation count) plus the mn/mx dequant params.
+    """
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_quantize_sql(D.SPARK))
+
+
 @register("emb_ivf_topk", oracle=_ivf_topk_sql(D.DUCK), tags=("extension", "headline"))
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-k: probe _NPROBE nearest centroids,
