@@ -458,6 +458,80 @@ def events_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_cube_sales",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               (grouping(l_returnflag) * 2 + grouping(l_linestatus))::int
+                   AS grouping_id,
+               {exact_sum_sql("l_quantity", 2)} AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("extension",),
+)
+def tpch_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with an explicit GROUPING id —
+    all four grouping sets in one shuffle (Spark expands the cube to a
+    grouping-set union with shared partial aggregation). The grouping
+    id disambiguates subtotal NULLs from data NULLs, which is what
+    makes cube output machine-consumable. Completes the
+    rollup/cube/grouping-sets family (§2.4 'not present' gap)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gid = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("int")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        gid.alias("grouping_id"),
+        exact_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_WEEK_S = 7 * 86400
+
+
+@register(
+    "events_cohort_retention",
+    oracle=f"""
+        WITH w AS (
+            SELECT DISTINCT user_id,
+                   (epoch_us(ts) // 1000000) // {_WEEK_S} AS week
+            FROM events
+        ),
+        f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+        SELECT f.cohort_week,
+               (w.week - f.cohort_week) AS week_offset,
+               count(DISTINCT w.user_id) AS n_active
+        FROM w JOIN f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    tags=("extension",),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active week,
+    distinct actives counted at each week offset — the standard
+    product-analytics retention query.
+
+    Shape: one scan → distinct (user, week) → per-user min (both hash
+    the same user_id key, so the second agg reuses the first shuffle's
+    partitioning) → user-keyed join → small final agg. The (user, week)
+    table is cached because the join consumes it on both lineages.
+    All-integer epoch math, timezone-proof."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        ev.select("user_id", F.expr(f"ts_epoch_s div {_WEEK_S}").alias("week"))
+        .distinct()
+        .cache()
+    )
+    f = w.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        w.join(f, "user_id")
+        .withColumn("week_offset", F.col("week") - F.col("cohort_week"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+@register(
     "events_conversion_funnel",
     oracle="""
         WITH per_user AS (
