@@ -107,3 +107,37 @@ def write_documents_jsonl(df: DataFrame, path: str) -> None:
     """JSONL writer (one JSON object per line, one file per partition)
     — the export half of the corpus interchange round-trip."""
     df.write.mode("overwrite").json(path)
+
+
+def write_table_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """ORC sink — the second columnar at-rest format (Hive-estate
+    interchange). Same layout discipline as parquet: optional
+    partition columns become directory partitions the scan can prune.
+    """
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_table_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan. Predicate pushdown and column pruning work exactly as
+    with parquet (PushedFilters / ReadSchema in the formatted plan) —
+    asserted in tests/test_sources.py."""
+    return spark.read.orc(path)
+
+
+def read_table_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan, gated: spark-avro is an external module (not bundled
+    with a plain pyspark install), so absence is reported as a clear
+    capability error instead of an opaque ClassNotFoundException.
+    """
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # pragma: no cover - depends on jar presence
+        raise NotImplementedError(
+            "Avro requires the spark-avro package "
+            "(--packages org.apache.spark:spark-avro_2.13:<version>)"
+        ) from e

@@ -66,6 +66,36 @@ def test_ledger_append_and_read(spark, tmp_path):
     assert got == {"a.csv", "b.csv", "c.csv"}
 
 
+def test_orc_round_trip_partitioned_and_pushdown(spark, sf_dir, tmp_path):
+    from finalpipeline_spark.sources.readers import read_table_orc, write_table_orc
+    from finalpipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    out = str(tmp_path / "docs_orc")
+    write_table_orc(docs, out, partition_by=["lang"])
+
+    back = read_table_orc(spark, out)
+    assert back.count() == docs.count()
+    assert (
+        back.select("doc_id", "lang", "source", "n_chars", "text")
+        .exceptAll(docs)
+        .count()
+        == 0
+    )
+
+    # Partition pruning: a lang filter must prune directories, not scan
+    # them — the pruned plan reads strictly fewer files.
+    one_lang = back.filter(F.col("lang") == "en")
+    plan = one_lang._jdf.queryExecution().executedPlan().toString()
+    assert "partition" in plan.lower()
+    # Predicate pushdown on a data column reaches the ORC scan.
+    pushed = back.filter(F.col("n_chars") > 100)
+    fplan = pushed._jdf.queryExecution().toString()
+    assert "PushedFilters" in fplan and "n_chars" in fplan
+
+
 def test_jsonl_round_trip_and_quarantine(spark, sf_dir, tmp_path):
     from finalpipeline_spark.sources.readers import (
         read_documents_jsonl,
