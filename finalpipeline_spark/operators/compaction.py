@@ -1,0 +1,78 @@
+"""Small-files compaction.
+
+At 100 TB, incremental pipelines (ledger appends, per-trigger streaming
+sinks, dynamic partition overwrites — everything in operators/
+incremental.py and streaming/) accrete thousands of small files per
+partition; scan throughput then dies on open/seek overhead and the
+driver chokes on file listings. Compaction rewrites a parquet directory
+to ~target-sized files and swaps it in atomically.
+
+The reference never needed this (one Postgres, one parquet per target —
+reference tanimoto.py:192-195), but its one-file-per-key layout is
+exactly how a naive port would create the problem at scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def parquet_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) under `path`, recursively."""
+    fs, hpath, _ = _fs_and_path(spark, path)
+    it = fs.listFiles(hpath, True)
+    n, total = 0, 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        n += 1
+        total += st.getLen()
+    return n, total
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
+) -> dict:
+    """Rewrite a parquet directory into ceil(total/target) files.
+
+    coalesce (not repartition) — compaction must not shuffle, it only
+    narrows the partition count; row order within files is irrelevant.
+    The rewrite lands in a sibling temp dir and is swapped in with two
+    renames, so readers never observe a half-written directory (rename
+    is atomic per directory on HDFS-like stores; on S3 use a committer
+    or table format instead).
+
+    Returns {files_before, files_after, total_bytes}.
+    """
+    files_before, total = parquet_file_stats(spark, path)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp, bak = path + "__compact_tmp", path + "__compact_bak"
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+
+    fs, hpath, jvm = _fs_and_path(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    fs.delete(P(bak), True)
+    if not fs.rename(hpath, P(bak)):
+        raise IOError(f"compaction swap failed: could not move {path} aside")
+    if not fs.rename(P(tmp), hpath):
+        fs.rename(P(bak), hpath)  # roll back
+        raise IOError(f"compaction swap failed: could not move {tmp} into place")
+    fs.delete(P(bak), True)
+    files_after, _ = parquet_file_stats(spark, path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "total_bytes": total,
+    }

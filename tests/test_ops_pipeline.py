@@ -1,0 +1,73 @@
+"""Compaction and data-quality operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from finalpipeline_spark.operators.compaction import compact_parquet, parquet_file_stats
+from finalpipeline_spark.operators.quality import (
+    check_accepted_values,
+    check_not_null,
+    check_referential,
+    check_unique,
+    run_checks,
+)
+from finalpipeline_spark.tables import load_table
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "shattered")
+    # Simulate an accreted incremental sink: 64 tiny files.
+    docs.repartition(64).write.parquet(path)
+    before_files, before_bytes = parquet_file_stats(spark, path)
+    assert before_files == 64
+
+    stats = compact_parquet(spark, path, target_file_bytes=before_bytes)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1
+
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").exceptAll(docs.select("doc_id")).count() == 0
+    # No leftover temp/backup directories.
+    assert not (tmp_path / "shattered__compact_tmp").exists()
+    assert not (tmp_path / "shattered__compact_bak").exists()
+
+
+def test_quality_checks(spark):
+    child = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (2, "b", None), (3, "zz", 30), (4, None, 40)],
+        "id long, cat string, fk long",
+    ).withColumn("fk", F.when(F.col("id") == 2, None).otherwise(F.col("id")))
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+
+    report = {
+        (r.check, r.target): r.n_violations
+        for r in run_checks(
+            [
+                check_not_null(child, ["cat", "fk"]),
+                check_unique(child, ["id"]),
+                check_accepted_values(child, "cat", ["a", "b"]),
+                check_referential(child, "fk", parent, "pk"),
+            ]
+        ).collect()
+    }
+    assert report[("not_null", "cat")] == 1
+    assert report[("not_null", "fk")] == 2  # id=2 twice
+    assert report[("unique", "id")] == 1  # one extra row for id=2
+    assert report[("accepted_values", "cat")] == 2  # 'zz' + NULL
+    assert report[("referential", "fk")] == 1  # fk=4 orphaned
+
+
+def test_quality_checks_clean_table_all_zero(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rep = run_checks(
+        [
+            check_not_null(orders, ["o_orderkey", "o_custkey"]),
+            check_unique(orders, ["o_orderkey"]),
+            check_referential(orders, "o_custkey", cust, "c_custkey"),
+        ]
+    )
+    assert rep.filter(F.col("n_violations") > 0).count() == 0
