@@ -41,6 +41,23 @@ def parquet_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     return n, total
 
 
+def atomic_replace(spark: SparkSession, path: str, tmp: str) -> None:
+    """Swap the directory at ``tmp`` into ``path`` with two renames, so
+    readers never observe a half-written directory (rename is atomic
+    per directory on HDFS-like stores; on S3 use a committer or table
+    format instead). Rolls back if the second rename fails."""
+    fs, hpath, jvm = _fs_and_path(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    bak = path + "__swap_bak"
+    fs.delete(P(bak), True)
+    if fs.exists(hpath) and not fs.rename(hpath, P(bak)):
+        raise IOError(f"atomic swap failed: could not move {path} aside")
+    if not fs.rename(P(tmp), hpath):
+        fs.rename(P(bak), hpath)  # roll back
+        raise IOError(f"atomic swap failed: could not move {tmp} into place")
+    fs.delete(P(bak), True)
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
 ) -> dict:
@@ -48,28 +65,16 @@ def compact_parquet(
 
     coalesce (not repartition) — compaction must not shuffle, it only
     narrows the partition count; row order within files is irrelevant.
-    The rewrite lands in a sibling temp dir and is swapped in with two
-    renames, so readers never observe a half-written directory (rename
-    is atomic per directory on HDFS-like stores; on S3 use a committer
-    or table format instead).
+    The rewrite lands in a sibling temp dir and is swapped in atomically.
 
     Returns {files_before, files_after, total_bytes}.
     """
     files_before, total = parquet_file_stats(spark, path)
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    tmp, bak = path + "__compact_tmp", path + "__compact_bak"
+    tmp = path + "__compact_tmp"
     df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
-
-    fs, hpath, jvm = _fs_and_path(spark, path)
-    P = jvm.org.apache.hadoop.fs.Path
-    fs.delete(P(bak), True)
-    if not fs.rename(hpath, P(bak)):
-        raise IOError(f"compaction swap failed: could not move {path} aside")
-    if not fs.rename(P(tmp), hpath):
-        fs.rename(P(bak), hpath)  # roll back
-        raise IOError(f"compaction swap failed: could not move {tmp} into place")
-    fs.delete(P(bak), True)
+    atomic_replace(spark, path, tmp)
     files_after, _ = parquet_file_stats(spark, path)
     return {
         "files_before": files_before,

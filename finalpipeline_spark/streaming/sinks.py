@@ -1,0 +1,73 @@
+"""Streaming sinks: foreachBatch upsert into a parquet gold table.
+
+Structured Streaming's built-in file sink is append-only; a gold table
+keyed by business key needs MERGE semantics per micro-batch. The
+standard production shape is foreachBatch + an idempotent upsert: the
+checkpoint guarantees each source file feeds exactly one epoch, and the
+merge is a pure function of (table state, batch keys), so an epoch
+re-delivered after a crash converges to the same table — exactly-once
+*effect* from at-least-once delivery.
+
+This is the streaming generalization of the reference's hand-rolled
+"insert new facts / update nothing twice" dance (reference
+datamart.py:59-79 + db_interact.py:150-165), with the Postgres UNIQUE
+constraint replaced by merge_upsert's by-construction key uniqueness.
+
+At 100 TB the parquet read-merge-rewrite becomes a table-format MERGE
+(Delta/Iceberg) with partition pruning on the touched keys; the
+foreachBatch protocol here is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from finalpipeline_spark.operators.compaction import atomic_replace
+from finalpipeline_spark.operators.incremental import merge_upsert
+
+
+def upsert_batch(
+    batch_df: DataFrame, table_path: str, keys: Sequence[str]
+) -> None:
+    """Merge one micro-batch into the parquet table at ``table_path``.
+
+    The merged result is written to a sibling temp dir and swapped in
+    atomically — overwriting a path while reading it is undefined in
+    Spark, and a crash mid-write must not eat the table.
+    """
+    spark = batch_df.sparkSession
+    batch = batch_df.dropDuplicates(list(keys))
+    try:
+        existing = spark.read.parquet(table_path)
+        has_table = True
+    except Exception:
+        has_table = False
+    if not has_table:
+        batch.write.mode("overwrite").parquet(table_path)
+        return
+    tmp = table_path + "__upsert_tmp"
+    merge_upsert(existing, batch, keys).write.mode("overwrite").parquet(tmp)
+    atomic_replace(spark, table_path, tmp)
+
+
+def stream_upsert_to_parquet(
+    stream_df: DataFrame,
+    table_path: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Run the stream into a keyed parquet gold table, one idempotent
+    merge per micro-batch, availableNow (drain-and-stop) trigger."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        upsert_batch(batch_df, table_path, keys)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
