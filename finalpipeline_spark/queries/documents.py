@@ -688,7 +688,7 @@ def _tfidf_oracle_sql() -> str:
     """
 
 
-@register("doc_tfidf_topterms", oracle=_tfidf_oracle_sql(), tags=("extension",))
+@register("doc_tfidf_topterms", oracle=_tfidf_oracle_sql(), tags=("extension", "headline"))
 def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 salient terms by TF-IDF over the exploded
     token stream (the lateral-view / flatten operator family).
@@ -777,6 +777,73 @@ def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Train/eval contamination detection (decontamination)
+# --------------------------------------------------------------------------
+def _split_of(doc_id_col: str) -> str:
+    """train/eval label from the same hash as doc_train_test_split
+    (valid+test together form the eval side — contamination of either
+    invalidates the eval)."""
+    return (
+        f"(CASE WHEN ((({doc_id_col} * {D.MULT}) % {D.HASH_MOD}) % 1000) < 800 "
+        f"THEN 'train' ELSE 'eval' END)"
+    )
+
+
+def _contamination_sql() -> str:
+    return f"""
+        WITH pairs AS (
+            SELECT doc_id_a, doc_id_b, jaccard
+            FROM ({_lsh_pairs_sql(D.DUCK)}) lsh
+        ),
+        labeled AS (
+            SELECT doc_id_a, doc_id_b, jaccard,
+                   {_split_of("doc_id_a")} AS split_a,
+                   {_split_of("doc_id_b")} AS split_b
+            FROM pairs
+        )
+        SELECT CASE WHEN split_a = 'eval' THEN doc_id_a ELSE doc_id_b END
+                   AS eval_doc_id,
+               CASE WHEN split_a = 'eval' THEN doc_id_b ELSE doc_id_a END
+                   AS train_doc_id,
+               jaccard
+        FROM labeled
+        WHERE split_a != split_b
+    """
+
+
+@register("doc_contamination_check", oracle=_contamination_sql(), tags=("extension",))
+def doc_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: near-duplicate pairs (MinHash-LSH
+    candidates verified by shingle Jaccard) that straddle the
+    deterministic split — i.e. eval documents whose content leaked into
+    the training side. This is the decontamination pass every serious
+    training-data pipeline runs before shipping an eval set; n-gram
+    overlap, not exact match, is the industry test.
+
+    Reuses the LSH pair generation (same staged+cached signature
+    table), so the only extra work over doc_dedup_minhash_lsh is two
+    hash expressions and a filter — at 100 TB the candidate join
+    dominates and is shared."""
+    pairs = doc_dedup_minhash_lsh(spark, sf_dir)
+    sa = F.expr(_split_of("doc_id_a"))
+    sb = F.expr(_split_of("doc_id_b"))
+    return (
+        pairs.withColumn("split_a", sa)
+        .withColumn("split_b", sb)
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.when(F.col("split_a") == "eval", F.col("doc_id_a"))
+            .otherwise(F.col("doc_id_b"))
+            .alias("eval_doc_id"),
+            F.when(F.col("split_a") == "eval", F.col("doc_id_b"))
+            .otherwise(F.col("doc_id_a"))
+            .alias("train_doc_id"),
+            "jaccard",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Dedup clusters: connected components over the near-dup pair graph
 # --------------------------------------------------------------------------
 def _clusters_oracle_sql() -> str:
@@ -806,7 +873,7 @@ def _clusters_oracle_sql() -> str:
     """
 
 
-@register("doc_dedup_clusters", oracle=_clusters_oracle_sql(), tags=("extension",))
+@register("doc_dedup_clusters", oracle=_clusters_oracle_sql(), tags=("extension", "headline"))
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup *cluster* formation — the step that turns pairwise
     MinHash-LSH matches into keep-one-per-group decisions, which is how
