@@ -777,6 +777,47 @@ def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus vocabulary: top n-grams by document frequency
+# --------------------------------------------------------------------------
+_TOP_NGRAMS_K = 20
+
+
+def _top_ngrams_sql(dialect: str) -> str:
+    sh = _shingles("toks", dialect)
+    unnest = "explode(shingles)" if dialect == D.SPARK else "unnest(shingles)"
+    return f"""
+        SELECT shingle, count(*) AS n_docs
+        FROM (
+            SELECT {unnest} AS shingle
+            FROM (SELECT {sh} AS shingles
+                  FROM (SELECT {_toks(dialect)} AS toks
+                        FROM {_doc_tbl(dialect)}) t) s
+        ) x
+        GROUP BY shingle
+        ORDER BY n_docs DESC, shingle
+        LIMIT {_TOP_NGRAMS_K}
+    """
+
+
+@register("doc_top_ngrams", oracle=_top_ngrams_sql(D.DUCK), tags=("extension",))
+def doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-{k} word-3-grams by document frequency — the
+    vocabulary-building scan behind BPE/tokenizer training and
+    boilerplate detection. Shingles are per-doc distinct, so the count
+    is document frequency, not raw occurrences.
+
+    Shape: one scan → explode → count per shingle (one shuffle with
+    map-side partial aggregation) → global top-k, which Spark executes
+    as TakeOrderedAndProject (per-partition heaps, no full sort). The
+    deterministic tie-break (count desc, shingle asc) makes the
+    boundary cut engine-stable."""
+    load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_top_ngrams_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
 # Train/eval contamination detection (decontamination)
 # --------------------------------------------------------------------------
 def _split_of(doc_id_col: str) -> str:

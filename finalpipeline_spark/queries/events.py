@@ -155,3 +155,66 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_bucket")
         .agg(F.count(F.lit(1)).alias("n_events"), exact_avg(F.col("value"), 2).alias("avg_value"))
     )
+
+
+# --------------------------------------------------------------------------
+# Z-score anomaly detection with exact integer moments
+# --------------------------------------------------------------------------
+_Z_CUT = 3.0
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+        WITH stats AS (
+            SELECT event_type,
+                   count(*)::bigint AS n,
+                   cast(sum(cast(round(value * 100) as bigint)) as bigint) AS s1,
+                   cast(sum(cast(round(value * 100) as bigint)
+                            * cast(round(value * 100) as bigint)) as bigint) AS s2
+            FROM events
+            GROUP BY event_type
+        ),
+        z AS (
+            SELECT e.event_id, e.event_type, e.value,
+                   ((e.value::double) - ((s.s1::double) / ((s.n * 100)::double)))
+                   / sqrt( ((s.s2::double) / ((s.n * 10000)::double))
+                           - ((s.s1::double) / ((s.n * 100)::double))
+                             * ((s.s1::double) / ((s.n * 100)::double)) ) AS zscore
+            FROM events e JOIN stats s USING (event_type)
+        )
+        SELECT event_id, event_type, value, zscore
+        FROM z WHERE abs(zscore) > {_Z_CUT!r}
+    """,
+    tags=("extension",),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 3): population moments from
+    EXACT scaled-integer sums (value is 2dp → sum and sum-of-squares of
+    the ×100 bigints are order-proof integers), so mean/variance are
+    each ONE identical IEEE expression in both engines — no
+    order-dependent float accumulation, no rounding. sqrt is
+    IEEE-correctly-rounded everywhere, so even the z-scores hash
+    identically.
+
+    Shape: one agg shuffle builds the per-type stats (a handful of
+    rows, broadcast back onto the fact), so anomaly scoring is
+    scan + broadcast-join — no second wide shuffle, no window over the
+    whole fact. Scale guard: sum(x²·10⁴) < 2⁶³ holds through ~1e9 rows
+    of 4-digit values per type; shard the sum by salt above that."""
+    ev = load_table(spark, sf_dir, "events")
+    scaled = F.round(F.col("value") * 100).cast("long")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(scaled).alias("s1"),
+        F.sum(scaled * scaled).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / (F.col("n") * 100).cast("double")
+    ex2 = F.col("s2").cast("double") / (F.col("n") * 10000).cast("double")
+    z = (F.col("value").cast("double") - mean) / F.sqrt(ex2 - mean * mean)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > _Z_CUT)
+        .select("event_id", "event_type", "value", "zscore")
+    )
