@@ -777,6 +777,40 @@ def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Fixed-size per-stratum sample (deterministic "5 docs per language")
+# --------------------------------------------------------------------------
+_SAMPLE_PER_STRATUM = 5
+
+
+def _sample_per_lang_sql(dialect: str) -> str:
+    h = f"((doc_id * {D.MULT}) % {D.HASH_MOD})"
+    rn_cast = "cast(rn as int)" if dialect == D.SPARK else "rn::int"
+    return f"""
+        SELECT doc_id, lang, {rn_cast} AS rn
+        FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY {h}, doc_id) AS rn
+            FROM {_doc_tbl(dialect)}
+        ) t
+        WHERE rn <= {_SAMPLE_PER_STRATUM}
+    """
+
+
+@register("doc_sample_per_lang", oracle=_sample_per_lang_sql(D.DUCK), tags=("extension",))
+def doc_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample per stratum (5 docs/language):
+    rank by an integer hash of the id inside each stratum — an
+    unbiased, reproducible draw with an exact per-group size, which
+    fraction-based sampling can't guarantee. This is how eval/debug
+    subsets get carved out of a 100 TB corpus: the window shuffles by
+    stratum once, and Spark's WindowGroupLimit caps each group before
+    the exchange."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_sample_per_lang_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
 # Corpus vocabulary: top n-grams by document frequency
 # --------------------------------------------------------------------------
 _TOP_NGRAMS_K = 20

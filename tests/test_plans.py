@@ -113,3 +113,37 @@ def test_ivf_topk_stays_jvm_side(spark, sf_dir):
     # The whole IVF probe-and-search is built-in SQL — no Python UDF.
     plan = _plan(spark, sf_dir, "emb_ivf_topk")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
+    # Per-type stats (a handful of rows) broadcast back onto the fact:
+    # scoring is scan + BHJ — no second wide shuffle of the fact table.
+    plan = _plan(spark, sf_dir, "events_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tfidf_broadcasts_vocab_and_corpus_count(spark, sf_dir):
+    # The vocabulary (df) table and the single-row corpus count both
+    # broadcast; the only wide exchanges are the explode-side groupBy
+    # and the doc-partitioned top-k window.
+    plan = _plan(spark, sf_dir, "doc_tfidf_topterms")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row corpus count
+    # Spark 4 pushes the rank<=3 filter into the window sort.
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_top_ngrams_is_heap_topk_not_full_sort(spark, sf_dir):
+    # Global top-k must compile to TakeOrderedAndProject (per-partition
+    # heaps), never a full global Sort of the vocabulary.
+    plan = _plan(spark, sf_dir, "doc_top_ngrams")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cube_single_expand_single_shuffle(spark, sf_dir):
+    # CUBE compiles to Expand + one hash aggregate pair — not a union
+    # of four scans.
+    plan = _plan(spark, sf_dir, "tpch_cube_sales")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan, plan
