@@ -335,6 +335,35 @@ def _band_key(dialect: str, band: int) -> str:
     return "(" + sep.join(parts) + ")"
 
 
+def minhash_base(docs: DataFrame) -> DataFrame:
+    """Per-doc MinHash state from a (doc_id, text) frame: signature
+    array (for banding) + distinct shingle-hash set (for exact Jaccard
+    verification). One narrow pass; callers cache — it is the shared
+    asset of every LSH consumer (batch pairing, incremental dedup,
+    contamination)."""
+    toks_df = docs.select(
+        "doc_id", F.expr(_toks(D.SPARK)).alias("toks")
+    ).filter(F.expr(f"{D.arr_size('toks', D.SPARK)} >= 3"))
+    hashed = D.transform_arr("toks", "t", D.token_hash("t", D.SPARK), D.SPARK)
+    return (
+        toks_df.withColumn("hs", F.expr(hashed))
+        .withColumn("shs", F.expr(D.shingle_hashes("hs", D.SPARK)))
+        .withColumn("sig", F.expr(D.minhash_sig_ints("shs", MINHASH_COEFFS, D.SPARK)))
+        .withColumn("shingles", F.expr(_shingles("toks", D.SPARK)))
+        .select("doc_id", "sig", "shingles")
+    )
+
+
+def minhash_bands(base: DataFrame) -> DataFrame:
+    """(doc_id, band, key) rows — the LSH bucket index of a base frame."""
+    band_structs = ", ".join(
+        f"struct({b} AS band, {_band_key(D.SPARK, b)} AS key)" for b in range(_BANDS)
+    )
+    return base.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+
+
 def _lsh_pairs_sql(dialect: str) -> str:
     sh = _shingles("toks", dialect)
     jac = D.jaccard("sa.shingles", "sb.shingles", dialect)
@@ -396,26 +425,8 @@ def doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks_df = docs.select(
-        "doc_id", F.expr(_toks(D.SPARK)).alias("toks")
-    ).filter(F.expr(f"{D.arr_size('toks', D.SPARK)} >= 3"))
-    hashed = D.transform_arr("toks", "t", D.token_hash("t", D.SPARK), D.SPARK)
-    base = (
-        toks_df.withColumn("hs", F.expr(hashed))
-        .withColumn("shs", F.expr(D.shingle_hashes("hs", D.SPARK)))
-        .withColumn(
-            "sig", F.expr(D.minhash_sig_ints("shs", MINHASH_COEFFS, D.SPARK))
-        )
-        .withColumn("shingles", F.expr(_shingles("toks", D.SPARK)))
-        .select("doc_id", "sig", "shingles")
-        .cache()
-    )
-    band_structs = ", ".join(
-        f"struct({b} AS band, {_band_key(D.SPARK, b)} AS key)" for b in range(_BANDS)
-    )
-    bands = base.select(
-        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bk")
-    ).select("doc_id", "bk.band", "bk.key")
+    base = minhash_base(docs).cache()
+    bands = minhash_bands(base)
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
