@@ -486,6 +486,65 @@ def tpch_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_full_outer_reconcile",
+    oracle=f"""
+        WITH y96 AS (
+            SELECT o_custkey, count(*) AS n_96
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY o_custkey
+        ),
+        y97 AS (
+            SELECT o_custkey, count(*) AS n_97
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY o_custkey
+        )
+        SELECT o_custkey,
+               coalesce(n_96, 0) AS n_96, coalesce(n_97, 0) AS n_97,
+               CASE WHEN n_96 IS NULL THEN 'only_97'
+                    WHEN n_97 IS NULL THEN 'only_96'
+                    ELSE 'both' END AS presence
+        FROM y96 FULL JOIN y97 USING (o_custkey)
+    """,
+    tags=("extension",),
+)
+def orders_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation — the one join shape the surface was
+    missing: two period aggregates of the same fact, full-outer on the
+    key, presence classification from the null sides. The two
+    aggregates share one scan (Spark reuses the exchange under AQE
+    when both branches group on the same key)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_agg(lo: str, hi: str, n_name: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+            )
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias(n_name))
+        )
+
+    y96 = year_agg("1996-01-01", "1997-01-01", "n_96")
+    y97 = year_agg("1997-01-01", "1998-01-01", "n_97")
+    presence = (
+        F.when(F.col("n_96").isNull(), F.lit("only_97"))
+        .when(F.col("n_97").isNull(), F.lit("only_96"))
+        .otherwise(F.lit("both"))
+    )
+    return y96.join(y97, "o_custkey", "full").select(
+        "o_custkey",
+        F.coalesce("n_96", F.lit(0)).alias("n_96"),
+        F.coalesce("n_97", F.lit(0)).alias("n_97"),
+        presence.alias("presence"),
+    )
+
+
 _WEEK_S = 7 * 86400
 
 
