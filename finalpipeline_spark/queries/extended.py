@@ -458,6 +458,55 @@ def events_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rank_functions",
+    oracle="""
+        SELECT user_id, event_id,
+               (rank() OVER w)::int AS rnk,
+               (dense_rank() OVER w)::int AS drnk,
+               percent_rank() OVER w AS prnk,
+               cume_dist() OVER w AS cdist
+        FROM events
+        WHERE user_id % 100 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    tags=("extension",),
+)
+def events_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-family window functions: rank, dense_rank,
+    percent_rank, cume_dist. The last two emit doubles, but each is a
+    single integer division ((r-1)/(n-1), k/n) — exactly-rounded IEEE,
+    so raw values hash identically across engines. Deterministic
+    ordering via the (value, event_id) tie-break."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 100 == 0)
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@register("lineitem_approx_quantiles", oracle=None, tags=("extension",))
+def lineitem_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile *sketch* (approx_percentile, Greenwald-Khanna): the
+    mergeable-summary path for percentiles over data too large to sort
+    — partials merge associatively across partitions, one reduce, no
+    global shuffle of values. Rows-only check (sketch error bounds are
+    engine-specific); the exact counterpart lineitem_percentiles is the
+    oracle-verified baseline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "approx_p50_p95_p99"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
     "tpch_cube_sales",
     oracle=f"""
         SELECT l_returnflag, l_linestatus,

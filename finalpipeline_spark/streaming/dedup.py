@@ -43,6 +43,19 @@ def stream_dedup_exact(
     )
 
 
+def stream_enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment: each micro-batch joins against the
+    static dimension — no state store involved (the static side is just
+    re-planned per batch, broadcast when small). This is the streaming
+    form of the medallion fact→dim join (reference views_p1.py:9-12):
+    facts arrive continuously, dims are slowly-changing tables.
+
+    At scale, broadcast the dim explicitly when it fits (as here) —
+    otherwise each micro-batch pays a full shuffle of itself against
+    the dim."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
 def stream_click_purchase_join(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from finalpipeline_spark.streaming.dedup import (
     stream_click_purchase_join,
     stream_dedup_exact,
+    stream_enrich_with_dim,
 )
 from finalpipeline_spark.streaming.windows import EVENT_SCHEMA, events_with_timestamp
 
@@ -79,3 +80,34 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     )
     assert streamed.count() == batch.count() > 0
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    ev = events_with_timestamp(spark, sf_dir).select("event_id", "user_id", "value")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn(
+            "segment", F.concat(F.lit("seg_"), (F.col("user_id") % 3).cast("string"))
+        )
+        # leave one known user unmatched to exercise the left side
+        .filter("user_id != 1")
+    )
+    src = str(tmp_path / "src_enrich")
+    ev.write.parquet(src + "/b0")
+    stream = spark.readStream.schema("event_id long, user_id long, value double").parquet(
+        src + "/*"
+    )
+    enriched = stream_enrich_with_dim(stream, dim, "user_id")
+    _drain(enriched, "enriched_stream", str(tmp_path / "ckpt_enrich"))
+
+    got = spark.table("enriched_stream")
+    exp = ev.join(dim, "user_id", "left")
+    assert got.count() == ev.count()  # left join keeps every event
+    assert got.select(*sorted(got.columns)).exceptAll(
+        exp.select(*sorted(exp.columns))
+    ).count() == 0
+    # The dim-less user survives with a null segment.
+    assert got.filter("user_id = 1 AND segment IS NULL").count() == ev.filter(
+        "user_id = 1"
+    ).count()
