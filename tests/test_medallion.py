@@ -125,3 +125,11 @@ def test_merge_upsert_semantics(spark):
     # Idempotent: merging the same increment again changes nothing.
     again = merge_upsert(merged, incoming, ["k"])
     assert {r.k: (r.name, r.v) for r in again.collect()} == got
+
+
+def test_demo_cli_end_to_end(spark, tmp_path):
+    # `python -m finalpipeline_spark` in-process: pipeline runs, second
+    # pass is a no-op, quality report is clean (exit code 0).
+    from finalpipeline_spark.__main__ import main
+
+    assert main(str(tmp_path / "demo")) == 0
