@@ -59,13 +59,19 @@ def atomic_replace(spark: SparkSession, path: str, tmp: str) -> None:
 
 
 def compact_parquet(
-    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Rewrite a parquet directory into ceil(total/target) files.
 
     coalesce (not repartition) — compaction must not shuffle, it only
     narrows the partition count; row order within files is irrelevant.
     The rewrite lands in a sibling temp dir and is swapped in atomically.
+    For a hive-partitioned table pass ``partition_by`` so the rewrite
+    preserves the directory layout (the partition columns are recovered
+    from the paths by the read and re-emitted by the write).
 
     Returns {files_before, files_after, total_bytes}.
     """
@@ -73,7 +79,10 @@ def compact_parquet(
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     tmp = path + "__compact_tmp"
-    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    w = df.coalesce(n_out).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
     atomic_replace(spark, path, tmp)
     files_after, _ = parquet_file_stats(spark, path)
     return {

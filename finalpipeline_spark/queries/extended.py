@@ -1,8 +1,10 @@
 """Extended operator surface beyond the reference (SURVEY.md §2 'not
 present' gaps + north-star additions): multi-level aggregation
-(rollup), date arithmetic, lag/lead deltas, per-group top-k users,
-edit-distance near-dup, LSH-bucketed embedding near-dup, skew-safe
-two-phase aggregation, and approximate distinct counting.
+(rollup, cube + grouping id), date arithmetic, lag/lead deltas and the
+rank-function family, per-group top-k users, edit-distance near-dup,
+LSH-bucketed embedding near-dup, skew-safe two-phase aggregation,
+approximate distinct counting and quantile sketches, FULL OUTER
+reconciliation, conversion funnel, and cohort retention.
 """
 
 from __future__ import annotations

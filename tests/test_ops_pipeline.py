@@ -71,3 +71,22 @@ def test_quality_checks_clean_table_all_zero(spark, sf_dir):
         ]
     )
     assert rep.filter(F.col("n_violations") > 0).count() == 0
+
+
+def test_compaction_preserves_partitioned_layout(spark, sf_dir, tmp_path):
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "part_shattered")
+    docs.repartition(16).write.partitionBy("lang").parquet(path)
+    before_files, before_bytes = parquet_file_stats(spark, path)
+    assert before_files > 16  # 16 tasks x several lang dirs
+
+    compact_parquet(spark, path, target_file_bytes=before_bytes, partition_by=["lang"])
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    # Hive layout survives: lang=... directories, partition col readable.
+    assert any(d.startswith("lang=") for d in os.listdir(path))
+    assert back.groupBy("lang").count().count() == docs.select("lang").distinct().count()
+    after_files, _ = parquet_file_stats(spark, path)
+    assert after_files < before_files
