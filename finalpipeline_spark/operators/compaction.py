@@ -41,21 +41,50 @@ def parquet_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     return n, total
 
 
+def recover_swap(spark: SparkSession, path: str) -> bool:
+    """Heal a crash between atomic_replace's two renames: if only the
+    backup survives, rename it back into place. Returns True if a
+    recovery happened. Call-sites that probe for table existence must
+    run this first, or a half-swapped table reads as absent."""
+    fs, hpath, jvm = _fs_and_path(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    bak = P(path + "__swap_bak")
+    if fs.exists(bak) and not fs.exists(hpath):
+        if not fs.rename(bak, hpath):
+            raise IOError(f"swap recovery failed: could not restore {path}")
+        return True
+    return False
+
+
 def atomic_replace(spark: SparkSession, path: str, tmp: str) -> None:
     """Swap the directory at ``tmp`` into ``path`` with two renames, so
     readers never observe a half-written directory (rename is atomic
     per directory on HDFS-like stores; on S3 use a committer or table
-    format instead). Rolls back if the second rename fails."""
+    format instead). Rolls back if the second rename fails. A crash
+    between the renames leaves the old data in ``<path>__swap_bak``;
+    recover_swap() restores it, and the backup is only deleted while a
+    live copy exists at ``path``."""
+    recover_swap(spark, path)
     fs, hpath, jvm = _fs_and_path(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
     bak = path + "__swap_bak"
-    fs.delete(P(bak), True)
-    if fs.exists(hpath) and not fs.rename(hpath, P(bak)):
-        raise IOError(f"atomic swap failed: could not move {path} aside")
+    if fs.exists(hpath):
+        fs.delete(P(bak), True)  # stale backup from a completed swap
+        if not fs.rename(hpath, P(bak)):
+            raise IOError(f"atomic swap failed: could not move {path} aside")
     if not fs.rename(P(tmp), hpath):
         fs.rename(P(bak), hpath)  # roll back
         raise IOError(f"atomic swap failed: could not move {tmp} into place")
     fs.delete(P(bak), True)
+
+
+def dir_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem existence probe (NOT spark.read + try/except, which
+    turns transient read errors into 'absent' — a data-loss trap for
+    write-if-absent callers). Heals interrupted swaps first."""
+    recover_swap(spark, path)
+    fs, hpath, _ = _fs_and_path(spark, path)
+    return fs.exists(hpath)
 
 
 def compact_parquet(

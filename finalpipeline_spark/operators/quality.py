@@ -28,13 +28,18 @@ def _result(df: DataFrame, check: str, target: str, n_col) -> DataFrame:
 
 
 def check_not_null(df: DataFrame, cols: Sequence[str]) -> DataFrame:
-    """One pass over the table counts nulls for every column at once."""
+    """One pass over the table counts nulls for every column at once.
+    Identifiers are backtick-quoted so names with spaces/dots (e.g. the
+    reference's 'molecule name' header) survive the stack() expression."""
     aggs = [
         F.count(F.when(F.col(c).isNull(), F.lit(1))).cast("long").alias(c)
         for c in cols
     ]
     wide = df.agg(*aggs)
-    stack = ", ".join(f"'{c}', {c}" for c in cols)
+    stack = ", ".join(
+        "'{lbl}', `{ident}`".format(lbl=c.replace("'", "\\'"), ident=c.replace("`", "``"))
+        for c in cols
+    )
     return wide.selectExpr(
         f"stack({len(cols)}, {stack}) as (target, n_violations)"
     ).select(F.lit("not_null").alias("check"), "target", "n_violations")

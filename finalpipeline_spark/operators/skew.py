@@ -31,7 +31,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``on`` with the big side salted
     ``n_salt`` ways. Output columns match ``big.join(small, on, how)``.
+
+    Join types that preserve unmatched BIG rows (inner/left/semi/anti)
+    are safe: every big row carries exactly one salt. right/full would
+    emit each unmatched SMALL key once per salt replica — rejected.
     """
+    safe = {"inner", "left", "leftouter", "left_outer", "semi", "leftsemi",
+            "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join supports {sorted(safe)}; '{how}' would duplicate "
+            "unmatched small-side keys across salt replicas"
+        )
     salt = F.pmod(
         F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in big.columns])),
         F.lit(n_salt),

@@ -56,7 +56,12 @@ def zorder_write_parquet(
     stats pass OPTIMIZE runs). The range exchange on the z-value is the
     only shuffle; the within-partition sort makes parquet row-group
     min/max tight too, not just file min/max.
+
+    ``bits`` is clamped so the whole code fits the 63 usable bits of a
+    signed long — beyond that the interleave would hit the sign bit
+    (breaking sort order) or wrap the shift mod 64 (colliding codes).
     """
+    bits = min(bits, 63 // len(cols))
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from finalpipeline_spark.functions import dialect as D
+from finalpipeline_spark.operators.compaction import dir_exists
 from finalpipeline_spark.queries.documents import minhash_bands, minhash_base
 
 JACCARD_MIN = 0.2
@@ -78,13 +79,13 @@ def dedup_batch(
     )
     dups = _verified_dups(within_pairs, sh_a, sh_b, "doc_id_b")
 
-    try:
+    # Filesystem-level existence probe — a try/except around the read
+    # would turn a transient index-read failure into "no index", admit
+    # duplicates of the whole corpus AND append them to the index.
+    has_index = dir_exists(spark, index_path + "/bands")
+    if has_index:
         idx_bands = spark.read.parquet(index_path + "/bands")
         idx_sh = spark.read.parquet(index_path + "/shingles")
-        has_index = True
-    except Exception:
-        has_index = False
-    if has_index:
         vs_index = (
             bands.join(
                 idx_bands.select(
@@ -102,10 +103,19 @@ def dedup_batch(
             _verified_dups(vs_index, sh_a, idx_sh_b, "doc_id_a")
         ).distinct()
 
+    # Materialize the dup set (it's small — ids only) so the returned
+    # survivors don't drag the cached base's lineage around, and the
+    # cache can be released before returning.
+    dups = dups.localCheckpoint()
     survivors = new_docs.join(dups, "doc_id", "left_anti")
     surv_base = base.join(dups, "doc_id", "left_anti")
-    minhash_bands(surv_base).write.mode("append").parquet(index_path + "/bands")
+    # Shingles BEFORE bands: bands are what generates candidates, so a
+    # crash between the writes leaves orphan shingles (harmless — never
+    # joined without a band row) instead of band rows whose
+    # verification join silently drops real candidates forever.
     surv_base.select("doc_id", "shingles").write.mode("append").parquet(
         index_path + "/shingles"
     )
+    minhash_bands(surv_base).write.mode("append").parquet(index_path + "/bands")
+    base.unpersist()
     return survivors

@@ -460,6 +460,44 @@ def events_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q11_share",
+    oracle=f"""
+        WITH per_s AS (
+            SELECT l_suppkey, {exact_sum_sql("l_extendedprice", 2)} AS supp_value
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        tot AS (
+            SELECT {exact_sum_sql("l_extendedprice", 2)} AS total_value FROM lineitem
+        )
+        SELECT l_suppkey, supp_value
+        FROM per_s CROSS JOIN tot
+        WHERE supp_value > 0.0015 * total_value
+    """,
+    tags=("extension",),
+)
+def tpch_q11_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11's shape on the available schema (no partsupp in the
+    testdata): per-group value filtered by a *scalar aggregate of the
+    same data* — the HAVING-against-subquery pattern. Both sums are
+    exact fixed-point, so the 0.0015-fraction threshold compares
+    identical doubles in both engines.
+
+    Shape: one scan feeds both aggregations (the group-by and the
+    grand total); the single-row total broadcasts onto the per-group
+    table — no second scan of the fact at 100 TB, no driver collect."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    per_s = li.groupBy("l_suppkey").agg(
+        exact_sum(F.col("l_extendedprice"), 2).alias("supp_value")
+    )
+    tot = li.agg(exact_sum(F.col("l_extendedprice"), 2).alias("total_value"))
+    return (
+        per_s.join(F.broadcast(tot))
+        .filter(F.col("supp_value") > 0.0015 * F.col("total_value"))
+        .select("l_suppkey", "supp_value")
+    )
+
+
+@register(
     "events_rank_functions",
     oracle="""
         SELECT user_id, event_id,

@@ -25,8 +25,28 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from finalpipeline_spark.operators.compaction import atomic_replace
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from finalpipeline_spark.operators.compaction import atomic_replace, dir_exists
 from finalpipeline_spark.operators.incremental import merge_upsert
+
+
+def _dedup_deterministic(batch_df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """One row per key, chosen deterministically: the max row by the
+    remaining columns. dropDuplicates keeps whichever row partition
+    order yields first, so a re-delivered epoch could converge to a
+    DIFFERENT row — this pick is a pure function of the batch's
+    contents, which is what the exactly-once-effect claim needs."""
+    others = [c for c in batch_df.columns if c not in keys]
+    if not others:
+        return batch_df.dropDuplicates(list(keys))
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in others])
+    return (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def upsert_batch(
@@ -36,18 +56,18 @@ def upsert_batch(
 
     The merged result is written to a sibling temp dir and swapped in
     atomically — overwriting a path while reading it is undefined in
-    Spark, and a crash mid-write must not eat the table.
+    Spark, and a crash mid-write must not eat the table. Existence is
+    probed at the FILESYSTEM level (dir_exists, which also heals an
+    interrupted swap): a try/except around the read would turn a
+    transient read failure into "table absent" and overwrite the gold
+    table with one micro-batch.
     """
     spark = batch_df.sparkSession
-    batch = batch_df.dropDuplicates(list(keys))
-    try:
-        existing = spark.read.parquet(table_path)
-        has_table = True
-    except Exception:
-        has_table = False
-    if not has_table:
+    batch = _dedup_deterministic(batch_df, keys)
+    if not dir_exists(spark, table_path):
         batch.write.mode("overwrite").parquet(table_path)
         return
+    existing = spark.read.parquet(table_path)
     tmp = table_path + "__upsert_tmp"
     merge_upsert(existing, batch, keys).write.mode("overwrite").parquet(tmp)
     atomic_replace(spark, table_path, tmp)

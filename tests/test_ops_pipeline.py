@@ -32,7 +32,7 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     assert back.select("doc_id").exceptAll(docs.select("doc_id")).count() == 0
     # No leftover temp/backup directories.
     assert not (tmp_path / "shattered__compact_tmp").exists()
-    assert not (tmp_path / "shattered__compact_bak").exists()
+    assert not (tmp_path / "shattered__swap_bak").exists()
 
 
 def test_quality_checks(spark):
@@ -90,3 +90,40 @@ def test_compaction_preserves_partitioned_layout(spark, sf_dir, tmp_path):
     assert back.groupBy("lang").count().count() == docs.select("lang").distinct().count()
     after_files, _ = parquet_file_stats(spark, path)
     assert after_files < before_files
+
+
+def test_swap_recovery_restores_half_swapped_table(spark, sf_dir, tmp_path):
+    # Simulate a crash between atomic_replace's two renames: only the
+    # backup exists. dir_exists must heal it instead of reporting the
+    # table absent (the data-loss trap for write-if-absent callers).
+    import os
+
+    from finalpipeline_spark.operators.compaction import dir_exists
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "gold")
+    docs.write.parquet(path)
+    os.rename(path, path + "__swap_bak")  # crash window state
+    assert dir_exists(spark, path)  # heals + reports present
+    assert spark.read.parquet(path).count() == docs.count()
+    assert not os.path.exists(path + "__swap_bak")
+
+
+def test_not_null_check_handles_spaced_column_names(spark):
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2)], ["molecule name", "x"]
+    )
+    got = {r.target: r.n_violations for r in check_not_null(df, ["molecule name"]).collect()}
+    assert got == {"molecule name": 1}
+
+
+def test_salted_join_rejects_small_side_preserving_types(spark):
+    import pytest
+
+    from finalpipeline_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a")], "k long, v string")
+    small = spark.createDataFrame([(1, "d")], "k long, d string")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, "k", how=how)
