@@ -989,10 +989,16 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
     rev = pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
     edges = fwd.union(rev).localCheckpoint()
+    # Seed with round 1 fused into the initialization: every node is a
+    # dst (edges are symmetrized), so min(self, in-neighbors) is one
+    # aggregation — saving the identity-label pass and its join.
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        edges.groupBy("dst")
+        .agg(F.min("src").alias("nbr_min"))
+        .select(
+            F.col("dst").alias("doc_id"),
+            F.least(F.col("dst"), F.col("nbr_min")).alias("label"),
+        )
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
