@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from finalpipeline_spark.functions import dialect as D
+from finalpipeline_spark.functions.caching import scoped_cache
 from finalpipeline_spark.queries.registry import register
 from finalpipeline_spark.tables import load_table
 
@@ -425,7 +426,7 @@ def doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    base = minhash_base(docs).cache()
+    base = scoped_cache(minhash_base(docs), "doc_dedup_minhash_lsh")
     bands = minhash_bands(base)
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (
@@ -590,7 +591,7 @@ def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     ).createOrReplaceTempView(SPARK_VIEW)
-    sims = spark.sql(_simhash_sql(D.SPARK)).cache()
+    sims = scoped_cache(spark.sql(_simhash_sql(D.SPARK)), "doc_simhash_near_dup")
     sims.createOrReplaceTempView("__fps_simhash_sims")
     return spark.sql(_simhash_pairs_sql(D.SPARK, sims_rel="__fps_simhash_sims"))
 
@@ -724,11 +725,11 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.expr(_toks(D.SPARK)).alias("toks")).filter(
         F.expr(D.arr_size("toks", D.SPARK)) > 0
     )
-    tf = (
+    tf = scoped_cache(
         toks.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .cache()
+        .agg(F.count(F.lit(1)).alias("tf")),
+        "doc_tfidf_topterms",
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # Corpus size from the cached tf table (docs with >=1 token appear

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from finalpipeline_spark.functions import dialect as D
+from finalpipeline_spark.functions.caching import scoped_cache
 from finalpipeline_spark.queries.registry import register
 from finalpipeline_spark.tables import load_table
 
@@ -97,10 +98,11 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     input file's lone partition, and norms aren't recomputed for the
     query side."""
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(SPARK_VIEW)
-    d = (
-        spark.sql(_normed_sql(D.SPARK))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .cache()
+    d = scoped_cache(
+        spark.sql(_normed_sql(D.SPARK)).repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        "emb_cosine_topk",
     )
     d.createOrReplaceTempView("__fps_emb_normed")
     return spark.sql(_topk_sql(D.SPARK, d_rel="__fps_emb_normed"))
@@ -308,10 +310,11 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At cluster scale the lists are parquet partitions keyed by label,
     so the probe prunes the scan itself, not just the join."""
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(SPARK_VIEW)
-    d = (
-        spark.sql(_normed_sql(D.SPARK))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .cache()
+    d = scoped_cache(
+        spark.sql(_normed_sql(D.SPARK)).repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        "emb_ivf_topk",
     )
     d.createOrReplaceTempView("__fps_emb_normed")
     return spark.sql(_ivf_topk_sql(D.SPARK, d_rel="__fps_emb_normed"))

@@ -190,7 +190,9 @@ def events_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-at-a-time math."""
     @pandas_udf("double")
     def np_median(v: pd.Series) -> float:
-        return float(np.median(v.to_numpy(dtype="float64")))
+        # dropna: NULLs arrive as NaN and np.median would return NaN,
+        # while quantile_cont (the oracle) skips NULLs.
+        return float(np.median(v.dropna().to_numpy(dtype="float64")))
 
     # Grouped-agg pandas UDFs can't mix with JVM aggregates in one agg
     # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a UDAF too.

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from finalpipeline_spark.functions import dialect as D
+from finalpipeline_spark.functions.caching import scoped_cache
 from finalpipeline_spark.functions.numeric import exact_avg_sql, exact_sum, exact_sum_sql
 from finalpipeline_spark.queries.registry import register
 from finalpipeline_spark.tables import load_table
@@ -536,13 +537,24 @@ def lineitem_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     — partials merge associatively across partitions, one reduce, no
     global shuffle of values. Rows-only check (sketch error bounds are
     engine-specific); the exact counterpart lineitem_percentiles is the
-    oracle-verified baseline."""
+    oracle-verified baseline. Emits one scalar row per (flag, quantile)
+    — the array form is unhashable for the driver's canonicalizer."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "approx_p50_p95_p99"
-        ),
+    quantiles = [0.5, 0.95, 0.99]
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", quantiles, 10000).alias("approx"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    qlit = F.array(*[F.lit(q) for q in quantiles])
+    return agg.select(
+        "l_returnflag",
+        F.posexplode(F.col("approx")).alias("pos", "approx_value"),
+        "n_rows",
+    ).select(
+        "l_returnflag",
+        F.element_at(qlit, F.col("pos") + 1).alias("quantile"),
+        "approx_value",
+        "n_rows",
     )
 
 
@@ -665,10 +677,9 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is cached because the join consumes it on both lineages.
     All-integer epoch math, timezone-proof."""
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        ev.select("user_id", F.expr(f"ts_epoch_s div {_WEEK_S}").alias("week"))
-        .distinct()
-        .cache()
+    w = scoped_cache(
+        ev.select("user_id", F.expr(f"ts_epoch_s div {_WEEK_S}").alias("week")).distinct(),
+        "events_cohort_retention",
     )
     f = w.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (

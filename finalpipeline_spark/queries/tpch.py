@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from finalpipeline_spark.functions.numeric import exact_avg, exact_avg_sql, exact_sum, exact_sum_sql
 from finalpipeline_spark.operators.topk import top_k_per_group
+from finalpipeline_spark.functions.caching import scoped_cache
 from finalpipeline_spark.queries.registry import register
 from finalpipeline_spark.tables import load_table
 
@@ -597,10 +598,11 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
     )
-    revenue = (
-        li.groupBy("l_suppkey")
-        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_rev"))
-        .cache()
+    revenue = scoped_cache(
+        li.groupBy("l_suppkey").agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_rev")
+        ),
+        "tpch_q15",
     )
     supp = load_table(spark, sf_dir, "supplier")
     max_rev = revenue.agg(F.max("total_rev").alias("mr"))
