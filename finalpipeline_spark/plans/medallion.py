@@ -28,10 +28,12 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from finalpipeline_spark.functions.fingerprints import fingerprint, tanimoto
+from finalpipeline_spark.functions.numeric import ATOL, RTOL
+from finalpipeline_spark.operators.compaction import dir_exists
 from finalpipeline_spark.operators.incremental import (
     new_items,
     write_idempotent_partitions,
@@ -41,10 +43,10 @@ from finalpipeline_spark.sources.catalog import (
     append_ledger_entries,
     read_ledger,
 )
-from finalpipeline_spark.sources.readers import read_target_csvs
+from finalpipeline_spark.sources.readers import read_target_csvs_with_fallback
 
 TOP_K = 10
-MIN_SIM = 0.0  # reference kept all pairs; raise for scale runs
+MIN_SIM = 0.0  # pre-shuffle cutoff; 0.0 = reference parity (see __init__)
 
 
 @dataclass
@@ -73,11 +75,38 @@ class MedallionPaths:
 
 
 class MedallionPipeline:
-    """bronze → silver → gold over a parquet warehouse dir."""
+    """bronze → silver → gold over a parquet warehouse dir.
 
-    def __init__(self, spark: SparkSession, warehouse: str):
+    Scale controls (the reference kept the FULL n_sources × n_targets
+    cross product in its similarity store — at 100 TB that *write* is
+    the bottleneck, not the compute):
+
+    * ``prune_to_top_k`` (default True): ingest keeps, per target, only
+      the top-K rows plus every row tolerance-equal (np.isclose
+      rtol/atol) to the K-th score — exactly the rows the datamart's
+      ``top_k_with_tie_flag`` can ever surface, so datamart results are
+      bit-identical to the unpruned reference while the similarity
+      store shrinks from n_sources×n_targets to ≈K×n_targets rows.
+      Pass ``prune_to_top_k=False`` for reference-parity mode (retain
+      the full similarity store, e.g. to serve arbitrary
+      pair-similarity queries).
+    * ``min_sim`` (default 0.0 = reference parity): pre-shuffle cutoff
+      applied before the per-target window; a nonzero value cuts the
+      top-k shuffle ~20× (the chembl_tanimoto_topk lesson) at the cost
+      of exactness when a target's whole top-10 sits below the cutoff.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        min_sim: float = MIN_SIM,
+        prune_to_top_k: bool = True,
+    ):
         self.spark = spark
         self.paths = MedallionPaths(warehouse)
+        self.min_sim = min_sim
+        self.prune_to_top_k = prune_to_top_k
 
     # -- bronze ----------------------------------------------------------
     def bootstrap_bronze(self, molecules: DataFrame) -> None:
@@ -106,7 +135,8 @@ class MedallionPipeline:
         replaces the reference's per-file Python loop
         (tanimoto.py:150-197).
         """
-        raw = read_target_csvs(self.spark, input_glob)
+        # utf-8 with per-file cp1252 retry (reference S3_interact.py:82-95)
+        raw = read_target_csvs_with_fallback(self.spark, input_glob)
         ledger = read_ledger(self.spark, self.paths.ledger).select(
             F.col("file").alias("input_file")
         )
@@ -115,14 +145,21 @@ class MedallionPipeline:
         if not new_files:
             return 0
 
-        # P1 regex ID repair, P2/P3 project, P4 dedup (deterministic).
+        # P1 regex ID repair, P2/P3 project, P4 dedup — deterministic:
+        # dropDuplicates keeps a partition-order-dependent row, so a
+        # chembl_id appearing with different smiles across input files
+        # would pick a nondeterministic fingerprint.  row_number over an
+        # explicit (smiles, input_file) order pins the choice.
+        w_dedup = Window.partitionBy("chembl_id").orderBy("smiles", "input_file")
         targets = (
             fresh.withColumn(
                 "chembl_id",
                 F.concat(F.lit("CHEMBL"), F.regexp_extract("molecule_name", r"(\d+)", 1)),
             )
+            .select("chembl_id", "smiles", "input_file")
+            .withColumn("_rn", F.row_number().over(w_dedup))
+            .filter(F.col("_rn") == 1)
             .select("chembl_id", "smiles")
-            .dropDuplicates(["chembl_id"])
             .withColumn("fp", fingerprint(F.col("smiles")))
             .filter(F.col("fp").isNotNull())
         )
@@ -151,9 +188,34 @@ class MedallionPipeline:
             )
             .withColumn("similarity", tanimoto(F.col("source_fp"), F.col("target_fp")))
             .filter(F.col("molregno") != F.col("target_molregno"))  # P7
-            .filter(F.col("similarity") >= MIN_SIM)
+            .filter(F.col("similarity") >= self.min_sim)
             .select("molregno", "target_molregno", "target_chembl_id", "similarity")
         )
+
+        if self.prune_to_top_k:
+            # Keep per target: rank ≤ K, plus every row isclose to the
+            # K-th score (what the tie flag counts).  Each target's rows
+            # come entirely from this one batch (cross vs full bronze),
+            # so pruning here is exact w.r.t. the datamart top-K.
+            w_rank = Window.partitionBy("target_molregno").orderBy(
+                F.desc("similarity"), F.col("molregno")
+            )
+            w_grp = Window.partitionBy("target_molregno")
+            kth = F.min(
+                F.when(F.col("_rn") <= TOP_K, F.col("similarity"))
+            ).over(w_grp)
+            scored = (
+                scored.withColumn("_rn", F.row_number().over(w_rank))
+                .withColumn("_kth", kth)
+                .filter(
+                    (F.col("_rn") <= TOP_K)
+                    | (
+                        F.col("similarity")
+                        >= F.col("_kth") - (F.lit(ATOL) + F.lit(RTOL) * F.abs(F.col("_kth")))
+                    )
+                )
+                .drop("_rn", "_kth")
+            )
 
         # S13/I2: idempotent partitioned write (one partition per target).
         write_idempotent_partitions(scored, self.paths.similarities, ["target_chembl_id"])
@@ -258,14 +320,16 @@ class MedallionPipeline:
 
     # -- helpers ----------------------------------------------------------
     def _exists(self, path: str) -> bool:
-        try:
-            self.spark.read.parquet(path).schema
-            return True
-        except Exception:
-            return False
+        """Filesystem probe via compaction.dir_exists — NOT spark.read +
+        try/except, where a transient read error reads as 'absent' and
+        the write-if-absent bootstrap would overwrite bronze."""
+        return dir_exists(self.spark, path)
 
     def _read_or_empty(self, path: str, schema: str) -> DataFrame:
-        try:
+        """Empty only when the directory genuinely does not exist; a
+        failing read of an EXISTING table propagates (returning empty
+        would make build_datamart re-append the full top-k →
+        duplicate fact/dim rows)."""
+        if dir_exists(self.spark, path):
             return self.spark.read.parquet(path)
-        except Exception:
-            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame([], schema)

@@ -42,11 +42,17 @@ def append_ledger_entries(
 
 
 def read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
-    """Empty-safe ledger read (first run: no ledger yet)."""
-    try:
+    """Empty-safe ledger read (first run: no ledger yet).
+
+    Existence is probed at the filesystem level (dir_exists), never via
+    spark.read + try/except: a transient read error misread as 'no
+    ledger' would re-process every input file downstream.  A failing
+    read of an EXISTING ledger propagates instead."""
+    from finalpipeline_spark.operators.compaction import dir_exists
+
+    if dir_exists(spark, ledger_path):
         return spark.read.parquet(ledger_path).select("file")
-    except Exception:
-        return spark.createDataFrame([], "file string")
+    return spark.createDataFrame([], "file string")
 
 
 def write_partitioned(

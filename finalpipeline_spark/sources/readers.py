@@ -47,6 +47,57 @@ def read_target_csvs(
     return df.withColumn("input_file", F.input_file_name())
 
 
+def read_target_csvs_with_fallback(
+    spark: SparkSession,
+    path_glob: str,
+    encoding: str = "UTF-8",
+    # Spark 4 whitelists CSV charsets; iso-8859-1 is the supported
+    # stand-in for the reference's cp1252 (identical for the common
+    # accented-letter code points).
+    fallback_encoding: str = "iso-8859-1",
+) -> DataFrame:
+    """S11 with the reference's encoding fallback (S3_interact.py:82-95:
+    read utf-8, on UnicodeDecodeError retry cp1252) — per FILE, not per
+    job, and without a driver-side pandas loop.
+
+    Spark never raises on a bad byte sequence: the charset decoder
+    emits U+FFFD replacement characters instead, so a cp1252 file
+    "reads" under utf-8 with silently corrupted text. Detection is
+    therefore explicit: scan once in the primary encoding, aggregate
+    the set of files containing U+FFFD (a per-file boolean — tiny,
+    driver-safe like the ledger's new-file list), and re-read only
+    those files in the fallback encoding. Clean files keep their
+    single-scan plan; a mixed directory yields a two-scan union.
+
+    A file legitimately containing U+FFFD in valid UTF-8 would re-read
+    via the fallback — same acceptable ambiguity as the reference's
+    whole-file retry.
+    """
+    utf8 = read_target_csvs(spark, path_glob, encoding=encoding)
+    damaged_col = F.max(
+        (
+            F.coalesce(F.col("molecule_name"), F.lit("")).contains("�")
+            | F.coalesce(F.col("smiles"), F.lit("")).contains("�")
+            | F.coalesce(F.col("extra"), F.lit("")).contains("�")
+        ).cast("int")
+    )
+    per_file = utf8.groupBy("input_file").agg(damaged_col.alias("damaged"))
+    bad_files = [r.input_file for r in per_file.filter("damaged = 1").collect()]
+    if not bad_files:
+        return utf8
+    clean = utf8.filter(~F.col("input_file").isin(bad_files))
+    # csv() accepts a list of paths — re-read only the damaged files.
+    refetched = (
+        spark.read.schema(TARGET_INPUT_SCHEMA)
+        .option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .option("encoding", fallback_encoding)
+        .csv(bad_files)
+        .withColumn("input_file", F.input_file_name())
+    )
+    return clean.unionByName(refetched)
+
+
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     """S14: partitioned parquet read — one scan replaces the
     reference's loop of per-file get_object + BytesIO reads."""

@@ -133,3 +133,80 @@ def test_demo_cli_end_to_end(spark, tmp_path):
     from finalpipeline_spark.__main__ import main
 
     assert main(str(tmp_path / "demo")) == 0
+
+
+def _corrupt_parquet_dir(path: str) -> None:
+    """An existing directory whose parquet read fails — the shape of a
+    transient/partial read error (exists, but spark.read throws)."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+
+
+def test_transient_read_failure_does_not_overwrite_bronze(spark, tmp_path, molecules):
+    """The data-loss trap: bronze exists but reads fail. bootstrap must
+    NOT treat that as 'absent' and overwrite the corpus."""
+    warehouse = str(tmp_path / "wh")
+    pipe = MedallionPipeline(spark, warehouse)
+    _corrupt_parquet_dir(pipe.paths.bronze_molecules)
+    marker = os.path.join(pipe.paths.bronze_molecules, "part-00000.parquet")
+    before = open(marker, "rb").read()
+
+    pipe.bootstrap_bronze(molecules)  # dir exists -> must be a no-op
+
+    assert open(marker, "rb").read() == before  # nothing overwritten
+
+
+def test_failing_read_of_existing_silver_raises_not_empty(spark, tmp_path):
+    """_read_or_empty must propagate a read failure of an EXISTING
+    table — returning empty would duplicate fact/dim appends."""
+    warehouse = str(tmp_path / "wh")
+    pipe = MedallionPipeline(spark, warehouse)
+    _corrupt_parquet_dir(pipe.paths.silver_fact)
+    with pytest.raises(Exception):
+        pipe._read_or_empty(
+            pipe.paths.silver_fact, "source_molregno long"
+        ).count()
+
+
+def test_failing_read_of_existing_ledger_raises(spark, tmp_path):
+    from finalpipeline_spark.sources.catalog import read_ledger
+
+    ledger = str(tmp_path / "ledger")
+    _corrupt_parquet_dir(ledger)
+    with pytest.raises(Exception):
+        read_ledger(spark, ledger).count()
+
+
+def test_topk_prune_is_exact_and_bounds_the_store(spark, tmp_path, molecules):
+    """Default prune_to_top_k keeps the similarity store ≈K×targets and
+    the datamart output bit-identical to reference-parity mode."""
+    inputs = str(tmp_path / "inputs")
+    os.makedirs(inputs)
+    _write_input_csv(
+        os.path.join(inputs, "batch1.csv"),
+        [("CHEMBL7", "CCCO1N", "x"), ("CHEMBL42", "CCO2N", "x")],
+    )
+
+    pruned = MedallionPipeline(spark, str(tmp_path / "wh_pruned"))
+    full = MedallionPipeline(
+        spark, str(tmp_path / "wh_full"), prune_to_top_k=False
+    )
+    assert pruned.run(molecules, inputs + "/*.csv") == 1
+    assert full.run(molecules, inputs + "/*.csv") == 1
+
+    sims_pruned = spark.read.parquet(pruned.paths.similarities).count()
+    sims_full = spark.read.parquet(full.paths.similarities).count()
+    assert sims_full == 2 * (199 - 1) + 2  # full cross product (self excluded)
+    assert sims_pruned < sims_full
+    assert sims_pruned <= 2 * (TOP_K + 20)  # K plus a tolerance-tie margin
+
+    cols = [
+        "source_molregno",
+        "target_molregno",
+        "tanimoto_similarity",
+        "has_duplicates_of_last_largest_score",
+    ]
+    got_p = {tuple(r) for r in spark.read.parquet(pruned.paths.silver_fact).select(*cols).collect()}
+    got_f = {tuple(r) for r in spark.read.parquet(full.paths.silver_fact).select(*cols).collect()}
+    assert got_p == got_f
