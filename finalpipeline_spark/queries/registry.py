@@ -67,6 +67,7 @@ def load_all() -> dict[str, QuerySpec]:
     ordered so the driver-verified window covers the reference-parity set."""
     from finalpipeline_spark.queries import (  # noqa: F401
         chembl,
+        curation,
         documents,
         embeddings,
         events,
