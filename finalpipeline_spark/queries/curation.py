@@ -230,3 +230,328 @@ def emb_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hits").cast("double") / F.col("n_true").cast("double"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup pipeline sign-off: recall of the LSH candidate generator
+# --------------------------------------------------------------------------
+def _lsh_recall_oracle_sql() -> str:
+    from finalpipeline_spark.queries import documents as DOC
+
+    return f"""
+        WITH exact_p AS ({DOC._ngram_pairs_sql(D.DUCK)}),
+        lsh_p AS ({DOC._lsh_pairs_sql(D.DUCK)})
+        SELECT count(*) AS n_exact,
+               (SELECT count(*) FROM lsh_p) AS n_lsh,
+               count(l.doc_id_a) AS n_hit,
+               cast(count(l.doc_id_a) as double) / cast(count(*) as double)
+                   AS recall
+        FROM exact_p e
+        LEFT JOIN lsh_p l
+          ON e.doc_id_a = l.doc_id_a AND e.doc_id_b = l.doc_id_b
+    """
+
+
+@register("doc_dedup_lsh_recall", oracle=_lsh_recall_oracle_sql(), tags=("extension",))
+def doc_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH candidate generator against the exact
+    size-blocked n-gram-Jaccard pairs (both at jaccard >= 0.2) — the
+    acceptance metric for the banded dedup deployment, mirroring
+    emb_ann_recall_eval on the embedding side.
+
+    Reuses the two registered queries' own plans, so the LSH side
+    shares its scoped signature cache; the exact side is the quadratic
+    verification baseline (sampled in production, full here)."""
+    from finalpipeline_spark.queries import documents as DOC
+
+    exact = DOC.doc_dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    lsh = DOC.doc_dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    hit = lsh.withColumn("hit", F.lit(1))
+    agg = exact.join(hit, ["doc_id_a", "doc_id_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("hit").alias("n_hit"),
+    )
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    return agg.crossJoin(n_lsh).select(
+        "n_exact",
+        "n_lsh",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_exact").cast("double")).alias(
+            "recall"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-weighted (importance) sampling — deterministic, shuffle-free
+# --------------------------------------------------------------------------
+_SAMPLE_MULT = 1103515245  # glibc LCG multiplier — a lane independent of D.MULT
+
+
+def _weighted_sample_sql(dialect: str) -> str:
+    """Keep each document with probability equal to its quality score:
+    u = hash(doc_id) / HASH_MOD in [0, 1); keep iff u < score.
+
+    This is how a 100 TB corpus is quality-resampled in practice:
+    content-addressed per-row decision — no shuffle, no RNG state,
+    reproducible across runs/engines/partitionings (rand() is none of
+    those). The hash lane differs from doc_train_test_split's so the
+    sample is independent of the split assignment. Both engines
+    evaluate identical integer arithmetic + one IEEE division, so the
+    kept set is bit-identical."""
+    from finalpipeline_spark.queries import documents as DOC
+
+    score = DOC._quality_score_expr(dialect)
+    n_tok = D.arr_size(DOC._toks(dialect), dialect)
+    u = (
+        f"(cast((doc_id * {_SAMPLE_MULT}) % {D.HASH_MOD} as double)"
+        f" / {D.HASH_MOD}.0)"
+    )
+    return f"""
+        SELECT doc_id, quality_score, u AS sample_u
+        FROM (
+            SELECT doc_id, ({score}) AS quality_score, {u} AS u
+            FROM {_doc_tbl(dialect)}
+            WHERE {n_tok} > 0
+        ) t
+        WHERE u < quality_score
+    """
+
+
+@register(
+    "doc_quality_weighted_sample",
+    oracle=_weighted_sample_sql(D.DUCK),
+    tags=("extension",),
+)
+def doc_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling: keep a document with
+    probability equal to its quality score (see _weighted_sample_sql
+    for the scale rationale). Pure per-row map — runs at scan speed."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_weighted_sample_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# k-means (Lloyd) — the IVF coarse-quantizer TRAINED, not label-assumed
+# --------------------------------------------------------------------------
+_KM_K = 8  # clusters; seeds = rows with vec_id < _KM_K
+
+
+def _kmeans_sql(dialect: str, v_rel: str | None = None, ex_rel: str | None = None) -> str:
+    """Two unrolled Lloyd rounds from deterministic seeds (vec_id <
+    _KM_K), emitting the final centroids in exploded scalar form.
+
+    Distance uses the staged squared norms: d(v,c) = |v|^2 - 2 v.c +
+    |c|^2, with every dot product a *sequential* fold (identical IEEE
+    order in both engines); centroid components are rounded to 6 dp at
+    each update so round-2 inputs are bit-identical despite the
+    order-dependent avg. Assignment argmin breaks ties by centroid id.
+
+    Scale shape per round: one broadcast join (K centroids against the
+    corpus — map-side, no vector shuffle) + one (cid, dim) partial-sum
+    shuffle whose width is K x DIM rows, independent of corpus size.
+    ``v_rel``/``ex_rel`` name pre-staged (cached) Spark relations for
+    the normed and exploded tables — referenced twice each, and
+    Catalyst recomputes CTEs per reference; DuckDB inlines them."""
+    dim = E.DIM
+    nrm = D.dot("embedding", "embedding", dim, dialect)
+    v_src = v_rel or "v"
+    ex_src = ex_rel or "ex"
+    if dialect == D.SPARK:
+        expl = (
+            f"SELECT vec_id, dim_i, cast(comp as double) AS comp FROM {v_src} "
+            f"LATERAL VIEW posexplode(embedding) t AS dim_i, comp"
+        )
+        cvec_agg = (
+            "transform(array_sort(collect_list(struct(dim_i, comp))), s -> s.comp)"
+        )
+    else:
+        expl = (
+            f"SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim_i, "
+            f"unnest(embedding)::double AS comp FROM {v_src}"
+        )
+        cvec_agg = "list(comp ORDER BY dim_i)"
+    d1_dot = D.dot("a.embedding", "c.cvec", dim, dialect)
+    cnrm1 = D.dot("cvec", "cvec", dim, dialect)
+    with_v = "" if v_rel else f"v AS (SELECT vec_id, embedding, {nrm} AS nrm FROM {_emb_tbl_cur(dialect)}),\n        "
+    with_ex = "" if ex_rel else f"ex AS ({expl}),\n        "
+    return f"""
+        WITH {with_v}{with_ex}s0 AS (
+            SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+            FROM {v_src} WHERE vec_id < {_KM_K}
+        ),
+        d1 AS (
+            SELECT a.vec_id, c.cid,
+                   (a.nrm - 2 * {d1_dot} + c.cnrm) AS dist
+            FROM {v_src} a CROSS JOIN s0 c
+        ),
+        a1 AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d1
+            ) t WHERE rn = 1
+        ),
+        m1 AS (
+            SELECT a1.cid, e.dim_i, round(avg(e.comp), 6) AS comp
+            FROM a1 JOIN {ex_src} e ON a1.vec_id = e.vec_id
+            GROUP BY a1.cid, e.dim_i
+        ),
+        c1 AS (
+            SELECT cid, {cvec_agg} AS cvec FROM m1 GROUP BY cid
+        ),
+        c1n AS (
+            SELECT cid, cvec, {cnrm1} AS cnrm FROM c1
+        ),
+        d2 AS (
+            SELECT a.vec_id, c.cid,
+                   (a.nrm - 2 * {d1_dot} + c.cnrm) AS dist
+            FROM {v_src} a CROSS JOIN c1n c
+        ),
+        a2 AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d2
+            ) t WHERE rn = 1
+        )
+        SELECT a2.cid, e.dim_i, round(avg(e.comp), 6) AS centroid_component,
+               count(*) AS n_vectors
+        FROM a2 JOIN {ex_src} e ON a2.vec_id = e.vec_id
+        GROUP BY a2.cid, e.dim_i
+    """
+
+
+def _emb_tbl_cur(dialect: str) -> str:
+    return E.SPARK_VIEW if dialect == D.SPARK else "embeddings"
+
+
+@register("emb_kmeans_lloyd", oracle=_kmeans_sql(D.DUCK), tags=("extension",))
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means (2 Lloyd rounds, deterministic seeds): the IVF coarse
+    quantizer actually trained instead of assumed from the label
+    column. See _kmeans_sql for the per-round scale shape (broadcast
+    assignment join + K x DIM partial-sum shuffle).
+
+    Spark stages the normed and exploded tables (cached, repartitioned)
+    because each is consumed by both rounds and Catalyst recomputes
+    CTEs per reference."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(E.SPARK_VIEW)
+    par = spark.sparkContext.defaultParallelism
+    nrm = D.dot("embedding", "embedding", E.DIM, D.SPARK)
+    v = scoped_cache(
+        spark.sql(
+            f"SELECT vec_id, embedding, {nrm} AS nrm FROM {E.SPARK_VIEW}"
+        ).repartition(par),
+        "emb_kmeans_lloyd",
+    )
+    v.createOrReplaceTempView("__fps_km_v")
+    ex = scoped_cache(
+        spark.sql(
+            "SELECT vec_id, dim_i, cast(comp as double) AS comp FROM __fps_km_v "
+            "LATERAL VIEW posexplode(embedding) t AS dim_i, comp"
+        ),
+        "emb_kmeans_lloyd",
+    )
+    ex.createOrReplaceTempView("__fps_km_ex")
+    return spark.sql(_kmeans_sql(D.SPARK, v_rel="__fps_km_v", ex_rel="__fps_km_ex"))
+
+
+# --------------------------------------------------------------------------
+# Product quantization encode (PQ codes + reconstruction error)
+# --------------------------------------------------------------------------
+_PQ_M = 4                       # subspaces
+_PQ_SUBDIM = E.DIM // _PQ_M     # 16 dims each
+_PQ_CODES = 8                   # codebook entries per subspace (seed rows)
+
+
+def _pq_sql(dialect: str, sub_rel: str | None = None) -> str:
+    """PQ encode: split each vector into _PQ_M contiguous subvectors;
+    assign each to the nearest codebook entry (seed rows vec_id <
+    _PQ_CODES) in that subspace; emit the m code columns plus the
+    total squared reconstruction error (summed in fixed syntactic
+    order so both engines produce the identical double).
+
+    Scale shape: the codebook is tiny and broadcast; encoding is a
+    per-row map over the corpus — no shuffle at all, which is the
+    whole point of PQ (compress 100 TB of float vectors to m bytes
+    per vector in one scan)."""
+    sub = _PQ_SUBDIM
+    if dialect == D.SPARK:
+        slices = "\nUNION ALL\n".join(
+            f"SELECT vec_id, {s} AS s, slice(embedding, {s * sub + 1}, {sub}) AS sv "
+            f"FROM {_emb_tbl_cur(dialect)}"
+            for s in range(_PQ_M)
+        )
+    else:
+        slices = "\nUNION ALL\n".join(
+            f"SELECT vec_id, {s} AS s, "
+            f"list_slice(embedding, {s * sub + 1}, {(s + 1) * sub}) AS sv "
+            f"FROM {_emb_tbl_cur(dialect)}"
+            for s in range(_PQ_M)
+        )
+    vnrm = D.dot("sv", "sv", sub, dialect)
+    dvc = D.dot("a.sv", "c.cv", sub, dialect)
+    code_cols = ",\n               ".join(
+        f"max(CASE WHEN s = {s} THEN code END) AS code_{s}" for s in range(_PQ_M)
+    )
+    err = " + ".join(f"max(CASE WHEN s = {s} THEN dist END)" for s in range(_PQ_M))
+    with_sub = (
+        ""
+        if sub_rel
+        else f"sub AS ({slices}),\n        "
+        f"subn AS (SELECT vec_id, s, sv, {vnrm} AS vnrm FROM sub),\n        "
+    )
+    subn_src = sub_rel or "subn"
+    return f"""
+        WITH {with_sub}cb AS (
+            SELECT vec_id AS code, s, sv AS cv, vnrm AS cnrm
+            FROM {subn_src} WHERE vec_id < {_PQ_CODES}
+        ),
+        d AS (
+            SELECT a.vec_id, a.s, c.code,
+                   (a.vnrm - 2 * {dvc} + c.cnrm) AS dist
+            FROM {subn_src} a JOIN cb c ON a.s = c.s
+        ),
+        asg AS (
+            SELECT vec_id, s, code, dist FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+                FROM d
+            ) t WHERE rn = 1
+        )
+        SELECT vec_id,
+               {code_cols},
+               ({err}) AS recon_err
+        FROM asg GROUP BY vec_id
+    """
+
+
+@register("emb_pq_encode", oracle=_pq_sql(D.DUCK), tags=("extension",))
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (m=4 subspaces x 16 dims, 8-entry
+    codebooks from deterministic seed rows) with per-vector
+    reconstruction error — the memory-compression layer an ANN system
+    puts under its IVF index. See _pq_sql for the shuffle-free scale
+    shape.
+
+    Spark stages the subvector+norm table (cached, repartitioned): it
+    feeds both the codebook and the encode side, and the staging also
+    spreads the single-file scan across cores."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(E.SPARK_VIEW)
+    par = spark.sparkContext.defaultParallelism
+    sub = _PQ_SUBDIM
+    slices = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {s} AS s, slice(embedding, {s * sub + 1}, {sub}) AS sv "
+        f"FROM {E.SPARK_VIEW}"
+        for s in range(_PQ_M)
+    )
+    vnrm = D.dot("sv", "sv", sub, D.SPARK)
+    subn = scoped_cache(
+        spark.sql(
+            f"SELECT vec_id, s, sv, {vnrm} AS vnrm FROM ({slices}) sub"
+        ).repartition(par),
+        "emb_pq_encode",
+    )
+    subn.createOrReplaceTempView("__fps_pq_subn")
+    return spark.sql(_pq_sql(D.SPARK, sub_rel="__fps_pq_subn"))

@@ -122,12 +122,20 @@ def _quality_exprs(dialect: str) -> dict[str, str]:
     }
 
 
-def _quality_sql(dialect: str) -> str:
+def _quality_score_expr(dialect: str) -> str:
+    """The composite quality score in [0, 1] — shared by
+    doc_quality_score and curation.doc_quality_weighted_sample so the
+    two can never drift apart."""
     e = _quality_exprs(dialect)
-    score = (
+    return (
         f"0.4 * least(cast({e['n_tokens']} as double) / 100.0, 1.0)"
         f" + 0.3 * {e['ttr']} + 0.3 * (1.0 - {e['stop_ratio']})"
     )
+
+
+def _quality_sql(dialect: str) -> str:
+    e = _quality_exprs(dialect)
+    score = _quality_score_expr(dialect)
     return f"""
         SELECT doc_id,
                {e["n_tokens"]} AS n_tokens,
