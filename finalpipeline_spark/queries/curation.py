@@ -555,3 +555,120 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     subn.createOrReplaceTempView("__fps_pq_subn")
     return spark.sql(_pq_sql(D.SPARK, sub_rel="__fps_pq_subn"))
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM perplexity scoring (CCNet-style quality signal)
+# --------------------------------------------------------------------------
+_LN_SCALE = 1_000_000  # fixed-point quantization of ln(count)
+
+
+def _lm_perplexity_sql(dialect: str) -> str:
+    """Per-document cross-entropy under the corpus's own unigram LM —
+    the classic LM-based quality filter (CCNet shape: score docs by
+    how surprising their tokens are; boilerplate scores low, gibberish
+    scores high).
+
+        H(doc) = ln(total) - (1/n) * sum_t ln(count(t))
+
+    (Perplexity = exp(H) is a monotone transform; thresholds live in
+    log space, and exp's last-ulp differs across libms, so H is the
+    emitted column.)
+
+    Parity is EXACT, not rounded: ln(count) is quantized to integer
+    micro-nats via floor(ln * 1e6 + 0.5) — floor of an identical
+    double is identical in both engines — so every per-document sum is
+    exact int64 arithmetic (order-independent), and the final ln/exp
+    run on identical doubles.
+
+    Scale shape: one explode + (doc, token) partial-count, one token
+    vocab aggregation (vocab << corpus), one join of doc term-freqs
+    against the vocab (broadcast when the vocab fits, shuffle-on-token
+    otherwise), one (doc) sum. The corpus total is a 1-row broadcast
+    cross join, never a collect."""
+    toks = D.tokens("text", dialect)
+    if dialect == D.SPARK:
+        expl = "SELECT doc_id, t FROM toks LATERAL VIEW explode(toks) x AS t"
+    else:
+        expl = "SELECT doc_id, unnest(toks) AS t FROM toks"
+    qln = (
+        f"cast(floor(ln(cast(cnt as double)) * {_LN_SCALE}.0 + 0.5) as bigint)"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {toks} AS toks FROM {_doc_tbl(dialect)}
+        ),
+        ex AS ({expl}),
+        tf AS (
+            SELECT doc_id, t, count(*) AS tf FROM ex GROUP BY doc_id, t
+        ),
+        vocab AS (
+            SELECT t, count(*) AS cnt FROM ex GROUP BY t
+        ),
+        tot AS (
+            SELECT sum(cnt) AS total FROM vocab
+        ),
+        q AS (
+            SELECT t, {qln} AS qln FROM vocab
+        ),
+        doc_sum AS (
+            SELECT tf.doc_id,
+                   cast(sum(tf.tf * q.qln) as bigint) AS qsum,
+                   cast(sum(tf.tf) as bigint) AS n_tokens
+            FROM tf JOIN q ON tf.t = q.t
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, n_tokens,
+               (ln(cast(total as double))
+                - cast(qsum as double)
+                  / ({_LN_SCALE}.0 * cast(n_tokens as double))) AS cross_entropy
+        FROM doc_sum CROSS JOIN tot
+    """
+
+
+@register(
+    "doc_lm_perplexity", oracle=_lm_perplexity_sql(D.DUCK), tags=("extension",)
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the corpus unigram LM (CCNet-style
+    quality scoring). See _lm_perplexity_sql for the exact fixed-point
+    parity scheme and the scale shape. The exploded token relation is
+    staged (cached, repartitioned) because both the term-frequency and
+    vocabulary aggregations consume it."""
+    load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView(SPARK_VIEW)
+    toks = D.tokens("text", D.SPARK)
+    ex = scoped_cache(
+        spark.sql(
+            f"SELECT doc_id, t FROM (SELECT doc_id, {toks} AS toks "
+            f"FROM {SPARK_VIEW}) s LATERAL VIEW explode(toks) x AS t"
+        ),
+        "doc_lm_perplexity",
+    )
+    ex.createOrReplaceTempView("__fps_lm_ex")
+    qln = (
+        f"cast(floor(ln(cast(cnt as double)) * {_LN_SCALE}.0 + 0.5) as bigint)"
+    )
+    return spark.sql(f"""
+        WITH tf AS (
+            SELECT doc_id, t, count(*) AS tf FROM __fps_lm_ex GROUP BY doc_id, t
+        ),
+        vocab AS (
+            SELECT t, count(*) AS cnt FROM __fps_lm_ex GROUP BY t
+        ),
+        tot AS (SELECT sum(cnt) AS total FROM vocab),
+        q AS (SELECT t, {qln} AS qln FROM vocab),
+        doc_sum AS (
+            SELECT tf.doc_id,
+                   cast(sum(tf.tf * q.qln) as bigint) AS qsum,
+                   cast(sum(tf.tf) as bigint) AS n_tokens
+            FROM tf JOIN q ON tf.t = q.t
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, n_tokens,
+               (ln(cast(total as double))
+                - cast(qsum as double)
+                  / ({_LN_SCALE}.0 * cast(n_tokens as double))) AS cross_entropy
+        FROM doc_sum CROSS JOIN tot
+    """)
