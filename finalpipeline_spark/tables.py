@@ -1,12 +1,26 @@
 """Testdata table access with schema normalization.
 
 All queries load tables through here so the one irregularity in the
-testdata — ``events.ts`` stored as parquet TIMESTAMP(NANOS), which
-Spark's vectorized reader rejects — is handled in exactly one place:
-we flip ``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) and
-expose the column as epoch-nanosecond ``bigint`` plus derived
-tz-independent epoch columns. Falls back to an Arrow-side cast if the
-session forbids the conf.
+testdata — the ``events.ts`` timestamp encoding — is handled in exactly
+one place. The driver has shipped two encodings across rounds:
+
+* parquet TIMESTAMP(NANOS)                → Spark needs
+  ``spark.sql.legacy.parquet.nanosAsLong`` and the column arrives as an
+  epoch-nanosecond ``bigint``;
+* parquet TIMESTAMP(MICROS, adjusted=false) → Spark 4 infers
+  ``timestamp_ntz`` by default, whose epoch extraction is
+  session-timezone-dependent; we re-read with an imposed schema that
+  swaps ``timestamp_ntz`` → ``timestamp``, which makes the reader hand
+  back the stored int64 micros verbatim as an instant — then
+  ``unix_micros(ts)`` equals DuckDB's ``epoch_us(ts)`` bit-for-bit
+  regardless of session timezone (verified empirically under
+  America/New_York). Imposing the schema per-read keeps every other
+  table's inferred types untouched (no session-global conf flips
+  beyond the legacy nanos one, which only affects NANOS columns).
+
+Either way downstream queries only consume the derived tz-independent
+``ts_ns`` / ``ts_epoch_s`` epoch columns. Falls back to an Arrow-side
+cast if the session forbids the confs.
 """
 
 from __future__ import annotations
@@ -43,31 +57,52 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.sql import types as T
+
     try:
+        # Runtime-settable; only affects how TIMESTAMP(NANOS) columns are
+        # typed at read (events is the sole table with one, in old data).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        inferred = spark.read.parquet(path).schema
+        imposed = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T.TimestampType()
+                    if isinstance(f.dataType, T.TimestampNTZType)
+                    else f.dataType,
+                    f.nullable,
+                )
+                for f in inferred.fields
+            ]
+        )
+        df = spark.read.schema(imposed).parquet(path)
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) read as epoch-ns long
+            df = df.withColumn("ts_ns", F.col("ts").cast("long"))
+        elif ts_type == "timestamp":  # micros instant; unix_micros == epoch_us
+            df = df.withColumn("ts_ns", (F.unix_micros("ts") * F.lit(1000)).cast("long"))
+        else:
+            raise ValueError(f"unexpected events.ts type: {ts_type}")
     except Exception:
         df = _load_events_arrow(spark, path)
-    # ts is epoch nanoseconds (bigint). Derive tz-independent epoch units.
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts_ns", F.col("ts").cast("long"))
-    else:  # arrow fallback already delivered microseconds
-        df = df.withColumn("ts_ns", F.expr("ts_us * 1000"))
     return df.withColumn("ts_epoch_s", F.expr(f"ts_ns div {NS_PER_SECOND}"))
 
 
 def _load_events_arrow(spark: SparkSession, path: str) -> DataFrame:
-    """Driver-side Arrow fallback (small table; ns→us cast)."""
+    """Driver-side Arrow fallback: cast ts to epoch-ns int64 before Spark
+    ever sees it (small table; unit taken from the arrow type)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(path)
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    ts_us = pc.cast(tbl["ts"], pa.int64())  # epoch ns as int64
-    tbl = tbl.drop_columns(["ts"]).append_column(
-        "ts_us", pc.divide(ts_us, pa.scalar(1000, pa.int64()))
-    )
+    ts_type = tbl.schema.field("ts").type
+    raw = pc.cast(tbl["ts"], pa.int64())  # epoch in the column's own unit
+    unit = getattr(ts_type, "unit", "ns")
+    mult = {"s": 1_000_000_000, "ms": 1_000_000, "us": 1_000, "ns": 1}[unit]
+    ts_ns = pc.multiply(raw, pa.scalar(mult, pa.int64()))
+    tbl = tbl.drop_columns(["ts"]).append_column("ts_ns", ts_ns)
     return spark.createDataFrame(tbl.to_pandas())
 
 
