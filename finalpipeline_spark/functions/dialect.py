@@ -106,6 +106,20 @@ def arr_index(arr: str, one_based_idx: str, dialect: str) -> str:
     return f"list_extract({arr}, {one_based_idx})"
 
 
+def arr_join(arr: str, sep: str, dialect: str) -> str:
+    """Join a string array with a separator."""
+    if dialect == SPARK:
+        return f"array_join({arr}, '{sep}')"
+    return f"array_to_string({arr}, '{sep}')"
+
+
+def idiv(a: str, b: str | int, dialect: str) -> str:
+    """Integer (floor-toward-zero) division of nonnegative bigints."""
+    if dialect == SPARK:
+        return f"(({a}) div ({b}))"
+    return f"(({a}) // ({b}))"
+
+
 def jaccard(a: str, b: str, dialect: str) -> str:
     """Jaccard similarity of two pre-distinct arrays, as double.
 

@@ -75,6 +75,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         tpch,
+        training,
     )
 
     modules = {
@@ -86,6 +87,7 @@ def load_all() -> dict[str, QuerySpec]:
         "multimodal": multimodal,
         "relational": relational,
         "tpch": tpch,
+        "training": training,
     }
     first: list[str] = []
     for mod_name in _PRIORITY_MODULES:

@@ -1,0 +1,313 @@
+"""Training-data assembly operators: the step AFTER curation.
+
+Once a corpus is cleaned (documents.py) and curated (curation.py), a
+pretraining pipeline still has to (a) resample it across languages /
+domains, (b) pick one canonical copy per duplicate group, (c) assign a
+reproducible global order and sharding, and (d) pack variable-length
+documents into fixed-length training sequences. These are the operators
+this module adds (SURVEY.md north-star section; no counterpart exists
+in the reference, which stops at the datamart — datamart.py:148-172).
+
+Everything is deterministic and content-addressed — no rand(), no RNG
+state, no driver-side loops — so a 100 TB run is reproducible across
+retries, partitionings, and engines, and every operator is
+oracle-checkable bit-for-bit (dual-dialect SQL like the rest of the
+repo).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from finalpipeline_spark.functions import dialect as D
+from finalpipeline_spark.queries.registry import register
+from finalpipeline_spark.tables import load_table
+
+SPARK_VIEW = "__fps_documents_trn"
+SPARK_EVENTS_VIEW = "__fps_events_trn"
+
+
+def _doc_tbl(dialect: str) -> str:
+    return SPARK_VIEW if dialect == D.SPARK else "documents"
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk) per shard
+# --------------------------------------------------------------------------
+_SEQ_LEN = 2048      # tokens per training sequence
+_PACK_SHARDS = 4     # independent packing streams
+_SHUF_MULT = 2246822519  # xxhash prime — a hash lane of its own
+
+
+def _pack_sql(dialect: str) -> str:
+    """GPT-style concat-and-chunk packing: within each shard, documents
+    are concatenated in deterministic shuffled order and the stream is
+    chunked every _SEQ_LEN tokens; each document reports the training
+    sequence (pack) its first token lands in and whether it straddles a
+    chunk boundary.
+
+    Scale shape: ONE window sum per shard — the cumulative token offset
+    is a running sum partitioned by shard, so the sort is per-shard,
+    never global; shard count grows with the corpus so per-shard state
+    stays bounded. The shuffled order is a pure hash of doc_id
+    (content-addressed), not rand(): re-runs, retries, and both engines
+    agree on every offset.
+    """
+    n_tok = D.arr_size(D.tokens("text", dialect), dialect)
+    shard = f"((doc_id * {D.MULT}) % {_PACK_SHARDS})"
+    ord_h = f"((doc_id * {_SHUF_MULT}) % {D.HASH_MOD})"
+    pack0 = D.idiv("end_off - n_tokens", _SEQ_LEN, dialect)
+    pack_last = D.idiv("end_off - 1", _SEQ_LEN, dialect)
+    return f"""
+        WITH sized AS (
+            SELECT doc_id, {shard} AS shard_id, {ord_h} AS ord_h,
+                   {n_tok} AS n_tokens
+            FROM {_doc_tbl(dialect)}
+        ),
+        offs AS (
+            SELECT doc_id, shard_id, n_tokens,
+                   cast(sum(n_tokens) OVER (
+                       PARTITION BY shard_id ORDER BY ord_h, doc_id
+                       ROWS UNBOUNDED PRECEDING) as bigint) AS end_off
+            FROM sized WHERE n_tokens > 0
+        )
+        SELECT doc_id, shard_id, n_tokens,
+               (end_off - n_tokens) AS start_offset,
+               {pack0} AS pack_id,
+               ({pack_last} > {pack0}) AS crosses_boundary
+        FROM offs
+    """
+
+
+@register("doc_pack_sequences", oracle=_pack_sql(D.DUCK), tags=("extension",))
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack curated documents into fixed 2048-token training sequences
+    (concat-and-chunk), per deterministic shard — see _pack_sql for the
+    per-shard running-sum scale shape."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_pack_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Temperature (UniMax-style) language resampling
+# --------------------------------------------------------------------------
+_TEMP_MULT = 1885667273  # sampling hash lane
+
+
+def _temperature_sql(dialect: str) -> str:
+    """Temperature-resample the corpus across languages: language l with
+    n_l documents gets target share ∝ n_l^(1/T) with T=2 (sqrt — the
+    standard flattening that up-weights tail languages), realized as a
+    per-document keep probability r_l = min(1, (w_l / Σw) * N / n_l)
+    and a content-addressed coin u(doc_id) < r_l.
+
+    Float parity: sqrt is IEEE-correctly-rounded in both engines; the
+    Σw fold runs over the languages in lexicographic order (a sequential
+    reduce over a sorted list, not a SUM aggregate), so the handful of
+    doubles add in the same order everywhere; every later step is the
+    same expression tree on identical inputs.
+
+    Scale shape: lang_stats is a tiny aggregate (|langs| rows) broadcast
+    back onto the corpus; the keep decision is a per-row map — the whole
+    resample is one scan + one broadcast join, no corpus shuffle.
+    """
+    if dialect == D.SPARK:
+        w_sorted = "transform(array_sort(collect_list(struct(lang, w))), s -> s.w)"
+    else:
+        w_sorted = "list(w ORDER BY lang)"
+    wsum_fold = D.arr_sum_double(w_sorted, dialect)
+    u = (
+        f"(cast((doc_id * {_TEMP_MULT}) % {D.HASH_MOD} as double)"
+        f" / {D.HASH_MOD}.0)"
+    )
+    return f"""
+        WITH lang_stats AS (
+            SELECT lang, count(*) AS n_l, sqrt(cast(count(*) as double)) AS w
+            FROM {_doc_tbl(dialect)} GROUP BY lang
+        ),
+        tot AS (
+            SELECT cast(sum(n_l) as bigint) AS n_total, {wsum_fold} AS wsum
+            FROM lang_stats
+        ),
+        rates AS (
+            SELECT s.lang, s.n_l,
+                   least(1.0, (s.w / t.wsum) * cast(t.n_total as double)
+                              / cast(s.n_l as double)) AS keep_rate
+            FROM lang_stats s CROSS JOIN tot t
+        )
+        SELECT d.doc_id, d.lang, r.keep_rate
+        FROM {_doc_tbl(dialect)} d JOIN rates r ON d.lang = r.lang
+        WHERE {u} < r.keep_rate
+    """
+
+
+@register("doc_sample_temperature", oracle=_temperature_sql(D.DUCK), tags=("extension",))
+def doc_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style temperature resampling across languages (T=2):
+    deterministic per-document keep decision at a language-dependent
+    rate — see _temperature_sql for the float-parity and broadcast
+    scale shape."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_temperature_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Canonical-copy selection per exact-duplicate group
+# --------------------------------------------------------------------------
+def _keep_best_sql(dialect: str) -> str:
+    """Exact dedup with QUALITY-aware survivor selection: group on the
+    md5 of the token-normalized text (lowercased, punctuation-stripped —
+    catches trivially reformatted copies raw-text md5 misses), keep the
+    highest-quality copy per group (ties → lowest doc_id).
+
+    The reference's dedup keeps an arbitrary first row
+    (tanimoto.py:79 drop_duplicates); at training scale the survivor
+    choice matters — boilerplate mirrors often have one clean source.
+
+    Scale shape: the shuffle key is a 32-char digest (not the text) and
+    the quality score rides along as one double — the wide shuffle
+    carries ~40 B/row regardless of document size. One window per
+    group picks the argmax.
+    """
+    from finalpipeline_spark.queries import documents as DOC
+
+    toks = D.tokens("text", dialect)
+    norm = D.arr_join("toks", " ", dialect)
+    score = DOC._quality_score_expr(dialect)
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, md5({norm}) AS fingerprint, quality_score
+            FROM (
+                SELECT doc_id, {toks} AS toks, ({score}) AS quality_score
+                FROM {_doc_tbl(dialect)}
+            ) t WHERE {D.arr_size('toks', dialect)} > 0
+        ),
+        ranked AS (
+            SELECT doc_id, fingerprint, quality_score,
+                   row_number() OVER (
+                       PARTITION BY fingerprint
+                       ORDER BY quality_score DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY fingerprint) AS n_copies
+            FROM scored
+        )
+        SELECT doc_id, fingerprint, quality_score,
+               cast(n_copies as bigint) AS n_copies
+        FROM ranked WHERE rn = 1
+    """
+
+
+@register("doc_dedup_exact_keep_best", oracle=_keep_best_sql(D.DUCK), tags=("extension",))
+def doc_dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text md5 keeping the highest-quality
+    copy per group (not an arbitrary one) — see _keep_best_sql for the
+    digest-keyed shuffle shape."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_keep_best_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Deterministic global shuffle + sharding (training order)
+# --------------------------------------------------------------------------
+_N_SHARDS = 8
+_ORDER_MULT = 3266489917  # order hash lane
+
+
+def _shard_sql(dialect: str) -> str:
+    """Reproducible training order: every document gets a
+    content-addressed shard (hash of doc_id — no shuffle needed to
+    assign) and a position within its shard (row_number over a second,
+    independent hash lane). Sources interleave naturally because the
+    order hash is independent of `source`.
+
+    This is the op that turns a curated corpus into an actual training
+    run input: epoch order must be shuffled, reproducible, and
+    restartable (position is derivable, not stored state). Per-shard
+    window sort only — shard count scales with the corpus, so no global
+    sort ever happens.
+    """
+    shard = f"((doc_id * {D.MULT}) % {_N_SHARDS})"
+    ord_h = f"((doc_id * {_ORDER_MULT}) % {D.HASH_MOD})"
+    return f"""
+        SELECT doc_id, source, shard_id,
+               cast(row_number() OVER (
+                   PARTITION BY shard_id ORDER BY ord_h, doc_id) as bigint)
+                   AS pos_in_shard
+        FROM (
+            SELECT doc_id, source, {shard} AS shard_id, {ord_h} AS ord_h
+            FROM {_doc_tbl(dialect)}
+        ) t
+    """
+
+
+@register("doc_shard_interleave", oracle=_shard_sql(D.DUCK), tags=("extension",))
+def doc_shard_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: content-addressed shard assignment
+    plus in-shard position from an independent hash lane — see
+    _shard_sql."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_shard_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Watermark semantics, batch twin: late-event classification
+# --------------------------------------------------------------------------
+_LATE_S = 600  # allowed lateness (the watermark delay)
+
+
+_ARR_MULT = 2654435761  # Knuth multiplicative hash — arrival-order lane
+
+
+def _late_sql(dialect: str) -> str:
+    """Classify events a 10-minute watermark would drop: per user, in
+    arrival order, an event is late iff its event time is more than
+    _LATE_S behind the high-watermark (the running max event time over
+    everything that arrived before it).
+
+    The testdata's event_id order IS time order (verified: max lateness
+    ≤ 0 at every SF), so a literal replay would classify nothing — the
+    degenerate single-writer case. Arrival order here is instead a
+    deterministic content-addressed permutation of each user's events
+    (hash of event_id), modeling multi-source ingestion where arrival
+    interleaves out of time order; the permutation is pure hash, so
+    re-runs and both engines agree row-for-row.
+
+    This is the batch twin of streaming/windows.py's withWatermark
+    pipelines — it quantifies, on historical data, exactly which rows a
+    chosen delay would have discarded (how you pick the delay in
+    practice). Per-user window only: the running max partitions by
+    user, so state is bounded per key like the streaming original.
+    """
+    es = (
+        "ts_epoch_s"
+        if dialect == D.SPARK
+        else "(epoch_us(ts) // 1000000)"
+    )
+    tbl = SPARK_EVENTS_VIEW if dialect == D.SPARK else "events"
+    arr_h = f"((event_id * {_ARR_MULT}) % {D.HASH_MOD})"
+    return f"""
+        WITH arr AS (
+            SELECT event_id, user_id, {es} AS es, {arr_h} AS arrival_h
+            FROM {tbl}
+        ),
+        wm AS (
+            SELECT event_id, user_id, es,
+                   max(es) OVER (
+                       PARTITION BY user_id ORDER BY arrival_h, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS high_watermark
+            FROM arr
+        )
+        SELECT event_id, user_id, es, high_watermark,
+               (high_watermark - es) AS lateness_s
+        FROM wm
+        WHERE high_watermark - es > {_LATE_S}
+    """
+
+
+@register("events_late_classify", oracle=_late_sql(D.DUCK), tags=("extension",))
+def events_late_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data audit for watermark sizing: events arriving more than
+    10 minutes behind their user's high-watermark — see _late_sql for
+    the bounded-state shape mirroring the streaming original."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(SPARK_EVENTS_VIEW)
+    return spark.sql(_late_sql(D.SPARK))
