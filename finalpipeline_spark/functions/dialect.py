@@ -120,6 +120,49 @@ def idiv(a: str, b: str | int, dialect: str) -> str:
     return f"(({a}) // ({b}))"
 
 
+def cast_str(x: str, dialect: str) -> str:
+    """Integer → string cast."""
+    if dialect == SPARK:
+        return f"cast({x} as string)"
+    return f"cast({x} as varchar)"
+
+
+def fold_bigint(arr: str, seed: str, acc_body: str, dialect: str) -> str:
+    """Left fold over a bigint array: acc_body uses (acc, x).
+
+    Order-DEPENDENT by design (rolling hashes); both engines fold
+    left-to-right over the same array, so results are identical.
+    """
+    if dialect == SPARK:
+        return f"aggregate({arr}, {seed}, (acc, x) -> {acc_body})"
+    return f"list_reduce(list_prepend({seed}, {arr}), (acc, x) -> {acc_body})"
+
+
+def regex_count(s: str, pattern: str, dialect: str) -> str:
+    """Number of non-overlapping matches of pattern in s, as bigint.
+
+    Patterns must avoid backslash escapes (Spark SQL string literals
+    process them, DuckDB's don't) — use [.] and [0-9] style classes.
+    """
+    if dialect == SPARK:
+        return f"cast(size(regexp_extract_all({s}, '{pattern}', 0)) as bigint)"
+    return f"cast(len(regexp_extract_all({s}, '{pattern}')) as bigint)"
+
+
+def regex_scrub(s: str, pattern: str, replacement: str, dialect: str) -> str:
+    """Replace ALL matches of pattern with replacement."""
+    if dialect == SPARK:
+        return f"regexp_replace({s}, '{pattern}', '{replacement}')"
+    return f"regexp_replace({s}, '{pattern}', '{replacement}', 'g')"
+
+
+def arr_slice(arr: str, start_1based: str, length: int, dialect: str) -> str:
+    """length-bounded slice from a 1-based start position (clamped)."""
+    if dialect == SPARK:
+        return f"slice({arr}, {start_1based}, {length})"
+    return f"list_slice({arr}, {start_1based}, ({start_1based}) + {length} - 1)"
+
+
 def jaccard(a: str, b: str, dialect: str) -> str:
     """Jaccard similarity of two pre-distinct arrays, as double.
 

@@ -672,3 +672,163 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / ({_LN_SCALE}.0 * cast(n_tokens as double))) AS cross_entropy
         FROM doc_sum CROSS JOIN tot
     """)
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ search with asymmetric distance computation (ADC)
+# --------------------------------------------------------------------------
+_ADC_NPROBE = 2
+_ADC_K = 5
+
+
+def _ivf_pq_sql(dialect: str, sub_rel: str | None = None) -> str:
+    """The full compressed-index ANN stack in one plan — IVF coarse
+    pruning over PQ-compressed vectors with per-query ADC lookup
+    tables, i.e. what FAISS calls IVFPQ:
+
+      1. coarse quantizer: per-label centroids (as emb_ivf_topk),
+         queries (vec_id % 50 = 0) probe their _ADC_NPROBE nearest
+         lists — at scale this prunes the scan to ~nprobe/nlist of
+         the corpus with `label` as the partition key;
+      2. compression: every corpus vector is represented ONLY by its
+         _PQ_M codebook codes (the emb_pq_encode layout) — the scan
+         side carries m small ints per vector, never the floats;
+      3. ADC: each query precomputes a lookup table of partial squared
+         distances to all _PQ_CODES entries in each subspace
+         (|queries| x m x 256-at-most rows — tiny, broadcast), and a
+         candidate's approximate distance is m LUT probes summed in
+         fixed syntactic order (max-CASE pivot, so both engines add
+         the same 4 doubles in the same order).
+
+    Approximation error vs exact cosine is the PQ trade; recall is
+    measured downstream exactly like emb_ann_recall_eval measures IVF.
+    """
+    sub = _PQ_SUBDIM
+    if dialect == D.SPARK:
+        slices = "\nUNION ALL\n".join(
+            f"SELECT vec_id, label, {s} AS s, "
+            f"slice(embedding, {s * sub + 1}, {sub}) AS sv "
+            f"FROM {_emb_tbl_cur(dialect)}"
+            for s in range(_PQ_M)
+        )
+        expl = f"""
+            SELECT label, posexplode(embedding) AS (dim_i, component)
+            FROM {_emb_tbl_cur(dialect)}
+        """
+        assemble = "transform(array_sort(collect_list(struct(dim_i, c))), s -> s.c)"
+        rn_cast = "cast(rn as int)"
+    else:
+        slices = "\nUNION ALL\n".join(
+            f"SELECT vec_id, label, {s} AS s, "
+            f"list_slice(embedding, {s * sub + 1}, {(s + 1) * sub}) AS sv "
+            f"FROM {_emb_tbl_cur(dialect)}"
+            for s in range(_PQ_M)
+        )
+        expl = f"""
+            SELECT label, generate_subscripts(embedding, 1) - 1 AS dim_i,
+                   unnest(embedding)::double AS component
+            FROM {_emb_tbl_cur(dialect)}
+        """
+        assemble = "list(c ORDER BY dim_i)"
+        rn_cast = "rn::int"
+    vnrm = D.dot("sv", "sv", sub, dialect)
+    dvc = D.dot("a.sv", "c.cv", sub, dialect)
+    qdot = D.dot("q.sv", "c.cv", sub, dialect)
+    cdot = D.dot("qf.embedding", "cv.cv", E.DIM, dialect)
+    adc_sum = " + ".join(f"max(CASE WHEN s = {s} THEN pd END)" for s in range(_PQ_M))
+    with_sub = (
+        ""
+        if sub_rel
+        else f"subn AS (SELECT vec_id, label, s, sv, {vnrm} AS vnrm FROM ({slices}) sl),\n        "
+    )
+    subn = sub_rel or "subn"
+    return f"""
+        WITH {with_sub}cb AS (
+            SELECT vec_id AS code, s, sv AS cv, vnrm AS cnrm
+            FROM {subn} WHERE vec_id < {_PQ_CODES}
+        ),
+        codes AS (
+            SELECT vec_id, label, s, code FROM (
+                SELECT a.vec_id, a.label, a.s, c.code,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id, a.s
+                           ORDER BY (a.vnrm - 2 * {dvc} + c.cnrm), c.code) AS rn
+                FROM {subn} a JOIN cb c ON a.s = c.s
+            ) t WHERE rn = 1
+        ),
+        expl AS ({expl}),
+        cent AS (
+            SELECT label, dim_i, round(avg(cast(component as double)), 6) AS c
+            FROM expl GROUP BY label, dim_i
+        ),
+        cvec AS (SELECT label, {assemble} AS cv FROM cent GROUP BY label),
+        qf AS (
+            SELECT vec_id, embedding FROM {_emb_tbl_cur(dialect)}
+            WHERE vec_id % 50 = 0
+        ),
+        probe AS (
+            SELECT vec_id, label FROM (
+                SELECT qf.vec_id, cv.label,
+                       row_number() OVER (
+                           PARTITION BY qf.vec_id
+                           ORDER BY {cdot} DESC, cv.label) AS pr
+                FROM qf CROSS JOIN cvec cv
+            ) t WHERE pr <= {_ADC_NPROBE}
+        ),
+        qsub AS (
+            SELECT vec_id, s, sv, vnrm FROM {subn} WHERE vec_id % 50 = 0
+        ),
+        lut AS (
+            SELECT q.vec_id AS query_id, q.s, c.code,
+                   (q.vnrm - 2 * {qdot} + c.cnrm) AS pd
+            FROM qsub q JOIN cb c ON q.s = c.s
+        ),
+        cand AS (
+            SELECT p.vec_id AS query_id, k.vec_id AS neighbor_id, k.s,
+                   l.pd
+            FROM probe p
+            JOIN codes k ON k.label = p.label
+            JOIN lut l ON l.query_id = p.vec_id AND l.s = k.s
+                      AND l.code = k.code
+            WHERE k.vec_id != p.vec_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id, ({adc_sum}) AS adc_dist
+            FROM cand GROUP BY query_id, neighbor_id
+        )
+        SELECT query_id, neighbor_id, adc_dist, {rn_cast} AS rn
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+            FROM scored
+        ) t WHERE rn <= {_ADC_K}
+    """
+
+
+@register("emb_ivf_pq_topk", oracle=_ivf_pq_sql(D.DUCK), tags=("extension",))
+def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN search with asymmetric distance (per-query LUT over
+    PQ codes, coarse-list pruning) — the compressed-index scale path
+    where the corpus scan carries only m code bytes per vector. See
+    _ivf_pq_sql for the three-layer design.
+
+    Spark stages the per-subspace (vec_id, label, s, sv, vnrm) table
+    once (cached, repartitioned): it feeds the codebook, the corpus
+    codes, and the query LUTs."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(E.SPARK_VIEW)
+    par = spark.sparkContext.defaultParallelism
+    sub = _PQ_SUBDIM
+    slices = "\nUNION ALL\n".join(
+        f"SELECT vec_id, label, {s} AS s, slice(embedding, {s * sub + 1}, {sub}) AS sv "
+        f"FROM {E.SPARK_VIEW}"
+        for s in range(_PQ_M)
+    )
+    vnrm = D.dot("sv", "sv", sub, D.SPARK)
+    subn = scoped_cache(
+        spark.sql(
+            f"SELECT vec_id, label, s, sv, {vnrm} AS vnrm FROM ({slices}) sl"
+        ).repartition(par),
+        "emb_ivf_pq_topk",
+    )
+    subn.createOrReplaceTempView("__fps_ivfpq_subn")
+    return spark.sql(_ivf_pq_sql(D.SPARK, sub_rel="__fps_ivfpq_subn"))

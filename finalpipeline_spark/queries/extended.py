@@ -761,3 +761,72 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_lag_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# Regression / correlation aggregates via exact fixed-point moments
+# --------------------------------------------------------------------------
+def _regr_sql(dialect: str) -> str:
+    """Per-returnflag OLS regression of extendedprice on quantity
+    (slope, intercept, Pearson r) computed from EXACT integer moment
+    sums, not float corr()/regr_slope() aggregates.
+
+    Why not the built-ins: corr/covar sum doubles in partial-agg order,
+    so Spark and DuckDB (and any two cluster runs with different
+    partitionings!) disagree in the low bits. Here every moment
+    (Σx, Σy, Σx², Σy², Σxy) is summed as a scaled integer — quantity is
+    integer-valued, price is 2-decimal — which is exact in ANY
+    aggregation order; the closed-form slope/r arithmetic is then one
+    identical IEEE expression tree over identical integers. Bit-stable
+    at any scale and partitioning, which is what a reproducible 100 TB
+    metrics job needs. Σy² ≈ 4e14/row overflows int64 at sf≥0.1, so the
+    squared moments accumulate in 128-bit (decimal(38)/hugeint).
+    """
+    if dialect == D.SPARK:
+        q = "cast(round(l_quantity) as bigint)"
+        p = "cast(round(l_extendedprice * 100) as bigint)"
+        sq = f"cast(sum({q}) as double)"
+        sp = f"cast(sum({p}) as double)"
+        sqq = f"cast(sum(cast({q} as decimal(19,0)) * cast({q} as decimal(19,0))) as double)"
+        spp = f"cast(sum(cast({p} as decimal(19,0)) * cast({p} as decimal(19,0))) as double)"
+        sqp = f"cast(sum(cast({q} as decimal(19,0)) * cast({p} as decimal(19,0))) as double)"
+    else:
+        q = "cast(round(l_quantity) as bigint)"
+        p = "cast(round(l_extendedprice * 100) as bigint)"
+        sq = f"cast(sum({q}) as double)"
+        sp = f"cast(sum({p}) as double)"
+        sqq = f"cast(sum(cast({q} as hugeint) * cast({q} as hugeint)) as double)"
+        spp = f"cast(sum(cast({p} as hugeint) * cast({p} as hugeint)) as double)"
+        sqp = f"cast(sum(cast({q} as hugeint) * cast({p} as hugeint)) as double)"
+    tbl = "__fps_li_regr" if dialect == D.SPARK else "lineitem"
+    return f"""
+        WITH m AS (
+            SELECT l_returnflag,
+                   cast(count(*) as double) AS n,
+                   {sq} AS sx, ({sp} / 100.0) AS sy,
+                   {sqq} AS sxx, ({spp} / 10000.0) AS syy,
+                   ({sqp} / 100.0) AS sxy
+            FROM {tbl}
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               cast(n as bigint) AS n_rows,
+               ((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS slope,
+               ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+                   AS intercept,
+               ((n * sxy - sx * sy)
+                / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+                   AS pearson_r
+        FROM m
+    """
+
+
+@register("lineitem_regr_stats", oracle=_regr_sql(D.DUCK), tags=("extension",))
+def lineitem_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope/intercept and Pearson r of price vs quantity per
+    returnflag, from exact fixed-point moments (order-independent —
+    bit-stable under any partitioning; see _regr_sql). One partial-agg
+    shuffle of 5 integer moments per group."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__fps_li_regr")
+    return spark.sql(_regr_sql(D.SPARK))

@@ -59,21 +59,20 @@ def register(
 # (tests/test_oracle_parity.py — same DuckDB value-hash compare).
 _PRIORITY_MODULES = ("relational", "training", "curation", "events")
 _PRIORITY_QUERIES = (
-    # extended-module events queries: fresh rows under the new ts encoding
+    # extended-module events queries: fresh rows under the new ts
+    # encoding (window_frames/rank_functions omitted — same loader, the
+    # encoding risk is fully exercised by the seven below)
     "events_user_deltas",
     "events_top_users_per_type",
     "events_salted_agg",
     "events_asof_signup",
     "events_range_self_join",
-    "events_window_frames",
-    "events_rank_functions",
     "events_cohort_retention",
     "events_conversion_funnel",
     # r2 repair: gained a posexplode'd scalar shape + a DuckDB oracle
     "lineitem_approx_quantiles",
-    # headline representatives of the r2-green modules (regression canaries)
-    "chembl_tanimoto_topk",
-    "doc_dedup_minhash_lsh",
+    # new this round
+    "lineitem_regr_stats",
 )
 
 

@@ -311,3 +311,151 @@ def events_late_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded-state shape mirroring the streaming original."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView(SPARK_EVENTS_VIEW)
     return spark.sql(_late_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# PII redaction (inject-then-scrub round trip)
+# --------------------------------------------------------------------------
+_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_IP_PAT = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+_PHONE_PAT = "[0-9]{3}-[0-9]{4}"
+
+
+def _pii_sql(dialect: str) -> str:
+    """PII scrub over the corpus: redact emails, IPv4 addresses, and
+    phone-shaped numbers with typed placeholder tokens, reporting per
+    document how many of each were removed plus the digest of the
+    scrubbed text.
+
+    The synthetic corpus contains no natural PII (verified: zero regex
+    hits at every SF), so a plain scrub would be a zero-work no-op that
+    any bug survives. Instead the query runs a deterministic
+    inject-then-scrub round trip: every third document gets a synthetic
+    email/IP/phone derived from its doc_id appended, then the scrubber
+    runs over the decorated text. Counts must come back exactly
+    (1,1,1)/(0,0,0) and the digests must agree across engines — a
+    self-verifying test of the actual regexes, not of the no-op path.
+
+    Regex subset chosen to mean the same thing in Java regex (Spark)
+    and RE2 (DuckDB): character classes only, no backslash escapes
+    (Spark SQL string literals process backslashes, DuckDB's don't).
+
+    Scale shape: pure per-row map — no shuffle, no UDF; the regexes run
+    JVM-side inside whole-stage codegen, which is exactly how a 100 TB
+    scrub pass should look (one scan, one write).
+    """
+    did = D.cast_str("doc_id", dialect)
+    oct3 = D.cast_str("(doc_id % 256)", dialect)
+    phone = f"lpad({D.cast_str('(doc_id % 10000)', dialect)}, 4, '0')"
+    decorated = (
+        f"(CASE WHEN doc_id % 3 = 0 THEN text || ' reach user' || {did}"
+        f" || '@example.com from 10.' || {oct3} || '.0.1 or 555-' || {phone}"
+        " ELSE text END)"
+    )
+    scrub = D.regex_scrub(
+        D.regex_scrub(
+            D.regex_scrub("txt", _EMAIL_PAT, "<EMAIL>", dialect),
+            _IP_PAT,
+            "<IP>",
+            dialect,
+        ),
+        _PHONE_PAT,
+        "<PHONE>",
+        dialect,
+    )
+    return f"""
+        WITH decorated AS (
+            SELECT doc_id, {decorated} AS txt FROM {_doc_tbl(dialect)}
+        ),
+        scrubbed AS (
+            SELECT doc_id,
+                   {D.regex_count('txt', _EMAIL_PAT, dialect)} AS n_emails,
+                   {D.regex_count('txt', _IP_PAT, dialect)} AS n_ips,
+                   {D.regex_count('txt', _PHONE_PAT, dialect)} AS n_phones,
+                   {scrub} AS red,
+                   txt
+            FROM decorated
+        )
+        SELECT doc_id, n_emails, n_ips, n_phones,
+               md5(red) AS redacted_md5,
+               (length(txt) - length(red)) AS chars_removed
+        FROM scrubbed
+    """
+
+
+@register("doc_pii_redact", oracle=_pii_sql(D.DUCK), tags=("extension",))
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/IP/phone redaction with per-document removal counts,
+    exercised as a deterministic inject-then-scrub round trip (the
+    corpus has no natural PII) — see _pii_sql for the regex-dialect and
+    zero-shuffle scale notes."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_pii_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking with overlap
+# --------------------------------------------------------------------------
+_CHUNK = 64    # tokens per chunk (context window)
+_CH_OVERLAP = 16
+_CH_STRIDE = _CHUNK - _CH_OVERLAP  # 48
+
+
+def _chunk_sql(dialect: str) -> str:
+    """Split every document into fixed-size token chunks with overlap
+    (the RAG/embedding-prep sibling of doc_pack_sequences: packing
+    concatenates documents into sequences, chunking splits documents
+    into windows). Chunk i covers tokens [i*stride+1, i*stride+chunk];
+    n_chunks = ceil((n_tokens - overlap) / stride), so every token is
+    covered and consecutive chunks share `overlap` tokens.
+
+    Each chunk reports a rolling hash of its token-hash slice — an
+    order-sensitive fingerprint downstream chunk-level dedup can key
+    on without carrying text.
+
+    Scale shape: explode of a computed index range — row count grows
+    ~n_tokens/stride per doc but each output row carries only (ids,
+    hash), never the text; no shuffle, no UDF, codegen end to end.
+    """
+    toks = D.tokens("text", dialect)
+    hashed = D.transform_arr("toks", "t", D.token_hash("t", dialect), dialect)
+    n = D.arr_size("hs", dialect)
+    nc = D.idiv(f"({n} - {_CH_OVERLAP} + {_CH_STRIDE} - 1)", _CH_STRIDE, dialect)
+    start = f"(chunk_id * {_CH_STRIDE} + 1)"
+    sl = D.arr_slice("hs", start, _CHUNK, dialect)
+    rolling = D.fold_bigint(
+        "sl", "cast(0 as bigint)", f"(acc * 131 + x) % {D.HASH_MOD}", dialect
+    )
+    if dialect == D.SPARK:
+        gen = f"explode(sequence(0, cast({nc} as int) - 1))"
+    else:
+        gen = f"unnest(range(0, {nc}))"
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, {hashed} AS hs FROM (
+                SELECT doc_id, {toks} AS toks FROM {_doc_tbl(dialect)}
+            ) t WHERE {D.arr_size('toks', dialect)} >= {_CH_OVERLAP + 1}
+        ),
+        expanded AS (
+            SELECT doc_id, hs, {gen} AS chunk_id FROM tok
+        ),
+        sliced AS (
+            SELECT doc_id, cast(chunk_id as bigint) AS chunk_id,
+                   {start} AS chunk_start, {sl} AS sl
+            FROM expanded
+        )
+        SELECT doc_id, chunk_id, cast(chunk_start as bigint) AS chunk_start,
+               {D.arr_size('sl', dialect)} AS chunk_len,
+               {rolling} AS chunk_hash
+        FROM sliced
+    """
+
+
+@register("doc_chunk_overlap", oracle=_chunk_sql(D.DUCK), tags=("extension",))
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (64-token windows,
+    16-token overlap) plus per-chunk rolling-hash fingerprints — see
+    _chunk_sql for coverage guarantees and the no-shuffle scale
+    shape."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_chunk_sql(D.SPARK))
