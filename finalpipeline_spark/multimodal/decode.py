@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -254,4 +255,67 @@ def extract_features(df: DataFrame) -> DataFrame:
     embeddings-table similarity operators)."""
     return df.select("doc_id", "payload").mapInPandas(
         _feature_batches, schema=FEATURE_SCHEMA
+    )
+
+
+AUDIO_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("energy_sum", LongType()),
+        StructField("mean_energy", DoubleType()),
+        StructField("is_silence", BooleanType()),
+    ]
+)
+
+_AUDIO_WINDOW = 64        # samples per analysis window
+_SILENCE_MEAN_ENERGY = 11000.0
+
+
+def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [],
+            "window_idx": [],
+            "energy_sum": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            nw = len(arr) // _AUDIO_WINDOW
+            if nw <= 0:
+                continue
+            windows = (
+                arr[: nw * _AUDIO_WINDOW].astype(np.int64).reshape(nw, _AUDIO_WINDOW)
+            )
+            energy = (windows * windows).sum(axis=1)
+            out["doc_id"].extend([doc_id] * nw)
+            out["window_idx"].extend(range(nw))
+            out["energy_sum"].extend(energy.tolist())
+        energy_s = pd.Series(out["energy_sum"], dtype="int64")
+        mean = energy_s / float(_AUDIO_WINDOW)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "window_idx": pd.Series(out["window_idx"], dtype="int32"),
+                "energy_sum": energy_s,
+                "mean_energy": mean,
+                "is_silence": mean < _SILENCE_MEAN_ENERGY,
+            }
+        )
+
+
+def audio_window_energy(df: DataFrame) -> DataFrame:
+    """(doc_id, payload) → per-window RMS-style energy via mapInPandas.
+
+    STUB for audio decode: bytes are interpreted as 8-bit PCM samples
+    (a real implementation decodes with soundfile/ffmpeg and keeps the
+    same window math). Windowing is vectorized numpy over the Arrow
+    batch — per-window integer energy is exact, so the oracle matches
+    bit-for-bit. Narrow transformation, no shuffle; output carries only
+    (ids, two numbers) per window, never samples.
+    """
+    return df.select("doc_id", "payload").mapInPandas(
+        _audio_batches, schema=AUDIO_ENERGY_SCHEMA
     )

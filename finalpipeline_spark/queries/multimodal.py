@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from finalpipeline_spark.multimodal.decode import (
+    audio_window_energy,
     decode_image_meta,
     documents_as_binary,
     extract_features,
@@ -140,3 +141,42 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", F.posexplode("features").alias("bin", "feature")
     )
+
+
+@register(
+    "mm_audio_energy",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, text,
+                   (octet_length(encode(text)) // 64) AS nw
+            FROM documents
+        ),
+        w AS (
+            SELECT doc_id, text, unnest(range(0, nw)) AS window_idx
+            FROM d WHERE nw > 0
+        ),
+        e AS (
+            SELECT doc_id, window_idx,
+                   cast(list_sum(list_transform(range(1, 65),
+                        i -> ord(substr(text, cast(window_idx * 64 + i as int), 1))
+                             * ord(substr(text, cast(window_idx * 64 + i as int), 1))))
+                        as bigint) AS energy_sum
+            FROM w
+        )
+        SELECT doc_id, cast(window_idx as int) AS window_idx, energy_sum,
+               (cast(energy_sum as double) / cast(64 as double)) AS mean_energy,
+               ((cast(energy_sum as double) / cast(64 as double)) < 11000.0)
+                   AS is_silence
+        FROM e
+    """,
+    tags=("extension",),
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-as-binary analysis: per-64-sample-window energy + silence
+    flag through the Arrow-batched mapInPandas path (8-bit PCM stub
+    decode; the oracle recomputes the same integer energy from the
+    bytes — the text is ASCII, so char ordinals ARE the payload
+    bytes). Exercises the full binary→numpy→windowed-feature plumbing
+    a real audio pipeline uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_window_energy(documents_as_binary(docs))

@@ -59,20 +59,21 @@ def register(
 # (tests/test_oracle_parity.py — same DuckDB value-hash compare).
 _PRIORITY_MODULES = ("relational", "training", "curation", "events")
 _PRIORITY_QUERIES = (
-    # extended-module events queries: fresh rows under the new ts
-    # encoding (window_frames/rank_functions omitted — same loader, the
-    # encoding risk is fully exercised by the seven below)
-    "events_user_deltas",
-    "events_top_users_per_type",
-    "events_salted_agg",
+    # extended-module events representatives: fresh rows under the new
+    # ts encoding (the events module's own six queries above already
+    # exercise the shared loader; these four cover the extended-module
+    # epoch-arithmetic variants)
     "events_asof_signup",
-    "events_range_self_join",
     "events_cohort_retention",
     "events_conversion_funnel",
     # r2 repair: gained a posexplode'd scalar shape + a DuckDB oracle
     "lineitem_approx_quantiles",
     # new this round
     "lineitem_regr_stats",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q20",
+    "mm_audio_energy",
 )
 
 
