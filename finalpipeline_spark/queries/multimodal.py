@@ -9,7 +9,7 @@ Arrow) is value-hash verified, not just smoke-tested.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from finalpipeline_spark.multimodal.decode import (
@@ -180,3 +180,63 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     a real audio pipeline uses."""
     docs = load_table(spark, sf_dir, "documents")
     return audio_window_energy(documents_as_binary(docs))
+
+
+_SCENE_CUT_DELTA = 40  # |Δ first_byte| above this = scene boundary
+
+
+@register(
+    "mm_video_scene_cut",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
+                   least(8, octet_length(encode(text)) // 32) AS n_frames
+            FROM documents
+        ),
+        fr AS (
+            SELECT doc_id, text, n_bytes, n_frames,
+                   unnest(range(0, n_frames)) AS frame_idx
+            FROM d WHERE n_frames > 0
+        ),
+        fb AS (
+            SELECT doc_id, frame_idx::int AS frame_idx,
+                   ord(substr(text,
+                       (frame_idx * (n_bytes // n_frames))::int + 1, 1))::int
+                       AS first_byte
+            FROM fr
+        ),
+        dl AS (
+            SELECT doc_id, frame_idx, first_byte,
+                   (first_byte - lag(first_byte) OVER (
+                       PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+            FROM fb
+        )
+        SELECT doc_id, frame_idx, first_byte,
+               cast(abs(delta) as bigint) AS abs_delta
+        FROM dl
+        WHERE abs(delta) > {_SCENE_CUT_DELTA}
+    """,
+    tags=("extension",),
+)
+def mm_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection over the sampled frame stream: a frame
+    whose feature (stub: first payload byte; real: frame histogram
+    distance) jumps more than a threshold from its predecessor starts
+    a new scene. One per-document window over the ≤8-frame sample —
+    state bounded per doc, no global sort; the pattern a shot-boundary
+    pass over 100 TB of video would use (keyed by video, ordered by
+    frame time)."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(documents_as_binary(docs))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    delta = F.col("first_byte") - F.lag("first_byte").over(w)
+    return (
+        frames.withColumn("delta", delta)
+        .filter(F.abs(F.col("delta")) > _SCENE_CUT_DELTA)
+        .select(
+            "doc_id",
+            "frame_idx",
+            "first_byte",
+            F.abs(F.col("delta")).cast("bigint").alias("abs_delta"),
+        )
+    )

@@ -947,7 +947,23 @@ def _register_tpch_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"__fps_th_{t}")
 
 
-def _q2_sql(dialect: str) -> str:
+def _q2_eligible_sql(dialect: str) -> str:
+    supplier = _tpch_tbl("supplier", dialect)
+    nation = _tpch_tbl("nation", dialect)
+    region = _tpch_tbl("region", dialect)
+    return f"""
+        WITH {_partsupp_sql(dialect)}
+        SELECT ps_partkey, ps_suppkey, ps_supplycost,
+               s_acctbal, s_name, n_name
+        FROM partsupp
+        JOIN {supplier} ON ps_suppkey = s_suppkey
+        JOIN {nation} ON s_nationkey = n_nationkey
+        JOIN {region} ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    """
+
+
+def _q2_sql(dialect: str, eligible_rel: str | None = None) -> str:
     """TPC-H q2 (minimum-cost supplier): region-filtered partsupp,
     min(supplycost) per part, equality back-join, deterministic
     order+limit. Columns adapted to the testdata schema (no mfgr /
@@ -956,30 +972,24 @@ def _q2_sql(dialect: str) -> str:
     Scale shape: partsupp derivation is a per-row map over part;
     supplier/nation/region are broadcast dims; the min-per-part agg
     and the equality back-join shuffle only (partkey, cost) pairs.
+    The eligible relation feeds both the min-agg and the back-join,
+    so the Spark side stages it once (Catalyst inlines CTEs per
+    reference — without staging the whole derivation ran twice).
     """
-    supplier = _tpch_tbl("supplier", dialect)
-    nation = _tpch_tbl("nation", dialect)
-    region = _tpch_tbl("region", dialect)
     part = _tpch_tbl("part", dialect)
+    with_eligible = (
+        "" if eligible_rel else f"WITH eligible AS ({_q2_eligible_sql(dialect)})\n"
+    )
+    e_src = eligible_rel or "eligible"
     return f"""
-        WITH {_partsupp_sql(dialect)},
-        eligible AS (
-            SELECT ps_partkey, ps_suppkey, ps_supplycost,
-                   s_acctbal, s_name, n_name
-            FROM partsupp
-            JOIN {supplier} ON ps_suppkey = s_suppkey
-            JOIN {nation} ON s_nationkey = n_nationkey
-            JOIN {region} ON n_regionkey = r_regionkey
-            WHERE r_name = 'EUROPE'
-        ),
-        mins AS (
-            SELECT ps_partkey, min(ps_supplycost) AS min_cost
-            FROM eligible GROUP BY ps_partkey
-        )
+        {with_eligible}
         SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
-        FROM eligible e
-        JOIN mins m ON e.ps_partkey = m.ps_partkey
-                   AND e.ps_supplycost = m.min_cost
+        FROM {e_src} e
+        JOIN (
+            SELECT ps_partkey, min(ps_supplycost) AS min_cost
+            FROM {e_src} GROUP BY ps_partkey
+        ) m ON e.ps_partkey = m.ps_partkey
+           AND e.ps_supplycost = m.min_cost
         JOIN {part} ON p_partkey = e.ps_partkey
         WHERE p_size <= 15 AND p_type = 'ECONOMY'
         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
@@ -991,44 +1001,53 @@ def _q2_sql(dialect: str) -> str:
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q2 over the derived partsupp — min-cost supplier per
     European part at size/type, the classic agg-then-equality-back-join
-    decorrelation. See _q2_sql / _partsupp_sql."""
+    decorrelation. Stages the eligible relation once (cached) for its
+    two consumers. See _q2_sql / _partsupp_sql."""
     _register_tpch_views(spark, sf_dir)
-    return spark.sql(_q2_sql("spark"))
+    eligible = scoped_cache(spark.sql(_q2_eligible_sql("spark")), "tpch_q2")
+    eligible.createOrReplaceTempView("__fps_th_q2_eligible")
+    return spark.sql(_q2_sql("spark", eligible_rel="__fps_th_q2_eligible"))
 
 
-def _q11_sql(dialect: str) -> str:
-    """TPC-H q11 (important stock): per-part inventory value within one
-    nation, kept when above fraction-of-total. Both the per-part values
-    and the grand total use exact fixed-point sums (cost is 2-decimal,
-    qty integer), so the HAVING threshold compares identical doubles in
-    both engines.
-
-    Scale shape: one groupBy(partkey) shuffle; the grand total is a
-    1-row broadcast (cross join), never a driver collect.
-    """
+def _q11_national_sql(dialect: str) -> str:
     supplier = _tpch_tbl("supplier", dialect)
     nation = _tpch_tbl("nation", dialect)
-    # cost is carried as integer cents: the value sums are pure int64
-    # arithmetic (exact in any order), divided by 100 exactly once.
-    value = "(cast(sum(ps_cost_cents * ps_availqty) as double) / cast(100 as double))"
     return f"""
-        WITH {_partsupp_sql(dialect)},
-        national AS (
-            SELECT ps_partkey, ps_availqty, ps_cost_cents
-            FROM partsupp
-            JOIN {supplier} ON ps_suppkey = s_suppkey
-            JOIN {nation} ON s_nationkey = n_nationkey
-            WHERE n_nationkey = (SELECT min(s_nationkey) FROM {supplier})
-        ),
-        pervalue AS (
-            SELECT ps_partkey, {value} AS part_value
-            FROM national GROUP BY ps_partkey
-        ),
-        total AS (
-            SELECT {value} AS total_value FROM national
-        )
+        WITH {_partsupp_sql(dialect)}
+        SELECT ps_partkey, ps_availqty, ps_cost_cents
+        FROM partsupp
+        JOIN {supplier} ON ps_suppkey = s_suppkey
+        JOIN {nation} ON s_nationkey = n_nationkey
+        WHERE n_nationkey = (SELECT min(s_nationkey) FROM {supplier})
+    """
+
+
+def _q11_sql(dialect: str, national_rel: str | None = None) -> str:
+    """TPC-H q11 (important stock): per-part inventory value within one
+    nation, kept when above fraction-of-total. The value sums are pure
+    int64 arithmetic over integer cents (exact in any order), divided
+    by 100 exactly once — the HAVING threshold compares identical
+    doubles in both engines.
+
+    Scale shape: one groupBy(partkey) shuffle; the grand total is a
+    1-row broadcast (cross join), never a driver collect; the national
+    relation feeds both aggregates, so the Spark side stages it once.
+    """
+    value = "(cast(sum(ps_cost_cents * ps_availqty) as double) / cast(100 as double))"
+    with_national = (
+        "" if national_rel else f"WITH national AS ({_q11_national_sql(dialect)})\n"
+    )
+    n_src = national_rel or "national"
+    return f"""
+        {with_national}
         SELECT ps_partkey, part_value
-        FROM pervalue CROSS JOIN total
+        FROM (
+            SELECT ps_partkey, {value} AS part_value
+            FROM {n_src} GROUP BY ps_partkey
+        ) pervalue
+        CROSS JOIN (
+            SELECT {value} AS total_value FROM {n_src}
+        ) total
         WHERE part_value > total_value * 0.0001
         ORDER BY part_value DESC, ps_partkey
     """
@@ -1037,9 +1056,12 @@ def _q11_sql(dialect: str) -> str:
 @register("tpch_q11", oracle=_q11_sql("duck"), tags=("extension",))
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q11 over the derived partsupp — fraction-of-total HAVING
-    via a 1-row broadcast total. See _q11_sql."""
+    via a 1-row broadcast total; national relation staged once for its
+    two aggregate consumers. See _q11_sql."""
     _register_tpch_views(spark, sf_dir)
-    return spark.sql(_q11_sql("spark"))
+    national = scoped_cache(spark.sql(_q11_national_sql("spark")), "tpch_q11")
+    national.createOrReplaceTempView("__fps_th_q11_national")
+    return spark.sql(_q11_sql("spark", national_rel="__fps_th_q11_national"))
 
 
 def _q20_sql(dialect: str) -> str:
