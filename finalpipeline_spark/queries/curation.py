@@ -832,3 +832,65 @@ def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     subn.createOrReplaceTempView("__fps_ivfpq_subn")
     return spark.sql(_ivf_pq_sql(D.SPARK, sub_rel="__fps_ivfpq_subn"))
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation evaluation (short-vector retrieval quality)
+# --------------------------------------------------------------------------
+_MRL_DIM = 16   # truncated prefix length
+_MRL_K = 5
+
+
+def _mrl_topk_sql(dialect: str, dim: int, alias: str) -> str:
+    """Brute-force cosine top-k over the first `dim` dimensions."""
+    nrm = D.dot("embedding", "embedding", dim, dialect)
+    edot = D.dot("q.embedding", "e.embedding", dim, dialect)
+    return f"""
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ({edot} / sqrt(q.nrm_{alias} * e.nrm_{alias})) DESC,
+                                e.vec_id) AS rn
+            FROM (SELECT vec_id, embedding, {nrm} AS nrm_{alias}
+                  FROM {_emb_tbl_cur(dialect)} WHERE vec_id % 50 = 0) q
+            JOIN (SELECT vec_id, embedding, {nrm} AS nrm_{alias}
+                  FROM {_emb_tbl_cur(dialect)}) e
+              ON e.vec_id != q.vec_id
+        ) t WHERE rn <= {_MRL_K}
+    """
+
+
+def _mrl_sql(dialect: str) -> str:
+    """Matryoshka-style truncation sign-off: how much of the full-dim
+    top-k does retrieval keep when vectors are truncated to their first
+    {_MRL_DIM} of {E.DIM} dimensions (4x memory/compute cut)? Reported
+    as overlap@k per query — the metric that decides whether the short
+    prefix is servable.
+
+    Scale shape: two brute-force top-k passes (each the exact-baseline
+    shape of emb_cosine_topk) joined on (query, neighbor) — at scale
+    the truncated pass is the cheap first stage of a rerank cascade,
+    scanning {_MRL_DIM}/{E.DIM} of the bytes.
+    """
+    return f"""
+        WITH full_k AS ({_mrl_topk_sql(dialect, E.DIM, "f")}),
+        short_k AS ({_mrl_topk_sql(dialect, _MRL_DIM, "s")})
+        SELECT f.query_id,
+               cast(count(*) as bigint) AS k_full,
+               cast(count(s.neighbor_id) as bigint) AS n_kept,
+               (cast(count(s.neighbor_id) as double)
+                / cast(count(*) as double)) AS overlap_at_k
+        FROM full_k f
+        LEFT JOIN short_k s
+          ON f.query_id = s.query_id AND f.neighbor_id = s.neighbor_id
+        GROUP BY f.query_id
+    """
+
+
+@register("emb_matryoshka_eval", oracle=_mrl_sql(D.DUCK), tags=("extension",))
+def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap@5 of truncated-prefix (16-dim) vs full (64-dim) cosine
+    retrieval — the Matryoshka servability metric. See _mrl_sql."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(E.SPARK_VIEW)
+    return spark.sql(_mrl_sql(D.SPARK))

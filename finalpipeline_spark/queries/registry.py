@@ -74,6 +74,18 @@ _PRIORITY_QUERIES = (
     "tpch_q11",
     "tpch_q20",
     "mm_audio_energy",
+    "mm_video_scene_cut",
+)
+
+# Stable minor variants of in-window queries, green in CORRECTNESS_r02
+# with unchanged code since — deferred past the 50-query line to make
+# room for never-checked ops (still covered by the local parity suite).
+_DEFER_QUERIES = (
+    "ref_view_avg_absdiff_nonull",  # ref_view_avg_absdiff stays
+    "ref_intersect",                # ref_except_all stays
+    "ref_orderby_limit",            # ref_topk_per_group stays
+    "ref_counts",                   # every query exercises scan+count paths
+    "events_sliding_window",        # events_hourly_rollup stays (same loader)
 )
 
 
@@ -108,7 +120,11 @@ def load_all() -> dict[str, QuerySpec]:
     first: list[str] = []
     for mod_name in _PRIORITY_MODULES:
         mod_file = modules[mod_name].__name__
-        first += [n for n, s in QUERIES.items() if s.fn.__module__ == mod_file]
+        first += [
+            n
+            for n, s in QUERIES.items()
+            if s.fn.__module__ == mod_file and n not in _DEFER_QUERIES
+        ]
     first += [n for n in _PRIORITY_QUERIES if n in QUERIES and n not in first]
     ordered = {n: QUERIES[n] for n in first}
     ordered.update({n: s for n, s in QUERIES.items() if n not in ordered})

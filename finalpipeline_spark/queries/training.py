@@ -459,3 +459,107 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
     return spark.sql(_chunk_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Tokenizer vocabulary induction: coverage curve
+# --------------------------------------------------------------------------
+_VOCAB_TOP = 100
+
+
+def _vocab_sql(dialect: str) -> str:
+    """The statistic a tokenizer build actually needs: term frequencies
+    ranked with a CUMULATIVE COVERAGE curve (what fraction of all token
+    occurrences the top-r vocabulary entries explain). Deciding vocab
+    size = reading this curve; the top-{_VOCAB_TOP} rows are emitted.
+
+    Determinism: counts are exact integers; the cumulative sum runs
+    over (count DESC, term) — a total order — so partial windows agree;
+    the single division by the grand total is one identical IEEE op.
+
+    Scale shape: explode → count per term (one shuffle, map-side
+    combined); the top-{_VOCAB_TOP} selection is ORDER BY + LIMIT,
+    which Spark executes as TakeOrderedAndProject (per-partition heaps,
+    no global sort shuffle); the unpartitioned cumulative window then
+    runs over only {_VOCAB_TOP} rows — NOT over the full vocabulary,
+    which would funnel every term through one task. The grand total is
+    a 1-row broadcast.
+    """
+    toks = D.tokens("text", dialect)
+    unnest = "explode(toks)" if dialect == D.SPARK else "unnest(toks)"
+    return f"""
+        WITH tok AS (
+            SELECT {unnest} AS term FROM (
+                SELECT {toks} AS toks FROM {_doc_tbl(dialect)}
+            ) t
+        ),
+        tf AS (
+            SELECT term, cast(count(*) as bigint) AS cnt
+            FROM tok GROUP BY term
+        ),
+        top AS (
+            SELECT term, cnt FROM tf
+            ORDER BY cnt DESC, term LIMIT {_VOCAB_TOP}
+        ),
+        ranked AS (
+            SELECT term, cnt,
+                   cast(row_number() OVER (ORDER BY cnt DESC, term) as bigint)
+                       AS vocab_rank,
+                   cast(sum(cnt) OVER (ORDER BY cnt DESC, term
+                        ROWS UNBOUNDED PRECEDING) as bigint) AS cum_cnt
+            FROM top
+        ),
+        tot AS (SELECT cast(sum(cnt) as bigint) AS total FROM tf)
+        SELECT term, cnt, vocab_rank,
+               (cast(cum_cnt as double) / cast(total as double)) AS coverage
+        FROM ranked CROSS JOIN tot
+    """
+
+
+@register("doc_vocab_coverage", oracle=_vocab_sql(D.DUCK), tags=("extension",))
+def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 vocabulary with cumulative corpus coverage — the curve a
+    tokenizer-vocab build reads to pick its size. See _vocab_sql."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_vocab_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Source-weighted corpus mixing
+# --------------------------------------------------------------------------
+_MIX_MULT = 22695477  # Borland LCG multiplier — its own hash lane
+
+
+def _mix_sql(dialect: str) -> str:
+    """Dataset mixing across sources with explicit weights: source s
+    gets weight w_s in {1..4} (derived here from the source id — in
+    production a literal weight table), realized as keep-rate w_s/4 and
+    a content-addressed per-document coin. The deterministic sibling of
+    temperature resampling: weights are POLICY (chosen), not derived
+    from corpus counts.
+
+    Scale shape: the weight computation is per-row string→int (no join
+    at all since the weight is derivable); the decision is one scan.
+    With a literal weight table it becomes a broadcast join — still no
+    corpus shuffle.
+    """
+    srcnum = f"cast(regexp_extract(source, '([0-9]+)', 1) as int)"
+    w = f"(1 + ({srcnum} % 4))"
+    u = (
+        f"(cast((doc_id * {_MIX_MULT}) % {D.HASH_MOD} as double)"
+        f" / {D.HASH_MOD}.0)"
+    )
+    return f"""
+        SELECT doc_id, source, {w} AS mix_weight,
+               (cast({w} as double) / 4.0) AS keep_rate
+        FROM {_doc_tbl(dialect)}
+        WHERE {u} < (cast({w} as double) / 4.0)
+    """
+
+
+@register("doc_mix_sources", oracle=_mix_sql(D.DUCK), tags=("extension",))
+def doc_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-weighted source mixing: per-source keep rates realized by
+    a content-addressed coin — see _mix_sql."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_mix_sql(D.SPARK))
