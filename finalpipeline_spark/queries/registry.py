@@ -50,40 +50,58 @@ def register(
 # queries (registration order == dict insertion order).  The window is
 # rotated each round to maximize cumulative driver-verified coverage:
 # r1 checked chembl/documents/embeddings/events/extended, r2 checked
-# relational/tpch/multimodal/chembl.  Round 3 window = SURVEY §2 parity
-# set (relational) + everything never driver-checked (training, curation)
-# + every events-touching query (the driver changed the events timestamp
-# encoding between rounds, so r1's green rows no longer attest the new
-# reader path) + this round's repairs.  Everything outside the window
-# stays covered by the local oracle-parity suite
-# (tests/test_oracle_parity.py — same DuckDB value-hash compare).
-_PRIORITY_MODULES = ("relational", "training", "curation", "events")
+# relational/tpch/multimodal/chembl.  Round 3 window = everything never
+# driver-checked (training, curation, r3 repairs, r3 additions) + every
+# events-touching query (the driver changed the events timestamp
+# encoding between rounds, so r2's rows no longer attest the new reader
+# path) + a few staples.  Everything outside the window stays covered by
+# the local oracle-parity suite (tests/test_oracle_parity.py — same
+# DuckDB value-hash compare), and r2-green unchanged queries keep their
+# CORRECTNESS_r02 rows as evidence.
+_PRIORITY_MODULES = ("training", "curation", "events")
 _PRIORITY_QUERIES = (
+    # SURVEY §2 parity representative + the two r2 events-loader repairs
+    "ref_clean_ids",
+    "events_pivot_counts",
+    "ref_ledger_new_files",
+    "flagship_datamart_chain",
     # extended-module events representatives: fresh rows under the new
-    # ts encoding (the events module's own six queries above already
-    # exercise the shared loader; these four cover the extended-module
+    # ts encoding (the events module's own queries above already
+    # exercise the shared loader; these cover the extended-module
     # epoch-arithmetic variants)
     "events_asof_signup",
     "events_cohort_retention",
     "events_conversion_funnel",
     # r2 repair: gained a posexplode'd scalar shape + a DuckDB oracle
     "lineitem_approx_quantiles",
-    # new this round
+    # new in the post-r2 session
     "lineitem_regr_stats",
     "tpch_q2",
     "tpch_q11",
     "tpch_q20",
     "mm_audio_energy",
     "mm_video_scene_cut",
+    # new this round (warehouse + semantic modules)
+    "orders_scd2_snapshot",
+    "tpch_grouping_sets",
+    "doc_unpivot_lang_counts",
+    "doc_quality_classifier",
+    "emb_semantic_dedup",
+    # never driver-checked rows-only ops: driver records the weaker
+    # rows-only result, which is still more than they have today
+    "chembl_crossscore_udf",
+    "ref_approx_distinct",
+    # headline staple re-check
+    "chembl_tanimoto_topk",
 )
 
-# Stable minor variants of in-window queries, green in CORRECTNESS_r02
-# with unchanged code since — deferred past the 50-query line to make
-# room for never-checked ops (still covered by the local parity suite).
+# Green in CORRECTNESS_r01/r02 with unchanged code since — deferred past
+# the 50-query line to make room for never-checked ops (still covered by
+# the local parity suite, same compare).
 _DEFER_QUERIES = (
-    "ref_view_avg_absdiff_nonull",  # ref_view_avg_absdiff stays
-    "ref_intersect",                # ref_except_all stays
-    "ref_orderby_limit",            # ref_topk_per_group stays
+    "ref_view_avg_absdiff_nonull",  # ref_view_avg_absdiff r2-green
+    "ref_intersect",                # ref_except_all r2-green
+    "ref_orderby_limit",            # ref_topk_per_group r2-green
     "ref_counts",                   # every query exercises scan+count paths
     "events_sliding_window",        # events_hourly_rollup stays (same loader)
 )
@@ -101,8 +119,10 @@ def load_all() -> dict[str, QuerySpec]:
         extended,
         multimodal,
         relational,
+        semantic,
         tpch,
         training,
+        warehouse,
     )
 
     modules = {
@@ -114,8 +134,10 @@ def load_all() -> dict[str, QuerySpec]:
         "extended": extended,
         "multimodal": multimodal,
         "relational": relational,
+        "semantic": semantic,
         "tpch": tpch,
         "training": training,
+        "warehouse": warehouse,
     }
     first: list[str] = []
     for mod_name in _PRIORITY_MODULES:

@@ -1,0 +1,153 @@
+"""Warehouse-modeling surface: SCD Type-2 dimension build, GROUPING
+SETS partial rollups, and wide→long UNPIVOT (melt).
+
+The reference's datamart layer (SURVEY.md §3.3 — datamart + gold
+views) rebuilds its dimension tables wholesale; a production warehouse
+at 100 TB instead versions dimension rows (SCD2) and serves partial
+rollups without re-scanning the fact table per grain. These three
+operators are that layer, Spark-first:
+
+  * SCD2 is one window pass over the change stream — no self-join, no
+    driver loop; at scale it shuffles once on the dimension key.
+  * GROUPING SETS computes all grains in a single scan (Catalyst
+    expands to one Expand + one shuffle, vs one scan per grain).
+  * UNPIVOT/melt is a per-row map (Expand node, zero shuffle).
+
+Dual-dialect like everything else; all aggregated measures are exact
+integers so both engines hash bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finalpipeline_spark.functions import dialect as D
+from finalpipeline_spark.queries.registry import register
+from finalpipeline_spark.tables import load_table
+
+ORDERS_VIEW = "__fps_orders_wh"
+LINEITEM_VIEW = "__fps_lineitem_wh"
+DOCS_VIEW = "__fps_documents_wh"
+
+
+def _tbl(view: str, duck: str, dialect: str) -> str:
+    return view if dialect == D.SPARK else duck
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 dimension snapshot (versioned customer priority history)
+# --------------------------------------------------------------------------
+def _scd2_sql(dialect: str) -> str:
+    """Treat each customer's orders as a change stream of their
+    current order priority and build the classic SCD2 shape: one row
+    per (customer, version) with [valid_from, valid_to) intervals and
+    an is_current flag.
+
+    One window over (o_custkey ORDER BY o_orderdate, o_orderkey) —
+    the o_orderkey tiebreak makes same-day changes deterministic.
+    Physically this is a single hash-partition shuffle on the dimension
+    key, then a sorted pass per partition; nothing driver-side, no
+    self-join. The reference's equivalent is a wholesale dimension
+    rebuild (SURVEY.md §3.3); this is the incremental-warehouse form.
+    """
+    t = _tbl(ORDERS_VIEW, "orders", dialect)
+    return f"""
+        SELECT o_custkey AS custkey,
+               cast(row_number() OVER w AS int) AS version,
+               o_orderpriority AS priority,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER w AS valid_to,
+               (lead(o_orderdate) OVER w IS NULL) AS is_current
+        FROM {t}
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
+
+
+@register("orders_scd2_snapshot", oracle=_scd2_sql(D.DUCK), tags=("extension",))
+def orders_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: per-customer versioned priority
+    history with [valid_from, valid_to) intervals — one window pass,
+    one shuffle on the dimension key."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(ORDERS_VIEW)
+    return spark.sql(_scd2_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS: three grains in one scan
+# --------------------------------------------------------------------------
+def _grouping_sets_sql(dialect: str) -> str:
+    """(flag, status), (flag), and grand-total grains of lineitem in a
+    single scan. Catalyst expands this to one Expand node feeding one
+    hash aggregate — 1 shuffle for all grains, vs 3 scans + 3 shuffles
+    for the UNION ALL formulation a naive port would write.
+
+    Measures are exact: l_quantity is integral-valued in TPC-H, so
+    sum(cast(l_quantity as bigint)) is addition-order-independent.
+    grouping() flags (not NULL-matching) distinguish "grouped-out"
+    from genuine NULLs — both engines implement the standard.
+    """
+    t = _tbl(LINEITEM_VIEW, "lineitem", dialect)
+    return f"""
+        SELECT l_returnflag, l_linestatus,
+               cast(grouping(l_returnflag) AS int) * 2
+                 + cast(grouping(l_linestatus) AS int) AS grain_id,
+               sum(cast(l_quantity as bigint)) AS sum_qty,
+               count(*) AS n_rows
+        FROM {t}
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """
+
+
+@register("tpch_grouping_sets", oracle=_grouping_sets_sql(D.DUCK), tags=("extension",))
+def tpch_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS partial rollup: three aggregation grains from one
+    scan + one shuffle (Expand node), with grouping() grain ids."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(LINEITEM_VIEW)
+    return spark.sql(_grouping_sets_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT / melt: wide per-source language counts → long
+# --------------------------------------------------------------------------
+_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def _unpivot_sql(dialect: str) -> str:
+    """Wide→long melt. The wide stage is conditional aggregation (one
+    scan, one shuffle on source); the melt itself is an Expand node —
+    a per-row map with zero shuffle, so it costs nothing at 100 TB.
+
+    Spark's native operator is ``stack`` (UNPIVOT in Spark SQL is the
+    same Expand underneath); DuckDB's UNION ALL formulation is
+    semantically identical and keeps the oracle portable. Zero-count
+    languages are retained (exact parity with the wide row).
+    """
+    t = _tbl(DOCS_VIEW, "documents", dialect)
+    wide_cols = ",\n               ".join(
+        f"sum(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END) AS n_{lang}"
+        for lang in _LANGS
+    )
+    wide = f"SELECT source,\n               {wide_cols}\n        FROM {t} GROUP BY source"
+    if dialect == D.SPARK:
+        stack_args = ", ".join(f"'{lang}', n_{lang}" for lang in _LANGS)
+        return f"""
+            WITH wide AS ({wide})
+            SELECT source, lang, cast(n_docs as bigint) AS n_docs
+            FROM wide
+            LATERAL VIEW stack({len(_LANGS)}, {stack_args}) s AS lang, n_docs
+        """
+    arms = "\n            UNION ALL ".join(
+        f"SELECT source, '{lang}' AS lang, cast(n_{lang} as bigint) AS n_docs FROM wide"
+        for lang in _LANGS
+    )
+    return f"WITH wide AS ({wide})\n            {arms}"
+
+
+@register("doc_unpivot_lang_counts", oracle=_unpivot_sql(D.DUCK), tags=("extension",))
+def doc_unpivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-source language-count columns back to
+    (source, lang, n_docs) rows via stack — an Expand-node per-row map,
+    no extra shuffle beyond the wide aggregation."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(DOCS_VIEW)
+    return spark.sql(_unpivot_sql(D.SPARK))
