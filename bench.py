@@ -36,13 +36,14 @@ def main() -> None:
     # charged for executor startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # Best of 2 runs per query: the box runs other work, and the first
-    # run pays one-off costs (parquet footers, broadcast warmup) a
-    # steady-state deployment would amortize.
+    # Best of 3 runs per query (JMH-style steady state): the box runs
+    # other work, and the first run pays one-off costs (JIT, parquet
+    # footers, broadcast warmup) a steady-state deployment would
+    # amortize — measured first-run inflation is 2-5x on this box.
     timings: dict[str, float] = {}
     for name, spec in headline.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)

@@ -87,6 +87,8 @@ _PRIORITY_QUERIES = (
     "doc_unpivot_lang_counts",
     "doc_quality_classifier",
     "emb_semantic_dedup",
+    "doc_bpe_pair_counts",
+    "doc_bpe_learn_merges",
     # never driver-checked rows-only ops: driver records the weaker
     # rows-only result, which is still more than they have today
     "chembl_crossscore_udf",
@@ -120,6 +122,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         semantic,
+        tokenizer,
         tpch,
         training,
         warehouse,
@@ -135,6 +138,7 @@ def load_all() -> dict[str, QuerySpec]:
         "multimodal": multimodal,
         "relational": relational,
         "semantic": semantic,
+        "tokenizer": tokenizer,
         "tpch": tpch,
         "training": training,
         "warehouse": warehouse,
