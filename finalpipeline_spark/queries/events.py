@@ -268,3 +268,113 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zscore")) > _Z_CUT)
         .select("event_id", "event_type", "value", "zscore")
     )
+
+
+_EWMA_FRAME = 16  # current event + 15 preceding
+
+
+@register(
+    "events_ewma_value",
+    oracle=f"""
+        WITH cents AS (
+            SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+                   cast(round(value * 100) as bigint) AS c
+            FROM events
+        ),
+        framed AS (
+            SELECT user_id, ts_ns, event_id,
+                   list(c) OVER (
+                       PARTITION BY user_id ORDER BY ts_ns, event_id
+                       ROWS BETWEEN {_EWMA_FRAME - 1} PRECEDING AND CURRENT ROW
+                   ) AS frame
+            FROM cents
+        )
+        SELECT user_id, ts_ns, event_id,
+               cast(list_reduce(list_reverse(frame),
+                                (acc, x) -> 2 * acc + x) as double)
+                 / (((1::BIGINT << len(frame)) - 1) * 100.0) AS ewma_value
+        FROM framed
+    """,
+    tags=("extension",),
+)
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (decay 1/2) of event value
+    per user over the last 16 events — the streaming-features staple
+    (fraud scores, rate trackers).
+
+    Exactness trick: weights are powers of two over fixed-point cents,
+    so the weighted sum is a Horner fold in exact int64 arithmetic
+    (reverse + fold acc*2+x) and the single IEEE division at the end is
+    bit-identical in both engines — no float summation order anywhere.
+    One shuffle (user partition); the frame fold is per-row compute.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-(_EWMA_FRAME - 1), Window.currentRow)
+    )
+    return (
+        ev.withColumn("c", F.expr("cast(round(value * 100) as bigint)"))
+        .withColumn("frame", F.collect_list("c").over(frame))
+        .select(
+            "user_id",
+            "ts_ns",
+            "event_id",
+            F.expr(
+                "cast(aggregate(reverse(frame), cast(0 as bigint),"
+                " (acc, x) -> 2 * acc + x) as double)"
+                f" / ((shiftleft(cast(1 as bigint), size(frame)) - 1) * 100.0)"
+            ).alias("ewma_value"),
+        )
+    )
+
+
+_DAY_S = 86400
+
+
+@register(
+    "events_activity_streaks",
+    oracle=f"""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   (epoch_us(ts) // 1000000) // {_DAY_S} AS day
+            FROM events
+        ),
+        islands AS (
+            SELECT user_id, day,
+                   day - row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS island
+            FROM days
+        )
+        SELECT user_id,
+               min(day) AS start_day,
+               max(day) AS end_day,
+               count(*) AS streak_days
+        FROM islands
+        GROUP BY user_id, island
+    """,
+    tags=("extension",),
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user via
+    the day − row_number() island key. Two shuffles (distinct, window —
+    both partition on user_id, so AQE reuses the exchange); all-integer
+    day arithmetic, no date/timezone functions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select("user_id", F.expr(f"ts_epoch_s div {_DAY_S}").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    return (
+        days.withColumn("island", F.expr("day") - F.row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .drop("island")
+    )

@@ -89,11 +89,13 @@ _PRIORITY_QUERIES = (
     "emb_semantic_dedup",
     "doc_bpe_pair_counts",
     "doc_bpe_learn_merges",
+    "doc_bpe_encode",
     # never driver-checked rows-only ops: driver records the weaker
     # rows-only result, which is still more than they have today
     "chembl_crossscore_udf",
     "ref_approx_distinct",
-    # headline staple re-check
+    # headline staple re-check (lands at 50 only if the count allows;
+    # chembl_tanimoto_topk is r1+r2 green, safe either side of the line)
     "chembl_tanimoto_topk",
 )
 

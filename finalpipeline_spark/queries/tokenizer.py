@@ -211,3 +211,55 @@ def doc_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank int, left_sym string, right_sym string, merged string, pair_count bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# Encode: apply learned merges to the corpus (rows-only: fold again)
+# --------------------------------------------------------------------------
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Tokenize `docs.text` with an already-learned merge list: chars →
+    fold-apply each merge in rank order. K chained per-row folds, zero
+    shuffles — the encode pass is pure scan-speed map work at any
+    scale, which is exactly how production BPE encoders behave (the
+    model is tiny; the data is not)."""
+    toks = D.tokens("text", D.SPARK)
+    out = docs.select(
+        "doc_id", F.expr(f"{toks}").alias("words")
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(words, w -> transform(sequence(1, length(w)),"
+            " i -> substr(w, i, 1)))"
+        ).alias("word_syms"),
+    )
+    for left, right, _ in merges:
+        fold = _merge_fold_expr(left, right).replace("symbols", "s")
+        out = out.withColumn(
+            "word_syms", F.expr(f"transform(word_syms, s -> {fold})")
+        )
+    return out.select(
+        "doc_id",
+        F.expr("flatten(word_syms)").alias("tokens"),
+        F.expr("size(flatten(word_syms))").alias("n_tokens"),
+    )
+
+
+@register("doc_bpe_encode", oracle=None, tags=("extension",))
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the corpus-fitted 8-merge BPE: learn
+    (iterative, bounded scalar state) then K chained per-row folds.
+    Output is (doc_id, n_tokens) + a stable token-stream fingerprint
+    rather than the raw array (driver canonicalizers hash scalars)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(spark, docs)
+    enc = bpe_encode(docs, merges)
+    # fingerprint: order-sensitive positional hash of the token stream,
+    # exact 64-bit integer arithmetic (same trick as dialect hashes)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "aggregate(tokens, cast(0 as bigint), (acc, t) ->"
+            f" (acc * 31 + {D.token_hash('t', D.SPARK)}) % {D.HASH_MOD})"
+        ).alias("token_fingerprint"),
+    )

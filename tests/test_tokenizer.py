@@ -87,3 +87,37 @@ def test_learn_degenerate(spark, n):
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     # single 1-char word: no pairs exist, learner must stop cleanly
     assert learn_bpe_merges(spark, docs, n) == []
+
+
+def test_encode_matches_reference(spark, sf_dir):
+    from finalpipeline_spark.queries.tokenizer import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    merges = _ref_bpe(list(texts.values()), 4)
+
+    def ref_encode(text: str) -> list[str]:
+        out: list[str] = []
+        for w in _ref_tokens(text):
+            s = list(w)
+            for left, right, _ in merges:
+                nxt: list[str] = []
+                i = 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                        nxt.append(left + right)
+                        i += 2
+                    else:
+                        nxt.append(s[i])
+                        i += 1
+                s = nxt
+            out.extend(s)
+        return out
+
+    got = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        assert got[doc_id] == ref_encode(text), doc_id
