@@ -358,9 +358,14 @@ _DAY_S = 86400
 )
 def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: consecutive-day activity streaks per user via
-    the day − row_number() island key. Two shuffles (distinct, window —
-    both partition on user_id, so AQE reuses the exchange); all-integer
-    day arithmetic, no date/timezone functions.
+    the day − row_number() island key. Two exchanges by design: the
+    distinct's map-side partial agg collapses events to (user, day)
+    pairs BEFORE the first shuffle, so both shuffles move pair-sized
+    data — deliberately better at scale than the single-exchange
+    repartition(user_id) variant, which would shuffle every raw event.
+    The final streak agg adds no exchange (user_id partitioning
+    satisfies the (user_id, island) clustering). All-integer day
+    arithmetic, no date/timezone functions.
     """
     ev = load_table(spark, sf_dir, "events")
     days = (
@@ -377,4 +382,57 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("streak_days"),
         )
         .drop("island")
+    )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+        WITH seg AS (
+            SELECT user_id,
+                   cast(round(value * 100) as bigint) AS c,
+                   (epoch_us(ts) // 1000000) AS t_s,
+                   lead(epoch_us(ts) // 1000000) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+            FROM events
+        )
+        SELECT user_id,
+               cast(sum(c * (t_next - t_s)) as double)
+                 / (sum(t_next - t_s) * 100.0) AS twa_value,
+               cast(sum(t_next - t_s) as bigint) AS span_s
+        FROM seg
+        WHERE t_next IS NOT NULL
+        GROUP BY user_id
+        HAVING sum(t_next - t_s) > 0
+    """,
+    tags=("extension",),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (the IoT/finance TWAP
+    staple): each observation is carried forward until the next one,
+    so the average weights values by how long they were current —
+    irregular sampling can't bias it the way a plain avg() does.
+
+    Exact arithmetic throughout: fixed-point cents × whole-second
+    durations summed in int64 (products bounded ≪ 2^63), one final
+    IEEE division — bit-identical across engines. One window exchange
+    on user_id; the closing agg is clustered-satisfied (no second
+    shuffle). Users with zero observed span drop out (HAVING).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return (
+        ev.withColumn("c", F.expr("cast(round(value * 100) as bigint)"))
+        .withColumn("t_s", F.col("ts_epoch_s"))
+        .withColumn("t_next", F.lead("t_s").over(w))
+        .filter(F.col("t_next").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "cast(sum(c * (t_next - t_s)) as double)"
+                " / (sum(t_next - t_s) * 100.0)"
+            ).alias("twa_value"),
+            F.expr("cast(sum(t_next - t_s) as bigint)").alias("span_s"),
+        )
+        .filter(F.col("span_s") > 0)
     )

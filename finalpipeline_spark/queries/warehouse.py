@@ -151,3 +151,64 @@ def doc_unpivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     no extra shuffle beyond the wide aggregation."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(DOCS_VIEW)
     return spark.sql(_unpivot_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Anti-entropy reconciliation: bucket checksums between table versions
+# --------------------------------------------------------------------------
+_RECON_BUCKETS = 64
+
+
+def _reconcile_sql(dialect: str) -> str:
+    """Verify a table copy/migration WITHOUT moving the data: both
+    sides reduce to per-bucket order-independent checksums (sum of
+    deterministic row hashes in exact int64, modular), then only the
+    64-row checksum tables are joined. Buckets that disagree localize
+    the corruption to 1/64th of the keyspace — re-scan only those.
+
+    Here the "two versions" are the documents table and its
+    PII-scrubbed variant (doc_pii_redact's transform): text rows the
+    scrub changed make their buckets disagree, and n_rows stays equal
+    — i.e. the checksum detects *content* drift, not just row loss.
+    The shuffle carries 64 rows per side regardless of corpus size.
+    """
+    t = _tbl(DOCS_VIEW, "documents", dialect)
+    rowhash = D.char_positional_hash("text", dialect)
+    scrub = D.regex_scrub(
+        "text",
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        "<EMAIL>",
+        dialect,
+    )
+    scrubhash = D.char_positional_hash("s_text", dialect)
+    return f"""
+        WITH a AS (
+            SELECT doc_id % {_RECON_BUCKETS} AS bucket,
+                   sum({rowhash} % {D.HASH_MOD}) AS checksum,
+                   count(*) AS n_rows
+            FROM {t} GROUP BY doc_id % {_RECON_BUCKETS}
+        ),
+        b AS (
+            SELECT doc_id % {_RECON_BUCKETS} AS bucket,
+                   sum({scrubhash} % {D.HASH_MOD}) AS checksum,
+                   count(*) AS n_rows
+            FROM (SELECT doc_id, {scrub} AS s_text FROM {t}) s
+            GROUP BY doc_id % {_RECON_BUCKETS}
+        )
+        SELECT a.bucket AS bucket,
+               cast(a.n_rows as bigint) AS n_rows_a,
+               cast(b.n_rows as bigint) AS n_rows_b,
+               (a.checksum = b.checksum) AS checksums_match
+        FROM a JOIN b ON a.bucket = b.bucket
+    """
+
+
+@register("doc_reconcile_checksums", oracle=_reconcile_sql(D.DUCK), tags=("extension",))
+def doc_reconcile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table reconciliation: per-bucket order-independent
+    content checksums on each side, join only the checksum tables.
+    Disagreeing buckets localize drift to 1/64th of the keyspace —
+    the standard way to verify a 100 TB copy without a full re-read
+    of both sides over the network."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(DOCS_VIEW)
+    return spark.sql(_reconcile_sql(D.SPARK))

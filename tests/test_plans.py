@@ -147,3 +147,53 @@ def test_cube_single_expand_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_cube_sales")
     assert plan.count("FileScan parquet") == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_classifier_is_single_scan_projection(spark, sf_dir):
+    # The learned-filter promise: classifier scoring is one codegen'd
+    # projection over one scan — no shuffle, no Python in the plan.
+    plan = _plan(spark, sf_dir, "doc_quality_classifier")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
+    # All three grains from one scan: Expand + one agg exchange, not a
+    # UNION of per-grain scans.
+    plan = _plan(spark, sf_dir, "tpch_grouping_sets")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_unpivot_no_extra_shuffle(spark, sf_dir):
+    # The melt itself (stack/Expand/Generate) must not add an exchange
+    # beyond the wide aggregation's own.
+    plan = _plan(spark, sf_dir, "doc_unpivot_lang_counts")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_scd2_single_shuffle_single_window(spark, sf_dir):
+    # SCD2 is one hash exchange on the dimension key + one Window — any
+    # self-join or second exchange would not survive 100 TB.
+    plan = _plan(spark, sf_dir, "orders_scd2_snapshot")
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_semdedup_joins_on_bucket_no_cartesian(spark, sf_dir):
+    # Candidate pairs come from the bucket equi-join; a cartesian here
+    # is the n² trap the clustering exists to avoid.
+    plan = _plan(spark, sf_dir, "emb_semantic_dedup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ewma_single_shuffle(spark, sf_dir):
+    # One exchange (user_id window); the Horner fold is per-row.
+    plan = _plan(spark, sf_dir, "events_ewma_value")
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan, plan
