@@ -91,6 +91,7 @@ _PRIORITY_QUERIES = (
     "doc_bpe_learn_merges",
     "doc_bpe_encode",
     "doc_reconcile_checksums",
+    "doc_global_row_ids",
     # never driver-checked rows-only ops: driver records the weaker
     # rows-only result, which is still more than they have today
     "chembl_crossscore_udf",

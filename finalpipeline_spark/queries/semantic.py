@@ -119,7 +119,7 @@ _SEM_TAU = 0.30  # cosine threshold; high (0.95+) on real embeddings —
                  # the decision branch is actually exercised.
 
 
-def _semdedup_sql(dialect: str) -> str:
+def _semdedup_sql(dialect: str, v_rel: str | None = None) -> str:
     """SemDeDup (arXiv:2303.09540): cluster the embedding space, then
     within each cluster mark every vector that nearly coincides
     (cosine ≥ τ) with a lower-id cluster-mate as a duplicate; the
@@ -138,10 +138,14 @@ def _semdedup_sql(dialect: str) -> str:
     dot = D.dot("a.embedding", "b.embedding", E.DIM, dialect)
     cos = f"({dot} / sqrt(a.nrm * b.nrm))"
     t = _emb_tbl(dialect)
+    v_def = (
+        f"(SELECT vec_id, embedding, {nrm} AS nrm, {bucket} AS bucket FROM {t})"
+        if v_rel is None
+        else v_rel
+    )
     return f"""
         WITH v AS (
-            SELECT vec_id, embedding, {nrm} AS nrm, {bucket} AS bucket
-            FROM {t}
+            SELECT * FROM {v_def} vv
         ),
         dups AS (
             SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
@@ -161,6 +165,24 @@ def _semdedup_sql(dialect: str) -> str:
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup: LSH-cluster the embeddings, mark
     within-cluster cosine-coincident vectors as duplicates of the
-    lowest surviving id. Pair work is per-cluster, never corpus²."""
+    lowest surviving id. Pair work is per-cluster, never corpus².
+
+    The staged vector relation (signatures + norms) is consumed three
+    times (both join sides + the keep-decision join), so it's cached
+    and repartitioned once — Catalyst doesn't CSE across self-join
+    sides, and without the repartition the pair loop rides the single
+    input file's lone partition (the MinHash staging lesson)."""
+    from finalpipeline_spark.functions.caching import scoped_cache
+
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(EMB_VIEW)
-    return spark.sql(_semdedup_sql(D.SPARK))
+    bucket = E._lsh_bucket_expr("embedding", D.SPARK)
+    nrm = D.dot("embedding", "embedding", E.DIM, D.SPARK)
+    v = scoped_cache(
+        spark.sql(
+            f"SELECT vec_id, embedding, {nrm} AS nrm, {bucket} AS bucket"
+            f" FROM {EMB_VIEW}"
+        ).repartition(spark.sparkContext.defaultParallelism, "bucket"),
+        "emb_semantic_dedup",
+    )
+    v.createOrReplaceTempView("__fps_emb_semdedup_v")
+    return spark.sql(_semdedup_sql(D.SPARK, v_rel="__fps_emb_semdedup_v"))

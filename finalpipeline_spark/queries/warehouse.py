@@ -212,3 +212,73 @@ def doc_reconcile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     of both sides over the network."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(DOCS_VIEW)
     return spark.sql(_reconcile_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Global contiguous row numbering (two-phase, no single-partition sort)
+# --------------------------------------------------------------------------
+def doc_assign_global_ids(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Assign contiguous global ids 1..N in (source, doc_id) order
+    WITHOUT the single-partition trap.
+
+    A naive ``row_number() OVER (ORDER BY ...)`` forces every row
+    through ONE partition — the classic 100 TB killer. The scalable
+    two-phase form:
+
+      1. range-repartition on the order key (Spark samples split
+         points; partition p holds a contiguous key range),
+      2. number rows *within* each partition (the range exchange
+         already clusters by pid, so the window adds no shuffle),
+      3. collect the per-partition counts (n_partitions rows — driver
+         state bounded by parallelism, not data) and broadcast each
+         partition's offset back as a literal map.
+
+    The ids are deterministic even though the sampled split points are
+    not: a row's id is its rank in the fixed total order, wherever the
+    boundaries land. monotonically_increasing_id() cannot give this
+    (non-contiguous, partition-dependent).
+    """
+    from pyspark.sql.window import Window as W
+
+    ranged = docs.repartitionByRange("source", "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=False)  # pin sampled boundaries
+    w = W.partitionBy("_pid").orderBy("source", "doc_id")
+    numbered = ranged.withColumn("_local_rn", F.row_number().over(w))
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in numbered.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    offset_expr = F.expr(
+        "CASE _pid "
+        + " ".join(f"WHEN {pid} THEN {off}" for pid, off in offsets.items())
+        + " ELSE 0 END"
+    )
+    return numbered.withColumn(
+        "global_id", (F.col("_local_rn") + offset_expr).cast("long")
+    ).drop("_pid", "_local_rn")
+
+
+@register(
+    "doc_global_row_ids",
+    oracle="""
+        SELECT doc_id, source,
+               cast(row_number() OVER (ORDER BY source, doc_id) as bigint)
+                   AS global_id
+        FROM documents
+    """,
+    tags=("extension",),
+)
+def doc_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global ids in (source, doc_id) order via the
+    two-phase range-partition + per-partition offsets pattern — the
+    oracle's single ORDER BY window is exactly the plan this operator
+    exists to avoid at scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return doc_assign_global_ids(spark, docs)
