@@ -91,3 +91,52 @@ def stream_upsert_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming SCD2: a continuously-maintained versioned dimension
+# --------------------------------------------------------------------------
+def scd2_batch(batch_df: DataFrame, table_path: str) -> None:
+    """Apply one micro-batch of order-shaped change events to the SCD2
+    dimension at ``table_path`` (created on first batch). Same atomic
+    read-merge-swap protocol as upsert_batch; convergence under
+    re-delivery comes from scd2_apply_changes' change_id anti-join, so
+    a crashed epoch replayed by the checkpoint leaves the dimension
+    bit-identical."""
+    from finalpipeline_spark.operators.scd import (
+        orders_as_changes,
+        scd2_apply_changes,
+        scd2_build,
+    )
+
+    spark = batch_df.sparkSession
+    changes = orders_as_changes(batch_df).dropDuplicates(["custkey", "change_id"])
+    if not dir_exists(spark, table_path):
+        scd2_build(changes).write.mode("overwrite").parquet(table_path)
+        return
+    existing = spark.read.parquet(table_path)
+    tmp = table_path + "__scd2_tmp"
+    scd2_apply_changes(existing, changes).write.mode("overwrite").parquet(tmp)
+    atomic_replace(spark, table_path, tmp)
+
+
+def stream_scd2_to_parquet(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Maintain a versioned (SCD Type-2) dimension continuously from a
+    stream of order-shaped change events — the warehouse query
+    orders_scd2_snapshot as a live table instead of a nightly rebuild.
+    Per epoch the merge work is batch-sized (operators/scd.py), not
+    dimension-sized."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        scd2_batch(batch_df, table_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
