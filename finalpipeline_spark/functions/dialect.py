@@ -190,6 +190,43 @@ def dot(a: str, b: str, dim: int, dialect: str) -> str:
     return arr_sum_double(prods, dialect)
 
 
+def md5_hex(col: str, dialect: str) -> str:
+    """Lowercase-hex md5 of a column's string form — identical bytes in
+    both engines (Spark md5() and DuckDB md5() both emit lowercase hex,
+    and integer→string casts agree)."""
+    if dialect == SPARK:
+        return f"md5(cast({col} as string))"
+    return f"md5(cast({col} as varchar))"
+
+
+def hex_prefix_to_int(hexcol: str, dialect: str) -> str:
+    """First 8 hex digits of an (already-computed) hex-string column,
+    folded positionally (acc*16 + digit) into a 32-bit integer, reduced
+    mod 2^31.
+
+    Paired with :func:`md5_hex` this gives a uniform 31-bit hash with
+    full avalanche — required for sketches whose math consumes bit
+    patterns (HLL rho, CMS rows) rather than just bucket assignment; the
+    multiplicative LCG hashes above are fine for MinHash banding but
+    structurally biased for leading-zero statistics.  Callers should
+    stage the md5 in its own projection so it is computed once, not once
+    per folded digit (lambda bodies are outside common-subexpression
+    elimination in both engines).
+    """
+    if dialect == SPARK:
+        fold = (
+            f"aggregate(sequence(1,8), cast(0 as bigint), (acc,i) -> acc*16 + "
+            f"cast(instr('0123456789abcdef', substr({hexcol}, i, 1)) - 1 as bigint))"
+        )
+    else:
+        fold = (
+            f"list_reduce(list_prepend(cast(0 as bigint), list_transform(range(1,9), "
+            f"i -> cast(strpos('0123456789abcdef', substr({hexcol},i,1)) - 1 as bigint))), "
+            f"(acc,x) -> acc*16 + x)"
+        )
+    return f"(({fold}) % 2147483648)"
+
+
 def token_hash(tok: str, dialect: str) -> str:
     """Token → integer in [0, HASH_MOD) via the positional char hash."""
     return f"({char_positional_hash(tok, dialect)} % {HASH_MOD})"

@@ -126,6 +126,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         semantic,
+        sketches,
         tokenizer,
         tpch,
         training,
@@ -142,6 +143,7 @@ def load_all() -> dict[str, QuerySpec]:
         "multimodal": multimodal,
         "relational": relational,
         "semantic": semantic,
+        "sketches": sketches,
         "tokenizer": tokenizer,
         "tpch": tpch,
         "training": training,

@@ -1,0 +1,257 @@
+"""Sketch-based approximate query surface: deterministic HyperLogLog,
+count-min-sketch heavy hitters, and a bloom-filter semi-join prefilter.
+
+At 100 TB, exact `count(distinct)` and exact per-key frequency tables
+are shuffle-bound: every distinct key crosses the network at least
+once.  Sketches replace that with fixed-size state that merges
+associatively — HLL registers (m buckets × 6 bits) and CMS counters
+(d×w integers) combine map-side, so the shuffle carries kilobytes per
+partition regardless of input size.  Spark's built-ins
+(`approx_count_distinct`, `count_min_sketch`) already do this but their
+sketches are engine-specific bytes; these implementations express the
+same math in portable SQL (shared by the DuckDB oracle), so the sketch
+is *auditable*: both engines agree bit-for-bit on every register, count,
+and estimate.
+
+Everything here is exact integer arithmetic up to one final IEEE-double
+division/rounding per output row:
+
+  * hash = md5 hex prefix folded to a 31-bit int (`dialect.md5_hex` +
+    `dialect.hex_prefix_to_int`) — full avalanche, identical in both
+    engines (the LCG family used for MinHash banding is measurably
+    biased for leading-zero statistics: 58 % HLL error vs 4 % for md5).
+  * HLL registers, CMS counters, bloom bit positions: int64 adds/maxes,
+    associative and order-independent, so partial aggregation cannot
+    change results.
+
+Reference parity: the reference has no sketch layer (its cardinality
+and frequency queries are exact Postgres aggregates, SURVEY.md §2.6);
+this is part of the large-scale-pipeline extension surface, next to
+`ref_approx_distinct` (the built-in HLL++ path, rows-only because its
+sketch is engine-private).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from finalpipeline_spark.functions import dialect as D
+from finalpipeline_spark.queries.registry import register
+from finalpipeline_spark.tables import load_table
+
+LINEITEM_VIEW = "__fps_lineitem_sk"
+EVENTS_VIEW = "__fps_events_sk"
+ORDERS_VIEW = "__fps_orders_sk"
+CUSTOMER_VIEW = "__fps_customer_sk"
+
+
+def _tbl(view: str, duck: str, dialect: str) -> str:
+    return view if dialect == D.SPARK else duck
+
+
+# --------------------------------------------------------------------------
+# Deterministic HyperLogLog distinct-count (m=256 registers)
+# --------------------------------------------------------------------------
+_HLL_M = 256  # registers (p=8): std error 1.04/sqrt(256) ~ 6.5%
+_HLL_WBITS = 23  # 31-bit hash minus 8 bucket bits
+# alpha_m * m^2 * 2^(WBITS+1) as ONE double literal so both engines do a
+# single division, not a chain of float ops: alpha_256 = 0.7213/(1+1.079/256)
+_HLL_ALPHA_NUM = (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * (
+    1 << (_HLL_WBITS + 1)
+)
+
+
+def _hll_sql(dialect: str) -> str:
+    """HLL per l_returnflag over l_partkey, next to the exact count.
+
+    Math (all exact int64 until the final division):
+      h       = 31-bit md5 hash;  bucket = h mod 256;  w = h div 256
+      rho(w)  = leading-zero count of the 24-bit window + 1
+              = 24 - floor(log2 w) = 24 - (length(bin w) - 1), exact via
+                the binary-string length (no float log anywhere)
+      register M_b = max rho per bucket  (associative, merges map-side)
+      S = sum over all 256 buckets of 2^(24 - M_b), with absent buckets
+          contributing 2^24 (M_b = 0); S <= 256 * 2^24 = 2^32, exact.
+      E = alpha*m^2*2^24 / S  — one IEEE division, identical both sides;
+      small-range (E <= 2.5m, zero buckets exist): linear counting
+      m*ln(m/V) — ln is libm, so the output is rounded to 4 decimals.
+
+    Scale: the only shuffles are (grp, bucket) -> 256 rows per group and
+    grp -> 1 row per group; map-side partial max/sum means executors
+    exchange registers, not keys.  The exact countDistinct column is the
+    verification twin — at 100 TB you would drop it (it is the very
+    shuffle the sketch avoids).
+    """
+    t = _tbl(LINEITEM_VIEW, "lineitem", dialect)
+    idiv = "div" if dialect == D.SPARK else "//"
+    two = "shiftleft(cast(1 as bigint)," if dialect == D.SPARK else "(cast(1 as bigint) <<"
+    m, wb = _HLL_M, _HLL_WBITS
+    h = D.hex_prefix_to_int("m5", dialect)
+    return f"""
+        WITH hashed AS (
+            SELECT l_returnflag, {h} AS h
+            FROM (SELECT l_returnflag, {D.md5_hex("l_partkey", dialect)} AS m5 FROM {t}) raw
+        ), rho AS (
+            SELECT l_returnflag, (h % {m}) AS bucket,
+                   CASE WHEN (h {idiv} {m}) = 0 THEN {wb + 1}
+                        ELSE {wb + 1} - length(bin(h {idiv} {m})) END AS r
+            FROM hashed
+        ), registers AS (
+            SELECT l_returnflag, bucket, max(r) AS mr
+            FROM rho GROUP BY l_returnflag, bucket
+        ), stats AS (
+            SELECT l_returnflag,
+                   cast(sum({two} ({wb + 1} - mr))) as bigint) AS s_present,
+                   cast(count(*) as bigint) AS nb
+            FROM registers GROUP BY l_returnflag
+        ), raw_est AS (
+            SELECT l_returnflag, ({m} - nb) AS zero_buckets,
+                   {_HLL_ALPHA_NUM!r}
+                     / cast(s_present + ({m} - nb) * {1 << (wb + 1)} as double) AS e
+            FROM stats
+        ), exact AS (
+            SELECT l_returnflag, cast(count(distinct l_partkey) as bigint) AS exact_parts
+            FROM {t} GROUP BY l_returnflag
+        )
+        SELECT r.l_returnflag,
+               x.exact_parts,
+               round(CASE WHEN e <= {2.5 * m!r} AND zero_buckets > 0
+                          THEN {m} * ln(cast({m} as double) / cast(zero_buckets as double))
+                          ELSE e END, 4) AS hll_parts,
+               zero_buckets
+        FROM raw_est r JOIN exact x ON r.l_returnflag = x.l_returnflag
+        ORDER BY r.l_returnflag
+    """
+
+
+@register("lineitem_hll_distinct", oracle=_hll_sql(D.DUCK), tags=("extension",))
+def lineitem_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (m=256) distinct l_partkey per
+    returnflag, oracle-verified register-for-register against DuckDB —
+    the auditable form of the 100 TB cardinality-estimation path
+    (engine-private HLL++ twin: ref_approx_distinct)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(LINEITEM_VIEW)
+    return spark.sql(_hll_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Count-min-sketch heavy hitters (d=4 rows, w=512 counters)
+# --------------------------------------------------------------------------
+_CMS_D = 4
+_CMS_W = 512
+
+
+def _cms_sql(dialect: str) -> str:
+    """CMS frequency estimates for the top-10 users by event count.
+
+    Build: each event lands in one counter per hash row j (seeded by
+    prefixing j to the key before md5), counters = sum of hits; the
+    whole sketch is d*w = 2048 integers.  Probe: a candidate's estimate
+    is min over its d counters — always >= the true count (only
+    overestimates, by collision mass ~ n/w per row).
+
+    Scale: the sketch build is a map-side-combining aggregation onto a
+    2048-row keyspace — the shuffle carries at most d*w rows per
+    partition no matter how many events; the exact candidate counts are
+    one groupBy(user_id) + top-k (the thing the sketch replaces when the
+    key space itself is too big to shuffle).  All counters and estimates
+    are exact int64 — bit-identical across engines by construction.
+    """
+    t = _tbl(EVENTS_VIEW, "events", dialect)
+    d, w = _CMS_D, _CMS_W
+    if dialect == D.SPARK:
+        js = f"(SELECT explode(sequence(0, {d - 1})) AS j)"
+        concat_key = "concat(cast(j as string), ':', cast(user_id as string))"
+    else:
+        js = f"(SELECT unnest(range(0, {d})) AS j)"
+        concat_key = "concat(cast(j as varchar), ':', cast(user_id as varchar))"
+    h = D.hex_prefix_to_int("m5", dialect)
+    return f"""
+        WITH sketch AS (
+            SELECT j, bucket, cast(count(*) as bigint) AS cnt
+            FROM (
+                SELECT j, ({h} % {w}) AS bucket
+                FROM (SELECT user_id, j, {D.md5_hex(concat_key, dialect)} AS m5
+                      FROM {t} CROSS JOIN {js} jrows) keyed
+            ) hashed
+            GROUP BY j, bucket
+        ), candidates AS (
+            SELECT user_id, cast(count(*) as bigint) AS exact_cnt
+            FROM {t} GROUP BY user_id
+            ORDER BY exact_cnt DESC, user_id LIMIT 10
+        ), cand_buckets AS (
+            SELECT user_id, exact_cnt, j, ({h} % {w}) AS bucket
+            FROM (SELECT user_id, exact_cnt, j,
+                         {D.md5_hex(concat_key, dialect)} AS m5
+                  FROM candidates CROSS JOIN {js} jrows) keyed
+        )
+        SELECT c.user_id, c.exact_cnt, min(s.cnt) AS cms_est
+        FROM cand_buckets c
+        JOIN sketch s ON c.j = s.j AND c.bucket = s.bucket
+        GROUP BY c.user_id, c.exact_cnt
+        ORDER BY c.user_id
+    """
+
+
+@register("events_cms_heavy_hitters", oracle=_cms_sql(D.DUCK), tags=("extension",))
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4x512) frequency estimates for the top-10
+    event users, next to their exact counts — estimates are exact-int
+    reproducible in both engines and always >= truth."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(EVENTS_VIEW)
+    return spark.sql(_cms_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter prefilter semi-join
+# --------------------------------------------------------------------------
+@register(
+    "orders_bloom_semi_join",
+    oracle="""
+        SELECT o.o_orderpriority,
+               cast(count(*) as bigint) AS n_orders,
+               cast(sum(cast(round(o.o_totalprice * 100) as bigint)) as bigint) AS sum_cents
+        FROM orders o
+        WHERE o.o_custkey IN (
+            SELECT c_custkey FROM customer
+            WHERE c_nationkey = 7 AND c_acctbal > 5000.0
+        )
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    tags=("extension",),
+)
+def orders_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join orders to a filtered customer set through a bloom-bit
+    prefilter (`operators/bloom.py`): probe rows that cannot match are
+    dropped by a pure bitwise expression before the exact join runs.
+
+    The oracle is the PLAIN semi-join — the bloom layer is transparent
+    to results by construction (no false negatives; false positives are
+    removed by the exact join).  At 100 TB this is the pattern for a
+    build side too large to broadcast as a hash set but whose bit
+    signature (m/8 bytes) still broadcasts: the expensive shuffle only
+    sees surviving probe rows.  tests/test_bloom.py asserts equivalence
+    and actual pruning.
+    """
+    from finalpipeline_spark.operators.bloom import bloom_filter_column
+
+    import pyspark.sql.functions as F
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = customer.filter(
+        (F.col("c_nationkey") == 7) & (F.col("c_acctbal") > 5000.0)
+    ).select("c_custkey")
+    prefiltered = orders.filter(bloom_filter_column(build, "c_custkey", "o_custkey"))
+    return (
+        prefiltered.join(
+            F.broadcast(build), prefiltered.o_custkey == build.c_custkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("sum_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
