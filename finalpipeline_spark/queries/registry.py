@@ -79,8 +79,6 @@ _PRIORITY_QUERIES = (
     "tpch_q2",
     "tpch_q11",
     "tpch_q20",
-    "mm_audio_energy",
-    "mm_video_scene_cut",
     # new this round (warehouse + semantic modules)
     "orders_scd2_snapshot",
     "tpch_grouping_sets",
@@ -88,16 +86,25 @@ _PRIORITY_QUERIES = (
     "doc_quality_classifier",
     "emb_semantic_dedup",
     "doc_bpe_pair_counts",
-    "doc_bpe_learn_merges",
-    "doc_bpe_encode",
     "doc_reconcile_checksums",
     "doc_global_row_ids",
-    # never driver-checked rows-only ops: driver records the weaker
-    # rows-only result, which is still more than they have today
+    # new in the round-3 continuation session: sketches, graph,
+    # profiling, bloom prefilter, incremental MV — all oracle-checked
+    "lineitem_hll_distinct",
+    "events_cms_heavy_hitters",
+    "orders_bloom_semi_join",
+    "nation_pagerank",
+    "lineitem_price_histogram",
+    "orders_profile",
+    "orders_incremental_mv",
+    # rows-only / r1-green staples past the 50 line (still covered by
+    # the local oracle-parity suite and earlier CORRECTNESS rows)
+    "mm_audio_energy",
+    "mm_video_scene_cut",
+    "doc_bpe_learn_merges",
+    "doc_bpe_encode",
     "chembl_crossscore_udf",
     "ref_approx_distinct",
-    # headline staple re-check (lands at 50 only if the count allows;
-    # chembl_tanimoto_topk is r1+r2 green, safe either side of the line)
     "chembl_tanimoto_topk",
 )
 
@@ -109,7 +116,14 @@ _DEFER_QUERIES = (
     "ref_intersect",                # ref_except_all r2-green
     "ref_orderby_limit",            # ref_topk_per_group r2-green
     "ref_counts",                   # every query exercises scan+count paths
-    "events_sliding_window",        # events_hourly_rollup stays (same loader)
+    "events_sliding_window",        # loader attested by in-window events queries
+    # r1-green events queries whose loader path is attested by the
+    # in-window events queries — deferred to make room for the new
+    # oracle-checked sketch/graph/profiling/MV ops
+    "events_hourly_rollup",
+    "events_sessionize",
+    "events_json_extract",
+    "events_anomaly_zscore",
 )
 
 
@@ -123,7 +137,9 @@ def load_all() -> dict[str, QuerySpec]:
         embeddings,
         events,
         extended,
+        graph,
         multimodal,
+        profiling,
         relational,
         semantic,
         sketches,
@@ -140,7 +156,9 @@ def load_all() -> dict[str, QuerySpec]:
         "embeddings": embeddings,
         "events": events,
         "extended": extended,
+        "graph": graph,
         "multimodal": multimodal,
+        "profiling": profiling,
         "relational": relational,
         "semantic": semantic,
         "sketches": sketches,

@@ -282,3 +282,47 @@ def doc_global_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists to avoid at scale."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return doc_assign_global_ids(spark, docs)
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate MV maintenance (operators/mv.py)
+# --------------------------------------------------------------------------
+@register(
+    "orders_incremental_mv",
+    oracle="""
+        SELECT o_orderpriority,
+               cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+                   AS sum_cents,
+               cast(count(*) as bigint) AS n_rows,
+               cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+                   / cast(count(*) as double) AS avg_cents
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("extension",),
+)
+def orders_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate MV: seed from pre-1997 orders,
+    then fold the 1997+ change batch in with a partial-aggregate merge
+    (`operators/mv.maintain_agg_mv`).  The oracle aggregates the whole
+    table wholesale — equality proves maintenance ≡ recompute, while
+    the maintained path only ever shuffles O(batch + touched groups)
+    rows.  Derived measures (avg) come off the partials with one IEEE
+    division.  tests/test_mv.py adds multi-batch and retraction cases.
+    """
+    from finalpipeline_spark.operators.mv import aggregate_partials, maintain_agg_mv
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    sums = {"sum_cents": "cast(round(o_totalprice * 100) as bigint)"}
+    base = orders.filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+    delta = orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01"))
+    mv = aggregate_partials(base, keys, sums)
+    mv = maintain_agg_mv(mv, delta, keys, sums)
+    return mv.select(
+        "o_orderpriority",
+        "sum_cents",
+        "n_rows",
+        (F.col("sum_cents") / F.col("n_rows").cast("double")).alias("avg_cents"),
+    ).orderBy("o_orderpriority")
