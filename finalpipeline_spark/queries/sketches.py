@@ -43,6 +43,7 @@ LINEITEM_VIEW = "__fps_lineitem_sk"
 EVENTS_VIEW = "__fps_events_sk"
 ORDERS_VIEW = "__fps_orders_sk"
 CUSTOMER_VIEW = "__fps_customer_sk"
+PART_VIEW = "__fps_part_sk"
 
 
 def _tbl(view: str, duck: str, dialect: str) -> str:
@@ -52,13 +53,14 @@ def _tbl(view: str, duck: str, dialect: str) -> str:
 # --------------------------------------------------------------------------
 # Deterministic HyperLogLog distinct-count (m=256 registers)
 # --------------------------------------------------------------------------
-_HLL_M = 256  # registers (p=8): std error 1.04/sqrt(256) ~ 6.5%
-_HLL_WBITS = 23  # 31-bit hash minus 8 bucket bits
-# alpha_m * m^2 * 2^(WBITS+1) as ONE double literal so both engines do a
-# single division, not a chain of float ops: alpha_256 = 0.7213/(1+1.079/256)
-_HLL_ALPHA_NUM = (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * (
-    1 << (_HLL_WBITS + 1)
-)
+# Register math lives in functions/hll.py (shared with the incremental
+# sketch-maintenance plan); these aliases keep the SQL builders below
+# readable.
+from finalpipeline_spark.functions import hll as H  # noqa: E402
+
+_HLL_M = H.M
+_HLL_WBITS = H.WBITS
+_HLL_ALPHA_NUM = H.ALPHA_NUM
 
 
 def _hll_sql(dialect: str) -> str:
@@ -255,3 +257,78 @@ def orders_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable HLL: union / intersection cardinality across tables
+# --------------------------------------------------------------------------
+_rho_select = H.rho_select
+_est_select = H.est_select
+
+
+def _hll_union_sql(dialect: str) -> str:
+    """Union/intersection cardinality of lineitem.l_partkey vs
+    part.p_partkey from MERGED sketches.
+
+    The property under test is what makes HLL shard at 100 TB: registers
+    are a commutative-monoid state (elementwise max), so sketches built
+    independently — per partition, per table, per day — merge by a
+    256-row max-aggregation with no access to the original keys.  Union
+    cardinality comes off the merged registers; intersection via
+    inclusion-exclusion (e1 + e2 - eU, floats already rounded).  The
+    two sides are deliberately partial-overlap sets (parts touched by
+    heavy lineitems vs small-size parts), so union > both inputs and
+    intersection < both — each estimate lands next to its exact twin.
+    """
+    li_raw = _tbl(LINEITEM_VIEW, "lineitem", dialect)
+    pt_raw = _tbl(PART_VIEW, "part", dialect)
+    li = f"(SELECT l_partkey FROM {li_raw} WHERE l_quantity >= 45) li_f"
+    pt = f"(SELECT p_partkey FROM {pt_raw} WHERE p_size <= 25) pt_f"
+    return f"""
+        WITH rho1 AS ({_rho_select(li, "l_partkey", dialect)}),
+        rho2 AS ({_rho_select(pt, "p_partkey", dialect)}),
+        regs1 AS (SELECT bucket, max(r) AS mr FROM rho1 GROUP BY bucket),
+        regs2 AS (SELECT bucket, max(r) AS mr FROM rho2 GROUP BY bucket),
+        regsu AS (
+            SELECT bucket, max(mr) AS mr
+            FROM (SELECT * FROM regs1 UNION ALL SELECT * FROM regs2) both_regs
+            GROUP BY bucket
+        ),
+        e1 AS ({_est_select("regs1", dialect)}),
+        e2 AS ({_est_select("regs2", dialect)}),
+        eu AS ({_est_select("regsu", dialect)}),
+        x1 AS (SELECT cast(count(distinct l_partkey) as bigint) AS c FROM {li}),
+        x2 AS (SELECT cast(count(distinct p_partkey) as bigint) AS c FROM {pt}),
+        xu AS (
+            SELECT cast(count(distinct k) as bigint) AS c FROM (
+                SELECT l_partkey AS k FROM {li}
+                UNION SELECT p_partkey AS k FROM {pt}
+            ) uk
+        ),
+        xi AS (
+            SELECT cast(count(distinct l_partkey) as bigint) AS c FROM {li}
+            WHERE l_partkey IN (SELECT p_partkey FROM {pt})
+        )
+        SELECT 'lineitem' AS source, x1.c AS exact_cnt, e1.est AS hll_est
+        FROM x1 CROSS JOIN e1
+        UNION ALL
+        SELECT 'part' AS source, x2.c AS exact_cnt, e2.est AS hll_est
+        FROM x2 CROSS JOIN e2
+        UNION ALL
+        SELECT 'union' AS source, xu.c AS exact_cnt, eu.est AS hll_est
+        FROM xu CROSS JOIN eu
+        UNION ALL
+        SELECT 'intersection' AS source, xi.c AS exact_cnt,
+               round(e1.est + e2.est - eu.est, 4) AS hll_est
+        FROM xi CROSS JOIN e1 CROSS JOIN e2 CROSS JOIN eu
+    """
+
+
+@register("hll_union_parts", oracle=_hll_union_sql(D.DUCK), tags=("extension",))
+def hll_union_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-sketch set cardinalities: union via elementwise register
+    max (the property that makes HLL shard across executors/tables),
+    intersection via inclusion-exclusion — each next to its exact twin."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(LINEITEM_VIEW)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView(PART_VIEW)
+    return spark.sql(_hll_union_sql(D.SPARK))
