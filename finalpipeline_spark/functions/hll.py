@@ -57,6 +57,29 @@ def est_select(regs: str, dialect: str) -> str:
     """
 
 
+def est_grouped_select(regs: str, group_col: str, dialect: str) -> str:
+    """SQL: per-group estimates (group_col, est double) from a
+    (group_col, bucket, mr) register CTE."""
+    two = "shiftleft(cast(1 as bigint)," if dialect == D.SPARK else "(cast(1 as bigint) <<"
+    return f"""
+        SELECT {group_col},
+               round(CASE WHEN e <= {2.5 * M!r} AND v > 0
+                          THEN {M} * ln(cast({M} as double) / cast(v as double))
+                          ELSE e END, 4) AS est
+        FROM (
+            SELECT {group_col}, ({M} - nb) AS v,
+                   {ALPHA_NUM!r}
+                     / cast(sp + ({M} - nb) * {1 << (WBITS + 1)} as double) AS e
+            FROM (
+                SELECT {group_col},
+                       cast(sum({two} ({WBITS + 1} - mr))) as bigint) AS sp,
+                       cast(count(*) as bigint) AS nb
+                FROM {regs} GROUP BY {group_col}
+            ) s
+        ) raw
+    """
+
+
 def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
     """DataFrame form: (bucket int, mr bigint) registers of df[key_col].
     One narrow shuffle onto a <=256-row keyspace, max combined map-side."""

@@ -70,8 +70,6 @@ _PRIORITY_QUERIES = (
     # exercise the shared loader; these cover the extended-module
     # epoch-arithmetic variants)
     "events_asof_signup",
-    "events_cohort_retention",
-    "events_conversion_funnel",
     # r2 repair: gained a posexplode'd scalar shape + a DuckDB oracle
     "lineitem_approx_quantiles",
     # new in the post-r2 session
@@ -82,23 +80,29 @@ _PRIORITY_QUERIES = (
     # new this round (warehouse + semantic modules)
     "orders_scd2_snapshot",
     "tpch_grouping_sets",
-    "doc_unpivot_lang_counts",
     "doc_quality_classifier",
     "emb_semantic_dedup",
-    "doc_bpe_pair_counts",
     "doc_reconcile_checksums",
     "doc_global_row_ids",
     # new in the round-3 continuation session: sketches, graph,
     # profiling, bloom prefilter, incremental MV — all oracle-checked
     "lineitem_hll_distinct",
+    "hll_union_parts",
     "events_cms_heavy_hitters",
+    "events_cms_join_size",
     "orders_bloom_semi_join",
     "nation_pagerank",
     "lineitem_price_histogram",
+    "lineitem_mergeable_quantiles",
+    "events_rolling_distinct_hll",
     "orders_profile",
     "orders_incremental_mv",
     # rows-only / r1-green staples past the 50 line (still covered by
     # the local oracle-parity suite and earlier CORRECTNESS rows)
+    "events_cohort_retention",
+    "events_conversion_funnel",
+    "doc_bpe_pair_counts",
+    "doc_unpivot_lang_counts",
     "mm_audio_energy",
     "mm_video_scene_cut",
     "doc_bpe_learn_merges",

