@@ -16,11 +16,16 @@ iteration, not just approximately at the end.  The float `rank` column
 is derived by a single IEEE division at output time.
 
 Scale: the expensive part is the edge build (one pass over the fact
-join, the TPC-H q7 shape — broadcast dims, single fact shuffle).  The
-iterations then run on the *node/edge tables only* (25 nodes, <=125
+join, the TPC-H q7 shape — broadcast dims, single fact shuffle).
+Because Spark re-evaluates a CTE at every reference (no automatic
+materialization, unlike DuckDB), the Spark path materializes the edge
+and out-degree tables ONCE via localCheckpoint before iterating — the
+plan gate test asserts the fact table is scanned at most once.  The
+iterations then run on the node/edge tables only (25 nodes, <=125
 edges here; V+E rows in general): 3 rounds = 3 small join+agg stages,
-independent of fact-table size.  The same unrolled-SQL builder emits
-the DuckDB oracle, so iteration count can't drift between engines.
+independent of fact-table size.  The same iteration-SQL builder emits
+the DuckDB oracle (single statement: DuckDB materializes CTEs), so
+iteration count and math can't drift between engines.
 """
 
 from __future__ import annotations
@@ -42,24 +47,56 @@ _VIEWS = {
     "supplier": "__fps_supplier_gr",
     "nation": "__fps_nation_gr",
 }
+_NODES_VIEW = "__fps_pr_nodes"
+_EDGES_VIEW = "__fps_pr_edges"
+_OUTDEG_VIEW = "__fps_pr_outdeg"
 
 
 def _t(name: str, dialect: str) -> str:
     return _VIEWS[name] if dialect == D.SPARK else name
 
 
-def _pagerank_sql(dialect: str) -> str:
-    """Unrolled 3-iteration PageRank, damping 0.85, dangling mass
-    dropped (the standard 'remove dangling' variant — nations outside
-    the top-partner graph keep only the teleport term)."""
-    dv = lambda a, b: D.idiv(a, b, dialect)  # noqa: E731
-    li, od, cu, su, na = (
+def _nodes_sql(dialect: str) -> str:
+    return f"SELECT n_nationkey AS node, n_name FROM {_t('nation', dialect)}"
+
+
+def _edges_sql(dialect: str) -> str:
+    """Directed edge list: supplier nation → customer nation, top-5
+    partners per source by lineitem count (nationkey tiebreak)."""
+    li, od, cu, su = (
         _t("lineitem", dialect),
         _t("orders", dialect),
         _t("customer", dialect),
         _t("supplier", dialect),
-        _t("nation", dialect),
     )
+    return f"""
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rk
+            FROM (
+                SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                       cast(count(*) as bigint) AS w
+                FROM {li} l
+                JOIN {od} o ON l.l_orderkey = o.o_orderkey
+                JOIN {cu} c ON o.o_custkey = c.c_custkey
+                JOIN {su} s ON l.l_suppkey = s.s_suppkey
+                WHERE s.s_nationkey <> c.c_nationkey
+                GROUP BY s.s_nationkey, c.c_nationkey
+            ) trade
+        ) ranked WHERE rk <= {_TOP_PARTNERS}
+    """
+
+
+def _outdeg_sql(edges: str) -> str:
+    return f"SELECT src, cast(count(*) as bigint) AS od FROM {edges} GROUP BY src"
+
+
+def _iterate_sql(nodes: str, edges: str, outdeg: str, dialect: str) -> str:
+    """The unrolled 3-iteration body over (already-built) node/edge
+    relations — shared verbatim between Spark (views) and DuckDB
+    (CTE names)."""
+    dv = lambda a, b: D.idiv(a, b, dialect)  # noqa: E731
     base = _SCALE * 15 // 100 // 25  # teleport term floor(0.15*SCALE/25)
     r0 = _SCALE // 25
 
@@ -69,12 +106,12 @@ def _pagerank_sql(dialect: str) -> str:
         iters.append(
             f"""r{i} AS (
             SELECT n.node, cast({base} + coalesce(s.contrib, 0) as bigint) AS r
-            FROM nodes n LEFT JOIN (
+            FROM {nodes} n LEFT JOIN (
                 SELECT e.dst AS node,
-                       cast(sum({dv(f"(85 * p.r)", "(100 * o.od)")}) as bigint) AS contrib
-                FROM edges e
+                       cast(sum({dv("(85 * p.r)", "(100 * o.od)")}) as bigint) AS contrib
+                FROM {edges} e
                 JOIN {prev} p ON e.src = p.node
-                JOIN outdeg o ON e.src = o.src
+                JOIN {outdeg} o ON e.src = o.src
                 GROUP BY e.dst
             ) s ON n.node = s.node
         )"""
@@ -82,43 +119,46 @@ def _pagerank_sql(dialect: str) -> str:
         prev = f"r{i}"
 
     return f"""
-        WITH nodes AS (
-            SELECT n_nationkey AS node, n_name FROM {na}
-        ), trade AS (
-            SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
-                   cast(count(*) as bigint) AS w
-            FROM {li} l
-            JOIN {od} o ON l.l_orderkey = o.o_orderkey
-            JOIN {cu} c ON o.o_custkey = c.c_custkey
-            JOIN {su} s ON l.l_suppkey = s.s_suppkey
-            WHERE s.s_nationkey <> c.c_nationkey
-            GROUP BY s.s_nationkey, c.c_nationkey
-        ), edges AS (
-            SELECT src, dst FROM (
-                SELECT src, dst,
-                       row_number() OVER (PARTITION BY src
-                                          ORDER BY w DESC, dst) AS rk
-                FROM trade
-            ) ranked WHERE rk <= {_TOP_PARTNERS}
-        ), outdeg AS (
-            SELECT src, cast(count(*) as bigint) AS od FROM edges GROUP BY src
-        ), r0 AS (
-            SELECT node, cast({r0} as bigint) AS r FROM nodes
+        WITH r0 AS (
+            SELECT node, cast({r0} as bigint) AS r FROM {nodes}
         ), {", ".join(iters)}
         SELECT n.n_name AS nation,
                p.r AS rank_fp,
                p.r / cast({_SCALE} as double) AS rank
-        FROM r{_N_ITER} p JOIN nodes n ON p.node = n.node
+        FROM r{_N_ITER} p JOIN {nodes} n ON p.node = n.node
         ORDER BY p.r DESC, n.n_name
     """
 
 
-@register("nation_pagerank", oracle=_pagerank_sql(D.DUCK), tags=("extension",))
+def _pagerank_oracle() -> str:
+    """Single-statement DuckDB form: edge build + iterations as CTEs
+    (DuckDB materializes each CTE once)."""
+    return f"""
+        WITH nodes AS ({_nodes_sql(D.DUCK)}),
+        edges AS ({_edges_sql(D.DUCK)}),
+        outdeg AS ({_outdeg_sql("edges")}),
+        body AS (
+            {_iterate_sql("nodes", "edges", "outdeg", D.DUCK)}
+        )
+        SELECT * FROM body
+    """
+
+
+@register("nation_pagerank", oracle=_pagerank_oracle(), tags=("extension",))
 def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank (3 power iterations, damping 0.85) over the
     supplier-nation → customer-nation trade graph (top-5 partners per
-    nation).  All iteration math is exact int64; bit-identical with the
+    nation).  The Spark path materializes edges/out-degrees once
+    (localCheckpoint — they are V+E-sized, not fact-sized) so the fact
+    join runs exactly once; iterations touch only the materialized
+    graph.  All iteration math is exact int64 — bit-identical with the
     DuckDB oracle at every round by construction."""
     for name, view in _VIEWS.items():
         load_table(spark, sf_dir, name).createOrReplaceTempView(view)
-    return spark.sql(_pagerank_sql(D.SPARK))
+    spark.sql(_nodes_sql(D.SPARK)).createOrReplaceTempView(_NODES_VIEW)
+    edges = spark.sql(_edges_sql(D.SPARK)).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView(_EDGES_VIEW)
+    spark.sql(_outdeg_sql(_EDGES_VIEW)).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView(_OUTDEG_VIEW)
+    return spark.sql(_iterate_sql(_NODES_VIEW, _EDGES_VIEW, _OUTDEG_VIEW, D.SPARK))

@@ -266,36 +266,52 @@ _rho_select = H.rho_select
 _est_select = H.est_select
 
 
-def _hll_union_sql(dialect: str) -> str:
-    """Union/intersection cardinality of lineitem.l_partkey vs
-    part.p_partkey from MERGED sketches.
+_UREGS1_VIEW = "__fps_uregs1_sk"
+_UREGS2_VIEW = "__fps_uregs2_sk"
 
-    The property under test is what makes HLL shard at 100 TB: registers
-    are a commutative-monoid state (elementwise max), so sketches built
-    independently — per partition, per table, per day — merge by a
-    256-row max-aggregation with no access to the original keys.  Union
-    cardinality comes off the merged registers; intersection via
-    inclusion-exclusion (e1 + e2 - eU, floats already rounded).  The
-    two sides are deliberately partial-overlap sets (parts touched by
-    heavy lineitems vs small-size parts), so union > both inputs and
-    intersection < both — each estimate lands next to its exact twin.
+
+def _union_src(side: str, dialect: str) -> str:
+    """The two deliberately partial-overlap key sets (parts touched by
+    heavy lineitems vs small-size parts), as derived tables."""
+    if side == "li":
+        t = _tbl(LINEITEM_VIEW, "lineitem", dialect)
+        return f"(SELECT l_partkey FROM {t} WHERE l_quantity >= 45) li_f"
+    t = _tbl(PART_VIEW, "part", dialect)
+    return f"(SELECT p_partkey FROM {t} WHERE p_size <= 25) pt_f"
+
+
+def _union_regs_sql(side: str, dialect: str) -> str:
+    key = "l_partkey" if side == "li" else "p_partkey"
+    return (
+        f"SELECT bucket, max(r) AS mr FROM "
+        f"({_rho_select(_union_src(side, dialect), key, dialect)}) rho GROUP BY bucket"
+    )
+
+
+def _union_body_sql(regs1: str, regs2: str, dialect: str) -> str:
+    """Set-cardinality report over two (already-built) register
+    relations — shared verbatim between Spark (materialized views) and
+    DuckDB (CTE names).
+
+    The property under test is what makes HLL shard at 100 TB:
+    registers are a commutative-monoid state (elementwise max), so
+    sketches built independently — per partition, per table, per day —
+    merge by a 256-row max-aggregation with no access to the original
+    keys.  Union cardinality comes off the merged registers;
+    intersection via inclusion-exclusion (e1 + e2 - eU, floats already
+    rounded).  The exact twins re-scan the inputs — the cost the
+    sketches avoid.
     """
-    li_raw = _tbl(LINEITEM_VIEW, "lineitem", dialect)
-    pt_raw = _tbl(PART_VIEW, "part", dialect)
-    li = f"(SELECT l_partkey FROM {li_raw} WHERE l_quantity >= 45) li_f"
-    pt = f"(SELECT p_partkey FROM {pt_raw} WHERE p_size <= 25) pt_f"
+    li = _union_src("li", dialect)
+    pt = _union_src("pt", dialect)
     return f"""
-        WITH rho1 AS ({_rho_select(li, "l_partkey", dialect)}),
-        rho2 AS ({_rho_select(pt, "p_partkey", dialect)}),
-        regs1 AS (SELECT bucket, max(r) AS mr FROM rho1 GROUP BY bucket),
-        regs2 AS (SELECT bucket, max(r) AS mr FROM rho2 GROUP BY bucket),
-        regsu AS (
+        WITH regsu AS (
             SELECT bucket, max(mr) AS mr
-            FROM (SELECT * FROM regs1 UNION ALL SELECT * FROM regs2) both_regs
+            FROM (SELECT * FROM {regs1} UNION ALL SELECT * FROM {regs2}) both_regs
             GROUP BY bucket
         ),
-        e1 AS ({_est_select("regs1", dialect)}),
-        e2 AS ({_est_select("regs2", dialect)}),
+        e1 AS ({_est_select(regs1, dialect)}),
+        e2 AS ({_est_select(regs2, dialect)}),
         eu AS ({_est_select("regsu", dialect)}),
         x1 AS (SELECT cast(count(distinct l_partkey) as bigint) AS c FROM {li}),
         x2 AS (SELECT cast(count(distinct p_partkey) as bigint) AS c FROM {pt}),
@@ -324,14 +340,33 @@ def _hll_union_sql(dialect: str) -> str:
     """
 
 
-@register("hll_union_parts", oracle=_hll_union_sql(D.DUCK), tags=("extension",))
+def _hll_union_oracle() -> str:
+    return f"""
+        WITH regs1 AS ({_union_regs_sql("li", D.DUCK)}),
+        regs2 AS ({_union_regs_sql("pt", D.DUCK)}),
+        body AS ({_union_body_sql("regs1", "regs2", D.DUCK)})
+        SELECT * FROM body
+    """
+
+
+@register("hll_union_parts", oracle=_hll_union_oracle(), tags=("extension",))
 def hll_union_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged-sketch set cardinalities: union via elementwise register
     max (the property that makes HLL shard across executors/tables),
-    intersection via inclusion-exclusion — each next to its exact twin."""
+    intersection via inclusion-exclusion — each next to its exact twin.
+    The Spark path materializes each side's 256-row register table once
+    (localCheckpoint) since Spark re-evaluates CTEs per reference; each
+    input is then scanned once for its sketch (+ once by the exact
+    twins, which exist only for verification)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(LINEITEM_VIEW)
     load_table(spark, sf_dir, "part").createOrReplaceTempView(PART_VIEW)
-    return spark.sql(_hll_union_sql(D.SPARK))
+    spark.sql(_union_regs_sql("li", D.SPARK)).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView(_UREGS1_VIEW)
+    spark.sql(_union_regs_sql("pt", D.SPARK)).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView(_UREGS2_VIEW)
+    return spark.sql(_union_body_sql(_UREGS1_VIEW, _UREGS2_VIEW, D.SPARK))
 
 
 # --------------------------------------------------------------------------
@@ -393,6 +428,9 @@ def events_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Mergeable quantile sketch (log2-bucket histogram)
 # --------------------------------------------------------------------------
+_QBUCKETS_VIEW = "__fps_qbuckets_sk"
+
+
 def _quantile_sketch_sql(dialect: str) -> str:
     """p50/p95/p99 of l_extendedprice from a mergeable histogram.
 
@@ -413,19 +451,26 @@ def _quantile_sketch_sql(dialect: str) -> str:
     """
     t = _tbl(LINEITEM_VIEW, "lineitem", dialect)
     dv = lambda a, b: D.idiv(a, b, dialect)  # noqa: E731
+    buckets = (
+        _QBUCKETS_VIEW
+        if dialect == D.SPARK
+        else f"""(
+            SELECT length(bin(c)) AS b, cast(count(*) as bigint) AS n,
+                   min(c) AS lo, max(c) AS hi
+            FROM (SELECT cast(round(l_extendedprice * 100) as bigint) AS c
+                  FROM {t}) cents0
+            GROUP BY length(bin(c))
+        ) bk"""
+    )
     return f"""
         WITH cents AS (
             SELECT cast(round(l_extendedprice * 100) as bigint) AS c FROM {t}
-        ), buckets AS (
-            SELECT length(bin(c)) AS b, cast(count(*) as bigint) AS n,
-                   min(c) AS lo, max(c) AS hi
-            FROM cents GROUP BY length(bin(c))
         ), cum AS (
             SELECT b, n, lo, hi,
                    cast(sum(n) OVER (ORDER BY b) as bigint) AS cn,
                    cast(sum(n) OVER (ORDER BY b) - n as bigint) AS cprev,
                    cast(sum(n) OVER () as bigint) AS total
-            FROM buckets
+            FROM {buckets}
         ), qs AS (
             SELECT * FROM (VALUES (1, 2), (19, 20), (99, 100)) AS q(qn, qd)
         ), targets AS (
@@ -459,35 +504,37 @@ def _quantile_sketch_sql(dialect: str) -> str:
 def lineitem_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p95/p99 from a ~40-row mergeable log2-bucket histogram
     (integer-only target selection and interpolation), next to the
-    rank-selected exact values the sketch replaces at scale."""
+    rank-selected exact values the sketch replaces at scale.  The Spark
+    path materializes the histogram once (localCheckpoint) so the fact
+    is scanned once for the sketch (+ once by the exact twin)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(LINEITEM_VIEW)
+    spark.sql(
+        f"""
+        SELECT length(bin(c)) AS b, cast(count(*) as bigint) AS n,
+               min(c) AS lo, max(c) AS hi
+        FROM (SELECT cast(round(l_extendedprice * 100) as bigint) AS c
+              FROM {LINEITEM_VIEW}) cents0
+        GROUP BY length(bin(c))
+        """
+    ).localCheckpoint(eager=True).createOrReplaceTempView(_QBUCKETS_VIEW)
     return spark.sql(_quantile_sketch_sql(D.SPARK))
 
 
 # --------------------------------------------------------------------------
 # Rolling-window distinct users from merged hourly HLL registers
 # --------------------------------------------------------------------------
-def _rolling_hll_sql(dialect: str) -> str:
-    """Trailing-3-hour distinct users per hour — the DAU/WAU/MAU
-    pattern: build HLL registers once per hour, answer every window by
-    max-merging the member hours' registers.
+_HOURLY_REGS_VIEW = "__fps_hourly_regs_sk"
 
-    The per-hour register build touches the events once; each window
-    estimate then costs a ≤ 3×256-row merge, so one sketch pass serves
-    any window length — versus the exact twin, which must re-scan (or
-    re-shuffle) every event for every overlapping window.  Registers
-    merge by max: associative/commutative/idempotent, so late-arriving
-    hours or replayed batches fold in safely (see
-    plans/incremental_sketch.py for the persisted form).
-    """
+
+def _hourly_regs_sql(dialect: str) -> str:
+    """Per-hour HLL registers of user_id — the one events pass."""
     t = _tbl(EVENTS_VIEW, "events", dialect)
     es = "ts_epoch_s" if dialect == D.SPARK else "(epoch_us(ts) // 1000000)"
     idiv = "div" if dialect == D.SPARK else "//"
     m, wb = _HLL_M, _HLL_WBITS
     h = D.hex_prefix_to_int("m5", dialect)
-    grouped_est = H.est_grouped_select("trail_regs", "hour", dialect)
     return f"""
-        WITH rho AS (
+        SELECT hour, bucket, max(r) AS mr FROM (
             SELECT hour, (h % {m}) AS bucket,
                    CASE WHEN (h {idiv} {m}) = 0 THEN {wb + 1}
                         ELSE {wb + 1} - length(bin(h {idiv} {m})) END AS r
@@ -497,13 +544,24 @@ def _rolling_hll_sql(dialect: str) -> str:
                              {D.md5_hex("user_id", dialect)} AS m5
                       FROM {t}) keyed
             ) hashed
-        ), hourly_regs AS (
-            SELECT hour, bucket, max(r) AS mr FROM rho GROUP BY hour, bucket
-        ), hours AS (
-            SELECT DISTINCT hour FROM hourly_regs
+        ) rho GROUP BY hour, bucket
+    """
+
+
+def _rolling_body_sql(hourly_regs: str, dialect: str) -> str:
+    """Trailing-3-hour estimates + exact twin over an (already-built)
+    hourly register relation — shared verbatim between Spark (a
+    materialized view) and DuckDB (a CTE name)."""
+    t = _tbl(EVENTS_VIEW, "events", dialect)
+    es = "ts_epoch_s" if dialect == D.SPARK else "(epoch_us(ts) // 1000000)"
+    idiv = "div" if dialect == D.SPARK else "//"
+    grouped_est = H.est_grouped_select("trail_regs", "hour", dialect)
+    return f"""
+        WITH hours AS (
+            SELECT DISTINCT hour FROM {hourly_regs}
         ), trail_regs AS (
             SELECT h.hour, r.bucket, max(r.mr) AS mr
-            FROM hours h JOIN hourly_regs r
+            FROM hours h JOIN {hourly_regs} r
               ON r.hour >= h.hour - 2 AND r.hour <= h.hour
             GROUP BY h.hour, r.bucket
         ), est AS ({grouped_est}
@@ -520,10 +578,29 @@ def _rolling_hll_sql(dialect: str) -> str:
     """
 
 
-@register("events_rolling_distinct_hll", oracle=_rolling_hll_sql(D.DUCK), tags=("extension",))
+def _rolling_hll_oracle() -> str:
+    return f"""
+        WITH hourly_regs AS ({_hourly_regs_sql(D.DUCK)}),
+        body AS ({_rolling_body_sql("hourly_regs", D.DUCK)})
+        SELECT * FROM body
+    """
+
+
+@register("events_rolling_distinct_hll", oracle=_rolling_hll_oracle(), tags=("extension",))
 def events_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-3-hour distinct users per hour from max-merged hourly
-    HLL registers — one sketch pass serves every window, vs the exact
-    twin re-scanning each overlap."""
+    """Trailing-3-hour distinct users per hour — the DAU/WAU/MAU
+    pattern: build HLL registers once per hour, answer every window by
+    max-merging the member hours' registers.
+
+    The Spark path materializes the hourly registers (localCheckpoint —
+    hours×256 rows, never event-sized) because Spark re-evaluates CTEs
+    per reference; one events pass builds them, and every window
+    estimate is then a ≤ 3×256-row merge.  The exact twin re-joins the
+    events per window — the cost the sketch exists to avoid.  Registers
+    merge by max: associative/commutative/idempotent, so late hours or
+    replayed batches fold in safely (persisted form:
+    plans/incremental_sketch.py)."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView(EVENTS_VIEW)
-    return spark.sql(_rolling_hll_sql(D.SPARK))
+    regs = spark.sql(_hourly_regs_sql(D.SPARK)).localCheckpoint(eager=True)
+    regs.createOrReplaceTempView(_HOURLY_REGS_VIEW)
+    return spark.sql(_rolling_body_sql(_HOURLY_REGS_VIEW, D.SPARK))

@@ -197,3 +197,47 @@ def test_ewma_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_ewma_value")
     assert plan.count("Exchange") == 1, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_hll_no_python_udf_and_partial_agg(spark, sf_dir):
+    """The HLL build must stay JVM-side (md5 + hex fold are codegen
+    expressions, not UDFs) and the register max must partial-aggregate
+    (executors exchange registers, not keys)."""
+    plan = _plan(spark, sf_dir, "lineitem_hll_distinct")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_cms_sketch_partial_aggregates(spark, sf_dir):
+    """The CMS counter build shuffles at most d*w rows per partition —
+    the count must combine map-side before the exchange."""
+    plan = _plan(spark, sf_dir, "events_cms_heavy_hitters")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_bloom_prefilter_runs_before_join(spark, sf_dir):
+    """The bloom membership test must appear as a Filter below the
+    exact join, not above it — pruning happens in the scan stage."""
+    plan = _plan(spark, sf_dir, "orders_bloom_semi_join")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    join_at = plan.find("BroadcastHashJoin")
+    filter_at = plan.find("shiftleft")  # the bit-test expression
+    assert join_at != -1 and filter_at != -1
+    # tree strings print parents first: the filter (child) appears later
+    assert filter_at > join_at
+
+
+def test_pagerank_iterations_stay_small(spark, sf_dir):
+    """The fact join appears once (edge build); the 3 power iterations
+    run on node/edge tables only — no repeated fact scans."""
+    plan = _plan(spark, sf_dir, "nation_pagerank")
+    fact_scans = plan.count("lineitem.parquet")
+    assert fact_scans <= 1, f"fact scanned {fact_scans}x"
+
+
+def test_histogram_bounds_broadcast_not_collected(spark, sf_dir):
+    """The min/max bounds row joins back as a broadcast — the plan has
+    a BroadcastNestedLoopJoin/BroadcastExchange, no driver collect."""
+    plan = _plan(spark, sf_dir, "lineitem_price_histogram")
+    assert "Broadcast" in plan
