@@ -140,3 +140,35 @@ def stream_scd2_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming cardinality: a continuously-maintained HLL register table
+# --------------------------------------------------------------------------
+def stream_hll_to_parquet(
+    stream_df: DataFrame,
+    key_col: str,
+    store_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Maintain the persisted HLL register table
+    (`plans/incremental_sketch.py`) live from a stream: one max-merge
+    per micro-batch, availableNow trigger.
+
+    Unlike the upsert/SCD2 sinks above, this needs NO change-id
+    bookkeeping for exactly-once effect: register max-merge is
+    idempotent, so a replayed micro-batch (post-crash re-delivery
+    between the sink effect and the checkpoint commit) converges to the
+    same registers by algebra alone — the strongest of the three sinks'
+    consistency stories, achieved with the least machinery."""
+    from finalpipeline_spark.plans.incremental_sketch import update_sketch
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        update_sketch(batch_df.sparkSession, store_path, batch_df, key_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
