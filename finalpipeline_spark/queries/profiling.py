@@ -110,3 +110,103 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents), one pruned single-column scan per branch."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(ORDERS_VIEW)
     return spark.sql(_profile_sql(D.SPARK))
+
+
+EVENTS_VIEW = "__fps_events_pf"
+
+
+def _skew_profile_sql(dialect: str) -> str:
+    """Key-distribution skew diagnostic for events.user_id — the
+    numbers that decide whether a join/agg on this key needs salting
+    (`operators/skew.salted_join`) before it hits a 1000-executor
+    cluster: hottest-key share, max/avg ratio, and the top-5
+    concentration.  One groupBy(key) + one tiny aggregate; all counts
+    exact int64, ratios one IEEE division each."""
+    t = _tbl(EVENTS_VIEW, "events", dialect)
+    return f"""
+        WITH counts AS (
+            SELECT user_id, cast(count(*) as bigint) AS c
+            FROM {t} GROUP BY user_id
+        ), top5 AS (
+            SELECT cast(sum(c) as bigint) AS top5_rows FROM (
+                SELECT c FROM counts ORDER BY c DESC, user_id LIMIT 5
+            ) t5
+        ), stats AS (
+            SELECT cast(count(*) as bigint) AS n_keys,
+                   cast(sum(c) as bigint) AS n_rows,
+                   cast(max(c) as bigint) AS max_rows
+            FROM counts
+        )
+        SELECT s.n_keys, s.n_rows, s.max_rows, t.top5_rows,
+               round(cast(s.max_rows as double)
+                     / (cast(s.n_rows as double) / cast(s.n_keys as double)), 4)
+                   AS max_over_avg,
+               round(cast(t.top5_rows as double) / cast(s.n_rows as double), 4)
+                   AS top5_share
+        FROM stats s CROSS JOIN top5 t
+    """
+
+
+@register("events_skew_profile", oracle=_skew_profile_sql(D.DUCK), tags=("extension",))
+def events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (hottest-key ratio, top-5 concentration) —
+    the pre-flight check for salting decisions at scale."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(EVENTS_VIEW)
+    return spark.sql(_skew_profile_sql(D.SPARK))
+
+
+def _concurrency_sql(dialect: str) -> str:
+    """Per-hour count of ACTIVE user sessions (30-minute-gap
+    sessionization) — the occupancy/concurrency curve.
+
+    Scale shape: instead of a time-range join (quadratic candidates, or
+    a broadcast-nested-loop plan), each session EXPLODES into the hours
+    it covers — sessions are gap-bounded so the fan-out is small and
+    bounded — and the curve is then one groupBy(hour).  The shuffle
+    carries (hour, 1) pairs ∝ session-hours, never sessions × hours.
+    Session boundaries come from the gaps-and-islands window (same
+    construction as events_sessionize)."""
+    t = _tbl(EVENTS_VIEW, "events", dialect)
+    es = "ts_epoch_s" if dialect == D.SPARK else "(epoch_us(ts) // 1000000)"
+    idiv = "div" if dialect == D.SPARK else "//"
+    if dialect == D.SPARK:
+        hours = "explode(sequence(start_h, end_h))"
+        sel_hours = f"SELECT {hours} AS hour FROM sessions"
+    else:
+        sel_hours = "SELECT unnest(range(start_h, end_h + 1)) AS hour FROM sessions"
+    return f"""
+        WITH ordered AS (
+            SELECT user_id, ({es}) AS es,
+                   CASE WHEN ({es}) - lag({es}) OVER (
+                            PARTITION BY user_id ORDER BY ({es}), event_id)
+                            > 1800
+                         OR lag({es}) OVER (
+                            PARTITION BY user_id ORDER BY ({es}), event_id)
+                            IS NULL
+                        THEN 1 ELSE 0 END AS is_start
+            FROM {t}
+        ), marked AS (
+            SELECT user_id, es,
+                   cast(sum(is_start) OVER (
+                       PARTITION BY user_id ORDER BY es, user_id) as bigint)
+                       AS session_no
+            FROM ordered
+        ), sessions AS (
+            SELECT user_id, session_no,
+                   (min(es) {idiv} 3600) AS start_h,
+                   (max(es) {idiv} 3600) AS end_h
+            FROM marked GROUP BY user_id, session_no
+        ), covered AS (
+            {sel_hours}
+        )
+        SELECT hour, cast(count(*) as bigint) AS active_sessions
+        FROM covered GROUP BY hour ORDER BY hour
+    """
+
+
+@register("events_concurrency_curve", oracle=_concurrency_sql(D.DUCK), tags=("extension",))
+def events_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-sessions-per-hour occupancy curve via session explosion
+    into covered hours — the sweep-line answer without a range join."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(EVENTS_VIEW)
+    return spark.sql(_concurrency_sql(D.SPARK))
