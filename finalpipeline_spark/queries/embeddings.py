@@ -318,3 +318,80 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d.createOrReplaceTempView("__fps_emb_normed")
     return spark.sql(_ivf_topk_sql(D.SPARK, d_rel="__fps_emb_normed"))
+
+
+# --------------------------------------------------------------------------
+# Distributed covariance of the leading embedding dims (PCA preprocessing)
+# --------------------------------------------------------------------------
+_COV_K = 8  # leading dims profiled
+_COV_SCALE = 1 << 20  # fixed-point quantization of float components
+_MOMENTS_VIEW = "__fps_emb_moments"
+
+
+def _cov_moments_sql(dialect: str) -> str:
+    """One-row exact moment aggregate: n, first moments s_i, and the
+    upper-triangle product moments p_ij of the 2^20-quantized leading
+    components.  Products fit int64 (|q| < 2^20 ⇒ |q_i q_j| < 2^40);
+    sums accumulate in decimal/int128, so the row is exact at any n —
+    this is the associative state a 1000-executor covariance needs
+    (partials merge by add; one shuffle of a single row per partition).
+    """
+    t = _emb_tbl(dialect)
+    q = [
+        f"cast(round({D.arr_index('embedding', str(i), dialect)} * {_COV_SCALE}) as bigint)"
+        for i in range(1, _COV_K + 1)
+    ]
+    dec = "decimal(38,0)" if dialect == D.SPARK else "hugeint"
+    sums = [f"cast(count(*) as {dec}) AS n"]
+    sums += [
+        f"cast(sum(cast(q{i} as {dec})) as {dec}) AS s{i}" for i in range(1, _COV_K + 1)
+    ]
+    sums += [
+        f"cast(sum(cast(q{i} * q{j} as {dec})) as {dec}) AS p{i}_{j}"
+        for i in range(1, _COV_K + 1)
+        for j in range(i, _COV_K + 1)
+    ]
+    quant_cols = ", ".join(f"{expr} AS q{i}" for i, expr in enumerate(q, start=1))
+    return f"""
+        SELECT {", ".join(sums)}
+        FROM (SELECT {quant_cols} FROM {t}) quant
+    """
+
+
+def _cov_report_sql(moments: str, dialect: str) -> str:
+    """36-row (i, j, cov) report off the (already-built) moment row:
+    cov_ij = (n·p_ij − s_i·s_j) / (n²·SCALE²), numerator exact, one
+    double division per cell."""
+    den = f"(cast(n as double) * cast(n as double) * {float(_COV_SCALE * _COV_SCALE)!r})"
+    branches = [
+        f"""
+        SELECT {i} AS i, {j} AS j,
+               cast(n * p{i}_{j} - s{i} * s{j} as double) / {den} AS cov
+        FROM {moments}"""
+        for i in range(1, _COV_K + 1)
+        for j in range(i, _COV_K + 1)
+    ]
+    return " UNION ALL ".join(branches)
+
+
+def _cov_oracle() -> str:
+    return f"""
+        WITH moments AS ({_cov_moments_sql(D.DUCK)}),
+        body AS ({_cov_report_sql("moments", D.DUCK)})
+        SELECT * FROM body ORDER BY i, j
+    """
+
+
+@register("emb_covariance_prefix", oracle=_cov_oracle(), tags=("extension",))
+def emb_covariance_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-moment covariance matrix of the leading 8 embedding dims —
+    the PCA/whitening preprocessing statistic, computed as one
+    associative moment aggregation (decimal-exact partials, so results
+    are bit-stable under any partitioning — float cov() is not).  The
+    Spark path materializes the 1-row moment aggregate before the
+    36-branch report (Spark re-evaluates CTEs per reference)."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(SPARK_VIEW)
+    spark.sql(_cov_moments_sql(D.SPARK)).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView(_MOMENTS_VIEW)
+    return spark.sql(_cov_report_sql(_MOMENTS_VIEW, D.SPARK) + " ORDER BY i, j")
