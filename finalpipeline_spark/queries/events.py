@@ -436,3 +436,92 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("span_s") > 0)
     )
+
+
+_DAY_S_H = 86400
+
+
+def _rollup_hierarchy_sql(dialect_hourly: str, dialect: str) -> str:
+    """Shared coarser-grain SQL over an (already-built) hourly partial
+    relation: day grain and per-type total, each re-aggregated from the
+    next-finer partials — never from raw events.
+
+    This is the continuous-aggregate / hypertable-rollup pattern
+    (TimescaleDB, Druid): sums of sums and sums of counts are exact, so
+    one corpus-sized shuffle (the hourly aggregation) serves every
+    grain; the day and total grains aggregate a relation whose size is
+    |hours x types|, independent of fact size. avg at every grain is
+    one IEEE division of exact int64 partials, so grains can never
+    disagree with each other or the oracle.
+    """
+    from finalpipeline_spark.functions import dialect as D
+
+    h = dialect_hourly
+    day_bucket = D.idiv("hour_epoch_s", _DAY_S_H, dialect)
+    return f"""
+        day AS (
+            SELECT ({day_bucket}) * {_DAY_S_H} AS bucket_epoch_s,
+                   event_type,
+                   cast(sum(n) as bigint) AS n_events,
+                   cast(sum(cents) as bigint) AS cents
+            FROM {h} GROUP BY 1, 2
+        ),
+        total AS (
+            SELECT cast(0 as bigint) AS bucket_epoch_s, event_type,
+                   cast(sum(n_events) as bigint) AS n_events,
+                   cast(sum(cents) as bigint) AS cents
+            FROM day GROUP BY event_type
+        )
+        SELECT 'hour' AS grain, hour_epoch_s AS bucket_epoch_s, event_type,
+               n AS n_events,
+               cast(cents as double) / 100.0 AS sum_value,
+               cast(cents as double) / (100.0 * n) AS avg_value
+        FROM {h}
+        UNION ALL
+        SELECT 'day' AS grain, bucket_epoch_s, event_type, n_events,
+               cast(cents as double) / 100.0 AS sum_value,
+               cast(cents as double) / (100.0 * n_events) AS avg_value
+        FROM day
+        UNION ALL
+        SELECT 'total' AS grain, bucket_epoch_s, event_type, n_events,
+               cast(cents as double) / 100.0 AS sum_value,
+               cast(cents as double) / (100.0 * n_events) AS avg_value
+        FROM total
+    """
+
+
+@register(
+    "events_rollup_hierarchy",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT ((epoch_us(ts) // 1000000) // {_HOUR_S}) * {_HOUR_S} AS hour_epoch_s,
+                   event_type,
+                   cast(count(*) as bigint) AS n,
+                   cast(sum(cast(round(value * 100) as bigint)) as bigint) AS cents
+            FROM events
+            GROUP BY 1, 2
+        ),
+        {_rollup_hierarchy_sql("hourly", "duck")}
+    """,
+    tags=("extension",),
+)
+def events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour → day → per-type-total rollup hierarchy where every coarser
+    grain is re-aggregated from the next-finer grain's *partials* (sum
+    of sums / sum of counts), not from raw events — the continuous-
+    aggregate pattern. The hourly partial table is materialized once
+    (localCheckpoint: it is |hours×types|-sized, not fact-sized) so the
+    events table is scanned exactly once for all three grains."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.withColumn("hour_epoch_s", F.expr(f"(ts_epoch_s div {_HOUR_S}) * {_HOUR_S}"))
+        .withColumn("c", F.expr("cast(round(value * 100) as bigint)"))
+        .groupBy("hour_epoch_s", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("cast(sum(c) as bigint)").alias("cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    hourly.createOrReplaceTempView("__fps_ev_hourly")
+    return spark.sql(f"WITH {_rollup_hierarchy_sql('__fps_ev_hourly', 'spark')}")

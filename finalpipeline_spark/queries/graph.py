@@ -162,3 +162,81 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     ).createOrReplaceTempView(_OUTDEG_VIEW)
     return spark.sql(_iterate_sql(_NODES_VIEW, _EDGES_VIEW, _OUTDEG_VIEW, D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Triangle counting (clustering-structure analytics)
+# --------------------------------------------------------------------------
+_TRI_EDGES_VIEW = "__fps_tri_edges"
+
+
+def _und_edges_sql(edges: str) -> str:
+    """Undirected edge set from the directed trade edges: canonical
+    (u < v) orientation + DISTINCT. Orienting every edge low→high is
+    the standard trick that makes each triangle countable exactly once
+    as u < v < w (and at scale also bounds the join fan-out the way
+    degree-ordering does in the MR triangle algorithm)."""
+    return f"""
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM {edges} WHERE src <> dst
+    """
+
+
+def _triangles_sql(nodes: str, und: str) -> str:
+    """Per-node triangle participation from an (already-built)
+    canonical edge relation.
+
+    tri = wedges (u<v<w sharing u) closed by the (v,w) edge — two
+    self-joins of the edge table, both equi-joins that shuffle on edge
+    endpoints; per-node counts = each triangle credited to its three
+    corners via UNION ALL (no explode needed).  Edge relation is
+    E-sized, so this never touches the fact table.
+    """
+    return f"""
+        tri AS (
+            SELECT a.u AS x, a.v AS y, b.v AS z
+            FROM {und} a
+            JOIN {und} b ON a.u = b.u AND a.v < b.v
+            JOIN {und} c ON c.u = a.v AND c.v = b.v
+        ),
+        corners AS (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ),
+        per_node AS (
+            SELECT node, cast(count(*) as bigint) AS n_triangles
+            FROM corners GROUP BY node
+        )
+        SELECT n.n_name AS nation,
+               cast(coalesce(p.n_triangles, 0) as bigint) AS n_triangles
+        FROM {nodes} n LEFT JOIN per_node p ON n.node = p.node
+    """
+
+
+def _triangle_oracle() -> str:
+    return f"""
+        WITH nodes AS ({_nodes_sql(D.DUCK)}),
+        edges AS ({_edges_sql(D.DUCK)}),
+        und AS ({_und_edges_sql("edges")}),
+        {_triangles_sql("nodes", "und")}
+    """
+
+
+@register("nation_triangle_count", oracle=_triangle_oracle(), tags=("extension",))
+def nation_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation count per nation over the undirected
+    trade graph (same edge build as nation_pagerank: top-5 partners
+    per nation).  The canonical u<v edge relation is materialized once
+    (localCheckpoint, E-sized) so the fact-table join runs exactly
+    once; the two triangle-closing self-joins and the per-corner count
+    run on the E-sized relation only.  All-integer — trivially
+    bit-identical with the oracle."""
+    for name, view in _VIEWS.items():
+        load_table(spark, sf_dir, name).createOrReplaceTempView(view)
+    spark.sql(_nodes_sql(D.SPARK)).createOrReplaceTempView(_NODES_VIEW)
+    und = spark.sql(
+        _und_edges_sql(f"({_edges_sql(D.SPARK)})")
+    ).localCheckpoint(eager=True)
+    und.createOrReplaceTempView(_TRI_EDGES_VIEW)
+    return spark.sql(f"WITH {_triangles_sql(_NODES_VIEW, _TRI_EDGES_VIEW)}")

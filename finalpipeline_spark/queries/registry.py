@@ -60,11 +60,9 @@ def register(
 # CORRECTNESS_r02 rows as evidence.
 _PRIORITY_MODULES = ("training", "curation", "events")
 _PRIORITY_QUERIES = (
-    # SURVEY §2 parity representative + the two r2 events-loader repairs
-    "ref_clean_ids",
+    # the two r2 events-loader repairs (errored rows in CORRECTNESS_r02)
     "events_pivot_counts",
     "ref_ledger_new_files",
-    "flagship_datamart_chain",
     # extended-module events representatives: fresh rows under the new
     # ts encoding (the events module's own queries above already
     # exercise the shared loader; these cover the extended-module
@@ -87,16 +85,24 @@ _PRIORITY_QUERIES = (
     # new in the round-3 continuation session: sketches, graph,
     # profiling, bloom prefilter, incremental MV — all oracle-checked
     "lineitem_hll_distinct",
-    "hll_union_parts",
     "events_cms_heavy_hitters",
-    "events_cms_join_size",
     "orders_bloom_semi_join",
     "nation_pagerank",
-    "lineitem_price_histogram",
     "lineitem_mergeable_quantiles",
     "events_rolling_distinct_hll",
     "orders_profile",
     "orders_incremental_mv",
+    # newest additions: search (inverted index + BM25), rollup
+    # hierarchy, triangle counting, ES weighted sampling — one window
+    # representative per new capability family; the family twins
+    # (hll_union_parts, events_cms_join_size, lineitem_price_histogram)
+    # and r2-green staples (ref_clean_ids, flagship_datamart_chain)
+    # deferred past 50, still covered by the local parity suite
+    "doc_inverted_index",
+    "doc_bm25_topk",
+    "events_rollup_hierarchy",
+    "nation_triangle_count",
+    "doc_weighted_sample_fixed",
     # rows-only / r1-green staples past the 50 line (still covered by
     # the local oracle-parity suite and earlier CORRECTNESS rows)
     "events_cohort_retention",
@@ -145,6 +151,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         profiling,
         relational,
+        search,
         semantic,
         sketches,
         tokenizer,
@@ -164,6 +171,7 @@ def load_all() -> dict[str, QuerySpec]:
         "multimodal": multimodal,
         "profiling": profiling,
         "relational": relational,
+        "search": search,
         "semantic": semantic,
         "sketches": sketches,
         "tokenizer": tokenizer,

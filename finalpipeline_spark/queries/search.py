@@ -1,0 +1,230 @@
+"""Full-text-search surface: inverted-index statistics and BM25 ranking.
+
+The reference pipeline has no search capability, but a corpus engine at
+100 TB needs the retrieval primitives every data pipeline eventually
+grows: the inverted index (term → posting statistics) and a ranked
+keyword query over it (BM25, the Lucene/Elasticsearch default).  Both
+are expressed as plain DataFrame aggregations — the index build is the
+same explode → (term, doc) partial-count shape as TF-IDF
+(documents.py), so it inherits the same scale story: the shuffle
+carries (term, doc, tf) rows that partial aggregation has already
+collapsed, never raw token instances.
+
+Exactness design (same rules as the rest of the repo):
+
+* tokenization comes from functions/dialect.tokens so both engines see
+  identical token streams;
+* BM25's idf is transcendental (ln), so it is quantized to integer
+  micro-nats via ``floor(ln(x) * 1e6 + 0.5)`` — floor of an identical
+  double is identical in both engines (the doc_lm_perplexity scheme);
+* per-document scores sum one term-part per query term in **fixed
+  syntactic order** (a max-CASE pivot per literal query term, the
+  emb_ivf_pq_topk trick) — never an engine-chosen aggregation order
+  over doubles;
+* every other step is +,-,*,/ over identical doubles/int64s, which is
+  IEEE-deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from finalpipeline_spark.functions import dialect as D
+from finalpipeline_spark.functions.caching import scoped_cache
+from finalpipeline_spark.queries.registry import register
+from finalpipeline_spark.tables import load_table
+
+SPARK_VIEW = "__fps_documents_search"
+
+_LN_SCALE = 1_000_000  # micro-nat quantization of ln(idf)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+# A fixed keyword query (the corpus vocabulary is the synthetic Spark
+# word list, TESTDATA.md). Literals so the per-term pivot is static.
+_QUERY_TERMS = ("window", "shuffle", "partition")
+
+
+def _doc_tbl(dialect: str) -> str:
+    return SPARK_VIEW if dialect == D.SPARK else "documents"
+
+
+# --------------------------------------------------------------------------
+# Inverted index statistics
+# --------------------------------------------------------------------------
+
+
+def _explode_sql(dialect: str, rel: str = "toks") -> str:
+    if dialect == D.SPARK:
+        return f"SELECT doc_id, t FROM {rel} LATERAL VIEW explode(toks) x AS t"
+    return f"SELECT doc_id, unnest(toks) AS t FROM {rel}"
+
+
+def _inverted_index_sql(dialect: str, ex_rel: str | None = None) -> str:
+    """Per-term index statistics: document frequency, collection
+    frequency, max term frequency, and the argmax-tf posting (min
+    doc_id on tf ties — a total order, so both engines pick the same
+    doc).
+
+    Scale shape: explode → (term, doc) count with map-side partial
+    aggregation (the only corpus-sized shuffle) → vocabulary-sized
+    aggregations and a vocabulary-sized self-join for the argmax.  At
+    100 TB the tf relation is the index itself; the stats output is
+    |vocab| rows.
+    """
+    toks = D.tokens("text", dialect)
+    ex = ex_rel if ex_rel is not None else "ex"
+    with_ex = (
+        ""
+        if ex_rel is not None
+        else f"""toks AS (
+            SELECT doc_id, {toks} AS toks FROM {_doc_tbl(dialect)}
+        ),
+        ex AS ({_explode_sql(dialect)}),"""
+    )
+    return f"""
+        WITH {with_ex}
+        tf AS (
+            SELECT t, doc_id, cast(count(*) as bigint) AS tf
+            FROM {ex} GROUP BY t, doc_id
+        ),
+        per AS (
+            SELECT t,
+                   cast(count(*) as bigint) AS df,
+                   cast(sum(tf) as bigint) AS cf,
+                   cast(max(tf) as bigint) AS max_tf
+            FROM tf GROUP BY t
+        ),
+        top AS (
+            SELECT tf.t, min(tf.doc_id) AS top_doc_id
+            FROM tf JOIN per ON tf.t = per.t AND tf.tf = per.max_tf
+            GROUP BY tf.t
+        )
+        SELECT per.t AS term, per.df, per.cf, per.max_tf, top.top_doc_id
+        FROM per JOIN top ON per.t = top.t
+    """
+
+
+@register(
+    "doc_inverted_index",
+    oracle=_inverted_index_sql(D.DUCK),
+    tags=("extension",),
+)
+def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index term statistics (df, cf, max tf, argmax posting).
+    The exploded token relation is staged once (cached) because both
+    the tf and the per-term aggregations consume it."""
+    load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView(SPARK_VIEW)
+    toks = D.tokens("text", D.SPARK)
+    ex = scoped_cache(
+        spark.sql(
+            f"SELECT doc_id, t FROM (SELECT doc_id, {toks} AS toks "
+            f"FROM {SPARK_VIEW}) s LATERAL VIEW explode(toks) x AS t"
+        ),
+        "doc_inverted_index",
+    )
+    ex.createOrReplaceTempView("__fps_search_ex")
+    return spark.sql(_inverted_index_sql(D.SPARK, ex_rel="__fps_search_ex"))
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval
+# --------------------------------------------------------------------------
+
+
+def _bm25_sql(dialect: str) -> str:
+    """BM25 top-k for a fixed keyword query.
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+        idf(t)   = ln(1 + (N - df + 0.5)/(df + 0.5))   (Lucene form)
+
+    Exactness: idf is quantized to integer micro-nats (see module
+    docstring); dl and tf are exact ints; avgdl and the normalizer are
+    single-rooted IEEE expressions over identical inputs; the per-doc
+    sum adds one CASE-pivoted part per literal query term in fixed
+    syntactic order.
+
+    Scale shape: the token filter ``t IN (query)`` lands *inside* the
+    explode projection, so the corpus-sized shuffle carries only
+    postings of the 3 query terms — the selectivity a real index gives
+    you, recovered here by predicate position.  dl is a per-row map
+    (no shuffle); N/avgdl is a 1-row broadcast cross join; df is
+    |query|-rows.
+    """
+    toks = D.tokens("text", dialect)
+    hit_arr = D.filter_arr("toks", "x", f"x IN {_terms_sql()}", dialect)
+    if dialect == D.SPARK:
+        hits = (
+            f"SELECT doc_id, t FROM (SELECT doc_id, {hit_arr} AS hs FROM toks) h "
+            f"LATERAL VIEW explode(hs) x AS t"
+        )
+    else:
+        hits = f"SELECT doc_id, unnest({hit_arr}) AS t FROM toks"
+    qidf = (
+        f"cast(floor(ln(1.0 + (cast(n_docs - df as double) + 0.5)"
+        f" / (cast(df as double) + 0.5)) * {_LN_SCALE}.0 + 0.5) as bigint)"
+    )
+    # One scoring expression per literal query term, summed in fixed
+    # syntactic order (engine-independent double addition).
+    part = (
+        f"coalesce(max(CASE WHEN tf.t = '{{term}}' THEN"
+        f" (cast(qidf as double) / {_LN_SCALE}.0)"
+        f" * (cast(tf as double) * {_BM25_K1 + 1.0!r})"
+        f" / (cast(tf as double) + {_BM25_K1!r} *"
+        f" ({1.0 - _BM25_B!r} + {_BM25_B!r} * cast(dl as double) / avgdl))"
+        f" END), 0.0)"
+    )
+    score = " + ".join(part.format(term=t) for t in _QUERY_TERMS)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {toks} AS toks FROM {_doc_tbl(dialect)}
+        ),
+        dl AS (
+            SELECT doc_id, cast({D.arr_size("toks", dialect)} as bigint) AS dl
+            FROM toks
+        ),
+        stats AS (
+            SELECT cast(count(*) as bigint) AS n_docs,
+                   cast(sum(dl) as double) / cast(count(*) as double) AS avgdl
+            FROM dl
+        ),
+        hits AS ({hits}),
+        tf AS (
+            SELECT doc_id, t, cast(count(*) as bigint) AS tf
+            FROM hits GROUP BY doc_id, t
+        ),
+        df AS (
+            SELECT t, cast(count(*) as bigint) AS df FROM tf GROUP BY t
+        ),
+        idf AS (
+            SELECT t, {qidf} AS qidf FROM df CROSS JOIN stats
+        ),
+        scored AS (
+            SELECT tf.doc_id, {score} AS score
+            FROM tf
+            JOIN idf ON tf.t = idf.t
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT {_BM25_TOPK}
+    """
+
+
+def _terms_sql() -> str:
+    return "(" + ", ".join(f"'{t}'" for t in _QUERY_TERMS) + ")"
+
+
+@register("doc_bm25_topk", oracle=_bm25_sql(D.DUCK), tags=("extension",))
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed 3-term keyword query (k1=1.2,
+    b=0.75, Lucene idf). See _bm25_sql for the parity scheme and why
+    the query-term filter sits inside the scan projection."""
+    load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_bm25_sql(D.SPARK))

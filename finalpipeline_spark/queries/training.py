@@ -563,3 +563,68 @@ def doc_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     a content-addressed coin — see _mix_sql."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
     return spark.sql(_mix_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Fixed-size weighted sampling without replacement (Efraimidis–Spirakis)
+# --------------------------------------------------------------------------
+_WS_K = 100          # sample size
+_WS_LN_SCALE = 1_000_000
+
+
+def _weighted_sample_sql(dialect: str) -> str:
+    """Efraimidis–Spirakis A-Res weighted sampling: each row draws a
+    deterministic uniform u from its content hash and gets key
+    u^(1/w); the k largest keys are the sample, which selects each row
+    with probability proportional to its weight w — here n_chars, i.e.
+    a length-weighted corpus sample (token-budget-proportional, the
+    mixture-building primitive temperature resampling builds on).
+
+    Parity scheme: ranking by u^(1/w) is equivalent to ranking by
+    ln(u)/w (w > 0, ln u < 0).  u comes from the md5 avalanche hash
+    (u_int ∈ [1, 2^31)), ln(u_int/2^31) is quantized to integer
+    micro-nats by floor(·+0.5) — identical in both engines — and the
+    key is a single IEEE division of that int by w.  Top-k is a full
+    total order (key desc, doc_id), so the cutoff is unambiguous.
+
+    Scale shape: hash + key are per-row maps; the only shuffle is the
+    global top-k (TakeOrderedAndProject in Spark — per-partition heaps,
+    never a full sort)."""
+    md5 = D.md5_hex("text", dialect)
+    h31 = D.hex_prefix_to_int("h", dialect)
+    qln = (
+        f"cast(floor(ln(cast(u as double) / 2147483648.0)"
+        f" * {_WS_LN_SCALE}.0 + 0.5) as bigint)"
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT doc_id, n_chars, {md5} AS h FROM {_doc_tbl(dialect)}
+        ),
+        u AS (
+            SELECT doc_id, n_chars,
+                   (({h31}) % 2147483647) + 1 AS u
+            FROM hashed
+        ),
+        keyed AS (
+            SELECT doc_id, n_chars,
+                   cast({qln} as double)
+                     / ({_WS_LN_SCALE}.0 * cast(n_chars as double)) AS es_key
+            FROM u
+        )
+        SELECT doc_id, n_chars, es_key FROM keyed
+        ORDER BY es_key DESC, doc_id
+        LIMIT {_WS_K}
+    """
+
+
+@register(
+    "doc_weighted_sample_fixed",
+    oracle=_weighted_sample_sql(D.DUCK),
+    tags=("extension",),
+)
+def doc_weighted_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (k=100) weighted sample without replacement,
+    inclusion probability ∝ n_chars — deterministic Efraimidis–
+    Spirakis keys from the content hash (see _weighted_sample_sql)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_weighted_sample_sql(D.SPARK))
