@@ -63,11 +63,6 @@ _PRIORITY_QUERIES = (
     # the two r2 events-loader repairs (errored rows in CORRECTNESS_r02)
     "events_pivot_counts",
     "ref_ledger_new_files",
-    # extended-module events representatives: fresh rows under the new
-    # ts encoding (the events module's own queries above already
-    # exercise the shared loader; these cover the extended-module
-    # epoch-arithmetic variants)
-    "events_asof_signup",
     # r2 repair: gained a posexplode'd scalar shape + a DuckDB oracle
     "lineitem_approx_quantiles",
     # new in the post-r2 session
@@ -100,6 +95,7 @@ _PRIORITY_QUERIES = (
     # deferred past 50, still covered by the local parity suite
     "doc_inverted_index",
     "doc_bm25_topk",
+    "doc_hybrid_search_rrf",
     "events_rollup_hierarchy",
     "nation_triangle_count",
     "doc_weighted_sample_fixed",
@@ -127,6 +123,7 @@ _DEFER_QUERIES = (
     "ref_orderby_limit",            # ref_topk_per_group r2-green
     "ref_counts",                   # every query exercises scan+count paths
     "events_sliding_window",        # loader attested by in-window events queries
+    "events_asof_signup",           # r1-green; epoch math attested in-window
     # r1-green events queries whose loader path is attested by the
     # in-window events queries — deferred to make room for the new
     # oracle-checked sketch/graph/profiling/MV ops

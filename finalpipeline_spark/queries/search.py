@@ -228,3 +228,100 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     ).createOrReplaceTempView(SPARK_VIEW)
     return spark.sql(_bm25_sql(D.SPARK))
+
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 + vector cosine fused by Reciprocal Rank Fusion
+# --------------------------------------------------------------------------
+_EMB_VIEW = "__fps_search_emb"
+_EMB_DIM = 64
+_RRF_K = 60          # the standard RRF damping constant
+_VEC_TOPK = 20
+_HYBRID_TOPK = 20
+
+
+def _emb_tbl(dialect: str) -> str:
+    return _EMB_VIEW if dialect == D.SPARK else "embeddings"
+
+
+def _hybrid_rrf_sql(dialect: str) -> str:
+    """Hybrid search: the lexical leg (BM25 top-20) and the semantic
+    leg (cosine top-20 to a fixed query vector — the corpus's min
+    vec_id row, so the "query" is deterministic data, not a literal)
+    are each ranked by a total order, then fused with Reciprocal Rank
+    Fusion:  score(d) = Σ_legs 1/(K + rank_leg(d)), K=60 — the
+    standard fusion for lexical+vector retrieval (Cormack et al.,
+    SIGIR'09; what Elasticsearch/OpenSearch hybrid query does).
+
+    Exactness: each leg's rank comes from a total order (score desc,
+    id), so ranks are engine-identical ints; 1/(K+r) is one IEEE
+    division and the two legs add in fixed syntactic order.
+
+    Scale shape: legs are independent (one corpus-sized posting
+    shuffle for BM25, one embedding scan vs a 1-row broadcast query
+    vector for cosine) and each emits a TOP-K-sized relation, so the
+    fusion join is K×K-sized — negligible at any corpus size. At
+    100 TB the cosine leg swaps in the IVF index (emb_ivf_topk) with
+    the same output contract."""
+    dot = D.dot("e.embedding", "q.embedding", _EMB_DIM, dialect)
+    cos = f"({dot} / sqrt(e.nrm * q.nrm))"
+    nrm = D.dot("embedding", "embedding", _EMB_DIM, dialect)
+    rrf = (
+        f"coalesce(1.0 / cast({_RRF_K} + b.r as double), 0.0)"
+        f" + coalesce(1.0 / cast({_RRF_K} + v.r as double), 0.0)"
+    )
+    return f"""
+        WITH bm AS ({_bm25_sql(dialect)}),
+        bm_rank AS (
+            SELECT doc_id, cast(row_number() OVER (
+                ORDER BY score DESC, doc_id) as bigint) AS r
+            FROM bm
+        ),
+        normed AS (
+            SELECT vec_id, embedding, {nrm} AS nrm FROM {_emb_tbl(dialect)}
+        ),
+        q AS (
+            SELECT embedding, nrm FROM normed
+            WHERE vec_id = (SELECT min(vec_id) FROM normed)
+        ),
+        vec_scored AS (
+            SELECT e.vec_id AS doc_id, {cos} AS cosine
+            FROM normed e CROSS JOIN q
+            WHERE e.vec_id != (SELECT min(vec_id) FROM normed)
+        ),
+        vec_top AS (
+            -- top-k BEFORE ranking: ORDER BY + LIMIT is per-partition
+            -- heaps in Spark (TakeOrderedAndProject), so the global
+            -- row_number window below sees {_VEC_TOPK} rows, never the
+            -- corpus
+            SELECT doc_id, cosine FROM vec_scored
+            ORDER BY cosine DESC, doc_id LIMIT {_VEC_TOPK}
+        ),
+        vec_rank AS (
+            SELECT doc_id, cast(row_number() OVER (
+                ORDER BY cosine DESC, doc_id) as bigint) AS r
+            FROM vec_top
+        ),
+        fused AS (
+            SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+                   {rrf} AS rrf_score,
+                   b.r AS bm25_rank, v.r AS vec_rank
+            FROM bm_rank b FULL OUTER JOIN vec_rank v ON b.doc_id = v.doc_id
+        )
+        SELECT doc_id, rrf_score, bm25_rank, vec_rank FROM fused
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT {_HYBRID_TOPK}
+    """
+
+
+@register("doc_hybrid_search_rrf", oracle=_hybrid_rrf_sql(D.DUCK), tags=("extension",))
+def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: BM25 leg ∪ cosine leg fused
+    by Reciprocal Rank Fusion (K=60). See _hybrid_rrf_sql for the
+    exactness scheme and the K×K fusion-join scale story."""
+    load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView(SPARK_VIEW)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(_EMB_VIEW)
+    return spark.sql(_hybrid_rrf_sql(D.SPARK))

@@ -1,0 +1,191 @@
+"""Versioned parquet table: snapshots, time travel, copy-on-write
+delete, rollback, concurrency, crash recovery, vacuum, stats pruning."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from finalpipeline_spark.sources.versioned import (
+    ConcurrentCommitError,
+    VersionedTable,
+    VersionNotFoundError,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return VersionedTable(spark, str(tmp_path / "vt"))
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).selectExpr("id", f"'{tag}' as tag")
+
+
+def test_snapshot_and_time_travel(spark, table):
+    c0 = table.commit_overwrite(_df(spark, 0, 100, "a"))
+    c1 = table.commit_append(_df(spark, 100, 150, "b"))
+    c2 = table.commit_overwrite(_df(spark, 0, 10, "c"))
+    assert (c0.version, c1.version, c2.version) == (0, 1, 2)
+    assert table.read().count() == 10
+    assert table.read(version=1).count() == 150
+    assert table.read(version=0).count() == 100
+    # append carried v0's files by reference: no rewrite happened
+    m0, m1 = table.manifest(0), table.manifest(1)
+    assert {f["path"] for f in m0["files"]} <= {f["path"] for f in m1["files"]}
+
+
+def test_delete_where_rewrites_only_hit_files(spark, table):
+    # two appends → two commit dirs; delete touches only the second
+    table.commit_overwrite(_df(spark, 0, 100, "a").coalesce(1))
+    table.commit_append(_df(spark, 100, 200, "b").coalesce(1))
+    before = table.manifest()["files"]
+    info = table.delete_where("id >= 150")
+    after = table.manifest()["files"]
+    assert table.read().count() == 150
+    assert info.action == "delete"
+    # the untouched first file survives by reference (same path)
+    a_paths = {f["path"] for f in before if f["stats"]["id"][1] < 100}
+    assert a_paths <= {f["path"] for f in after}
+    # the hit file's path is gone, replaced by a rewritten survivor file
+    assert not {f["path"] for f in before if f["stats"]["id"][1] >= 150} & {
+        f["path"] for f in after
+    }
+    # old version still reads the pre-delete rows (time travel unaffected)
+    assert table.read(version=1).count() == 200
+
+
+def test_delete_where_no_match_is_metadata_only(spark, table):
+    table.commit_overwrite(_df(spark, 0, 50, "a"))
+    files_before = {f["path"] for f in table.manifest()["files"]}
+    table.delete_where("id > 1000000")
+    assert {f["path"] for f in table.manifest()["files"]} == files_before
+    assert table.read().count() == 50
+
+
+def test_rollback_is_roll_forward(spark, table):
+    table.commit_overwrite(_df(spark, 0, 100, "a"))
+    table.commit_overwrite(_df(spark, 0, 5, "b"))
+    info = table.rollback(0)
+    assert info.version == 2
+    assert table.read().count() == 100
+    # history preserved: v1 still readable, log is append-only
+    assert table.read(version=1).count() == 5
+    hist = {r["version"]: r["action"] for r in table.history().collect()}
+    assert hist == {0: "overwrite", 1: "overwrite", 2: "rollback"}
+
+
+def test_concurrent_commit_conflict(spark, table):
+    table.commit_overwrite(_df(spark, 0, 10, "a"))
+    # simulate a racing writer that claimed v1 first
+    other = VersionedTable(spark, table.root)
+    other.commit_append(_df(spark, 10, 20, "b"))
+    files = table._write_data_files(_df(spark, 20, 30, "c"))
+    manifest = {"version": 1, "parent": 0, "action": "append",
+                "schema": "x", "files": files}
+    with pytest.raises(ConcurrentCommitError):
+        table._write_manifest(manifest)
+    # loser retries on the new latest and succeeds
+    info = table._commit("append", table.manifest()["files"] + files, "x")
+    assert info.version == 2
+    assert table.read().count() == 30
+
+
+def test_aborted_commit_is_invisible_and_recoverable(spark, table):
+    table.commit_overwrite(_df(spark, 0, 10, "a"))
+    # crash A: data files written, manifest never created → invisible
+    table._write_data_files(_df(spark, 0, 999, "orphan"))
+    assert table.read().count() == 10
+    # crash B: manifest truncated mid-write → ignored by readers
+    log_dir = os.path.join(table.root, "_log")
+    with open(os.path.join(log_dir, "v%012d.json" % 1), "w") as fh:
+        fh.write('{"version": 1, "files": [')  # truncated JSON
+    assert table.latest_version() == 0
+    assert table.read().count() == 10
+    # recover_log retires it so version 1 is claimable again
+    assert table.recover_log() == [1]
+    info = table.commit_append(_df(spark, 10, 20, "b"))
+    assert info.version == 1
+    assert table.read().count() == 20
+
+
+def test_vacuum_reclaims_unreferenced_files(spark, table):
+    table.commit_overwrite(_df(spark, 0, 100, "a"))
+    table.commit_overwrite(_df(spark, 0, 10, "b"))   # v0's files now dead
+    table._write_data_files(_df(spark, 0, 5, "orphan"))  # aborted commit
+    deleted = table.vacuum(retain_last=1)
+    assert deleted  # v0's files + the orphan dir
+    # live version intact, expired version errors cleanly
+    assert table.read().count() == 10
+    with pytest.raises(VersionNotFoundError):
+        table.read(version=0)
+    # every file referenced by the retained manifest still exists
+    for f in table.manifest()["files"]:
+        assert os.path.exists(os.path.join(table.root, f["path"]))
+    # idempotent
+    assert table.vacuum(retain_last=1) == []
+
+
+def test_read_pruned_skips_files_but_matches_full_scan(spark, table):
+    # three appends with disjoint id ranges → three prunable files
+    for lo in (0, 1000, 2000):
+        table.commit_append(
+            _df(spark, lo, lo + 100, f"r{lo}").coalesce(1)
+        )
+    pruned = table.read_pruned("id", 1000, 1050)
+    full = table.read().filter("id between 1000 and 1050")
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in full.collect()
+    )
+    # provably fewer files scanned: the pruned plan reads 1 of 3 files
+    n_scanned = len(pruned.inputFiles())
+    assert n_scanned == 1
+    assert len(full.inputFiles()) == 3
+
+
+def test_manifest_stats_recorded(spark, table):
+    table.commit_overwrite(_df(spark, 5, 50, "a"))
+    m = table.manifest()
+    mins = min(f["stats"]["id"][0] for f in m["files"])
+    maxs = max(f["stats"]["id"][1] for f in m["files"])
+    assert (mins, maxs) == (5, 49)
+    assert sum(f["rows"] for f in m["files"]) == 45
+    assert json.dumps(m)  # manifest is valid JSON end-to-end
+
+
+def test_read_changes_is_file_level_delta(spark, table):
+    table.commit_overwrite(_df(spark, 0, 100, "a"))
+    table.commit_append(_df(spark, 100, 130, "b"))
+    table.commit_append(_df(spark, 130, 140, "c"))
+    delta = table.read_changes(since_version=0)
+    assert sorted(r["id"] for r in delta.collect()) == list(range(100, 140))
+    # delta scans only the new files, never the base snapshot
+    assert len(delta.inputFiles()) < len(table.read().inputFiles())
+    assert table.read_changes(since_version=2).count() == 0
+    # crossing an overwrite has no row-level delta
+    table.commit_overwrite(_df(spark, 0, 5, "d"))
+    with pytest.raises(ValueError):
+        table.read_changes(since_version=0)
+
+
+def test_optimize_binpacks_and_clusters(spark, table):
+    # many small appends → many small files
+    for lo in range(0, 500, 100):
+        table.commit_append(_df(spark, lo, lo + 100, "x").repartition(4))
+    files_before = len(table.manifest()["files"])
+    assert files_before >= 20
+    before_rows = sorted(r["id"] for r in table.read().collect())
+    v_before = table.latest_version()
+
+    info = table.optimize(target_rows_per_file=300, cluster_by=["id"])
+    assert info.action == "optimize"
+    # content identical, far fewer files
+    assert sorted(r["id"] for r in table.read().collect()) == before_rows
+    assert info.n_files == 2  # ceil(500/300)
+    # clustering tightened stats: file ranges are disjoint, so a point
+    # lookup prunes to a single file
+    assert len(table.read_pruned("id", 450, 460).inputFiles()) == 1
+    # history preserved: the pre-optimize snapshot still reads
+    assert table.read(version=v_before).count() == 500
