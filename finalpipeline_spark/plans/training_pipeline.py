@@ -1,0 +1,263 @@
+"""End-to-end training-data pipeline: the north-star composition.
+
+Every stage exists elsewhere in the repo as an oracle-checked query;
+this plan wires them into the artifact a user actually ships — raw
+corpus in, packed + sharded training data out — with the operational
+properties a 100 TB run needs:
+
+* **Pinned inputs.** Stage 0 commits the raw corpus into a
+  `sources/versioned.VersionedTable`; every downstream stage reads that
+  exact snapshot, and the gold commit records the bronze version in its
+  manifest meta — a training run is reproducible from its gold manifest
+  alone.
+* **Monotone funnel accounting.** Each stage reports docs in/out; the
+  report is the first thing an operator looks at when a run's token
+  count moves ("did dedup suddenly eat 40%?").
+* **Determinism end to end.** Every stage is a pure function of
+  content (content-addressed hashes, no rand(), no timestamps), so
+  re-running the pipeline on the same snapshot yields the identical
+  row set — verified by test.
+
+Stage → oracle-checked twin:
+  clean      → doc_pii_redact, doc_quality_score (features)
+  exact dup  → doc_dedup_exact_keep_best (canonical = best quality)
+  near dup   → doc_dedup_minhash_lsh (banded LSH, no all-pairs)
+  decontam   → doc_decontam_ngram_overlap (eval split is held out)
+  quality    → doc_quality_classifier (linear scorer, scan-speed)
+  pack       → doc_pack_sequences (running-offset chunking)
+  shard      → doc_shard_interleave (content-addressed assignment)
+
+Scale shape: one corpus-sized shuffle for exact dedup (32-byte md5
+keys), one for LSH banding (band keys, not text), one for packing (the
+per-shard running sum); everything else is scan-speed projections. The
+only driver-side state is the funnel report (one row per stage) and
+the versioned-table manifests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from finalpipeline_spark.functions import dialect as D
+from finalpipeline_spark.sources.versioned import VersionedTable
+from finalpipeline_spark.tables import load_table
+
+MIN_CHARS = 100          # clean gate: drop fragments
+QUALITY_MIN = 0.0        # classifier score gate (see _quality_score)
+SEQ_LEN = 256            # tokens per packed training sequence
+N_SHARDS = 8
+_EVAL_PCT = 5            # held-out eval slice (content-addressed)
+_LSH_BANDS = 4
+
+
+@dataclass(frozen=True)
+class StageCount:
+    stage: str
+    docs_in: int
+    docs_out: int
+
+
+class TrainingPipeline:
+    """raw documents → packed, sharded training sequences."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.bronze = VersionedTable(spark, f"{warehouse}/bronze_docs")
+        self.gold = VersionedTable(spark, f"{warehouse}/gold_packed")
+        self.report: list[StageCount] = []
+        self._last_count: int | None = None
+
+    # -- stages ------------------------------------------------------
+    def ingest(self, sf_dir: str) -> int:
+        """Stage 0: pin the raw corpus as one versioned snapshot."""
+        docs = load_table(self.spark, sf_dir, "documents")
+        info = self.bronze.commit_overwrite(docs)
+        return info.version
+
+    def _counted(self, stage: str, before: DataFrame, after: DataFrame) -> DataFrame:
+        """Record the stage's funnel row and materialize its output
+        once (localCheckpoint): each stage is computed exactly one
+        time — the funnel count doubles as the materializing action —
+        instead of every later count()/write replaying the whole
+        upstream chain. At cluster scale the checkpoint becomes a
+        silver-table write; the accounting is identical."""
+        out = after.localCheckpoint(eager=True)
+        n_in = self._last_count if self._last_count is not None else before.count()
+        n_out = out.count()
+        self._last_count = n_out
+        self.report.append(StageCount(stage, n_in, n_out))
+        return out
+
+    def clean(self, docs: DataFrame) -> DataFrame:
+        """PII scrub + minimum-length gate (doc_pii_redact twin)."""
+        scrubbed = docs.withColumn(
+            "text",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        "text",
+                        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                        "<EMAIL>",
+                    ),
+                    r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+                    "<IP>",
+                ),
+                r"\+?\d[\d\s().-]{7,}\d",
+                "<PHONE>",
+            ),
+        )
+        return self._counted(
+            "clean", docs, scrubbed.filter(F.length("text") >= MIN_CHARS)
+        )
+
+    def dedup_exact(self, docs: DataFrame) -> DataFrame:
+        """Canonical copy per identical text: keep the lowest doc_id
+        (deterministic; the shuffle carries 32-byte md5 keys)."""
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        out = (
+            docs.withColumn("fp", F.md5("text"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("fp", "rn")
+        )
+        return self._counted("dedup_exact", docs, out)
+
+    def dedup_near(self, docs: DataFrame) -> DataFrame:
+        """MinHash-LSH near-dup removal (doc_dedup_minhash_lsh twin):
+        banded signatures → candidate pairs within buckets only; the
+        min-id member of each candidate group survives."""
+        from finalpipeline_spark.queries.documents import MINHASH_COEFFS
+
+        toks = D.tokens("text", D.SPARK)
+        # signature build, staged once (band keys from 16-perm minhash)
+        tok_hash = D.token_hash("t", D.SPARK)
+        hashed_arr = D.transform_arr("toks", "t", tok_hash, D.SPARK)
+        hashed = docs.selectExpr("doc_id", f"{toks} AS toks").selectExpr(
+            "doc_id", f"{hashed_arr} AS hs"
+        )
+        shingled = hashed.selectExpr(
+            "doc_id", f"{D.shingle_hashes('hs', D.SPARK)} AS shs"
+        ).filter(F.expr(f"{D.arr_size('shs', D.SPARK)} > 0"))
+        sig = shingled.selectExpr(
+            "doc_id",
+            f"{D.minhash_sig_ints('shs', MINHASH_COEFFS, D.SPARK)} AS sig",
+        ).localCheckpoint(eager=True)
+        per_band = len(MINHASH_COEFFS) // _LSH_BANDS
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.expr(
+                                "concat_ws(',', "
+                                + ", ".join(
+                                    f"sig[{b * per_band + i}]" for i in range(per_band)
+                                )
+                                + ")"
+                            ).alias("key"),
+                        )
+                        for b in range(_LSH_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", "bk.band", "bk.key")
+        # min doc_id per (band, key) bucket = the survivor each member maps to
+        canon = bands.groupBy("band", "key").agg(F.min("doc_id").alias("canon"))
+        dup_of = (
+            bands.join(canon, ["band", "key"])
+            .filter("doc_id != canon")
+            .select("doc_id")
+            .distinct()
+        )
+        out = docs.join(dup_of, "doc_id", "left_anti")
+        return self._counted("dedup_near", docs, out)
+
+    def decontaminate(self, docs: DataFrame) -> DataFrame:
+        """Drop training docs sharing any 3-gram shingle with the
+        held-out eval slice (doc_decontam_ngram_overlap twin). The eval
+        slice is content-addressed (md5 lane), so the split is stable
+        across runs; eval side is tiny → broadcast."""
+        toks = D.tokens("text", D.SPARK)
+        lane = f"({D.hex_prefix_to_int(D.md5_hex('text', D.SPARK), D.SPARK)} % 100)"
+        tok_hash = D.token_hash("t", D.SPARK)
+        hashed_arr = D.transform_arr(toks, "t", tok_hash, D.SPARK)
+        shingles = D.shingle_hashes(hashed_arr, D.SPARK)
+        with_sh = docs.selectExpr("*", f"{lane} AS lane").selectExpr(
+            "*", f"{shingles} AS shs"
+        )
+        train = with_sh.filter(F.col("lane") >= _EVAL_PCT)
+        eval_sh = (
+            with_sh.filter(F.col("lane") < _EVAL_PCT)
+            .select(F.explode("shs").alias("sh"))
+            .distinct()
+        )
+        contaminated = (
+            train.select("doc_id", F.explode("shs").alias("sh"))
+            .join(F.broadcast(eval_sh), "sh")
+            .select("doc_id")
+            .distinct()
+        )
+        out = train.join(contaminated, "doc_id", "left_anti").drop("lane", "shs")
+        return self._counted("decontaminate", docs, out)
+
+    def quality_filter(self, docs: DataFrame) -> DataFrame:
+        """Linear quality scorer over scan-time features
+        (doc_quality_classifier twin): length, alpha ratio, mean word
+        length — pure codegen projection, zero shuffle."""
+        scored = docs.withColumn(
+            "q",
+            F.expr(
+                "0.4 * least(length(text) / 2000.0, 1.0)"
+                " + 0.4 * (length(regexp_replace(text, '[^a-zA-Z ]', ''))"
+                "          / cast(greatest(length(text), 1) as double))"
+                " + 0.2 * least(length(text) / cast(greatest(size(split(text, ' ')), 1)"
+                "               as double) / 8.0, 1.0)"
+            ),
+        )
+        return self._counted(
+            "quality", docs, scored.filter(F.col("q") > QUALITY_MIN).drop("q")
+        )
+
+    def pack_and_shard(self, docs: DataFrame) -> DataFrame:
+        """Token counting → per-shard running offsets → sequence ids
+        (doc_pack_sequences twin) with content-addressed shard
+        assignment (doc_shard_interleave twin). One shuffle: the
+        per-shard window."""
+        toks = D.tokens("text", D.SPARK)
+        with_n = docs.selectExpr(
+            "*", f"{D.arr_size(toks, D.SPARK)} AS n_tokens"
+        ).filter("n_tokens > 0")
+        shard = f"({D.hex_prefix_to_int(D.md5_hex('text', D.SPARK), D.SPARK)} % {N_SHARDS})"
+        sharded = with_n.selectExpr("*", f"{shard} AS shard")
+        w = Window.partitionBy("shard").orderBy("doc_id")
+        return (
+            sharded.withColumn("end_off", F.sum("n_tokens").over(w))
+            .withColumn("seq_id", F.expr(f"(end_off - 1) div {SEQ_LEN}"))
+            .select("doc_id", "text", "n_tokens", "shard", "seq_id")
+        )
+
+    # -- driver --------------------------------------------------------
+    def run(self, sf_dir: str) -> DataFrame:
+        """Execute all stages against a pinned bronze snapshot; commit
+        gold with lineage meta; return the funnel report."""
+        self.report = []
+        self._last_count = None
+        bronze_version = self.ingest(sf_dir)
+        docs = self.bronze.read(bronze_version)
+        out = self.pack_and_shard(
+            self.quality_filter(
+                self.decontaminate(self.dedup_near(self.dedup_exact(self.clean(docs))))
+            )
+        )
+        # lineage: which bronze snapshot produced this gold version
+        self.gold.commit_overwrite(out, meta={"bronze_version": bronze_version})
+        rows = [(s.stage, s.docs_in, s.docs_out) for s in self.report]
+        return self.spark.createDataFrame(
+            rows, "stage string, docs_in bigint, docs_out bigint"
+        )

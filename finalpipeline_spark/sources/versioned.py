@@ -88,11 +88,30 @@ def _stat_cols(df: DataFrame) -> list[str]:
 
 
 class VersionedTable:
-    """A multi-version parquet table rooted at ``root``."""
+    """A multi-version parquet table rooted at ``root``.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``bloom_col`` declares a point-lookup index column: every commit
+    then records a small per-file bloom filter (``bloom_bits`` bits,
+    ``bloom_k`` hashes) in the manifest, and ``read_point_lookup``
+    skips files whose filter rules the key out — the Delta
+    bloom-filter-index / Iceberg-puffin mechanism. Min/max stats can't
+    prune point lookups on high-cardinality unclustered keys (every
+    file's range covers everything); the bloom can, with false-positive
+    over-selection only."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        bloom_col: str | None = None,
+        bloom_bits: int = 8192,
+        bloom_k: int = 3,
+    ):
         self.spark = spark
         self.root = root.rstrip("/")
+        self.bloom_col = bloom_col
+        self.bloom_bits = bloom_bits
+        self.bloom_k = bloom_k
         self._fs, _, self._jvm = _fs_and_path(spark, self.root)
 
     # -- paths -------------------------------------------------------
@@ -193,18 +212,62 @@ class VersionedTable:
             .agg(*aggs)
             .collect()  # one row per new data file — manifest-sized
         )
+        blooms = self._per_file_blooms(back) if self.bloom_col in back.columns else {}
         files = []
         for r in stats:
-            rel = r["__file"]
-            idx = rel.find(commit_dir)
-            rel = rel[idx:] if idx >= 0 else rel
+            full = r["__file"]
+            idx = full.find(commit_dir)
+            rel = full[idx:] if idx >= 0 else full
             entry: dict[str, Any] = {"path": rel, "rows": r["__rows"]}
             entry["stats"] = {
                 c: [_json_safe(r[f"__min_{c}"]), _json_safe(r[f"__max_{c}"])]
                 for c in cols
             }
+            if full in blooms:
+                entry["bloom"] = blooms[full]
             files.append(entry)
         return files
+
+    def _per_file_blooms(self, back: DataFrame) -> dict[str, list[int]]:
+        """One bloom word-array per new data file over ``bloom_col``.
+        The aggregation dedups (file, position) pairs map-side, so the
+        collect is bounded by n_new_files × bloom_bits — commit-sized
+        planning state, never row-sized."""
+        from finalpipeline_spark.operators.bloom import _position_expr
+
+        pos = F.array(
+            *[
+                F.expr(_position_expr(self.bloom_col, j, self.bloom_bits))
+                for j in range(self.bloom_k)
+            ]
+        )
+        rows = (
+            back.select(
+                F.col("_metadata.file_path").alias("__file"),
+                F.explode(pos).alias("pos"),
+            )
+            .distinct()
+            .collect()
+        )
+        words: dict[str, list[int]] = {}
+        n_words = (self.bloom_bits + 63) // 64
+        for r in rows:
+            w = words.setdefault(r["__file"], [0] * n_words)
+            w[r["pos"] >> 6] |= 1 << (r["pos"] & 63)
+        return words
+
+    def _bloom_might_contain(self, words: list[int], value: Any) -> bool:
+        """Driver-side membership test mirroring operators/bloom's SQL
+        scheme bit-for-bit: position = (md5('<seed>:<str(value)>') hex
+        prefix as int31) % bits."""
+        import hashlib
+
+        for j in range(self.bloom_k):
+            h = hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:8]
+            p = (int(h, 16) % 2_147_483_648) % self.bloom_bits
+            if not (words[p >> 6] >> (p & 63)) & 1:
+                return False
+        return True
 
     def _commit(
         self,
@@ -233,9 +296,14 @@ class VersionedTable:
         )
 
     # -- write API -----------------------------------------------------
-    def commit_overwrite(self, df: DataFrame) -> CommitInfo:
-        """New version containing exactly ``df``'s rows."""
-        return self._commit("overwrite", self._write_data_files(df), df.schema.simpleString())
+    def commit_overwrite(
+        self, df: DataFrame, meta: dict[str, Any] | None = None
+    ) -> CommitInfo:
+        """New version containing exactly ``df``'s rows. ``meta`` is
+        recorded in the manifest (e.g. upstream-snapshot lineage)."""
+        return self._commit(
+            "overwrite", self._write_data_files(df), df.schema.simpleString(), meta
+        )
 
     def commit_append(
         self, df: DataFrame, meta: dict[str, Any] | None = None
@@ -376,6 +444,27 @@ class VersionedTable:
         return (
             self.spark.read.parquet(*paths)
             .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        )
+
+    def read_point_lookup(
+        self, value: Any, version: int | None = None
+    ) -> DataFrame:
+        """Point lookup ``bloom_col = value`` that opens only files
+        whose per-file bloom filter might contain the key (plus files
+        committed without a bloom, conservatively). Over-selection
+        only — the exact equality filter is still applied."""
+        if self.bloom_col is None:
+            raise ValueError("table was opened without a bloom_col")
+        m = self.manifest(version)
+        paths = []
+        for f in m["files"]:
+            bloom = f.get("bloom")
+            if bloom is None or self._bloom_might_contain(bloom, value):
+                paths.append(f"{self.root}/{f['path']}")
+        if not paths:
+            return self.read(version).filter(F.lit(False))
+        return self.spark.read.parquet(*paths).filter(
+            F.col(self.bloom_col) == F.lit(value)
         )
 
     def history(self) -> DataFrame:

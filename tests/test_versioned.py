@@ -189,3 +189,31 @@ def test_optimize_binpacks_and_clusters(spark, table):
     assert len(table.read_pruned("id", 450, 460).inputFiles()) == 1
     # history preserved: the pre-optimize snapshot still reads
     assert table.read(version=v_before).count() == 500
+
+
+def test_bloom_point_lookup_skips_files(spark, tmp_path):
+    from finalpipeline_spark.sources.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vtb"), bloom_col="id")
+    # high-cardinality key appended in interleaved batches: min/max
+    # ranges all overlap, so stats pruning is useless — only the bloom
+    # can skip files for a point lookup
+    for off in range(4):
+        vt.commit_append(
+            spark.range(0, 400).selectExpr(f"id * 4 + {off} as id").coalesce(1)
+        )
+    key = 4 * 123 + 2  # lives in exactly one file (off=2)
+    got = vt.read_point_lookup(key)
+    assert [r.id for r in got.collect()] == [key]
+    n_opened = len(got.inputFiles())
+    assert n_opened < 4  # bloom actually skipped files
+    # spot-check a sample instead of all 1600 (driver-side loop cost)
+    for r in vt.read().limit(25).collect():
+        assert vt.read_point_lookup(r.id).count() == 1
+    # absent key: zero rows (possibly zero files opened)
+    assert vt.read_point_lookup(10_000_000).count() == 0
+    # files committed without a bloom are conservatively kept
+    vt_plain = VersionedTable(spark, vt.root)  # no bloom_col on writes
+    vt_plain.commit_append(spark.range(5000, 5001).selectExpr("id"))
+    vt2 = VersionedTable(spark, vt.root, bloom_col="id")
+    assert vt2.read_point_lookup(5000).count() == 1
