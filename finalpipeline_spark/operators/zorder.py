@@ -61,6 +61,19 @@ def zorder_write_parquet(
     signed long — beyond that the interleave would hit the sign bit
     (breaking sort order) or wrap the shift mod 64 (colliding codes).
     """
+    zorder_cluster(df, cols, num_files, bits).write.mode("overwrite").parquet(path)
+
+
+def zorder_cluster(
+    df: DataFrame,
+    cols: Sequence[str],
+    num_partitions: int,
+    bits: int = 16,
+) -> DataFrame:
+    """``df`` re-clustered along the Morton curve of ``cols`` into
+    ``num_partitions`` range partitions (see zorder_write_parquet for
+    the mechanics) — the writable unit, so any sink (plain parquet,
+    VersionedTable.optimize) can apply z-ordering."""
     bits = min(bits, 63 // len(cols))
     aggs = []
     for c in cols:
@@ -74,11 +87,9 @@ def zorder_write_parquet(
         for c in cols
     ]
     z = _interleave(scaled, bits).alias("__z")
-    (
+    return (
         with_stats.select(*df.columns, z)
-        .repartitionByRange(num_files, "__z")
+        .repartitionByRange(num_partitions, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
     )

@@ -240,3 +240,65 @@ def nation_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     und.createOrReplaceTempView(_TRI_EDGES_VIEW)
     return spark.sql(f"WITH {_triangles_sql(_NODES_VIEW, _TRI_EDGES_VIEW)}")
+
+
+# --------------------------------------------------------------------------
+# Single-source shortest paths (unrolled BFS)
+# --------------------------------------------------------------------------
+_BFS_SRC = 0        # source node (nationkey 0)
+_BFS_ROUNDS = 3
+_BFS_EDGES_VIEW = "__fps_bfs_edges"
+
+
+def _bfs_round_sql(prev: str, edges: str) -> str:
+    """One BFS relaxation: known distances ∪ (neighbor, dist+1) via one
+    equi-join, folded by min per node. All-integer, so every round is
+    engine-identical — the iterative-algorithm pattern shared with
+    nation_pagerank (joins + aggregations, O(V+E) per round)."""
+    return f"""
+        SELECT node, cast(min(dist) as bigint) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + 1 AS dist
+            FROM {prev} d JOIN {edges} e ON e.src = d.node
+        ) u GROUP BY node
+    """
+
+
+def _bfs_sql(nodes: str, edges: str) -> str:
+    rounds = [f"d0 AS (SELECT cast({_BFS_SRC} as bigint) AS node, cast(0 as bigint) AS dist)"]
+    for i in range(1, _BFS_ROUNDS + 1):
+        rounds.append(f"d{i} AS ({_bfs_round_sql(f'd{i-1}', edges)})")
+    return f"""
+        WITH {', '.join(rounds)}
+        SELECT n.n_name AS nation,
+               d.dist AS hops
+        FROM {nodes} n LEFT JOIN d{_BFS_ROUNDS} d ON n.node = d.node
+    """
+
+
+def _bfs_oracle() -> str:
+    return f"""
+        WITH nodes AS ({_nodes_sql(D.DUCK)}),
+        edges AS ({_edges_sql(D.DUCK)}),
+        bfs AS ({_bfs_sql("nodes", "edges")})
+        SELECT * FROM bfs
+    """
+
+
+@register("nation_shortest_paths", oracle=_bfs_oracle(), tags=("extension",))
+def nation_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from nation 0 to every nation along directed trade
+    edges, {_BFS_ROUNDS} unrolled BFS relaxations (NULL = unreachable
+    within the horizon). Same edge build as nation_pagerank; the edge
+    relation is materialized once (localCheckpoint, E-sized) so the
+    fact join runs exactly once, and each round is one E-sized join +
+    V-sized min — O(V+E) per round regardless of fact size.
+    All-integer → bit-identical with the oracle at every round."""
+    for name, view in _VIEWS.items():
+        load_table(spark, sf_dir, name).createOrReplaceTempView(view)
+    spark.sql(_nodes_sql(D.SPARK)).createOrReplaceTempView(_NODES_VIEW)
+    spark.sql(_edges_sql(D.SPARK)).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView(_BFS_EDGES_VIEW)
+    return spark.sql(f"SELECT * FROM ({_bfs_sql(_NODES_VIEW, _BFS_EDGES_VIEW)}) b")

@@ -360,23 +360,32 @@ class VersionedTable:
         self,
         target_rows_per_file: int = 1_000_000,
         cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> CommitInfo:
         """OPTIMIZE: rewrite the current snapshot's small files into
         ~target-sized files (bin-packing), optionally range-clustered
-        on ``cluster_by`` so per-file min/max stats tighten and
-        ``read_pruned`` skips more. Content is unchanged — only the
-        file layout — and history is preserved: old versions still
-        read their original files until vacuumed.
+        on ``cluster_by`` (single-column locality) or Morton-clustered
+        on ``zorder_by`` (multi-column locality — every z-ordered
+        column's per-file range tightens, so ``read_pruned`` skips on
+        any of them) so manifest stats turn into skipped I/O. Content
+        is unchanged — only the file layout — and history is preserved:
+        old versions still read their original files until vacuumed.
 
         At 100 TB this is the maintenance job that keeps a streaming-
         ingested table scannable (thousands of per-epoch files → file
         count ∝ data size / target) and is itself one atomic commit, so
         concurrent readers never see a half-compacted table."""
+        if cluster_by and zorder_by:
+            raise ValueError("pass cluster_by or zorder_by, not both")
         m = self.manifest()
         current = self.read()
         total_rows = sum(f["rows"] for f in m["files"])
         n_out = max(1, -(-total_rows // target_rows_per_file))
-        if cluster_by:
+        if zorder_by:
+            from finalpipeline_spark.operators.zorder import zorder_cluster
+
+            packed = zorder_cluster(current, zorder_by, n_out)
+        elif cluster_by:
             packed = current.repartitionByRange(n_out, *[F.col(c) for c in cluster_by])
         else:
             packed = current.coalesce(n_out)

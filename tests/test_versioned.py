@@ -217,3 +217,26 @@ def test_bloom_point_lookup_skips_files(spark, tmp_path):
     vt_plain.commit_append(spark.range(5000, 5001).selectExpr("id"))
     vt2 = VersionedTable(spark, vt.root, bloom_col="id")
     assert vt2.read_point_lookup(5000).count() == 1
+
+
+def test_optimize_zorder_prunes_both_columns(spark, table):
+    # two independent uniform columns: neither single-column clustering
+    # nor append order makes BOTH prunable; z-order does
+    df = spark.range(0, 4096).selectExpr(
+        "id", "cast((id * 2654435761) % 4096 as bigint) as x",
+        "cast((id * 40503) % 4096 as bigint) as y",
+    )
+    table.commit_overwrite(df.repartition(8))
+    info = table.optimize(target_rows_per_file=512, zorder_by=["x", "y"])
+    assert info.n_files == 8
+    # content unchanged
+    assert table.read().count() == 4096
+    # a narrow range on EITHER z-ordered column prunes files
+    nx = len(table.read_pruned("x", 0, 255).inputFiles())
+    ny = len(table.read_pruned("y", 0, 255).inputFiles())
+    assert nx < 8 and ny < 8
+    # and pruned results equal the full-scan filter
+    full = sorted(
+        r.id for r in table.read().filter("x between 0 and 255").collect()
+    )
+    assert sorted(r.id for r in table.read_pruned("x", 0, 255).collect()) == full
