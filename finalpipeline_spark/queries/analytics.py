@@ -1,0 +1,207 @@
+"""Customer/retail analytics: RFM segmentation, market-basket lift,
+first-touch attribution.
+
+The reference's datamart answered one question (top-k similarity per
+target); a warehouse team's first three asks after that are always the
+same: who are my customer segments (RFM), what sells together
+(basket affinity), and which touchpoint acquired the converters
+(attribution). Each is a classic multi-stage aggregation with a sharp
+scale shape, expressed here with the repo's exactness rules (integer
+cents, total-order ranks, single-rooted IEEE divisions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from finalpipeline_spark.functions import dialect as D
+from finalpipeline_spark.queries.registry import register
+from finalpipeline_spark.tables import load_table
+
+_ORD_VIEW = "__fps_an_orders"
+_LI_VIEW = "__fps_an_lineitem"
+_EV_VIEW = "__fps_an_events"
+
+_RFM_ANCHOR = "1998-08-02"   # TPC-H q1 anchor: day after the last shipdate
+_N_TILES = 4
+_BASKET_TOPK = 20
+
+
+def _ord(dialect: str) -> str:
+    return _ORD_VIEW if dialect == D.SPARK else "orders"
+
+
+def _li(dialect: str) -> str:
+    return _LI_VIEW if dialect == D.SPARK else "lineitem"
+
+
+def _ev(dialect: str) -> str:
+    return _EV_VIEW if dialect == D.SPARK else "events"
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation
+# --------------------------------------------------------------------------
+def _rfm_sql(dialect: str) -> str:
+    """Recency/Frequency/Monetary quartile segmentation.
+
+    Exactness: recency is a calendar-day diff of DATE-cast values
+    (timezone-free in both engines), frequency an exact count, monetary
+    an exact cents sum; each quartile is ntile({_N_TILES}) over a TOTAL
+    order (metric + custkey tiebreak), so tile boundaries are
+    position-arithmetic both engines compute identically; avg monetary
+    per segment is one IEEE division of exact int64 sums.
+
+    Scale shape: one fact shuffle (groupBy custkey), then three
+    customer-sized window passes and one segment-sized agg — the
+    windows rank customers, never order lines."""
+    if dialect == D.SPARK:
+        days = f"datediff(date '{_RFM_ANCHOR}', cast(max(o_orderdate) as date))"
+    else:
+        days = f"date_diff('day', cast(max(o_orderdate) as date), DATE '{_RFM_ANCHOR}')"
+    return f"""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   cast({days} as bigint) AS recency_days,
+                   cast(count(*) as bigint) AS frequency,
+                   cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+                       AS monetary_cents
+            FROM {_ord(dialect)}
+            GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey, recency_days, frequency, monetary_cents,
+                   ntile({_N_TILES}) OVER (
+                       ORDER BY recency_days ASC, o_custkey) AS r_tile,
+                   ntile({_N_TILES}) OVER (
+                       ORDER BY frequency DESC, o_custkey) AS f_tile,
+                   ntile({_N_TILES}) OVER (
+                       ORDER BY monetary_cents DESC, o_custkey) AS m_tile
+            FROM per_cust
+        )
+        SELECT cast(r_tile as bigint) AS r_tile,
+               cast(f_tile as bigint) AS f_tile,
+               cast(m_tile as bigint) AS m_tile,
+               cast(count(*) as bigint) AS n_customers,
+               cast(sum(monetary_cents) as double)
+                   / (100.0 * count(*)) AS avg_monetary
+        FROM scored
+        GROUP BY r_tile, f_tile, m_tile
+    """
+
+
+@register("orders_rfm_segments", oracle=_rfm_sql(D.DUCK), tags=("extension",))
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segments over the orders fact: customer counts and
+    average spend per (R,F,M) cell. See _rfm_sql."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(_ORD_VIEW)
+    return spark.sql(_rfm_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Market-basket affinity (pairwise lift)
+# --------------------------------------------------------------------------
+def _basket_sql(dialect: str) -> str:
+    """Top part pairs by co-occurrence, with support and lift.
+
+    lift(a,b) = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b) — one IEEE
+    expression over four exact int64 counts.
+
+    Scale shape: distinct (order, part) first (map-side dedup of
+    multi-line parts), then the pair self-join shuffles on orderkey —
+    pair volume is Σ_orders k², bounded by basket size, never |parts|².
+    The part-frequency table is |parts|-sized and joined twice (small
+    side at any scale: it is the dimension's cardinality)."""
+    return f"""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM {_li(dialect)}
+        ),
+        n_orders AS (
+            SELECT cast(count(DISTINCT l_orderkey) as bigint) AS n
+            FROM op
+        ),
+        part_freq AS (
+            SELECT l_partkey, cast(count(*) as bigint) AS n_part
+            FROM op GROUP BY l_partkey
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   cast(count(*) as bigint) AS n_ab
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+        )
+        SELECT part_a, part_b, n_ab,
+               fa.n_part AS n_a, fb.n_part AS n_b,
+               cast(n_ab as double) * cast(n_orders.n as double)
+                   / (cast(fa.n_part as double) * cast(fb.n_part as double))
+                   AS lift
+        FROM pairs
+        JOIN part_freq fa ON pairs.part_a = fa.l_partkey
+        JOIN part_freq fb ON pairs.part_b = fb.l_partkey
+        CROSS JOIN n_orders
+        ORDER BY n_ab DESC, part_a, part_b
+        LIMIT {_BASKET_TOPK}
+    """
+
+
+@register("lineitem_basket_lift", oracle=_basket_sql(D.DUCK), tags=("extension",))
+def lineitem_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchased part pairs with lift. See
+    _basket_sql for the Σk² pair bound."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(_LI_VIEW)
+    return spark.sql(_basket_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# First-touch attribution
+# --------------------------------------------------------------------------
+def _attribution_sql(dialect: str) -> str:
+    """Which first-touch event type acquired the users who went on to
+    purchase: first event per user by a total order (ts, event_id), a
+    conversion flag from one conditional aggregate, then a channel-
+    sized rollup with conversion rate as one division of exact counts.
+
+    Scale shape: ONE user-keyed aggregation computes both the first
+    touch (min of a (ts, event_id, type) struct — associative, no
+    window, no second scan) and the conversion flag; the rollup input
+    is |users| rows."""
+    # arg-min on a composite (second, event_id) key, identical in both
+    # engines: fixed-width zero-padded string concat compares exactly
+    # like the integer tuple (event_id is unique → no key ties).
+    epoch_s = "ts_epoch_s" if dialect == D.SPARK else "(epoch_us(ts) // 1000000)"
+    cstr = D.cast_str
+    key = (
+        f"concat(lpad({cstr(epoch_s, dialect)}, 12, '0'),"
+        f" lpad({cstr('event_id', dialect)}, 12, '0'))"
+    )
+    first_type = f"min_by(event_type, {key})"
+    return f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   {first_type} AS first_touch,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM {_ev(dialect)}
+            GROUP BY user_id
+        )
+        SELECT first_touch,
+               cast(count(*) as bigint) AS n_users,
+               cast(sum(converted) as bigint) AS n_converted,
+               cast(sum(converted) as double) / cast(count(*) as double)
+                   AS conversion_rate
+        FROM per_user
+        GROUP BY first_touch
+    """
+
+
+@register(
+    "events_first_touch_attribution",
+    oracle=_attribution_sql(D.DUCK),
+    tags=("extension",),
+)
+def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by acquisition (first-touch) event type. See
+    _attribution_sql — one user-keyed aggregation, no window."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(_EV_VIEW)
+    return spark.sql(_attribution_sql(D.SPARK))

@@ -138,6 +138,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration) and return all,
     ordered so the driver-verified window covers the reference-parity set."""
     from finalpipeline_spark.queries import (  # noqa: F401
+        analytics,
         chembl,
         curation,
         documents,
@@ -158,6 +159,7 @@ def load_all() -> dict[str, QuerySpec]:
     )
 
     modules = {
+        "analytics": analytics,
         "chembl": chembl,
         "curation": curation,
         "documents": documents,
