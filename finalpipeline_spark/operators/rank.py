@@ -1,0 +1,86 @@
+"""Distributed exact global ranking: total-order rank and ntile
+without the single-partition window trap.
+
+``row_number()/ntile() OVER (ORDER BY ...)`` with no PARTITION BY pulls
+every row through ONE task — the classic 100 TB killer (WindowExec even
+warns). The scalable exact form is two-phase (the
+`warehouse.doc_assign_global_ids` pattern, generalized here for any
+consumer — e.g. the RFM quartiles of `orders_rfm_segments`):
+
+  1. range-repartition on the order key: partition p holds a
+     contiguous key range (Spark samples split points);
+  2. rank WITHIN each partition — the range exchange already clusters
+     rows, so this window shuffles nothing extra;
+  3. collect per-partition counts (driver state = parallelism, not
+     data) and broadcast each partition's offset back as a literal.
+
+Ranks are deterministic even though sampled boundaries are not: a
+row's rank is its position in the caller's total order, wherever the
+partition cuts land (the order columns must form a total order — add a
+unique tiebreak column if they don't).
+
+ntile is then pure arithmetic on (rank, N): SQL-standard semantics give
+the first N mod n tiles ceil(N/n) rows and the rest floor(N/n), so
+``global_ntile`` is bit-identical to the single-window form while
+scaling as one range exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def assign_global_rank(
+    df: DataFrame, order_cols: Sequence[str], out_col: str = "global_rank"
+) -> DataFrame:
+    """Exact contiguous rank 1..N in ``order_cols`` total order."""
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=False)  # pin sampled boundaries
+    w = W.partitionBy("_pid").orderBy(*order_cols)
+    numbered = ranged.withColumn("_local_rn", F.row_number().over(w))
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in numbered.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    offset_expr = F.expr(
+        "CASE _pid "
+        + " ".join(f"WHEN {pid} THEN {off}" for pid, off in offsets.items())
+        + " ELSE 0 END"
+    )
+    return numbered.withColumn(
+        out_col, (F.col("_local_rn") + offset_expr).cast("long")
+    ).drop("_pid", "_local_rn")
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    n_tiles: int,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Exact ``ntile(n_tiles) OVER (ORDER BY order_cols)`` at scale:
+    global rank via the two-phase exchange, then the SQL-standard tile
+    boundary arithmetic — big tiles (ceil(N/n)) first, then small ones.
+    """
+    ranked = assign_global_rank(df, order_cols, out_col="_grank")
+    n_total = ranked.count()  # the rank pass already materialized counts
+    q, r = divmod(n_total, n_tiles)
+    big = q + 1
+    # ranks 1 .. r*big fall in the r big tiles; the rest in small tiles
+    tile = F.when(
+        F.col("_grank") <= r * big,
+        ((F.col("_grank") - 1) / big).cast("long") + 1,
+    ).otherwise(
+        F.lit(r) + ((F.col("_grank") - 1 - r * big) / F.greatest(F.lit(q), F.lit(1))).cast("long") + 1
+    )
+    return ranked.withColumn(out_col, tile).drop("_grank")

@@ -205,3 +205,56 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     _attribution_sql — one user-keyed aggregation, no window."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView(_EV_VIEW)
     return spark.sql(_attribution_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Distributed exact ntile (operators/rank.py) under oracle check
+# --------------------------------------------------------------------------
+def _spend_tiles_oracle() -> str:
+    return f"""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+                       AS spend_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        tiled AS (
+            SELECT o_custkey, spend_cents,
+                   ntile({_N_TILES}) OVER (
+                       ORDER BY spend_cents DESC, o_custkey) AS tile
+            FROM per_cust
+        )
+        SELECT cast(tile as bigint) AS tile,
+               cast(count(*) as bigint) AS n_customers,
+               cast(min(spend_cents) as bigint) AS min_cents,
+               cast(max(spend_cents) as bigint) AS max_cents
+        FROM tiled GROUP BY tile
+    """
+
+
+@register("orders_spend_tiles", oracle=_spend_tiles_oracle(), tags=("extension",))
+def orders_spend_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles computed by the DISTRIBUTED exact-ntile
+    operator (operators/rank.global_ntile: range exchange + offset
+    broadcast — no global single-partition window anywhere in the
+    plan), hash-checked against the oracle's single ntile window: the
+    scale path provably equals the textbook plan it replaces."""
+    from pyspark.sql import functions as F
+
+    from finalpipeline_spark.operators.rank import global_ntile
+
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr("cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)")
+            .alias("spend_cents")
+        )
+        .withColumn("neg_spend", -F.col("spend_cents"))
+    )
+    tiled = global_ntile(per_cust, ["neg_spend", "o_custkey"], _N_TILES)
+    return tiled.groupBy("tile").agg(
+        F.expr("cast(count(*) as bigint)").alias("n_customers"),
+        F.expr("cast(min(spend_cents) as bigint)").alias("min_cents"),
+        F.expr("cast(max(spend_cents) as bigint)").alias("max_cents"),
+    )

@@ -1,0 +1,186 @@
+"""Python DataSource (Spark 4 DataSource API) over versioned tables.
+
+``spark.read.format("versioned")`` / ``spark.readStream.format(
+"versioned")`` — the versioned table (sources/versioned.py) surfaced
+through Spark's pluggable-source API, so a consumer needs no import
+from this repo at all, just the registered format name:
+
+* **Batch**: snapshot/time-travel reads. One InputPartition per data
+  file (the manifest IS the split list — no directory listing), rows
+  shipped as Arrow RecordBatches, so the Python source overhead is
+  batch-columnar, not per-row.
+* **Stream**: the change-data-feed as a Structured Streaming source.
+  Offsets are manifest versions; each micro-batch reads exactly the
+  files added by the new commits (the `read_changes` file diff), so a
+  downstream streaming job processes O(delta) per trigger and resumes
+  from its checkpointed version after restart. Content-replacing
+  commits (overwrite/rollback/optimize/clone) have no row-level delta
+  and fail the stream with a clear error — same contract as Delta's
+  CDF without ``readChangeFeed`` row tracking.
+
+Executor-side constraint: DataSource objects are pickled to workers,
+so this module reads manifests and parquet with ``os``/``json``/
+``pyarrow`` only — no SparkSession/JVM handles. Paths must be visible
+from executors (local/NFS here; an object store would swap in fsspec).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_LOG_DIR = "_log"
+
+
+def _live_manifests(root: str) -> dict[int, dict]:
+    log = os.path.join(root, _LOG_DIR)
+    if not os.path.isdir(log):
+        return {}
+    out: dict[int, dict] = {}
+    for name in os.listdir(log):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(log, name)) as fh:
+                m = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            continue  # aborted commit: invisible
+        if not m.get("expired"):
+            out[m["version"]] = m
+    return out
+
+
+def _abs_paths(root: str, m: dict) -> list[str]:
+    return [os.path.join(f.get("base", root), f["path"]) for f in m["files"]]
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _read_file_batches(path: str, field_names: Sequence[str]) -> Iterator:
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path).select(list(field_names))
+    yield from table.to_batches(max_chunksize=1 << 16)
+
+
+class VersionedDataSource(DataSource):
+    """format("versioned"): option("root", ...), option("version", N)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned"
+
+    def _manifest(self) -> dict:
+        root = self.options["root"]
+        live = _live_manifests(root)
+        if not live:
+            raise ValueError(f"{root} has no live versions")
+        v = int(self.options.get("version", max(live)))
+        if v not in live:
+            raise ValueError(f"version {v} of {root} not found/expired")
+        return live[v]
+
+    def schema(self) -> str:
+        # manifests record df.schema.simpleString(); Spark's parser
+        # accepts the struct<...> form directly
+        return self._manifest()["schema"]
+
+    def reader(self, schema) -> "VersionedReader":
+        return VersionedReader(
+            self.options["root"], self._manifest(), [f.name for f in schema.fields]
+        )
+
+    def streamReader(self, schema) -> "VersionedStreamReader":
+        return VersionedStreamReader(
+            self.options["root"], [f.name for f in schema.fields]
+        )
+
+
+class VersionedReader(DataSourceReader):
+    def __init__(self, root: str, manifest: dict, field_names: list[str]):
+        self._paths = _abs_paths(root, manifest)
+        self._fields = field_names
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_FilePartition(p) for p in self._paths]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        return _read_file_batches(partition.path, self._fields)
+
+
+class VersionedStreamReader(DataSourceStreamReader):
+    """Versions are the offset axis: micro-batch (start, end] reads the
+    files added by commits start+1 .. end."""
+
+    def __init__(self, root: str, field_names: list[str]):
+        self._root = root
+        self._fields = field_names
+
+    def initialOffset(self) -> dict:
+        # start BEFORE the earliest live version so the first batch
+        # delivers the initial snapshot — but only if that version is
+        # an initial commit; otherwise start from the current latest
+        live = _live_manifests(self._root)
+        if not live:
+            return {"version": -1}
+        first = min(live)
+        if live[first]["action"] in ("overwrite", "append", "clone"):
+            return {"version": first - 1}
+        return {"version": max(live)}
+
+    def latestOffset(self) -> dict:
+        live = _live_manifests(self._root)
+        return {"version": max(live) if live else -1}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        s, e = start["version"], end["version"]
+        if e <= s:
+            return []
+        live = _live_manifests(self._root)
+        for v in range(s + 1, e + 1):
+            if v not in live:
+                raise ValueError(
+                    f"version {v} of {self._root} was vacuumed before this "
+                    "stream consumed it — restart from a fresh checkpoint"
+                )
+            if v > min(live) and live[v]["action"] != "append":
+                # a CoW delete rewrites SURVIVOR rows into new files —
+                # emitting those as additions would double-count them
+                raise ValueError(
+                    f"version {v} is '{live[v]['action']}': content "
+                    "mutation has no row-level delta; reprocess the snapshot"
+                )
+        base_paths = (
+            set(_abs_paths(self._root, live[s])) if s in live else set()
+        )
+        new = [
+            p
+            for p in _abs_paths(self._root, live[e])
+            if p not in base_paths
+        ]
+        return [_FilePartition(p) for p in new]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        return _read_file_batches(partition.path, self._fields)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress is tracked by the stream's own checkpoint
+
+    def stop(self) -> None:
+        pass
+
+
+def register_versioned_source(spark) -> None:
+    """Make format("versioned") available on this session."""
+    spark.dataSource.register(VersionedDataSource)

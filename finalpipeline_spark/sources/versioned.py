@@ -343,9 +343,8 @@ class VersionedTable:
         }
         keep, rewrite_abs = [], []
         for entry in m["files"]:
-            abs_path = f"{self.root}/{entry['path']}"
             if any(h.endswith(entry["path"]) for h in hit_files):
-                rewrite_abs.append(abs_path)
+                rewrite_abs.append(self._abs(entry))
             else:
                 keep.append(entry)
         new_files: list[dict[str, Any]] = []
@@ -399,41 +398,73 @@ class VersionedTable:
         m = self.manifest(version)
         return self._commit("rollback", list(m["files"]), m["schema"])
 
+    def clone_to(self, dest_root: str, version: int | None = None) -> "VersionedTable":
+        """SHALLOW CLONE (Delta semantics): a new table at ``dest_root``
+        whose v0 manifest references this table's data files BY POINTER
+        (each entry carries ``base`` = this root) — a zero-copy fork
+        carrying stats and blooms. The clone's own writes (appends, CoW
+        deletes, optimize) land under its own root; the source is never
+        touched. Caveat (same as Delta): vacuuming the SOURCE can
+        delete files a clone still references — clones are forks for
+        experimentation, not backups."""
+        m = self.manifest(version)
+        cloned = [{**f, "base": f.get("base", self.root)} for f in m["files"]]
+        dest = VersionedTable(
+            self.spark,
+            dest_root,
+            bloom_col=self.bloom_col,
+            bloom_bits=self.bloom_bits,
+            bloom_k=self.bloom_k,
+        )
+        dest._commit(
+            "clone",
+            cloned,
+            m["schema"],
+            meta={"cloned_from": self.root, "source_version": m["version"]},
+        )
+        return dest
+
     # -- read API ------------------------------------------------------
+    def _abs(self, entry: dict[str, Any]) -> str:
+        """Absolute path of a manifest file entry (``base`` points into
+        another table's root for shallow-cloned entries)."""
+        return f"{entry.get('base', self.root)}/{entry['path']}"
+
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read (time travel when ``version`` is given): scans
         exactly the manifest's file list — no directory listing."""
         m = self.manifest(version)
         if not m["files"]:
             raise VersionNotFoundError(f"version {m['version']} is empty")
-        paths = [f"{self.root}/{f['path']}" for f in m["files"]]
-        return self.spark.read.parquet(*paths)
+        return self.spark.read.parquet(*(self._abs(f) for f in m["files"]))
 
     def read_changes(self, since_version: int, version: int | None = None) -> DataFrame:
         """Rows added after ``since_version`` (exclusive) up to
         ``version`` (default latest) — the change-data-feed primitive
         that lets a downstream job process O(delta), not O(table).
 
-        Appends and delete-survivor rewrites are file-level additions,
-        so the delta is exactly the files present in the target
-        manifest but not the base one: a manifest-sized set diff, then
-        a scan of only the new files. Raises if the range crosses an
-        ``overwrite``/``rollback`` commit — content replacement has no
-        row-level delta; the caller must reprocess the snapshot."""
+        Appends are file-level additions, so the delta is exactly the
+        files present in the target manifest but not the base one: a
+        manifest-sized set diff, then a scan of only the new files.
+        Raises if the range crosses any non-append commit — an
+        overwrite/rollback/optimize has no row-level delta, and a CoW
+        delete rewrites surviving rows into NEW files (streaming those
+        as additions would double-count them); the caller must
+        reprocess from the snapshot."""
         target = self.manifest(version)
         base = self.manifest(since_version)
         for v in range(since_version + 1, target["version"] + 1):
             action = self._read_manifest_file(v)["action"]
-            if action not in ("append", "delete"):
+            if action != "append":
                 raise ValueError(
-                    f"version {v} is '{action}': no incremental delta across "
-                    "content replacement — reprocess from the snapshot"
+                    f"version {v} is '{action}': no incremental row delta "
+                    "across content mutation — reprocess from the snapshot"
                 )
-        base_paths = {f["path"] for f in base["files"]}
-        new = [f for f in target["files"] if f["path"] not in base_paths]
+        base_paths = {self._abs(f) for f in base["files"]}
+        new = [f for f in target["files"] if self._abs(f) not in base_paths]
         if not new:
             return self.read(target["version"]).filter(F.lit(False))
-        return self.spark.read.parquet(*(f"{self.root}/{f['path']}" for f in new))
+        return self.spark.read.parquet(*(self._abs(f) for f in new))
 
     def read_pruned(
         self, col: str, lo: Any, hi: Any, version: int | None = None
@@ -447,7 +478,7 @@ class VersionedTable:
         for f in m["files"]:
             mn, mx = f["stats"].get(col, [None, None])
             if mn is None or mx is None or (mx >= lo and mn <= hi):
-                paths.append(f"{self.root}/{f['path']}")
+                paths.append(self._abs(f))
         if not paths:
             return self.read(version).filter(F.lit(False))
         return (
@@ -469,7 +500,7 @@ class VersionedTable:
         for f in m["files"]:
             bloom = f.get("bloom")
             if bloom is None or self._bloom_might_contain(bloom, value):
-                paths.append(f"{self.root}/{f['path']}")
+                paths.append(self._abs(f))
         if not paths:
             return self.read(version).filter(F.lit(False))
         return self.spark.read.parquet(*paths).filter(

@@ -1,0 +1,56 @@
+"""Distributed global rank/ntile ≡ the single-window forms, without
+the single-partition exchange in the plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from finalpipeline_spark.operators.rank import assign_global_rank, global_ntile
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # non-uniform key distribution across many input partitions
+    return (
+        spark.range(0, 5003)
+        .selectExpr("cast(id * id % 9973 as bigint) as k", "id")
+        .repartition(16)
+    )
+
+
+def test_global_rank_equals_window(spark, skewed):
+    got = assign_global_rank(skewed, ["k", "id"])
+    want = skewed.withColumn(
+        "global_rank", F.row_number().over(W.orderBy("k", "id")).cast("long")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+@pytest.mark.parametrize("n_tiles", [4, 7, 100])
+def test_global_ntile_equals_window(spark, skewed, n_tiles):
+    got = global_ntile(skewed, ["k", "id"], n_tiles)
+    want = skewed.withColumn(
+        "tile", F.ntile(n_tiles).over(W.orderBy("k", "id")).cast("long")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_ntile_more_tiles_than_rows(spark):
+    df = spark.range(0, 3).selectExpr("id as k", "id")
+    got = global_ntile(df, ["k", "id"], 10)
+    want = df.withColumn("tile", F.ntile(10).over(W.orderBy("k", "id")).cast("long"))
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+
+
+def test_no_single_partition_global_window_in_plan(spark, skewed):
+    plan = assign_global_rank(skewed, ["k", "id"])._jdf.queryExecution().executedPlan().toString()
+    # the only Window in the plan is partitioned by _pid — a global
+    # (unpartitioned) Window would print 'Window [...ORDER BY...]' with
+    # an empty partition spec; assert the partition column is present
+    assert "_pid" in plan

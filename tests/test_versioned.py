@@ -240,3 +240,31 @@ def test_optimize_zorder_prunes_both_columns(spark, table):
         r.id for r in table.read().filter("x between 0 and 255").collect()
     )
     assert sorted(r.id for r in table.read_pruned("x", 0, 255).collect()) == full
+
+
+def test_shallow_clone_zero_copy_fork(spark, table, tmp_path):
+    table.commit_overwrite(_df(spark, 0, 100, "a"))
+    table.commit_append(_df(spark, 100, 120, "b"))
+    src_files = {f["path"] for f in table.manifest()["files"]}
+
+    clone = table.clone_to(str(tmp_path / "clone"))
+    # zero-copy: the clone references the source's files by pointer
+    m0 = clone.manifest()
+    assert m0["action"] == "clone"
+    assert m0["meta"] == {"cloned_from": table.root, "source_version": 1}
+    assert {f["path"] for f in m0["files"]} == src_files
+    assert all(f["base"] == table.root for f in m0["files"])
+    assert clone.read().count() == 120
+    # no data directory was created under the clone's root by the clone
+    assert not os.path.exists(os.path.join(clone.root, "data"))
+
+    # diverge: clone-side delete rewrites into the CLONE's root only
+    clone.delete_where("id >= 100")
+    assert clone.read().count() == 100
+    assert table.read().count() == 120  # source untouched
+    # source-side append does not affect the clone
+    table.commit_append(_df(spark, 200, 210, "c"))
+    assert clone.read().count() == 100
+    # stats pruning still works through the pointer indirection
+    pruned = clone.read_pruned("id", 0, 5)
+    assert sorted(r.id for r in pruned.collect()) == [0, 1, 2, 3, 4, 5]
