@@ -258,3 +258,44 @@ def orders_spend_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(min(spend_cents) as bigint)").alias("min_cents"),
         F.expr("cast(max(spend_cents) as bigint)").alias("max_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution (sibling of first-touch: max_by on the same key)
+# --------------------------------------------------------------------------
+def _last_touch_sql(dialect: str) -> str:
+    """Same single-aggregation shape as _attribution_sql, arg-MAX on
+    the composite key: the touchpoint closest to the conversion."""
+    epoch_s = "ts_epoch_s" if dialect == D.SPARK else "(epoch_us(ts) // 1000000)"
+    cstr = D.cast_str
+    key = (
+        f"concat(lpad({cstr(epoch_s, dialect)}, 12, '0'),"
+        f" lpad({cstr('event_id', dialect)}, 12, '0'))"
+    )
+    return f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   max_by(event_type, {key}) AS last_touch,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM {_ev(dialect)}
+            GROUP BY user_id
+        )
+        SELECT last_touch,
+               cast(count(*) as bigint) AS n_users,
+               cast(sum(converted) as bigint) AS n_converted
+        FROM per_user
+        GROUP BY last_touch
+    """
+
+
+@register(
+    "events_last_touch_attribution",
+    oracle=_last_touch_sql(D.DUCK),
+    tags=("extension",),
+)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion counts by final (last-touch) event type — arg-max by
+    the same composite key as first-touch, one user-keyed aggregation."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(_EV_VIEW)
+    return spark.sql(_last_touch_sql(D.SPARK))

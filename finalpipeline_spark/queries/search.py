@@ -325,3 +325,72 @@ def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).createOrReplaceTempView(SPARK_VIEW)
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(_EMB_VIEW)
     return spark.sql(_hybrid_rrf_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Bigram language model: top conditional continuations
+# --------------------------------------------------------------------------
+_LM_TOPK = 25
+
+
+def _bigram_lm_sql(dialect: str) -> str:
+    """Top bigram continuations with conditional probability
+    P(w2 | w1) = c(w1,w2) / c(w1 ·) — the counting core of n-gram
+    language modeling (and of the contamination-detectable memorized-
+    phrase statistics a corpus audit wants).
+
+    Exactness: counts are exact int64 (map-side combined); the
+    probability is ONE IEEE division; top-k is a full total order
+    (c12 desc, w1, w2).
+
+    Scale shape: the bigram explode emits n-1 pairs per doc but the
+    shuffle carries (w1, w2) partial counts, not positions; the w1
+    marginal comes from re-aggregating the bigram table (vocab²-bounded
+    but data-bounded in practice), never a second corpus scan; top-k is
+    per-partition heaps."""
+    toks = D.tokens("text", dialect)
+    n = D.arr_size("toks", dialect)
+    if dialect == D.SPARK:
+        # element_at requires an INT index; sequence() emits ints when
+        # given int bounds
+        w1 = D.arr_index("toks", "i", dialect)
+        w2 = D.arr_index("toks", "(i + 1)", dialect)
+        gen = f"explode(sequence(1, cast({n} as int) - 1))"
+        pairs = (
+            f"SELECT {w1} AS w1, {w2} AS w2 FROM "
+            f"(SELECT toks, {gen} AS i FROM toks_rel WHERE {n} >= 2) g"
+        )
+    else:
+        w1 = D.arr_index("toks", "cast(i as int)", dialect)
+        w2 = D.arr_index("toks", "(cast(i as int) + 1)", dialect)
+        pairs = (
+            f"SELECT {w1} AS w1, {w2} AS w2 FROM "
+            f"(SELECT toks, unnest(range(1, {n})) AS i FROM toks_rel WHERE {n} >= 2) g"
+        )
+    return f"""
+        WITH toks_rel AS (
+            SELECT {toks} AS toks FROM {_doc_tbl(dialect)}
+        ),
+        bigrams AS (
+            SELECT w1, w2, cast(count(*) as bigint) AS c12
+            FROM ({pairs}) p GROUP BY w1, w2
+        ),
+        marginal AS (
+            SELECT w1, cast(sum(c12) as bigint) AS c1 FROM bigrams GROUP BY w1
+        )
+        SELECT b.w1, b.w2, b.c12, m.c1,
+               cast(b.c12 as double) / cast(m.c1 as double) AS cond_prob
+        FROM bigrams b JOIN marginal m ON b.w1 = m.w1
+        ORDER BY b.c12 DESC, b.w1, b.w2
+        LIMIT {_LM_TOPK}
+    """
+
+
+@register("doc_bigram_lm", oracle=_bigram_lm_sql(D.DUCK), tags=("extension",))
+def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 bigram continuations with conditional probabilities —
+    the n-gram LM counting core. See _bigram_lm_sql."""
+    load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_bigram_lm_sql(D.SPARK))

@@ -507,6 +507,27 @@ class VersionedTable:
             F.col(self.bloom_col) == F.lit(value)
         )
 
+    def files(self, version: int | None = None) -> DataFrame:
+        """Iceberg-style ``files`` metadata table for one snapshot:
+        (path, base, rows, stats-as-JSON, has_bloom) — the manifest as
+        a queryable DataFrame, so operators can reason about layout
+        (file sizes, stat tightness, bloom coverage) with plain SQL.
+        Manifest-sized, never data-sized."""
+        m = self.manifest(version)
+        rows = [
+            (
+                f["path"],
+                f.get("base", self.root),
+                f["rows"],
+                json.dumps(f.get("stats", {}), sort_keys=True),
+                "bloom" in f,
+            )
+            for f in m["files"]
+        ]
+        return self.spark.createDataFrame(
+            rows, "path string, base string, rows bigint, stats string, has_bloom boolean"
+        )
+
     def history(self) -> DataFrame:
         """One row per live version: (version, parent, action, n_files,
         n_rows) — the audit trail."""

@@ -268,3 +268,17 @@ def test_shallow_clone_zero_copy_fork(spark, table, tmp_path):
     # stats pruning still works through the pointer indirection
     pruned = clone.read_pruned("id", 0, 5)
     assert sorted(r.id for r in pruned.collect()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_files_metadata_table(spark, table):
+    table.commit_overwrite(_df(spark, 0, 50, "a").coalesce(1))
+    table.commit_append(_df(spark, 50, 60, "b").coalesce(1))
+    files = table.files()
+    assert files.columns == ["path", "base", "rows", "stats", "has_bloom"]
+    rows = files.collect()
+    assert sum(r.rows for r in rows) == 60
+    assert all(r.base == table.root for r in rows)
+    assert files.filter("has_bloom").count() == 0  # no bloom_col declared
+    # the metadata table is queryable with plain SQL
+    files.createOrReplaceTempView("vt_files")
+    assert spark.sql("select sum(rows) n from vt_files").first().n == 60
