@@ -525,3 +525,136 @@ def events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hourly.createOrReplaceTempView("__fps_ev_hourly")
     return spark.sql(f"WITH {_rollup_hierarchy_sql('__fps_ev_hourly', 'spark')}")
+
+
+# --------------------------------------------------------------------------
+# OHLC bars (time-series resampling: open/high/low/close per bucket)
+# --------------------------------------------------------------------------
+_BAR_S = 6 * 3600  # 6-hour bars
+
+
+def _ohlc_sql(dialect: str) -> str:
+    """Per event-type OHLC bars: open/close are arg-min/arg-max of the
+    integer-cents value by a composite (ts, event_id) key (fixed-width
+    string, the attribution trick — event_id uniqueness makes the order
+    total), high/low are plain min/max. One fact shuffle onto
+    |bars × types| groups; every statistic is associative, so the
+    aggregation combines map-side. All integer cents; the float value
+    is one division at output."""
+    from finalpipeline_spark.functions import dialect as D
+
+    epoch_s = "ts_epoch_s" if dialect == D.SPARK else "(epoch_us(ts) // 1000000)"
+    bar = f"({D.idiv(epoch_s, _BAR_S, dialect)}) * {_BAR_S}"
+    key = (
+        f"concat(lpad({D.cast_str(epoch_s, dialect)}, 12, '0'),"
+        f" lpad({D.cast_str('event_id', dialect)}, 12, '0'))"
+    )
+    tbl = "__fps_ev_ohlc" if dialect == D.SPARK else "events"
+    return f"""
+        WITH priced AS (
+            SELECT {bar} AS bar_epoch_s,
+                   event_type,
+                   cast(round(value * 100) as bigint) AS cents,
+                   {key} AS k
+            FROM {tbl}
+        )
+        SELECT bar_epoch_s, event_type,
+               cast(min_by(cents, k) as bigint) AS open_cents,
+               cast(max(cents) as bigint) AS high_cents,
+               cast(min(cents) as bigint) AS low_cents,
+               cast(max_by(cents, k) as bigint) AS close_cents,
+               cast(count(*) as bigint) AS n_events
+        FROM priced
+        GROUP BY bar_epoch_s, event_type
+    """
+
+
+@register(
+    "events_ohlc_bars",
+    oracle=_ohlc_sql("duck"),
+    tags=("extension",),
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour OHLC bars per event type — the financial resampling
+    staple. See _ohlc_sql: associative arg-min/arg-max, map-side
+    combining, one fact shuffle."""
+    from finalpipeline_spark.functions import dialect as D
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("__fps_ev_ohlc")
+    return spark.sql(_ohlc_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Gap-filled LOCF resampling (time_bucket_gapfill + locf)
+# --------------------------------------------------------------------------
+_GF_USER_MOD = 20  # sampled user subset keeps the grid demo-sized
+
+
+def _gapfill_sql(dialect: str) -> str:
+    """Regular hourly grid per (sampled) user between that user's first
+    and last observation, missing hours filled by last-observation-
+    carried-forward — TimescaleDB's time_bucket_gapfill + locf(), the
+    step irregular event data needs before any fixed-step model.
+
+    Exactness: grid hours are integer arithmetic; the carried value is
+    the hour's LAST observation by the composite (ts, event_id) key;
+    LOCF is last_value-ignore-nulls over (user, hour) with an explicit
+    ROWS frame — deterministic in both engines.
+
+    Scale shape: one fact shuffle to (user, hour) partials; the grid
+    explode is user-span-sized (hours, not events); LOCF is one
+    user-partitioned window — no fact-sized window anywhere."""
+    from finalpipeline_spark.functions import dialect as D
+
+    epoch_s = "ts_epoch_s" if dialect == D.SPARK else "(epoch_us(ts) // 1000000)"
+    hour = f"({D.idiv(epoch_s, _HOUR_S, dialect)}) * {_HOUR_S}"
+    key = (
+        f"concat(lpad({D.cast_str(epoch_s, dialect)}, 12, '0'),"
+        f" lpad({D.cast_str('event_id', dialect)}, 12, '0'))"
+    )
+    tbl = "__fps_ev_gf" if dialect == D.SPARK else "events"
+    n_hours = D.idiv("(h1 - h0)", _HOUR_S, dialect)
+    if dialect == D.SPARK:
+        gen = f"explode(sequence(0, cast({n_hours} as int)))"
+        grid = f"SELECT user_id, h0 + i * {_HOUR_S} AS hour_epoch_s FROM (SELECT user_id, h0, h1, {gen} AS i FROM span) g"
+        locf = "last_value(cents, true)"
+    else:
+        grid = f"SELECT user_id, h0 + cast(i as bigint) * {_HOUR_S} AS hour_epoch_s FROM (SELECT user_id, h0, h1, unnest(range(0, {n_hours} + 1)) AS i FROM span) g"
+        locf = "last_value(cents IGNORE NULLS)"
+    return f"""
+        WITH obs AS (
+            SELECT user_id, {hour} AS hour_epoch_s,
+                   max_by(cast(round(value * 100) as bigint), {key}) AS cents
+            FROM {tbl}
+            WHERE user_id % {_GF_USER_MOD} = 0
+            GROUP BY user_id, {hour}
+        ),
+        span AS (
+            SELECT user_id, min(hour_epoch_s) AS h0, max(hour_epoch_s) AS h1
+            FROM obs GROUP BY user_id
+        ),
+        grid AS ({grid}),
+        joined AS (
+            SELECT g.user_id, g.hour_epoch_s, o.cents,
+                   CASE WHEN o.cents IS NULL THEN 1 ELSE 0 END AS filled
+            FROM grid g LEFT JOIN obs o
+              ON g.user_id = o.user_id AND g.hour_epoch_s = o.hour_epoch_s
+        )
+        SELECT user_id, hour_epoch_s,
+               cast({locf} OVER (
+                   PARTITION BY user_id ORDER BY hour_epoch_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) as bigint) AS cents_locf,
+               cast(filled as bigint) AS filled
+        FROM joined
+    """
+
+
+@register("events_gapfill_locf", oracle=_gapfill_sql("duck"), tags=("extension",))
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-filled LOCF series per sampled user (the
+    time_bucket_gapfill + locf staple). See _gapfill_sql."""
+    from finalpipeline_spark.functions import dialect as D
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("__fps_ev_gf")
+    return spark.sql(_gapfill_sql(D.SPARK))

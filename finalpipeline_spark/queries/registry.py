@@ -124,6 +124,10 @@ _DEFER_QUERIES = (
     "ref_counts",                   # every query exercises scan+count paths
     "events_sliding_window",        # loader attested by in-window events queries
     "events_asof_signup",           # r1-green; epoch math attested in-window
+    # family-covered twins deferred so the newest capability families
+    # (hybrid RRF search, triangle counting, OHLC, gapfill) all fit:
+    "doc_quality_weighted_sample",  # sampling family: weighted_sample_fixed + sample_temperature in-window
+    "emb_matryoshka_eval",          # index-eval family: emb_ann_recall_eval in-window
     # r1-green events queries whose loader path is attested by the
     # in-window events queries — deferred to make room for the new
     # oracle-checked sketch/graph/profiling/MV ops
