@@ -7,6 +7,8 @@ of shuffling, and the cross-score never shuffles the big side.
 
 from __future__ import annotations
 
+import pytest
+
 from finalpipeline_spark.queries.registry import load_all
 
 SPECS = load_all()
@@ -241,3 +243,37 @@ def test_histogram_bounds_broadcast_not_collected(spark, sf_dir):
     a BroadcastNestedLoopJoin/BroadcastExchange, no driver collect."""
     plan = _plan(spark, sf_dir, "lineitem_price_histogram")
     assert "Broadcast" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "doc_inverted_index",
+        "doc_bm25_topk",
+        "doc_hybrid_search_rrf",
+        "doc_bigram_lm",
+        "lineitem_basket_lift",
+        "orders_rfm_segments",
+        "events_first_touch_attribution",
+        "events_last_touch_attribution",
+        "events_ohlc_bars",
+        "events_gapfill_locf",
+        "events_rollup_hierarchy",
+        "nation_triangle_count",
+        "nation_shortest_paths",
+        "doc_weighted_sample_fixed",
+        "orders_spend_tiles",
+    ],
+)
+def test_new_query_plan_hygiene(spark, sf_dir, name):
+    """Every round-3 query family stays on the fast path: no cartesian
+    product, no row-at-a-time Python in the plan, and any global
+    ORDER BY+LIMIT compiles to heap top-k (TakeOrderedAndProject),
+    never a full global sort feeding a limit."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # GlobalLimit directly over a Sort = the full-sort-then-limit trap
+    import re
+
+    assert not re.search(r"GlobalLimit.*\n.*\+- Sort", plan), "full sort before limit"
