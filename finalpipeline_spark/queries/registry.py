@@ -146,6 +146,7 @@ def load_all() -> dict[str, QuerySpec]:
         chembl,
         curation,
         documents,
+        drift,
         embeddings,
         events,
         extended,
@@ -167,6 +168,7 @@ def load_all() -> dict[str, QuerySpec]:
         "chembl": chembl,
         "curation": curation,
         "documents": documents,
+        "drift": drift,
         "embeddings": embeddings,
         "events": events,
         "extended": extended,
