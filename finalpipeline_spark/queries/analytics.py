@@ -299,3 +299,110 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     the same composite key as first-touch, one user-keyed aggregation."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView(_EV_VIEW)
     return spark.sql(_last_touch_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Funnel latency percentiles (signup → purchase)
+# --------------------------------------------------------------------------
+def _funnel_latency_sql(dialect: str) -> str:
+    """Time-to-convert distribution: per user, seconds from first
+    signup to the first purchase AFTER it; exact p50/p90 by
+    rank-selection over the converted-user relation (value at rank
+    ceil(q·n) in the (delta, user_id) total order — deterministic, no
+    interpolation ambiguity). All integer epoch math; the ranking
+    window orders |converted users| rows, never events."""
+    epoch_s = "ts_epoch_s" if dialect == D.SPARK else "(epoch_us(ts) // 1000000)"
+    return f"""
+        WITH signup AS (
+            SELECT user_id, min({epoch_s}) AS s0
+            FROM {_ev(dialect)} WHERE event_type = 'signup'
+            GROUP BY user_id
+        ),
+        converted AS (
+            SELECT e.user_id,
+                   cast(min({epoch_s}) - max(s.s0) as bigint) AS delta_s
+            FROM {_ev(dialect)} e JOIN signup s ON e.user_id = s.user_id
+            WHERE e.event_type = 'purchase' AND {epoch_s} >= s.s0
+            GROUP BY e.user_id
+        ),
+        ranked AS (
+            SELECT delta_s,
+                   row_number() OVER (ORDER BY delta_s, user_id) AS rk,
+                   count(*) OVER () AS n
+            FROM converted
+        )
+        SELECT cast(max(n) as bigint) AS n_converted,
+               cast(max(CASE WHEN rk = cast(ceil(0.5 * n) as bigint)
+                             THEN delta_s END) as bigint) AS p50_s,
+               cast(max(CASE WHEN rk = cast(ceil(0.9 * n) as bigint)
+                             THEN delta_s END) as bigint) AS p90_s
+        FROM ranked
+    """
+
+
+@register(
+    "events_funnel_latency",
+    oracle=_funnel_latency_sql(D.DUCK),
+    tags=("extension",),
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase latency: exact rank-selected p50/p90 seconds
+    over converted users. See _funnel_latency_sql."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(_EV_VIEW)
+    return spark.sql(_funnel_latency_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV matrix (first-order-year cohorts × account age)
+# --------------------------------------------------------------------------
+def _ltv_sql(dialect: str) -> str:
+    """Average cumulative spend per customer by (first-order-year
+    cohort, years since first order) — the LTV curve a growth team
+    reads. All money in exact cents; the cumulative window runs per
+    cohort over |years| rows; avg = one division by the cohort size."""
+    if dialect == D.SPARK:
+        yr = "year(cast(o_orderdate as date))"
+    else:
+        yr = "date_part('year', cast(o_orderdate as date))"
+    return f"""
+        WITH per_order AS (
+            SELECT o_custkey, cast({yr} as bigint) AS yr,
+                   cast(round(o_totalprice * 100) as bigint) AS cents
+            FROM {_ord(dialect)}
+        ),
+        first_year AS (
+            SELECT o_custkey, min(yr) AS cohort_year FROM per_order
+            GROUP BY o_custkey
+        ),
+        cohort_size AS (
+            SELECT cohort_year, cast(count(*) as bigint) AS n_customers
+            FROM first_year GROUP BY cohort_year
+        ),
+        spend AS (
+            SELECT f.cohort_year, p.yr - f.cohort_year AS age_years,
+                   cast(sum(p.cents) as bigint) AS cents
+            FROM per_order p JOIN first_year f ON p.o_custkey = f.o_custkey
+            GROUP BY f.cohort_year, p.yr - f.cohort_year
+        ),
+        cum AS (
+            SELECT cohort_year, age_years,
+                   cast(sum(cents) OVER (PARTITION BY cohort_year
+                       ORDER BY age_years
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+                       AS cum_cents
+            FROM spend
+        )
+        SELECT c.cohort_year, c.age_years AS age_years,
+               s.n_customers,
+               cast(c.cum_cents as double) / (100.0 * cast(s.n_customers as double))
+                   AS avg_cum_ltv
+        FROM cum c JOIN cohort_size s ON c.cohort_year = s.cohort_year
+    """
+
+
+@register("orders_cohort_ltv", oracle=_ltv_sql(D.DUCK), tags=("extension",))
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV matrix: average cumulative spend per customer by
+    first-order-year cohort and account age. See _ltv_sql."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(_ORD_VIEW)
+    return spark.sql(_ltv_sql(D.SPARK))

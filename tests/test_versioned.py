@@ -282,3 +282,28 @@ def test_files_metadata_table(spark, table):
     # the metadata table is queryable with plain SQL
     files.createOrReplaceTempView("vt_files")
     assert spark.sql("select sum(rows) n from vt_files").first().n == 60
+
+
+def test_lifecycle_soak_many_commits(spark, table):
+    """Operational soak: 60 commits → CDF reads stay delta-sized →
+    optimize compacts → vacuum reclaims → latest content exact.
+    Exercises the full maintenance lifecycle a streaming-ingested
+    table cycles through, including log scaling (30 manifests)."""
+    for i in range(30):
+        table.commit_append(_df(spark, i * 10, i * 10 + 10, f"b{i}").coalesce(1))
+    assert table.latest_version() == 29
+    assert table.read().count() == 300
+    # CDF across the last 10 commits reads only 10 files
+    delta = table.read_changes(since_version=19)
+    assert delta.count() == 100
+    assert len(delta.inputFiles()) == 10
+    # compact 30 small files, then reclaim the old generation
+    table.optimize(target_rows_per_file=150, cluster_by=["id"])
+    assert len(table.manifest()["files"]) == 2
+    deleted = table.vacuum(retain_last=1)
+    assert len(deleted) >= 30  # all pre-optimize files reclaimed
+    assert sorted(r.id for r in table.read().collect()) == list(range(300))
+    # expired history errors cleanly; live manifest count is 1
+    with pytest.raises(VersionNotFoundError):
+        table.read(version=0)
+    assert table.versions_live() == [30]
