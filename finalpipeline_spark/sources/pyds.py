@@ -108,14 +108,69 @@ class VersionedDataSource(DataSource):
 
 
 class VersionedReader(DataSourceReader):
+    """Batch reader with manifest-stats file skipping: comparison
+    filters Spark pushes down prune whole files by per-file [min, max]
+    BEFORE any parquet footer is opened (the zone-map pattern at the
+    DataSource layer). Pruning over-selects only — every filter is
+    returned to Spark for exact re-evaluation, so results are
+    unaffected; only I/O shrinks."""
+
     def __init__(self, root: str, manifest: dict, field_names: list[str]):
-        self._paths = _abs_paths(root, manifest)
+        self._root = root
+        self._entries = list(manifest["files"])
         self._fields = field_names
+        self._ranges: list[tuple[str, str, object]] = []
+
+    def pushFilters(self, filters):  # noqa: D102
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            op = ops.get(type(f))
+            if op and len(f.attribute) == 1:
+                self._ranges.append((f.attribute[0], op, f.value))
+        # every filter still needs exact evaluation by Spark — stats
+        # pruning only skips files that provably contain no match
+        return filters
+
+    def _may_match(self, entry: dict) -> bool:
+        for col, op, v in self._ranges:
+            mn, mx = entry.get("stats", {}).get(col, (None, None))
+            if mn is None or mx is None:
+                continue  # no stats → cannot prune on this column
+            try:
+                if op == "=" and not (mn <= v <= mx):
+                    return False
+                if op in (">", ">=") and not (mx >= v if op == ">=" else mx > v):
+                    return False
+                if op in ("<", "<=") and not (mn <= v if op == "<=" else mn < v):
+                    return False
+            except TypeError:
+                continue  # incomparable types (e.g. stringified dates)
+        return True
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [_FilePartition(p) for p in self._paths]
+        return [
+            _FilePartition(os.path.join(e.get("base", self._root), e["path"]))
+            for e in self._entries
+            if self._may_match(e)
+        ]
 
     def read(self, partition: _FilePartition) -> Iterator:
+        if partition is None:  # all files pruned → one None split
+            return iter(())
         return _read_file_batches(partition.path, self._fields)
 
 
@@ -172,6 +227,8 @@ class VersionedStreamReader(DataSourceStreamReader):
         return [_FilePartition(p) for p in new]
 
     def read(self, partition: _FilePartition) -> Iterator:
+        if partition is None:  # empty partition list → one None split
+            return iter(())
         return _read_file_batches(partition.path, self._fields)
 
     def commit(self, end: dict) -> None:
@@ -182,5 +239,9 @@ class VersionedStreamReader(DataSourceStreamReader):
 
 
 def register_versioned_source(spark) -> None:
-    """Make format("versioned") available on this session."""
+    """Make format("versioned") available on this session. Python-source
+    filter pushdown is opt-in (and the reader implementing pushFilters
+    ERRORS if it's off), so the registration turns it on — it is a
+    runtime-settable SQL conf."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(VersionedDataSource)

@@ -97,3 +97,31 @@ def test_stream_rejects_content_mutation(spark, vt, tmp_path):
     vt.delete_where("id < 5")  # CoW delete: no row-level delta exists
     with pytest.raises(Exception, match="no row-level delta|StreamingQueryException"):
         drain()
+
+
+def test_batch_filter_pushdown_prunes_files(spark, tmp_path):
+    register_versioned_source(spark)
+    vt = VersionedTable(spark, str(tmp_path / "vtp"))
+    for lo in (0, 1000, 2000):
+        vt.commit_append(
+            spark.range(lo, lo + 100).selectExpr("id", "id * 2 as v").coalesce(1)
+        )
+    df = (
+        spark.read.format("versioned")
+        .option("root", vt.root)
+        .load()
+        .filter("id >= 1000 and id < 1050")
+    )
+    # values exact (Spark re-applies the filter after pruning)
+    assert sorted(r.id for r in df.collect()) == list(range(1000, 1050))
+    # stats pruning dropped two of the three files at planning time
+    assert df.rdd.getNumPartitions() == 1
+    # a provably-empty predicate prunes everything
+    empty = (
+        spark.read.format("versioned")
+        .option("root", vt.root)
+        .load()
+        .filter("id = 999999")
+    )
+    assert empty.count() == 0
+    assert empty.rdd.getNumPartitions() <= 1  # one empty split at most
