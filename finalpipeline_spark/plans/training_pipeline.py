@@ -68,6 +68,12 @@ class TrainingPipeline:
         self.spark = spark
         self.bronze = VersionedTable(spark, f"{warehouse}/bronze_docs")
         self.gold = VersionedTable(spark, f"{warehouse}/gold_packed")
+        # incremental-mode state (all append-only under monotone ids):
+        # every exact-canonical fp, every LSH band key with its min-id
+        # canon, every eval-lane shingle seen so far
+        self.fp_index = VersionedTable(spark, f"{warehouse}/idx_fps")
+        self.band_index = VersionedTable(spark, f"{warehouse}/idx_bands")
+        self.eval_shingles = VersionedTable(spark, f"{warehouse}/idx_eval_shingles")
         self.report: list[StageCount] = []
         self._last_count: int | None = None
 
@@ -92,8 +98,11 @@ class TrainingPipeline:
         self.report.append(StageCount(stage, n_in, n_out))
         return out
 
-    def clean(self, docs: DataFrame) -> DataFrame:
-        """PII scrub + minimum-length gate (doc_pii_redact twin)."""
+    @staticmethod
+    def _scrub(docs: DataFrame) -> DataFrame:
+        """Pure per-doc PII scrub + length gate (no funnel counting) —
+        shared by the wholesale and incremental paths so content-
+        addressed decisions (fps, bands, lanes) agree between them."""
         scrubbed = docs.withColumn(
             "text",
             F.regexp_replace(
@@ -110,9 +119,11 @@ class TrainingPipeline:
                 "<PHONE>",
             ),
         )
-        return self._counted(
-            "clean", docs, scrubbed.filter(F.length("text") >= MIN_CHARS)
-        )
+        return scrubbed.filter(F.length("text") >= MIN_CHARS)
+
+    def clean(self, docs: DataFrame) -> DataFrame:
+        """PII scrub + minimum-length gate (doc_pii_redact twin)."""
+        return self._counted("clean", docs, self._scrub(docs))
 
     def dedup_exact(self, docs: DataFrame) -> DataFrame:
         """Canonical copy per identical text: keep the lowest doc_id
@@ -126,14 +137,13 @@ class TrainingPipeline:
         )
         return self._counted("dedup_exact", docs, out)
 
-    def dedup_near(self, docs: DataFrame) -> DataFrame:
-        """MinHash-LSH near-dup removal (doc_dedup_minhash_lsh twin):
-        banded signatures → candidate pairs within buckets only; the
-        min-id member of each candidate group survives."""
+    @staticmethod
+    def _band_keys(docs: DataFrame) -> DataFrame:
+        """(doc_id, band, key) LSH band keys — the near-dup bucketing
+        relation, shared by the wholesale and incremental paths."""
         from finalpipeline_spark.queries.documents import MINHASH_COEFFS
 
         toks = D.tokens("text", D.SPARK)
-        # signature build, staged once (band keys from 16-perm minhash)
         tok_hash = D.token_hash("t", D.SPARK)
         hashed_arr = D.transform_arr("toks", "t", tok_hash, D.SPARK)
         hashed = docs.selectExpr("doc_id", f"{toks} AS toks").selectExpr(
@@ -147,7 +157,7 @@ class TrainingPipeline:
             f"{D.minhash_sig_ints('shs', MINHASH_COEFFS, D.SPARK)} AS sig",
         ).localCheckpoint(eager=True)
         per_band = len(MINHASH_COEFFS) // _LSH_BANDS
-        bands = sig.select(
+        return sig.select(
             "doc_id",
             F.explode(
                 F.array(
@@ -167,6 +177,12 @@ class TrainingPipeline:
                 )
             ).alias("bk"),
         ).select("doc_id", "bk.band", "bk.key")
+
+    def dedup_near(self, docs: DataFrame) -> DataFrame:
+        """MinHash-LSH near-dup removal (doc_dedup_minhash_lsh twin):
+        banded signatures → candidate pairs within buckets only; the
+        min-id member of each candidate group survives."""
+        bands = self._band_keys(docs)
         # min doc_id per (band, key) bucket = the survivor each member maps to
         canon = bands.groupBy("band", "key").agg(F.min("doc_id").alias("canon"))
         dup_of = (
@@ -178,19 +194,25 @@ class TrainingPipeline:
         out = docs.join(dup_of, "doc_id", "left_anti")
         return self._counted("dedup_near", docs, out)
 
-    def decontaminate(self, docs: DataFrame) -> DataFrame:
-        """Drop training docs sharing any 3-gram shingle with the
-        held-out eval slice (doc_decontam_ngram_overlap twin). The eval
-        slice is content-addressed (md5 lane), so the split is stable
-        across runs; eval side is tiny → broadcast."""
+    @staticmethod
+    def _with_lane_and_shingles(docs: DataFrame) -> DataFrame:
+        """docs + content-addressed eval lane + shingle-hash array —
+        the decontamination inputs, shared with the incremental path."""
         toks = D.tokens("text", D.SPARK)
         lane = f"({D.hex_prefix_to_int(D.md5_hex('text', D.SPARK), D.SPARK)} % 100)"
         tok_hash = D.token_hash("t", D.SPARK)
         hashed_arr = D.transform_arr(toks, "t", tok_hash, D.SPARK)
         shingles = D.shingle_hashes(hashed_arr, D.SPARK)
-        with_sh = docs.selectExpr("*", f"{lane} AS lane").selectExpr(
+        return docs.selectExpr("*", f"{lane} AS lane").selectExpr(
             "*", f"{shingles} AS shs"
         )
+
+    def decontaminate(self, docs: DataFrame) -> DataFrame:
+        """Drop training docs sharing any 3-gram shingle with the
+        held-out eval slice (doc_decontam_ngram_overlap twin). The eval
+        slice is content-addressed (md5 lane), so the split is stable
+        across runs; eval side is tiny → broadcast."""
+        with_sh = self._with_lane_and_shingles(docs)
         train = with_sh.filter(F.col("lane") >= _EVAL_PCT)
         eval_sh = (
             with_sh.filter(F.col("lane") < _EVAL_PCT)
@@ -224,31 +246,45 @@ class TrainingPipeline:
             "quality", docs, scored.filter(F.col("q") > QUALITY_MIN).drop("q")
         )
 
-    def pack_and_shard(self, docs: DataFrame) -> DataFrame:
+    def pack_and_shard(
+        self, docs: DataFrame, prior_offsets: DataFrame | None = None
+    ) -> DataFrame:
         """Token counting → per-shard running offsets → sequence ids
         (doc_pack_sequences twin) with content-addressed shard
         assignment (doc_shard_interleave twin). One shuffle: the
-        per-shard window."""
+        per-shard window. ``prior_offsets`` (shard, prior_toks)
+        continues an existing layout: each shard's running sum starts
+        after the tokens already packed there (the incremental path)."""
         toks = D.tokens("text", D.SPARK)
         with_n = docs.selectExpr(
             "*", f"{D.arr_size(toks, D.SPARK)} AS n_tokens"
         ).filter("n_tokens > 0")
         shard = f"({D.hex_prefix_to_int(D.md5_hex('text', D.SPARK), D.SPARK)} % {N_SHARDS})"
         sharded = with_n.selectExpr("*", f"{shard} AS shard")
+        if prior_offsets is not None:
+            sharded = sharded.join(F.broadcast(prior_offsets), "shard", "left").withColumn(
+                "prior_toks", F.coalesce("prior_toks", F.lit(0))
+            )
+        else:
+            sharded = sharded.withColumn("prior_toks", F.lit(0))
         w = Window.partitionBy("shard").orderBy("doc_id")
         return (
-            sharded.withColumn("end_off", F.sum("n_tokens").over(w))
+            sharded.withColumn("end_off", F.col("prior_toks") + F.sum("n_tokens").over(w))
             .withColumn("seq_id", F.expr(f"(end_off - 1) div {SEQ_LEN}"))
             .select("doc_id", "text", "n_tokens", "shard", "seq_id")
         )
 
     # -- driver --------------------------------------------------------
-    def run(self, sf_dir: str) -> DataFrame:
-        """Execute all stages against a pinned bronze snapshot; commit
-        gold with lineage meta; return the funnel report."""
+    def run(self, sf_dir: str | None = None, docs: DataFrame | None = None) -> DataFrame:
+        """Execute all stages against a pinned bronze snapshot (loaded
+        from ``sf_dir`` or given directly as ``docs``); commit gold
+        with lineage meta; return the funnel report."""
         self.report = []
         self._last_count = None
-        bronze_version = self.ingest(sf_dir)
+        if docs is not None:
+            bronze_version = self.bronze.commit_overwrite(docs).version
+        else:
+            bronze_version = self.ingest(sf_dir)
         docs = self.bronze.read(bronze_version)
         out = self.pack_and_shard(
             self.quality_filter(
@@ -257,6 +293,173 @@ class TrainingPipeline:
         )
         # lineage: which bronze snapshot produced this gold version
         self.gold.commit_overwrite(out, meta={"bronze_version": bronze_version})
+        rows = [(s.stage, s.docs_in, s.docs_out) for s in self.report]
+        return self.spark.createDataFrame(
+            rows, "stage string, docs_in bigint, docs_out bigint"
+        )
+
+    def seed_indexes(self) -> None:
+        """(Re)build the incremental-mode index tables from the current
+        bronze snapshot — run once after a wholesale `run` to enable
+        `run_incremental` batches on top of it."""
+        cleaned = self._scrub(self.bronze.read())
+        fps = cleaned.select(F.md5("text").alias("fp"), "doc_id").groupBy("fp").agg(
+            F.min("doc_id").alias("canon")
+        )
+        self.fp_index.commit_overwrite(fps)
+        exact = cleaned.withColumn("fp", F.md5("text")).withColumn(
+            "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        ).filter("rn = 1").drop("fp", "rn")
+        band_keys = self._band_keys(exact).localCheckpoint(eager=True)
+        bands = band_keys.groupBy("band", "key").agg(F.min("doc_id").alias("canon"))
+        self.band_index.commit_overwrite(bands)
+        # eval shingles come from NEAR-DEDUP SURVIVORS — the wholesale
+        # decontaminate() sees eval docs only after both dedup stages,
+        # so an eval doc dropped as a near-dup contributes no shingles
+        dup = (
+            band_keys.join(bands, ["band", "key"])
+            .filter("doc_id != canon")
+            .select("doc_id")
+            .distinct()
+        )
+        near = exact.join(dup, "doc_id", "left_anti")
+        ev = (
+            self._with_lane_and_shingles(near)
+            .filter(F.col("lane") < _EVAL_PCT)
+            .select(F.explode("shs").alias("sh"))
+            .distinct()
+        )
+        self.eval_shingles.commit_overwrite(ev)
+
+    def run_incremental(self, new_docs: DataFrame) -> DataFrame:
+        """Process ONE batch of new documents in O(batch): every
+        curation decision consults the persisted indexes instead of
+        rescanning the corpus, and decisions equal the wholesale run's
+        because ingest ids are monotone (new ids > all previous), so an
+        indexed canonical (min id) can never be displaced by a new doc.
+
+        Two effects on gold, both versioned commits:
+          * APPEND the batch's survivors (packing continues each
+            shard's running token offset, so sequence ids extend the
+            existing layout);
+          * RETRACT (CoW delete) previously-shipped gold docs that the
+            batch's NEW eval-lane shingles retroactively contaminate —
+            the decision a snapshot pipeline can only make by full
+            recompute. After retraction the doc SET equals the
+            wholesale run's; the physical packing of old survivors is
+            left in place (repacking is an OPTIMIZE-style maintenance
+            job, not a correctness requirement).
+        """
+        prev_max = self.bronze.read().agg(F.max("doc_id")).first()[0]
+        batch_min = new_docs.agg(F.min("doc_id")).first()[0]
+        if prev_max is not None and batch_min <= prev_max:
+            raise ValueError(
+                f"ingest ids must be monotone: batch min {batch_min} <= "
+                f"existing max {prev_max}"
+            )
+        self.report = []
+        self._last_count = None
+        bronze_version = self.bronze.commit_append(new_docs).version
+
+        batch = self._counted("clean", new_docs, self._scrub(new_docs))
+        # exact dedup: within batch (min id per fp) AND vs the fp index
+        fp_idx = self.fp_index.read()
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        with_fp = batch.withColumn("fp", F.md5("text"))
+        exact = self._counted(
+            "dedup_exact",
+            batch,
+            with_fp.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .join(fp_idx.select("fp"), "fp", "left_anti")
+            .drop("fp", "rn"),
+        )
+        self.fp_index.commit_append(
+            with_fp.select("fp", "doc_id")
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("canon"))
+            .join(fp_idx.select("fp"), "fp", "left_anti")
+        )
+        # near dup: collision with an indexed band key OR a smaller-id
+        # batch doc (both are exactly the wholesale min-id rule)
+        bands = self._band_keys(exact).localCheckpoint(eager=True)
+        band_idx = self.band_index.read()
+        hit_index = bands.join(
+            band_idx.select("band", "key"), ["band", "key"]
+        ).select("doc_id")
+        canon = bands.groupBy("band", "key").agg(F.min("doc_id").alias("canon"))
+        hit_batch = (
+            bands.join(canon, ["band", "key"]).filter("doc_id != canon").select("doc_id")
+        )
+        near = self._counted(
+            "dedup_near",
+            exact,
+            exact.join(hit_index.union(hit_batch).distinct(), "doc_id", "left_anti"),
+        )
+        self.band_index.commit_append(
+            canon.join(band_idx.select("band", "key"), ["band", "key"], "left_anti")
+        )
+        # decontamination: new train docs vs ALL eval shingles (index ∪
+        # batch); then retract gold docs hit by the batch's NEW shingles
+        with_sh = self._with_lane_and_shingles(near)
+        # eval shingles from the batch's NEAR-DEDUP SURVIVORS — exactly
+        # the population whose shingles the wholesale decontaminate sees
+        batch_eval_sh = (
+            with_sh.filter(F.col("lane") < _EVAL_PCT)
+            .select(F.explode("shs").alias("sh"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        all_eval_sh = self.eval_shingles.read().union(batch_eval_sh).distinct()
+        train = with_sh.filter(F.col("lane") >= _EVAL_PCT)
+        contaminated = (
+            train.select("doc_id", F.explode("shs").alias("sh"))
+            .join(F.broadcast(all_eval_sh), "sh")
+            .select("doc_id")
+            .distinct()
+        )
+        decon = self._counted(
+            "decontaminate",
+            near,
+            train.join(contaminated, "doc_id", "left_anti").drop("lane", "shs"),
+        )
+        new_eval_sh = batch_eval_sh.join(self.eval_shingles.read(), "sh", "left_anti")
+        retract_ids = [
+            r.doc_id
+            for r in self._with_lane_and_shingles(self.gold.read())
+            .select("doc_id", F.explode("shs").alias("sh"))
+            .join(F.broadcast(new_eval_sh), "sh")
+            .select("doc_id")
+            .distinct()
+            .collect()  # bounded by retraction count, not corpus
+        ]
+        if retract_ids:
+            self.gold.delete_where(
+                "doc_id IN (" + ",".join(str(i) for i in retract_ids) + ")"
+            )
+        self.eval_shingles.commit_append(new_eval_sh)
+        # quality gate + packing continuation per shard: normally the
+        # new running sum continues from the shard's token total (which
+        # is EXACTLY the wholesale layout); if a retraction shrank the
+        # total below the sequence-id watermark (stale ids keep their
+        # packing — no repack on delete), jump to the next free
+        # boundary so new sequence ids never collide with old ones
+        prior = (
+            self.gold.read()
+            .groupBy("shard")
+            .agg(
+                F.sum("n_tokens").cast("long").alias("t"),
+                F.max("seq_id").cast("long").alias("mx"),
+            )
+            .selectExpr(
+                "shard",
+                f"CASE WHEN t > mx * {SEQ_LEN} THEN t"
+                f" ELSE (mx + 1) * {SEQ_LEN} END AS prior_toks",
+            )
+        )
+        out = self.pack_and_shard(self.quality_filter(decon), prior_offsets=prior)
+        self.gold.commit_append(out, meta={"bronze_version": bronze_version})
+        self.report.append(StageCount("retract", len(retract_ids), len(retract_ids)))
         rows = [(s.stage, s.docs_in, s.docs_out) for s in self.report]
         return self.spark.createDataFrame(
             rows, "stage string, docs_in bigint, docs_out bigint"
