@@ -406,3 +406,59 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-order-year cohort and account age. See _ltv_sql."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(_ORD_VIEW)
     return spark.sql(_ltv_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Pareto / ABC analysis (revenue concentration)
+# --------------------------------------------------------------------------
+def _abc_sql(dialect: str) -> str:
+    """ABC classification of parts by revenue share: rank parts by
+    exact-cents revenue, classify by cumulative share (A ≤ 80%,
+    B ≤ 95%, C above) — the 80/20 inventory-analysis staple.
+
+    Exactness: the class boundaries compare cum_cents * 100 against
+    threshold * total_cents in exact int64 — no floating-point share is
+    ever compared. Scale shape: one fact shuffle to |parts| partials,
+    then a support-sized cumulative window and a 3-row rollup."""
+    return f"""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint)
+                       AS cents
+            FROM {_li(dialect)}
+            GROUP BY l_partkey
+        ),
+        tot AS (
+            SELECT cast(sum(cents) as bigint) AS total FROM per_part
+        ),
+        ranked AS (
+            SELECT l_partkey, cents,
+                   cast(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+                       AS cum_cents
+            FROM per_part
+        ),
+        classed AS (
+            SELECT CASE WHEN cum_cents * 100 <= 80 * tot.total THEN 'A'
+                        WHEN cum_cents * 100 <= 95 * tot.total THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   cents
+            FROM ranked CROSS JOIN tot
+        )
+        SELECT abc_class,
+               cast(count(*) as bigint) AS n_parts,
+               cast(sum(cents) as bigint) AS class_cents,
+               cast(sum(cents) as double) / cast((SELECT total FROM tot) as double)
+                   AS revenue_share
+        FROM classed
+        GROUP BY abc_class
+    """
+
+
+@register("lineitem_abc_analysis", oracle=_abc_sql(D.DUCK), tags=("extension",))
+def lineitem_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC revenue classification of parts (A ≤ 80% cumulative
+    share, B ≤ 95%, C the tail) — exact-integer class boundaries. See
+    _abc_sql."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(_LI_VIEW)
+    return spark.sql(_abc_sql(D.SPARK))
