@@ -462,3 +462,73 @@ def lineitem_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     _abc_sql."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(_LI_VIEW)
     return spark.sql(_abc_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Weekly seasonality heatmap (day-of-week × hour)
+# --------------------------------------------------------------------------
+def _dow_hour_sql(dialect: str) -> str:
+    """Activity matrix by (day-of-week, hour-of-day) — the seasonality
+    profile capacity planning reads. Pure integer epoch arithmetic
+    (1970-01-01 was a Thursday → dow = (days + 4) % 7 with Sunday=0),
+    so both engines agree bit-for-bit and no timezone is involved."""
+    epoch_s = "ts_epoch_s" if dialect == D.SPARK else "(epoch_us(ts) // 1000000)"
+    days = D.idiv(epoch_s, 86400, dialect)
+    hour = f"({D.idiv(epoch_s, 3600, dialect)}) % 24"
+    return f"""
+        SELECT cast((({days}) + 4) % 7 as bigint) AS dow,
+               cast({hour} as bigint) AS hour,
+               cast(count(*) as bigint) AS n_events,
+               cast(count(DISTINCT user_id) as bigint) AS n_users
+        FROM {_ev(dialect)}
+        GROUP BY 1, 2
+    """
+
+
+@register("events_dow_hour_heatmap", oracle=_dow_hour_sql(D.DUCK), tags=("extension",))
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity matrix (≤168 rows), exact
+    integer epoch math. See _dow_hour_sql."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(_EV_VIEW)
+    return spark.sql(_dow_hour_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Simpson diversity index (language mix per source)
+# --------------------------------------------------------------------------
+def _simpson_sql(dialect: str) -> str:
+    """Per-source language diversity: Simpson's index
+    D = Σ n_i(n_i−1) / (N(N−1)) — the probability two random docs from
+    a source share a language. All counts exact int64; one division per
+    source. Scale: one corpus shuffle to (source, lang) partials, then
+    a |sources|-sized rollup."""
+    return f"""
+        WITH sl AS (
+            SELECT source, lang, cast(count(*) as bigint) AS n
+            FROM {_doc_tbl_an(dialect)}
+            GROUP BY source, lang
+        )
+        SELECT source,
+               cast(sum(n) as bigint) AS n_docs,
+               cast(count(*) as bigint) AS n_langs,
+               cast(sum(n * (n - 1)) as double)
+                   / (cast(sum(n) as double) * cast(sum(n) - 1 as double))
+                   AS simpson_index
+        FROM sl
+        GROUP BY source
+    """
+
+
+_DOC_VIEW_AN = "__fps_an_docs"
+
+
+def _doc_tbl_an(dialect: str) -> str:
+    return _DOC_VIEW_AN if dialect == D.SPARK else "documents"
+
+
+@register("doc_simpson_diversity", oracle=_simpson_sql(D.DUCK), tags=("extension",))
+def doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson language-diversity index per source — exact-count
+    homogeneity measure for corpus-mix monitoring. See _simpson_sql."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(_DOC_VIEW_AN)
+    return spark.sql(_simpson_sql(D.SPARK))
