@@ -46,9 +46,18 @@ def _norm_value(v: Any) -> Any:
 
 
 def _norm_rows(df) -> list[tuple]:
+    # repr-canonicalized, type-strict: int 253942 reprs as "253942" while
+    # float 253942.0 reprs as "253942.0", so int-vs-float dtype drift
+    # (e.g. DuckDB widening sum(BIGINT) → HUGEINT → pandas float64) FAILS
+    # here exactly as it fails the driver's canonicalized value hash.
+    # Python `==` on raw values would mask it (253942 == 253942.0 is True)
+    # — that laxness shipped the r3 tpch_grouping_sets bug.
     cols = sorted(df.columns)
-    out = [tuple(_norm_value(v) for v in row) for row in df[cols].itertuples(index=False)]
-    out.sort(key=repr)
+    out = [
+        tuple(repr(_norm_value(v)) for v in row)
+        for row in df[cols].itertuples(index=False)
+    ]
+    out.sort()
     return out
 
 

@@ -49,93 +49,63 @@ def register(
 # The external driver's correctness gate verifies the FIRST 50 registered
 # queries (registration order == dict insertion order).  The window is
 # rotated each round to maximize cumulative driver-verified coverage:
-# r1 checked chembl/documents/embeddings/events/extended, r2 checked
-# relational/tpch/multimodal/chembl.  Round 3 window = everything never
-# driver-checked (training, curation, r3 repairs, r3 additions) + every
-# events-touching query (the driver changed the events timestamp
-# encoding between rounds, so r2's rows no longer attest the new reader
-# path) + a few staples.  Everything outside the window stays covered by
-# the local oracle-parity suite (tests/test_oracle_parity.py — same
-# DuckDB value-hash compare), and r2-green unchanged queries keep their
-# CORRECTNESS_r02 rows as evidence.
-_PRIORITY_MODULES = ("training", "curation", "events")
+# r1 checked chembl/documents/embeddings/events/extended; r2 checked
+# relational/tpch/multimodal/chembl; r3 checked training/curation/events
+# + the r3 additions (49/50 green).  Round 4 window = the ONE r3 red row
+# (tpch_grouping_sets, fixed this round) + all 28 queries that have
+# never had a driver CORRECTNESS row in any round (analytics, drift,
+# attribution, BPE trio, sketch twins, profiling twins, graph paths,
+# mm_audio/mm_video, matryoshka, weighted sampling, unpivot) + every
+# query ADDED this round.  After this round every registered query has a
+# driver row in some round; future windows re-rotate oldest-first.
+# Everything outside the window stays covered by the local oracle-parity
+# suite (tests/test_oracle_parity.py — same compare, now dtype-strict).
+# NOTE: the window is a single explicit list — module-based priority was
+# dropped because adding a query to a priority module silently shifted
+# the window.  After ANY registration change, re-print list(queries())
+# [:52] and re-curate this list.
+_PRIORITY_MODULES: tuple[str, ...] = ()
 _PRIORITY_QUERIES = (
-    # the two r2 events-loader repairs (errored rows in CORRECTNESS_r02)
-    "events_pivot_counts",
-    "ref_ledger_new_files",
-    # r2 repair: gained a posexplode'd scalar shape + a DuckDB oracle
-    "lineitem_approx_quantiles",
-    # new in the post-r2 session
-    "lineitem_regr_stats",
-    "tpch_q2",
-    "tpch_q11",
-    "tpch_q20",
-    # new this round (warehouse + semantic modules)
-    "orders_scd2_snapshot",
+    # r3's one red row — fixed (HUGEINT cast), needs re-attestation
     "tpch_grouping_sets",
-    "doc_quality_classifier",
-    "emb_semantic_dedup",
-    "doc_reconcile_checksums",
-    "doc_global_row_ids",
-    # new in the round-3 continuation session: sketches, graph,
-    # profiling, bloom prefilter, incremental MV — all oracle-checked
-    "lineitem_hll_distinct",
-    "events_cms_heavy_hitters",
-    "orders_bloom_semi_join",
-    "nation_pagerank",
-    "lineitem_mergeable_quantiles",
-    "events_rolling_distinct_hll",
-    "orders_profile",
-    "orders_incremental_mv",
-    # newest additions: search (inverted index + BM25), rollup
-    # hierarchy, triangle counting, ES weighted sampling — one window
-    # representative per new capability family; the family twins
-    # (hll_union_parts, events_cms_join_size, lineitem_price_histogram)
-    # and r2-green staples (ref_clean_ids, flagship_datamart_chain)
-    # deferred past 50, still covered by the local parity suite
-    "doc_inverted_index",
-    "doc_bm25_topk",
-    "doc_hybrid_search_rrf",
-    "events_rollup_hierarchy",
-    "nation_triangle_count",
-    "doc_weighted_sample_fixed",
-    # rows-only / r1-green staples past the 50 line (still covered by
-    # the local oracle-parity suite and earlier CORRECTNESS rows)
-    "events_cohort_retention",
-    "events_conversion_funnel",
+    # -- the 28 never-driver-checked queries (VERDICT r3 item 2) --
     "doc_bpe_pair_counts",
     "doc_unpivot_lang_counts",
     "mm_audio_energy",
     "mm_video_scene_cut",
-    "doc_bpe_learn_merges",
-    "doc_bpe_encode",
-    "chembl_crossscore_udf",
-    "ref_approx_distinct",
-    "chembl_tanimoto_topk",
+    "doc_bpe_learn_merges",   # rows-only by design (iterative merge learner)
+    "doc_bpe_encode",         # rows-only by design (applies learned merges)
+    "orders_rfm_segments",
+    "lineitem_basket_lift",
+    "events_first_touch_attribution",
+    "orders_spend_tiles",
+    "events_last_touch_attribution",
+    "events_funnel_latency",
+    "orders_cohort_ltv",
+    "lineitem_abc_analysis",
+    "events_dow_hour_heatmap",
+    "doc_simpson_diversity",
+    "emb_covariance_prefix",
+    "doc_quality_weighted_sample",
+    "emb_matryoshka_eval",
+    "doc_drift_psi",
+    "events_drift_ks",
+    "nation_shortest_paths",
+    "lineitem_price_histogram",
+    "events_skew_profile",
+    "events_concurrency_curve",
+    "doc_bigram_lm",
+    "hll_union_parts",
+    "events_cms_join_size",
+    # -- queries added in round 4 (each gets its first driver row) --
+    "chembl_tanimoto_lsh_topk",
+    "chembl_tanimoto_lsh_recall",
 )
 
-# Green in CORRECTNESS_r01/r02 with unchanged code since — deferred past
-# the 50-query line to make room for never-checked ops (still covered by
-# the local parity suite, same compare).
-_DEFER_QUERIES = (
-    "ref_view_avg_absdiff_nonull",  # ref_view_avg_absdiff r2-green
-    "ref_intersect",                # ref_except_all r2-green
-    "ref_orderby_limit",            # ref_topk_per_group r2-green
-    "ref_counts",                   # every query exercises scan+count paths
-    "events_sliding_window",        # loader attested by in-window events queries
-    "events_asof_signup",           # r1-green; epoch math attested in-window
-    # family-covered twins deferred so the newest capability families
-    # (hybrid RRF search, triangle counting, OHLC, gapfill) all fit:
-    "doc_quality_weighted_sample",  # sampling family: weighted_sample_fixed + sample_temperature in-window
-    "emb_matryoshka_eval",          # index-eval family: emb_ann_recall_eval in-window
-    # r1-green events queries whose loader path is attested by the
-    # in-window events queries — deferred to make room for the new
-    # oracle-checked sketch/graph/profiling/MV ops
-    "events_hourly_rollup",
-    "events_sessionize",
-    "events_json_extract",
-    "events_anomaly_zscore",
-)
+# No r4 deferrals needed: window membership is fully explicit above, and
+# everything else (r1-r3 green, unchanged) follows in registration order
+# past the 50-query line, covered by the local parity suite.
+_DEFER_QUERIES: tuple[str, ...] = ()
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -84,6 +84,9 @@ def _grouping_sets_sql(dialect: str) -> str:
 
     Measures are exact: l_quantity is integral-valued in TPC-H, so
     sum(cast(l_quantity as bigint)) is addition-order-independent.
+    The outer cast pins the sum back to BIGINT — DuckDB widens
+    sum(BIGINT) to HUGEINT, which pandas materializes as float64 and
+    the driver's value hash then diverges from Spark's int64.
     grouping() flags (not NULL-matching) distinguish "grouped-out"
     from genuine NULLs — both engines implement the standard.
     """
@@ -92,7 +95,7 @@ def _grouping_sets_sql(dialect: str) -> str:
         SELECT l_returnflag, l_linestatus,
                cast(grouping(l_returnflag) AS int) * 2
                  + cast(grouping(l_linestatus) AS int) AS grain_id,
-               sum(cast(l_quantity as bigint)) AS sum_qty,
+               cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty,
                count(*) AS n_rows
         FROM {t}
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
