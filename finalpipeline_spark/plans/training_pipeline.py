@@ -464,3 +464,59 @@ class TrainingPipeline:
         return self.spark.createDataFrame(
             rows, "stage string, docs_in bigint, docs_out bigint"
         )
+
+    def repack_shards(self) -> DataFrame:
+        """Maintenance job: densely repack shards fragmented by
+        retractions.
+
+        A CoW retraction leaves holes in the packed layout (sequence
+        ids keep their positions; the incremental path then jumps to
+        the next free sequence boundary so ids never collide), so a
+        shard's token total can fall arbitrarily below its sequence-id
+        watermark — wasted training-sequence slots that would otherwise
+        accumulate forever. This job re-runs the packing window with a
+        zero offset for exactly the shards whose density invariant
+        ``sum(n_tokens) > max(seq_id) * SEQ_LEN`` is violated, and
+        swaps them in with ONE atomic ``replace_where`` commit (the
+        Delta replaceWhere shape) — readers never observe a
+        deleted-but-not-yet-repacked table, pinned versions still read
+        the old layout, and healthy shards' files carry over by
+        reference. Shard assignment is content-addressed (md5 of the
+        unchanged text), so repacked rows provably stay in their
+        shards and the predicate covers exactly the rewritten rows.
+        Idempotent: a repacked shard satisfies the invariant, so a
+        second run is a no-op. Scale shape: the rewrite is bounded by
+        the affected shards' rows; the decision scan is one gold
+        aggregation to N_SHARDS rows."""
+        gold = self.gold.read()
+        stats = gold.groupBy("shard").agg(
+            F.sum("n_tokens").cast("long").alias("t"),
+            F.max("seq_id").cast("long").alias("mx"),
+        )
+        affected = sorted(
+            int(r["shard"])
+            for r in stats.filter(F.expr(f"t <= mx * {SEQ_LEN}")).collect()
+        )  # bounded by N_SHARDS
+        if not affected:
+            return self.spark.createDataFrame(
+                [], "shard bigint, seqs_before bigint, seqs_after bigint"
+            )
+        pred = "shard IN (" + ",".join(str(s) for s in affected) + ")"
+        before = {
+            int(r["shard"]): int(r["mx"]) + 1
+            for r in stats.filter(F.expr(pred)).collect()
+        }
+        repacked = self.pack_and_shard(
+            gold.filter(F.expr(pred)).select("doc_id", "text")
+        ).localCheckpoint(eager=True)
+        self.gold.replace_where(pred, repacked, meta={"repacked_shards": affected})
+        after = {
+            int(r["shard"]): int(r["mx"]) + 1
+            for r in repacked.groupBy("shard")
+            .agg(F.max("seq_id").alias("mx"))
+            .collect()
+        }
+        rows = [(s, before[s], after.get(s, 0)) for s in affected]
+        return self.spark.createDataFrame(
+            rows, "shard bigint, seqs_before bigint, seqs_after bigint"
+        )

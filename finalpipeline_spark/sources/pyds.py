@@ -62,6 +62,21 @@ def _abs_paths(root: str, m: dict) -> list[str]:
     return [os.path.join(f.get("base", root), f["path"]) for f in m["files"]]
 
 
+def _manifest_any(root: str, version: int) -> dict | None:
+    """Manifest ``version`` INCLUDING vacuum tombstones (an expired
+    manifest keeps its full file list — vacuum only flips the
+    ``expired`` flag).  None if no manifest file was ever written for
+    this version (the stream's pre-snapshot sentinel); unparseable
+    manifests raise JSONDecodeError for the caller to surface."""
+    if version < 0:
+        return None
+    path = os.path.join(root, _LOG_DIR, "v%012d.json" % version)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
 class _FilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -185,13 +200,18 @@ class VersionedStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         # start BEFORE the earliest live version so the first batch
         # delivers the initial snapshot — but only if that version is
-        # an initial commit; otherwise start from the current latest
+        # an initial commit; otherwise start from the current latest.
+        # The explicit "snapshot" marker distinguishes this sentinel
+        # from a consumed-then-vacuumed version (whose tombstone file
+        # list must be subtracted in partitions(); the sentinel's, if
+        # one exists from a pre-stream vacuum, must NOT be — first may
+        # carry that tombstone's files by reference).
         live = _live_manifests(self._root)
         if not live:
-            return {"version": -1}
+            return {"version": -1, "snapshot": True}
         first = min(live)
         if live[first]["action"] in ("overwrite", "append", "clone"):
-            return {"version": first - 1}
+            return {"version": first - 1, "snapshot": True}
         return {"version": max(live)}
 
     def latestOffset(self) -> dict:
@@ -216,9 +236,29 @@ class VersionedStreamReader(DataSourceStreamReader):
                     f"version {v} is '{live[v]['action']}': content "
                     "mutation has no row-level delta; reprocess the snapshot"
                 )
-        base_paths = (
-            set(_abs_paths(self._root, live[s])) if s in live else set()
-        )
+        # Base file set for the delta diff.  If the start version was
+        # vacuumed UNDER the stream (expired while e was still live),
+        # its tombstone manifest still carries the full file list, so
+        # the diff stays exact — without this, an empty base would
+        # redeliver every carried-over file in manifest e as 'new'
+        # rows, silently double-counting everything already consumed.
+        # The pre-snapshot sentinel (marked by initialOffset) means
+        # "deliver the full snapshot" — the one case an empty base is
+        # correct even when an older tombstone exists at version s.
+        if start.get("snapshot"):
+            base = None
+        elif s in live:
+            base = live[s]
+        else:
+            try:
+                base = _manifest_any(self._root, s)
+            except json.JSONDecodeError:
+                raise ValueError(
+                    f"start version {s} of {self._root} has an unreadable "
+                    "manifest — cannot compute an exact delta; restart "
+                    "from a fresh checkpoint"
+                ) from None
+        base_paths = set(_abs_paths(self._root, base)) if base else set()
         new = [
             p
             for p in _abs_paths(self._root, live[e])

@@ -50,6 +50,7 @@ manifest-sized, never data-sized.
 from __future__ import annotations
 
 import json
+import time
 import uuid
 from dataclasses import dataclass
 from typing import Any
@@ -176,7 +177,15 @@ class VersionedTable:
 
     # -- commit protocol ---------------------------------------------
     def _write_manifest(self, manifest: dict[str, Any]) -> int:
-        """Claim ``manifest['version']`` with an exclusive create."""
+        """Claim ``manifest['version']`` with an exclusive create.
+
+        If the create loses to an UNPARSEABLE manifest (a crash
+        mid-manifest-write), the aborted file is auto-retired (the
+        ``recover_log`` rename) and the claim retried once: without
+        this, ``versions()`` skips the partial file, every writer
+        recomputes the same version number, and the exclusive create
+        fails forever — 'retry' could never succeed until a manual
+        ``recover_log`` call."""
         version = manifest["version"]
         path = self._manifest_path(version)
         self._fs.mkdirs(self._p(_LOG_DIR))
@@ -185,9 +194,30 @@ class VersionedTable:
             # loser of a race gets FileAlreadyExistsException.
             out = self._fs.create(path, False)
         except Exception as exc:  # py4j wraps the Java exception
-            raise ConcurrentCommitError(
-                f"version {version} of {self.root} was committed concurrently"
-            ) from exc
+            try:
+                self._read_manifest_file(version)
+                aborted = False
+            except json.JSONDecodeError:
+                aborted = True
+            except VersionNotFoundError:
+                aborted = False  # transient FS race: surface as concurrent
+            if not aborted:
+                raise ConcurrentCommitError(
+                    f"version {version} of {self.root} was committed "
+                    "concurrently"
+                ) from exc
+            renamed = self._fs.rename(
+                path, self._p(_LOG_DIR, (_MANIFEST_FMT % version) + ".aborted")
+            )
+            if not renamed:  # an earlier .aborted already holds the name
+                self._fs.delete(path, False)
+            try:
+                out = self._fs.create(path, False)
+            except Exception as exc2:
+                raise ConcurrentCommitError(
+                    f"version {version} of {self.root} was committed "
+                    "concurrently (after aborted-manifest recovery)"
+                ) from exc2
         try:
             out.write(bytearray(json.dumps(manifest).encode("utf-8")))
         finally:
@@ -355,6 +385,43 @@ class VersionedTable:
             new_files = self._write_data_files(survivors)
         return self._commit("delete", keep + new_files, m["schema"])
 
+    def replace_where(
+        self, predicate: str, df: DataFrame, meta: dict[str, Any] | None = None
+    ) -> CommitInfo:
+        """Delta-style ``replaceWhere``: atomically delete the rows
+        matching ``predicate`` AND insert ``df``'s rows, as ONE commit.
+
+        Copy-on-write like ``delete_where`` (only files containing
+        matching rows are rewritten; the rest carry over by reference)
+        plus the replacement's new files, all landing in a single
+        manifest — so no reader can ever observe the deleted-but-not-
+        yet-replaced intermediate state that a delete+append pair would
+        expose between its two versions.  The maintenance shape for
+        partition-scoped rewrites (e.g. repacking a shard)."""
+        m = self.manifest()
+        current = self.read()
+        hit_files = {
+            r["f"]
+            for r in current.filter(F.expr(predicate))
+            .select(F.col("_metadata.file_path").alias("f"))
+            .distinct()
+            .collect()  # bounded by file count, not rows
+        }
+        keep, rewrite_abs = [], []
+        for entry in m["files"]:
+            if any(h.endswith(entry["path"]) for h in hit_files):
+                rewrite_abs.append(self._abs(entry))
+            else:
+                keep.append(entry)
+        new_files: list[dict[str, Any]] = []
+        if rewrite_abs:
+            survivors = self.spark.read.parquet(*rewrite_abs).filter(
+                ~F.expr(predicate)
+            )
+            new_files += self._write_data_files(survivors)
+        new_files += self._write_data_files(df)
+        return self._commit("replace", keep + new_files, m["schema"], meta)
+
     def optimize(
         self,
         target_rows_per_file: int = 1_000_000,
@@ -477,7 +544,15 @@ class VersionedTable:
         paths = []
         for f in m["files"]:
             mn, mx = f["stats"].get(col, [None, None])
-            if mn is None or mx is None or (mx >= lo and mn <= hi):
+            try:
+                keep = mn is None or mx is None or (mx >= lo and mn <= hi)
+            except TypeError:
+                # _json_safe stringifies date/timestamp stats; comparing
+                # them against date/datetime bounds is a type error —
+                # conservatively keep the file (over-selection only),
+                # mirroring pyds._may_match.
+                keep = True
+            if keep:
                 paths.append(self._abs(f))
         if not paths:
             return self.read(version).filter(F.lit(False))
@@ -567,11 +642,24 @@ class VersionedTable:
                 retired.append(v)
         return retired
 
-    def vacuum(self, retain_last: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_last: int = 1, grace_seconds: float = 7 * 24 * 3600
+    ) -> list[str]:
         """Delete data files referenced ONLY by versions older than the
         last ``retain_last`` live ones, plus orphan commit dirs from
         aborted commits; mark expired manifests (kept as tombstones so
-        time travel to them errors cleanly rather than reading holes)."""
+        time travel to them errors cleanly rather than reading holes).
+
+        ``grace_seconds`` is the retention threshold (Delta's
+        retention-hours approach, default 7 days): an unreferenced file
+        is reclaimed only once its modification time is older than the
+        grace period.  Without it, an IN-FLIGHT commit — data files
+        written, manifest not yet created, per the commit protocol — is
+        indistinguishable from an aborted-commit orphan, and vacuum
+        could delete files a racing writer is about to reference,
+        corrupting that version for all readers.  Tests (and callers
+        that can prove no concurrent writers) pass ``grace_seconds=0``.
+        """
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
         live = self.versions_live()
@@ -579,6 +667,7 @@ class VersionedTable:
         referenced = set()
         for v in retained:
             referenced |= {f["path"] for f in self._read_manifest_file(v)["files"]}
+        cutoff_ms = (time.time() - grace_seconds) * 1000.0
         deleted: list[str] = []
         data = self._p(_DATA_DIR)
         if self._fs.exists(data):
@@ -587,6 +676,8 @@ class VersionedTable:
                 for st in self._fs.listStatus(commit_st.getPath()):
                     name = st.getPath().getName()
                     rel = f"{_DATA_DIR}/{cdir}/{name}"
+                    if st.getModificationTime() > cutoff_ms:
+                        continue  # possibly an in-flight commit: retain
                     if name.startswith(("_", ".")):
                         self._fs.delete(st.getPath(), False)
                     elif rel not in referenced:

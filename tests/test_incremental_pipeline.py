@@ -108,3 +108,59 @@ def test_incremental_rejects_non_monotone_ids(spark, tmp_path_factory, corpus):
     p.seed_indexes()
     with pytest.raises(ValueError, match="monotone"):
         p.run_incremental(batch1.limit(5))
+
+
+def test_repack_after_retraction(spark, tmp_path_factory, corpus):
+    """CoW retractions leave sequence-slot holes; repack_shards must
+    restore the density invariant for exactly the fragmented shards,
+    atomically, without changing the doc set — and be idempotent."""
+    full, *_ = corpus
+    p = TrainingPipeline(spark, str(tmp_path_factory.mktemp("whE")))
+    p.run(docs=full)
+    from finalpipeline_spark.plans.training_pipeline import SEQ_LEN
+
+    gold = p.gold.read()
+    # pick a shard whose LAST doc alone can't justify its watermark,
+    # then retract every other doc in it → invariant provably violated
+    from pyspark.sql.window import Window
+
+    last = (
+        gold.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("shard").orderBy(F.desc("doc_id"))
+            ),
+        )
+        .filter("rn = 1")
+        .filter(F.expr(f"seq_id * {SEQ_LEN} >= n_tokens"))
+        .first()
+    )
+    assert last is not None
+    shard = last["shard"]
+    p.gold.delete_where(f"shard = {shard} AND doc_id != {last['doc_id']}")
+
+    def density(df):
+        return {
+            r["shard"]: (int(r["t"]), int(r["mx"]))
+            for r in df.groupBy("shard")
+            .agg(F.sum("n_tokens").alias("t"), F.max("seq_id").alias("mx"))
+            .collect()
+        }
+
+    t, mx = density(p.gold.read())[shard]
+    assert t <= mx * SEQ_LEN  # fragmented
+    docs_before = sorted(r.doc_id for r in p.gold.read().select("doc_id").collect())
+    v_before = p.gold.latest_version()
+
+    rep = {r["shard"]: r for r in p.repack_shards().collect()}
+    assert shard in rep and rep[shard]["seqs_after"] < rep[shard]["seqs_before"]
+    assert p.gold.latest_version() == v_before + 1  # one atomic commit
+    assert p.gold.manifest()["action"] == "replace"
+    assert docs_before == sorted(
+        r.doc_id for r in p.gold.read().select("doc_id").collect()
+    )  # content preserved
+    for s, (t2, mx2) in density(p.gold.read()).items():
+        assert t2 > mx2 * SEQ_LEN, f"shard {s} still fragmented"
+    # idempotent: nothing left to repack, no new version
+    assert p.repack_shards().count() == 0
+    assert p.gold.latest_version() == v_before + 1

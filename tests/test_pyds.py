@@ -125,3 +125,58 @@ def test_batch_filter_pushdown_prunes_files(spark, tmp_path):
     )
     assert empty.count() == 0
     assert empty.rdd.getNumPartitions() <= 1  # one empty split at most
+
+
+# --------------------------------------------------------------------------
+# vacuumed-start-version delta correctness (unit-level on the reader)
+# --------------------------------------------------------------------------
+def _stream_reader(root):
+    from finalpipeline_spark.sources.pyds import VersionedStreamReader
+
+    return VersionedStreamReader(root, ["id", "bucket"])
+
+
+def _partition_paths(reader, start, end):
+    return sorted(p.path for p in reader.partitions(start, end))
+
+
+def test_stream_delta_survives_vacuumed_start_version(spark, vt):
+    """If the start-offset version is vacuumed while the stream is one
+    version behind, the tombstone manifest's file list must still drive
+    the diff — an empty base would redeliver every carried-over file of
+    the end manifest as 'new' rows (silent double-counting)."""
+    vt.commit_append(
+        spark.range(130, 150).selectExpr("id", "cast(id % 7 as bigint) as bucket")
+    )  # version 2
+    reader = _stream_reader(vt.root)
+    expected_delta = _partition_paths(reader, {"version": 1}, {"version": 2})
+    # expire versions 0 and 1 (files stay: referenced by version 2)
+    vt.vacuum(retain_last=1, grace_seconds=0)
+    got = _partition_paths(reader, {"version": 1}, {"version": 2})
+    assert got == expected_delta  # only v2's new files, not the whole table
+    n_v2_files = len(vt.manifest(2)["files"])
+    assert len(got) < n_v2_files
+
+
+def test_stream_snapshot_sentinel_still_delivers_everything(spark, vt):
+    """The pre-snapshot sentinel offset must deliver the FULL end
+    manifest even when a tombstone exists at the sentinel version."""
+    reader = _stream_reader(vt.root)
+    full = _partition_paths(
+        reader, {"version": -1, "snapshot": True}, {"version": 1}
+    )
+    assert len(full) == len(vt.manifest(1)["files"])
+
+
+def test_stream_unreadable_start_manifest_errors(spark, vt, tmp_path):
+    import os
+
+    vt.commit_append(
+        spark.range(130, 140).selectExpr("id", "cast(id % 7 as bigint) as bucket")
+    )  # version 2
+    mpath = os.path.join(vt.root, "_log", "v%012d.json" % 1)
+    with open(mpath, "w") as fh:
+        fh.write("{corrupt")
+    reader = _stream_reader(vt.root)
+    with pytest.raises(ValueError, match="unreadable"):
+        reader.partitions({"version": 1}, {"version": 2})

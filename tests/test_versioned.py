@@ -115,7 +115,7 @@ def test_vacuum_reclaims_unreferenced_files(spark, table):
     table.commit_overwrite(_df(spark, 0, 100, "a"))
     table.commit_overwrite(_df(spark, 0, 10, "b"))   # v0's files now dead
     table._write_data_files(_df(spark, 0, 5, "orphan"))  # aborted commit
-    deleted = table.vacuum(retain_last=1)
+    deleted = table.vacuum(retain_last=1, grace_seconds=0)
     assert deleted  # v0's files + the orphan dir
     # live version intact, expired version errors cleanly
     assert table.read().count() == 10
@@ -125,7 +125,7 @@ def test_vacuum_reclaims_unreferenced_files(spark, table):
     for f in table.manifest()["files"]:
         assert os.path.exists(os.path.join(table.root, f["path"]))
     # idempotent
-    assert table.vacuum(retain_last=1) == []
+    assert table.vacuum(retain_last=1, grace_seconds=0) == []
 
 
 def test_read_pruned_skips_files_but_matches_full_scan(spark, table):
@@ -300,10 +300,89 @@ def test_lifecycle_soak_many_commits(spark, table):
     # compact 30 small files, then reclaim the old generation
     table.optimize(target_rows_per_file=150, cluster_by=["id"])
     assert len(table.manifest()["files"]) == 2
-    deleted = table.vacuum(retain_last=1)
+    deleted = table.vacuum(retain_last=1, grace_seconds=0)
     assert len(deleted) >= 30  # all pre-optimize files reclaimed
     assert sorted(r.id for r in table.read().collect()) == list(range(300))
     # expired history errors cleanly; live manifest count is 1
     with pytest.raises(VersionNotFoundError):
         table.read(version=0)
     assert table.versions_live() == [30]
+
+
+def test_vacuum_grace_period_protects_inflight_commits(spark, table):
+    """An unreferenced data file younger than the grace period must
+    survive vacuum — data files of an IN-FLIGHT commit (manifest not
+    yet created) are indistinguishable from aborted-commit orphans, so
+    only age can make reclamation safe."""
+    table.commit_overwrite(_df(spark, 0, 50, "a"))
+    table.commit_overwrite(_df(spark, 0, 50, "b"))  # v0's files unreferenced
+    # a just-written orphan: exactly what a racing writer's in-flight
+    # commit looks like before its manifest lands
+    orphan_dir = os.path.join(table.root, "data", "c-inflight")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-000.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"PAR1-pending")
+    assert table.vacuum(retain_last=1) == []  # default 7-day grace: nothing
+    assert os.path.exists(orphan)
+    assert table.read(version=1).count() == 50  # retained snapshot intact
+    deleted = table.vacuum(retain_last=1, grace_seconds=0)
+    assert deleted != []  # old unreferenced files reclaimed
+    assert not os.path.exists(orphan)
+
+
+def test_read_pruned_date_stats_keep_file(spark, table):
+    """Manifest stats for date columns are stringified by _json_safe;
+    comparing them to date bounds is a TypeError — read_pruned must
+    conservatively keep the file, not raise."""
+    import datetime
+
+    df = spark.sql(
+        "SELECT id, date_add(date'2024-01-01', cast(id as int)) AS d "
+        "FROM range(0, 30)"
+    )
+    table.commit_overwrite(df)
+    lo, hi = datetime.date(2024, 1, 5), datetime.date(2024, 1, 10)
+    got = table.read_pruned("d", lo, hi)
+    assert got.count() == 6
+    assert {r["d"] for r in got.collect()} == {
+        lo + datetime.timedelta(days=i) for i in range(6)
+    }
+
+
+def test_commit_auto_recovers_from_aborted_manifest(spark, table):
+    """A crash mid-manifest-write must not wedge the table: the next
+    commit auto-retires the unparseable manifest and claims the same
+    version, without a manual recover_log call."""
+    table.commit_overwrite(_df(spark, 0, 20, "a"))
+    # simulate the crash: partial (unparseable) manifest for version 1
+    partial = os.path.join(table.root, "_log", "v%012d.json" % 1)
+    with open(partial, "w") as fh:
+        fh.write('{"version": 1, "files": [')
+    info = table.commit_append(_df(spark, 20, 30, "b"))
+    assert info.version == 1
+    assert table.read().count() == 30
+    assert os.path.exists(partial + ".aborted")  # forensic trail kept
+    # a PARSEABLE existing manifest is still a genuine conflict
+    existing = json.load(open(os.path.join(table.root, "_log", "v%012d.json" % 1)))
+    with pytest.raises(ConcurrentCommitError):
+        table._write_manifest(dict(existing))  # version 1 already claimed
+
+
+def test_replace_where_is_single_atomic_commit(spark, table):
+    """replaceWhere = CoW delete + insert in ONE commit: no reader can
+    see the deleted-but-not-replaced intermediate a delete+append pair
+    would expose."""
+    df = spark.range(0, 100).selectExpr("id", "cast(id % 4 as bigint) AS bucket")
+    table.commit_overwrite(df.repartition("bucket"))
+    v_before = table.latest_version()
+    repl = spark.range(1000, 1010).selectExpr("id", "cast(2 as bigint) AS bucket")
+    info = table.replace_where("bucket = 2", repl)
+    assert info.version == v_before + 1  # exactly one commit
+    assert table.manifest()["action"] == "replace"
+    got = table.read()
+    assert got.filter("bucket = 2 AND id < 1000").count() == 0  # deleted
+    assert got.filter("bucket = 2").count() == 10  # replaced
+    assert got.filter("bucket != 2").count() == 75  # untouched
+    # old snapshot still time-travelable
+    assert table.read(version=v_before).count() == 100
