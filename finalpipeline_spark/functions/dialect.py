@@ -178,6 +178,20 @@ def jaccard(a: str, b: str, dialect: str) -> str:
     return f"({inter} / {union})"
 
 
+def containment(a: str, b: str, dialect: str) -> str:
+    """Containment C(A,B) = |A∩B| / |A| of two pre-distinct arrays, as
+    double — the asymmetric companion of :func:`jaccard` that stays
+    high when A is a SUBSET of a much larger B (truncated copies,
+    quoted excerpts), which symmetric Jaccard dilutes toward zero."""
+    if dialect == SPARK:
+        inter = f"cast(size(array_intersect({a}, {b})) as double)"
+        denom = f"cast(size({a}) as double)"
+    else:
+        inter = f"cast(len(list_intersect({a}, {b})) as double)"
+        denom = f"cast(len({a}) as double)"
+    return f"({inter} / {denom})"
+
+
 def dot(a: str, b: str, dim: int, dialect: str) -> str:
     """Dot product of two float arrays (cast to double, sequential sum)."""
     prods = transform_arr(

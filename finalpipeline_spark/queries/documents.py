@@ -462,6 +462,105 @@ def doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Containment near-dup (asymmetric: subset/excerpt detection)
+# --------------------------------------------------------------------------
+_CONTAINMENT_MIN = 0.6
+
+
+def _containment_pairs_sql(dialect: str) -> str:
+    """LSH candidates re-scored by CONTAINMENT in both directions:
+    C(A,B) = |A∩B|/|A| stays high when one doc is an excerpt or
+    truncated copy of the other, which symmetric Jaccard dilutes
+    toward |A|/|B| — the standard second pass of a production dedup
+    (containment catches quote-inclusion dups the Jaccard gate at 0.2
+    can miss entirely once the size ratio passes ~5×). Same banded
+    candidate generator as doc_dedup_minhash_lsh (bucket-bounded, not
+    n²); kept if EITHER direction clears {_CONTAINMENT_MIN}."""
+    hashed = D.transform_arr("toks", "t", D.token_hash("t", dialect), dialect)
+    sh = _shingles("toks", dialect)
+    c_ab = D.containment("sa.shingles", "sb.shingles", dialect)
+    c_ba = D.containment("sb.shingles", "sa.shingles", dialect)
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, {_band_key(dialect, b)} AS key FROM sigs"
+        for b in range(_BANDS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {_toks(dialect)} AS toks FROM {_doc_tbl(dialect)}
+        ),
+        hs AS (
+            SELECT doc_id, toks, {hashed} AS hs
+            FROM toks WHERE {D.arr_size("toks", dialect)} >= 3
+        ),
+        shs AS (
+            SELECT doc_id, {D.shingle_hashes("hs", dialect)} AS shs FROM hs
+        ),
+        sigs AS (
+            SELECT doc_id, {D.minhash_sig_ints("shs", MINHASH_COEFFS, dialect)} AS sig
+            FROM shs
+        ),
+        bands AS ({band_rows}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        sh AS (SELECT doc_id, {sh} AS shingles FROM toks)
+        SELECT c.doc_id_a, c.doc_id_b,
+               {c_ab} AS containment_ab, {c_ba} AS containment_ba
+        FROM cand c
+        JOIN sh sa ON c.doc_id_a = sa.doc_id
+        JOIN sh sb ON c.doc_id_b = sb.doc_id
+        WHERE {c_ab} >= {_CONTAINMENT_MIN} OR {c_ba} >= {_CONTAINMENT_MIN}
+    """
+
+
+@register(
+    "doc_dedup_containment",
+    oracle=_containment_pairs_sql(D.DUCK),
+    tags=("extension",),
+)
+def doc_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pass: banded LSH candidates re-scored by
+    directional containment |A∩B|/|A| — excerpt/truncation dups that
+    symmetric Jaccard misses. Shares the staged signature/shingle cache
+    design of doc_dedup_minhash_lsh. See _containment_pairs_sql."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    base = scoped_cache(minhash_base(docs), "doc_dedup_containment")
+    bands = minhash_bands(base)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+    sa = base.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    sb = base.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    c_ab = F.expr(D.containment("sh_a", "sh_b", D.SPARK))
+    c_ba = F.expr(D.containment("sh_b", "sh_a", D.SPARK))
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn("containment_ab", c_ab)
+        .withColumn("containment_ba", c_ba)
+        .filter(
+            (F.col("containment_ab") >= _CONTAINMENT_MIN)
+            | (F.col("containment_ba") >= _CONTAINMENT_MIN)
+        )
+        .select("doc_id_a", "doc_id_b", "containment_ab", "containment_ba")
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 _SIMHASH_BITS = 60

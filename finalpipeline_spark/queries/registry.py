@@ -100,6 +100,16 @@ _PRIORITY_QUERIES = (
     # -- queries added in round 4 (each gets its first driver row) --
     "chembl_tanimoto_lsh_topk",
     "chembl_tanimoto_lsh_recall",
+    "events_forecast_backtest",
+    "events_changepoint",
+    "events_mad_outliers",
+    "events_markov_transitions",
+    "fk_integrity_audit",
+    "lineitem_benford_audit",
+    "orders_gini_revenue",
+    "part_skyline",
+    "doc_tokenizer_fertility",
+    "doc_dedup_containment",
 )
 
 # No r4 deferrals needed: window membership is fully explicit above, and
@@ -121,6 +131,7 @@ def load_all() -> dict[str, QuerySpec]:
         events,
         extended,
         graph,
+        mining,
         multimodal,
         profiling,
         relational,
@@ -143,6 +154,7 @@ def load_all() -> dict[str, QuerySpec]:
         "events": events,
         "extended": extended,
         "graph": graph,
+        "mining": mining,
         "multimodal": multimodal,
         "profiling": profiling,
         "relational": relational,
