@@ -35,6 +35,8 @@ _PART_VIEW = "__fps_mine_part"
 _SUPP_VIEW = "__fps_mine_supplier"
 _CUST_VIEW = "__fps_mine_customer"
 _DOC_VIEW = "__fps_mine_documents"
+_NAT_VIEW = "__fps_mine_nation"
+_REG_VIEW = "__fps_mine_region"
 
 
 def _ev(dialect: str) -> str:
@@ -536,3 +538,338 @@ def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tokens/doc). See _fertility_sql."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(_DOC_VIEW)
     return spark.sql(_fertility_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Weighted median (exact, cumulative-weight rank selection)
+# --------------------------------------------------------------------------
+def _weighted_median_sql(dialect: str) -> str:
+    """Quantity-weighted median line price per return flag — the
+    robust "typical traded price" (an unweighted median over lines
+    over-represents small lots). Entirely integer-exact: prices in
+    cents, weights are TPC-H's integral quantities, and the selected
+    value is the first in the (cents, orderkey, linenumber) total
+    order whose doubled cumulative weight reaches the total — a
+    deterministic rank selection, no interpolation, no float math
+    before the final output cast.
+
+    Scale shape: one fact shuffle onto |flags| window partitions; at
+    extreme scale the cumulative weight comes from the two-phase
+    global-rank decomposition (operators/rank.py) instead of one
+    window per flag — same arithmetic, same selection rule."""
+    li = _LI_VIEW if dialect == D.SPARK else "lineitem"
+    return f"""
+        WITH w AS (
+            SELECT l_returnflag AS flag,
+                   cast(round(l_extendedprice * 100) AS bigint) AS cents,
+                   cast(l_quantity AS bigint) AS wt,
+                   l_orderkey, l_linenumber
+            FROM {li}
+        ),
+        cum AS (
+            SELECT flag, cents, wt,
+                   cast(sum(wt) OVER (
+                       PARTITION BY flag
+                       ORDER BY cents, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS bigint) AS cumw,
+                   cast(sum(wt) OVER (PARTITION BY flag) AS bigint) AS total_w,
+                   cast(count(*) OVER (PARTITION BY flag) AS bigint) AS n_lines
+            FROM w
+        )
+        SELECT flag AS l_returnflag,
+               max(n_lines) AS n_lines,
+               max(total_w) AS total_qty,
+               min(cents) AS weighted_median_cents
+        FROM cum
+        WHERE 2 * cumw >= total_w
+        GROUP BY flag
+    """
+
+
+@register(
+    "lineitem_weighted_median",
+    oracle=_weighted_median_sql(D.DUCK),
+    tags=("extension",),
+)
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag via
+    cumulative-weight rank selection. See _weighted_median_sql."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(_LI_VIEW)
+    return spark.sql(_weighted_median_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Relational division (universal quantification)
+# --------------------------------------------------------------------------
+def _division_sql(dialect: str) -> str:
+    """Customers whose purchases are sourced from suppliers in ALL
+    regions — relational division (the FOR ALL quantifier), the one
+    classic relational operator the engine had not yet exhibited.
+
+    Division-by-counting: reduce the fact chain to DISTINCT
+    (customer, region) pairs, then keep customers whose distinct-region
+    count equals the divisor cardinality — computed FROM the region
+    table, never hardcoded, so the query stays correct when the
+    divisor relation changes. Scale shape: the big joins are
+    fact→broadcast dims; the distinct collapses the fact to at most
+    |customers|·|regions| rows before the final count."""
+    if dialect == D.SPARK:
+        li, od, sp, na, rg = _LI_VIEW, _ORD_VIEW, _SUPP_VIEW, _NAT_VIEW, _REG_VIEW
+    else:
+        li, od, sp, na, rg = "lineitem", "orders", "supplier", "nation", "region"
+    return f"""
+        WITH cust_region AS (
+            SELECT DISTINCT o.o_custkey, n.n_regionkey
+            FROM {od} o
+            JOIN {li} l ON o.o_orderkey = l.l_orderkey
+            JOIN {sp} s ON l.l_suppkey = s.s_suppkey
+            JOIN {na} n ON s.s_nationkey = n.n_nationkey
+        ),
+        divisor AS (
+            SELECT cast(count(*) AS bigint) AS n_req FROM {rg}
+        )
+        SELECT o_custkey, cast(count(*) AS bigint) AS n_regions
+        FROM cust_region, divisor
+        GROUP BY o_custkey, n_req
+        HAVING count(*) = max(n_req)
+    """
+
+
+@register(
+    "customer_division_regions", oracle=_division_sql(D.DUCK), tags=("extension",)
+)
+def customer_division_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division: customers sourced from ALL regions
+    (divisor cardinality read from the region table). See
+    _division_sql."""
+    for name, view in [
+        ("lineitem", _LI_VIEW),
+        ("orders", _ORD_VIEW),
+        ("supplier", _SUPP_VIEW),
+        ("nation", _NAT_VIEW),
+        ("region", _REG_VIEW),
+    ]:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(view)
+    return spark.sql(_division_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Contingency analysis (chi-square cells / standardized residuals)
+# --------------------------------------------------------------------------
+def _contingency_sql(dialect: str) -> str:
+    """lang × source contingency table with expected counts and
+    standardized Pearson residuals — which (language, source) cells
+    are over/under-represented vs independence, the corpus-mix
+    association diagnostic behind a chi-square test.
+
+    Per-cell rows (≤ |langs|·|sources|) avoid any cross-cell float
+    summation; expected = row·col/N is a single division of exact
+    int64 marginals, and the residual (o−e)/√e uses IEEE sqrt, which
+    is correctly rounded and therefore engine-identical for identical
+    input bits. One scan, one |cells|-sized aggregation, marginals by
+    window over cells."""
+    doc = _DOC_VIEW if dialect == D.SPARK else "documents"
+    return f"""
+        WITH cells AS (
+            SELECT lang, source, cast(count(*) AS bigint) AS o
+            FROM {doc} GROUP BY lang, source
+        ),
+        marg AS (
+            SELECT lang, source, o,
+                   cast(sum(o) OVER (PARTITION BY lang) AS bigint) AS row_t,
+                   cast(sum(o) OVER (PARTITION BY source) AS bigint) AS col_t,
+                   cast(sum(o) OVER () AS bigint) AS n
+            FROM cells
+        )
+        SELECT lang, source, o,
+               cast(row_t * col_t AS double) / cast(n AS double) AS expected,
+               (cast(o AS double)
+                - cast(row_t * col_t AS double) / cast(n AS double))
+               / sqrt(cast(row_t * col_t AS double) / cast(n AS double))
+                   AS std_residual
+        FROM marg
+    """
+
+
+@register(
+    "doc_lang_source_contingency",
+    oracle=_contingency_sql(D.DUCK),
+    tags=("extension",),
+)
+def doc_lang_source_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang × source contingency cells with expected counts under
+    independence and standardized residuals. See _contingency_sql."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(_DOC_VIEW)
+    return spark.sql(_contingency_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Path mining: most common event-type prefixes
+# --------------------------------------------------------------------------
+_PATH_LEN = 4
+_PATH_TOPK = 10
+
+
+def _top_paths_sql(dialect: str) -> str:
+    """Top-10 most common first-4-event paths across users — the
+    "what do sessions actually do" report behind funnel design
+    (clickstream path mining). Each user's path is their first
+    {_PATH_LEN} event types in (time, event_id) order joined with
+    '>'; ordered aggregation is the one primitive the two engines
+    spell differently (Spark: sort_array over structs then transform;
+    DuckDB: list(x ORDER BY ...)), but both produce the identical
+    string. Top-k by (count DESC, path) — a total order.
+
+    Scale shape: one user-keyed aggregation (the path build), one
+    |distinct paths| count, top-k via per-partition heaps."""
+    us = _epoch_us(dialect)
+    if dialect == D.SPARK:
+        path = (
+            f"array_join(slice(transform(array_sort("
+            f"collect_list(struct({us} AS us, event_id, event_type))), "
+            f"x -> x.event_type), 1, {_PATH_LEN}), '>')"
+        )
+    else:
+        path = (
+            f"array_to_string(list_slice("
+            f"list(event_type ORDER BY {us}, event_id), 1, {_PATH_LEN}), '>')"
+        )
+    lim = (
+        f"LIMIT {_PATH_TOPK}"
+        if dialect == D.DUCK
+        else f"LIMIT {_PATH_TOPK}"
+    )
+    return f"""
+        WITH paths AS (
+            SELECT user_id, {path} AS path
+            FROM {_ev(dialect)}
+            GROUP BY user_id
+        )
+        SELECT path, cast(count(*) AS bigint) AS n_users
+        FROM paths
+        GROUP BY path
+        ORDER BY n_users DESC, path
+        {lim}
+    """
+
+
+@register("events_top_paths", oracle=_top_paths_sql(D.DUCK), tags=("extension",))
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common first-4-event-type paths across users (ordered
+    aggregation + top-k). See _top_paths_sql."""
+    _register_events(spark, sf_dir)
+    return spark.sql(_top_paths_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Sweep-line interval counting (order backlog over time)
+# --------------------------------------------------------------------------
+def _backlog_sql(dialect: str) -> str:
+    """Daily open-order backlog: how many orders are placed but not yet
+    fully shipped on each day — the classic interval-overlap count,
+    computed as a SWEEP LINE: each order contributes +1 at its order
+    day and −1 the day after its last shipment, and the backlog is the
+    running sum of deltas over days. This is O(|orders|) events and an
+    |active days|-sized window — never the |orders|·|days| explosion a
+    per-day interval join would produce (the same trick behind
+    events_concurrency_curve, here on a fact-to-fact interval).
+
+    All-integer: epoch days from DATE-cast timestamps (tz-free in both
+    engines), exact delta sums, exact cumulative window."""
+    if dialect == D.SPARK:
+        od, li = _ORD_VIEW, _LI_VIEW
+        oday = "datediff(cast(o_orderdate as date), date '1970-01-01')"
+        sday = "datediff(cast(l_shipdate as date), date '1970-01-01')"
+    else:
+        od, li = "orders", "lineitem"
+        oday = "datediff('day', date '1970-01-01', cast(o_orderdate as date))"
+        sday = "datediff('day', date '1970-01-01', cast(l_shipdate as date))"
+    return f"""
+        WITH spans AS (
+            SELECT o.o_orderkey,
+                   cast({oday} AS bigint) AS d0,
+                   cast(max({sday}) AS bigint) AS d1
+            FROM {od} o JOIN {li} l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, {oday}
+        ),
+        deltas AS (
+            SELECT d0 AS day, cast(1 AS bigint) AS delta FROM spans
+            UNION ALL
+            SELECT d1 + 1 AS day, cast(-1 AS bigint) AS delta FROM spans
+        ),
+        daily AS (
+            SELECT day, cast(sum(delta) AS bigint) AS net
+            FROM deltas GROUP BY day
+        )
+        SELECT day AS day_epoch,
+               cast(sum(net) OVER (ORDER BY day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS bigint) AS open_orders
+        FROM daily
+    """
+
+
+@register("orders_backlog_sweep", oracle=_backlog_sql(D.DUCK), tags=("extension",))
+def orders_backlog_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog via a sweep line over (order day, last
+    ship day) intervals — no per-day interval join. See _backlog_sql."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(_ORD_VIEW)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(_LI_VIEW)
+    return spark.sql(_backlog_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test (experimentation analytics)
+# --------------------------------------------------------------------------
+def _ab_test_sql(dialect: str) -> str:
+    """Two-proportion z-test of purchase conversion between the two
+    halves of a deterministic user split (user_id parity stands in for
+    variant assignment) — the A/B readout every experimentation
+    platform ships. Counts are exact; conversion rates, the pooled
+    rate, and the z statistic are one fixed expression tree over those
+    ints (divisions + IEEE sqrt, correctly rounded → engine-identical
+    bits); a degenerate pooled rate (all or none converted) yields a
+    NULL z via nullif rather than an ANSI divide-by-zero. One events scan to per-user flags, |users| aggregation, one
+    output row."""
+    return f"""
+        WITH users AS (
+            SELECT user_id, user_id % 2 AS variant,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM {_ev(dialect)}
+            GROUP BY user_id
+        ),
+        agg AS (
+            SELECT cast(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                        AS bigint) AS n_a,
+                   cast(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+                        AS bigint) AS c_a,
+                   cast(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                        AS bigint) AS n_b,
+                   cast(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+                        AS bigint) AS c_b
+            FROM users
+        )
+        SELECT n_a, c_a, n_b, c_b,
+               cast(c_a AS double) / cast(n_a AS double) AS rate_a,
+               cast(c_b AS double) / cast(n_b AS double) AS rate_b,
+               (cast(c_a AS double) / cast(n_a AS double)
+                - cast(c_b AS double) / cast(n_b AS double))
+               / nullif(sqrt((cast(c_a + c_b AS double)
+                              / cast(n_a + n_b AS double))
+                      * (1.0 - cast(c_a + c_b AS double)
+                               / cast(n_a + n_b AS double))
+                      * (1.0 / cast(n_a AS double)
+                         + 1.0 / cast(n_b AS double))), 0.0) AS z_score
+        FROM agg
+    """
+
+
+@register("events_ab_test_zscore", oracle=_ab_test_sql(D.DUCK), tags=("extension",))
+def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of conversion between deterministic user
+    halves — exact counts, single-rooted IEEE statistic. See
+    _ab_test_sql."""
+    _register_events(spark, sf_dir)
+    return spark.sql(_ab_test_sql(D.SPARK))

@@ -110,6 +110,12 @@ _PRIORITY_QUERIES = (
     "part_skyline",
     "doc_tokenizer_fertility",
     "doc_dedup_containment",
+    "lineitem_weighted_median",
+    "customer_division_regions",
+    "doc_lang_source_contingency",
+    "events_top_paths",
+    "orders_backlog_sweep",
+    "events_ab_test_zscore",
 )
 
 # No r4 deferrals needed: window membership is fully explicit above, and
