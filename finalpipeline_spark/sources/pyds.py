@@ -82,10 +82,44 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
-def _read_file_batches(path: str, field_names: Sequence[str]) -> Iterator:
+# Spark simple-type DDL → Arrow type, for typed-NULL backfill of columns
+# added by schema evolution after a file was written. Complex types are
+# absent on purpose: an evolved complex column would need a real Arrow
+# type tree, and erroring beats guessing.
+_ARROW_TYPES = {
+    "bigint": "int64", "int": "int32", "smallint": "int16",
+    "tinyint": "int8", "double": "float64", "float": "float32",
+    "string": "large_string", "boolean": "bool_", "date": "date32",
+}
+
+
+def _arrow_type(ddl: str):
+    import pyarrow as pa
+
+    if ddl in _ARROW_TYPES:
+        return getattr(pa, _ARROW_TYPES[ddl])()
+    if ddl.startswith("timestamp"):
+        return pa.timestamp("us")
+    raise ValueError(
+        f"cannot backfill evolved column of type {ddl!r} — rewrite the "
+        "table (optimize) to materialize it"
+    )
+
+
+def _read_file_batches(path: str, fields: Sequence[tuple[str, str]]) -> Iterator:
+    """One file → Arrow batches with the reader's column set. Columns
+    the file predates (added later via merge_schema) are backfilled as
+    typed nulls, mirroring the JVM reader's impose-schema semantics."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    table = pq.read_table(path).select(list(field_names))
+    names = [n for n, _ in fields]
+    present = set(pq.read_schema(path).names)
+    table = pq.read_table(path, columns=[n for n in names if n in present])
+    missing = [(n, t) for n, t in fields if n not in present]
+    for n, t in missing:
+        table = table.append_column(n, pa.nulls(table.num_rows, _arrow_type(t)))
+    table = table.select(names)
     yield from table.to_batches(max_chunksize=1 << 16)
 
 
@@ -113,12 +147,15 @@ class VersionedDataSource(DataSource):
 
     def reader(self, schema) -> "VersionedReader":
         return VersionedReader(
-            self.options["root"], self._manifest(), [f.name for f in schema.fields]
+            self.options["root"],
+            self._manifest(),
+            [(f.name, f.dataType.simpleString()) for f in schema.fields],
         )
 
     def streamReader(self, schema) -> "VersionedStreamReader":
         return VersionedStreamReader(
-            self.options["root"], [f.name for f in schema.fields]
+            self.options["root"],
+            [(f.name, f.dataType.simpleString()) for f in schema.fields],
         )
 
 
@@ -130,10 +167,12 @@ class VersionedReader(DataSourceReader):
     returned to Spark for exact re-evaluation, so results are
     unaffected; only I/O shrinks."""
 
-    def __init__(self, root: str, manifest: dict, field_names: list[str]):
+    def __init__(
+        self, root: str, manifest: dict, fields: list[tuple[str, str]]
+    ):
         self._root = root
         self._entries = list(manifest["files"])
-        self._fields = field_names
+        self._fields = fields
         self._ranges: list[tuple[str, str, object]] = []
 
     def pushFilters(self, filters):  # noqa: D102
@@ -193,9 +232,9 @@ class VersionedStreamReader(DataSourceStreamReader):
     """Versions are the offset axis: micro-batch (start, end] reads the
     files added by commits start+1 .. end."""
 
-    def __init__(self, root: str, field_names: list[str]):
+    def __init__(self, root: str, fields: list[tuple[str, str]]):
         self._root = root
-        self._fields = field_names
+        self._fields = fields
 
     def initialOffset(self) -> dict:
         # start BEFORE the earliest live version so the first batch

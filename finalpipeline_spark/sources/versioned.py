@@ -69,6 +69,11 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer claimed this version first; re-read and retry."""
 
 
+class SchemaMismatchError(ValueError):
+    """Append schema differs from the table schema (pass
+    ``merge_schema=True`` for additive evolution)."""
+
+
 class VersionNotFoundError(LookupError):
     """Requested version does not exist (never written, or vacuumed)."""
 
@@ -122,6 +127,17 @@ class VersionedTable:
 
     def _manifest_path(self, version: int):
         return self._p(_LOG_DIR, _MANIFEST_FMT % version)
+
+    def _schema_of(self, m: dict[str, Any]):
+        """Manifest schema string → StructType. Imposing this on every
+        multi-file read gives a stable column set across schema
+        evolution: files written before a column was added simply
+        backfill NULL for it (standard parquet read-with-schema
+        semantics), and column order never depends on which file the
+        reader happened to open first."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        return _parse_datatype_string(m["schema"])
 
     # -- log access --------------------------------------------------
     def versions(self) -> list[int]:
@@ -336,16 +352,59 @@ class VersionedTable:
         )
 
     def commit_append(
-        self, df: DataFrame, meta: dict[str, Any] | None = None
+        self,
+        df: DataFrame,
+        meta: dict[str, Any] | None = None,
+        merge_schema: bool = False,
     ) -> CommitInfo:
         """New version = previous file list + ``df``'s new files. The
         old files carry over BY REFERENCE — an append never rewrites.
         ``meta`` is recorded in the manifest (e.g. a streaming sink's
-        (checkpoint, epoch) identity for replay idempotence)."""
-        prev = self.manifest() if self.latest_version() is not None else {"files": []}
+        (checkpoint, epoch) identity for replay idempotence).
+
+        Schema evolution (Delta's mergeSchema): by default an append
+        whose column set differs from the table's raises
+        SchemaMismatchError — silently recording the new schema would
+        make reads depend on which file a reader opened first. With
+        ``merge_schema=True``, ADDITIVE evolution is committed: the
+        manifest schema becomes old fields + genuinely new fields (in
+        that order), readers impose it on every file, and pre-evolution
+        files backfill NULL for the added columns at read time (no
+        rewrite — a metadata-only migration). A same-name field with a
+        different type always raises: silent type widening changes
+        existing rows' meaning."""
+        prev_exists = self.latest_version() is not None
+        schema_ddl = df.schema.simpleString()
+        prev = {"files": []}
+        if prev_exists:
+            prev = self.manifest()
+            prev_schema = self._schema_of(prev)
+            old = {f.name: f.dataType for f in prev_schema.fields}
+            new = {f.name: f.dataType for f in df.schema.fields}
+            conflicts = sorted(n for n in new if n in old and new[n] != old[n])
+            if conflicts:
+                raise SchemaMismatchError(
+                    f"type change on {conflicts} is not supported "
+                    "(additive evolution only)"
+                )
+            added = [n for n in new if n not in old]
+            dropped = [n for n in old if n not in new]
+            if (added or dropped) and not merge_schema:
+                raise SchemaMismatchError(
+                    f"append schema differs from table schema "
+                    f"(new columns {added}, absent columns {dropped}); "
+                    "pass merge_schema=True for additive evolution"
+                )
+            from pyspark.sql.types import StructType
+
+            merged = StructType(
+                list(prev_schema.fields)
+                + [f for f in df.schema.fields if f.name not in old]
+            )
+            schema_ddl = merged.simpleString()
         new_files = self._write_data_files(df)
         return self._commit(
-            "append", list(prev["files"]) + new_files, df.schema.simpleString(), meta
+            "append", list(prev["files"]) + new_files, schema_ddl, meta
         )
 
     def committed_meta(self, key: str) -> set[Any]:
@@ -379,9 +438,9 @@ class VersionedTable:
                 keep.append(entry)
         new_files: list[dict[str, Any]] = []
         if rewrite_abs:
-            survivors = self.spark.read.parquet(*rewrite_abs).filter(
-                ~F.expr(predicate)
-            )
+            survivors = self.spark.read.schema(self._schema_of(m)).parquet(
+                *rewrite_abs
+            ).filter(~F.expr(predicate))
             new_files = self._write_data_files(survivors)
         return self._commit("delete", keep + new_files, m["schema"])
 
@@ -415,9 +474,9 @@ class VersionedTable:
                 keep.append(entry)
         new_files: list[dict[str, Any]] = []
         if rewrite_abs:
-            survivors = self.spark.read.parquet(*rewrite_abs).filter(
-                ~F.expr(predicate)
-            )
+            survivors = self.spark.read.schema(self._schema_of(m)).parquet(
+                *rewrite_abs
+            ).filter(~F.expr(predicate))
             new_files += self._write_data_files(survivors)
         new_files += self._write_data_files(df)
         return self._commit("replace", keep + new_files, m["schema"], meta)
@@ -503,7 +562,9 @@ class VersionedTable:
         m = self.manifest(version)
         if not m["files"]:
             raise VersionNotFoundError(f"version {m['version']} is empty")
-        return self.spark.read.parquet(*(self._abs(f) for f in m["files"]))
+        return self.spark.read.schema(self._schema_of(m)).parquet(
+            *(self._abs(f) for f in m["files"])
+        )
 
     def read_changes(self, since_version: int, version: int | None = None) -> DataFrame:
         """Rows added after ``since_version`` (exclusive) up to
@@ -531,7 +592,9 @@ class VersionedTable:
         new = [f for f in target["files"] if self._abs(f) not in base_paths]
         if not new:
             return self.read(target["version"]).filter(F.lit(False))
-        return self.spark.read.parquet(*(self._abs(f) for f in new))
+        return self.spark.read.schema(self._schema_of(target)).parquet(
+            *(self._abs(f) for f in new)
+        )
 
     def read_pruned(
         self, col: str, lo: Any, hi: Any, version: int | None = None
@@ -557,7 +620,7 @@ class VersionedTable:
         if not paths:
             return self.read(version).filter(F.lit(False))
         return (
-            self.spark.read.parquet(*paths)
+            self.spark.read.schema(self._schema_of(m)).parquet(*paths)
             .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         )
 
@@ -578,7 +641,7 @@ class VersionedTable:
                 paths.append(self._abs(f))
         if not paths:
             return self.read(version).filter(F.lit(False))
-        return self.spark.read.parquet(*paths).filter(
+        return self.spark.read.schema(self._schema_of(m)).parquet(*paths).filter(
             F.col(self.bloom_col) == F.lit(value)
         )
 

@@ -277,3 +277,73 @@ def test_new_query_plan_hygiene(spark, sf_dir, name):
     import re
 
     assert not re.search(r"GlobalLimit.*\n.*\+- Sort", plan), "full sort before limit"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "chembl_tanimoto_lsh_topk",
+        "events_forecast_backtest",
+        "events_changepoint",
+        "events_mad_outliers",
+        "events_markov_transitions",
+        "fk_integrity_audit",
+        "lineitem_benford_audit",
+        "orders_gini_revenue",
+        "part_skyline",
+        "doc_tokenizer_fertility",
+        "doc_dedup_containment",
+        "lineitem_weighted_median",
+        "customer_division_regions",
+        "doc_lang_source_contingency",
+        "events_top_paths",
+        "orders_backlog_sweep",
+        "events_ab_test_zscore",
+    ],
+)
+def test_round4_query_plan_hygiene(spark, sf_dir, name):
+    """Round-4 families stay on the fast path: no cartesian product, no
+    row-at-a-time Python, no full-sort-before-limit."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    import re
+
+    assert not re.search(r"GlobalLimit.*\n.*\+- Sort", plan), "full sort before limit"
+
+
+def test_tanimoto_lsh_joins_on_band_buckets(spark, sf_dir):
+    """The banded Tanimoto search must generate candidates through the
+    (band, key) equi-join — never a cross product — and stage the
+    signature table once (cached, read in-memory by the band explode
+    and both rescore sides)."""
+    plan = _plan(spark, sf_dir, "chembl_tanimoto_lsh_topk")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "band" in plan and "key" in plan
+    assert "InMemoryTableScan" in plan  # staged signatures, not rescans
+
+
+def test_forecast_backtest_single_fact_scan(spark, sf_dir):
+    """The hourly aggregate feeds four consumers from cache — the fact
+    table is scanned exactly once (at cache build)."""
+    df = SPECS["events_forecast_backtest"].fn(spark, sf_dir)
+    df.collect()  # materialize the scoped cache
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3  # every consumer cached
+
+
+def test_backlog_sweep_no_interval_join(spark, sf_dir):
+    """The backlog curve must be the sweep line (union of ±1 deltas),
+    not an |orders| × |days| interval join."""
+    plan = _plan(spark, sf_dir, "orders_backlog_sweep")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Union" in plan  # the two delta arms
+
+
+def test_skyline_is_window_not_dominance_join(spark, sf_dir):
+    """2-D skyline must compile to one window pass (running min), not a
+    quadratic self-join dominance test."""
+    plan = _plan(spark, sf_dir, "part_skyline")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("SortMergeJoin") == 0
+    assert "Window" in plan

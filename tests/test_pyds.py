@@ -180,3 +180,20 @@ def test_stream_unreadable_start_manifest_errors(spark, vt, tmp_path):
     reader = _stream_reader(vt.root)
     with pytest.raises(ValueError, match="unreadable"):
         reader.partitions({"version": 1}, {"version": 2})
+
+
+def test_batch_read_across_schema_evolution(spark, vt):
+    """A file written before a merge_schema append must backfill typed
+    NULLs through the Python DataSource path too (Arrow-side), matching
+    the JVM impose-schema read."""
+    widened = spark.range(130, 140).selectExpr(
+        "id", "cast(id % 7 as bigint) as bucket", "'x' AS note"
+    )
+    vt.commit_append(widened, merge_schema=True)
+    df = spark.read.format("versioned").option("root", vt.root).load()
+    assert df.columns == ["id", "bucket", "note"]
+    assert df.count() == 140
+    assert df.filter("note IS NULL").count() == 130
+    assert df.filter("note = 'x'").count() == 10
+    native = vt.read()
+    assert df.exceptAll(native).count() == 0 and native.exceptAll(df).count() == 0

@@ -82,13 +82,14 @@ def test_concurrent_commit_conflict(spark, table):
     # simulate a racing writer that claimed v1 first
     other = VersionedTable(spark, table.root)
     other.commit_append(_df(spark, 10, 20, "b"))
+    ddl = _df(spark, 0, 1, "x").schema.simpleString()
     files = table._write_data_files(_df(spark, 20, 30, "c"))
     manifest = {"version": 1, "parent": 0, "action": "append",
-                "schema": "x", "files": files}
+                "schema": ddl, "files": files}
     with pytest.raises(ConcurrentCommitError):
         table._write_manifest(manifest)
     # loser retries on the new latest and succeeds
-    info = table._commit("append", table.manifest()["files"] + files, "x")
+    info = table._commit("append", table.manifest()["files"] + files, ddl)
     assert info.version == 2
     assert table.read().count() == 30
 
@@ -386,3 +387,49 @@ def test_replace_where_is_single_atomic_commit(spark, table):
     assert got.filter("bucket != 2").count() == 75  # untouched
     # old snapshot still time-travelable
     assert table.read(version=v_before).count() == 100
+
+
+def test_schema_evolution_additive_merge(spark, table):
+    """merge_schema appends new columns metadata-only: old files
+    backfill NULL at read, column order is stable, old snapshots keep
+    the old schema, and CoW ops work across the evolution."""
+    from finalpipeline_spark.sources.versioned import SchemaMismatchError
+
+    table.commit_overwrite(_df(spark, 0, 50, "a"))
+    widened = spark.range(50, 70).selectExpr(
+        "id", "'b' AS tag", "cast(id * 10 as bigint) AS score"
+    )
+    # default: differing schema is rejected, not silently recorded
+    with pytest.raises(SchemaMismatchError, match="merge_schema"):
+        table.commit_append(widened)
+    table.commit_append(widened, merge_schema=True)
+    got = table.read()
+    assert got.columns == ["id", "tag", "score"]  # old fields first
+    assert got.count() == 70
+    assert got.filter("score IS NULL").count() == 50  # backfilled
+    assert got.filter("score IS NOT NULL AND id >= 50").count() == 20
+    # time travel still shows the pre-evolution schema
+    assert table.read(version=0).columns == ["id", "tag"]
+    # an append MISSING the new column also needs merge_schema, then
+    # backfills NULL for its own rows
+    with pytest.raises(SchemaMismatchError):
+        table.commit_append(_df(spark, 70, 80, "c"))
+    table.commit_append(_df(spark, 70, 80, "c"), merge_schema=True)
+    assert table.read().filter("score IS NULL").count() == 60
+    # CDF delta across the evolution reads with the evolved schema
+    delta = table.read_changes(since_version=1)
+    assert delta.columns == ["id", "tag", "score"]
+    assert delta.count() == 10
+    # CoW delete rewrites survivors under the evolved schema
+    table.delete_where("id < 10")
+    assert table.read().count() == 70  # 80 rows - 10 deleted
+    assert table.read().columns == ["id", "tag", "score"]
+
+
+def test_schema_evolution_rejects_type_change(spark, table):
+    from finalpipeline_spark.sources.versioned import SchemaMismatchError
+
+    table.commit_overwrite(_df(spark, 0, 10, "a"))
+    retyped = spark.range(10, 20).selectExpr("id", "cast(7 as bigint) AS tag")
+    with pytest.raises(SchemaMismatchError, match="type change"):
+        table.commit_append(retyped, merge_schema=True)
