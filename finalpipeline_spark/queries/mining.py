@@ -873,3 +873,97 @@ def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ab_test_sql."""
     _register_events(spark, sf_dir)
     return spark.sql(_ab_test_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Purchase cadence: median inter-order gap
+# --------------------------------------------------------------------------
+def _order_gap_sql(dialect: str) -> str:
+    """Median days between a customer's consecutive orders — the
+    purchase-cadence metric behind replenishment and churn models.
+    Gaps come from one lag() window per customer (calendar-day diffs of
+    DATE-cast values, tz-free); the median is rank-SELECTED from the
+    (gap, custkey, rank-in-customer) total order. Scale shape: one
+    customer-keyed window over orders, then a global rank over |gaps|
+    (two-phase global rank at extreme scale, same selection rule)."""
+    od = _ORD_VIEW if dialect == D.SPARK else "orders"
+    if dialect == D.SPARK:
+        day = "datediff(cast(o_orderdate as date), date '1970-01-01')"
+    else:
+        day = "datediff('day', date '1970-01-01', cast(o_orderdate as date))"
+    return f"""
+        WITH seq AS (
+            SELECT o_custkey,
+                   cast({day} AS bigint) AS d,
+                   cast(lag({day}) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS bigint) AS prev_d,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS k
+            FROM {od}
+        ),
+        gaps AS (
+            SELECT o_custkey, k, d - prev_d AS gap
+            FROM seq WHERE prev_d IS NOT NULL
+        ),
+        ranked AS (
+            SELECT gap,
+                   row_number() OVER (ORDER BY gap, o_custkey, k) AS rn,
+                   count(*) OVER () AS n
+            FROM gaps
+        )
+        SELECT cast(max(n) AS bigint) AS n_gaps,
+               cast(max(CASE WHEN rn = {_idiv("(n + 1)", "2", dialect)}
+                             THEN gap END) AS bigint) AS median_gap_days,
+               cast(max(CASE WHEN rn = cast(ceil(0.9 * n) AS bigint)
+                             THEN gap END) AS bigint) AS p90_gap_days
+        FROM ranked
+    """
+
+
+@register("orders_median_gap", oracle=_order_gap_sql(D.DUCK), tags=("extension",))
+def orders_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median and p90 days between consecutive orders per customer,
+    rank-selected exactly. See _order_gap_sql."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(_ORD_VIEW)
+    return spark.sql(_order_gap_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Dedup diagnostics: duplicate rate by source
+# --------------------------------------------------------------------------
+def _dup_rate_sql(dialect: str) -> str:
+    """Exact-duplicate rate per ingestion source — the dedup-pipeline
+    health metric (a source whose dup rate spikes is re-crawling or
+    mirroring). A duplicate is any doc whose md5(text) fingerprint is
+    not the group's canonical minimum doc_id — exactly the
+    doc_dedup_exact rule — counted per source with one fingerprint
+    aggregation joined back; the rate is one division of exact
+    counts."""
+    doc = _DOC_VIEW if dialect == D.SPARK else "documents"
+    md5 = D.md5_hex("text", dialect)
+    return f"""
+        WITH fp AS (
+            SELECT doc_id, source, {md5} AS fp FROM {doc}
+        ),
+        canon AS (
+            SELECT fp, min(doc_id) AS canon_id FROM fp GROUP BY fp
+        )
+        SELECT f.source,
+               cast(count(*) AS bigint) AS n_docs,
+               cast(count(CASE WHEN f.doc_id != c.canon_id THEN 1 END)
+                    AS bigint) AS n_dups,
+               cast(count(CASE WHEN f.doc_id != c.canon_id THEN 1 END)
+                    AS double) / cast(count(*) AS double) AS dup_rate
+        FROM fp f JOIN canon c ON f.fp = c.fp
+        GROUP BY f.source
+    """
+
+
+@register("doc_dup_rate_by_source", oracle=_dup_rate_sql(D.DUCK), tags=("extension",))
+def doc_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source (md5 canonical-min rule). See
+    _dup_rate_sql."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(_DOC_VIEW)
+    return spark.sql(_dup_rate_sql(D.SPARK))

@@ -116,6 +116,8 @@ _PRIORITY_QUERIES = (
     "events_top_paths",
     "orders_backlog_sweep",
     "events_ab_test_zscore",
+    "orders_median_gap",
+    "doc_dup_rate_by_source",
 )
 
 # No r4 deferrals needed: window membership is fully explicit above, and

@@ -299,6 +299,8 @@ def test_new_query_plan_hygiene(spark, sf_dir, name):
         "events_top_paths",
         "orders_backlog_sweep",
         "events_ab_test_zscore",
+        "orders_median_gap",
+        "doc_dup_rate_by_source",
     ],
 )
 def test_round4_query_plan_hygiene(spark, sf_dir, name):
