@@ -596,6 +596,80 @@ class VersionedTable:
             *(self._abs(f) for f in new)
         )
 
+    def count_rows(self, version: int | None = None) -> int:
+        """Metadata-only row count: the sum of per-file row counts the
+        commit protocol already records in the manifest (the Iceberg
+        snapshot-summary shortcut). O(manifest), zero data I/O — at
+        100 TB the difference between a dashboard refresh and a full
+        scan. Exactness holds because files are immutable and every
+        commit path records counts from the written data."""
+        return sum(f["rows"] for f in self.manifest(version)["files"])
+
+    def read_changes_rows(
+        self, since_version: int, version: int | None = None
+    ) -> DataFrame:
+        """ROW-level change-data-feed: every row inserted or deleted in
+        (since_version, version], tagged with ``_change_type``
+        ('insert' | 'delete') and ``_commit_version``.
+
+        Unlike ``read_changes`` (file-level, append-only), this
+        survives CoW ``delete``/``replace`` commits by reconstructing
+        the row delta from the commit's file diff: rows of the DROPPED
+        files minus rows of the ADDED files are the deletes, and vice
+        versa for inserts (Delta's CDF-without-row-tracking fallback).
+        The exceptAll diff shuffles only the REWRITTEN file set — the
+        CoW hit files — never the whole table, so the cost scales with
+        the change, not the snapshot. Whole-table rewrites
+        (overwrite/rollback/optimize/clone) still raise: optimize's
+        diff is provably empty but would cost a full-table comparison,
+        and the others have no meaningful row delta."""
+        target = self.manifest(version)
+        tv = target["version"]
+        self.manifest(since_version)  # validates the base is live
+        out: DataFrame | None = None
+        for v in range(since_version + 1, tv + 1):
+            m = self._read_manifest_file(v)
+            if m["action"] not in ("append", "delete", "replace"):
+                raise ValueError(
+                    f"version {v} is '{m['action']}': whole-table rewrite "
+                    "has no row-level delta — reprocess from the snapshot"
+                )
+            prev = self._read_manifest_file(v - 1)
+            prev_paths = {self._abs(f) for f in prev["files"]}
+            cur_paths = {self._abs(f) for f in m["files"]}
+            schema = self._schema_of(m)
+            added = sorted(cur_paths - prev_paths)
+            dropped = sorted(prev_paths - cur_paths)
+
+            def _scan(paths, sch):
+                return self.spark.read.schema(sch).parquet(*paths)
+
+            # Both sides are imposed the STEP's schema: under additive
+            # evolution a dropped pre-evolution file backfills NULL for
+            # the new columns, so the exceptAll diff compares rows in
+            # one consistent column space.
+            step = None
+            if added:
+                ins = _scan(added, schema)
+                ins = ins if not dropped else ins.exceptAll(_scan(dropped, schema))
+                step = ins.withColumn("_change_type", F.lit("insert"))
+            if dropped:
+                dels = _scan(dropped, schema)
+                dels = dels if not added else dels.exceptAll(_scan(added, schema))
+                dels = dels.withColumn("_change_type", F.lit("delete"))
+                step = dels if step is None else step.unionByName(dels)
+            if step is not None:
+                step = step.withColumn("_commit_version", F.lit(v))
+                out = step if out is None else out.unionByName(step)
+        if out is None:
+            return (
+                self.read(tv)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(tv))
+                .filter(F.lit(False))
+            )
+        return out
+
     def read_pruned(
         self, col: str, lo: Any, hi: Any, version: int | None = None
     ) -> DataFrame:

@@ -433,3 +433,50 @@ def test_schema_evolution_rejects_type_change(spark, table):
     retyped = spark.range(10, 20).selectExpr("id", "cast(7 as bigint) AS tag")
     with pytest.raises(SchemaMismatchError, match="type change"):
         table.commit_append(retyped, merge_schema=True)
+
+
+def test_count_rows_is_metadata_only(spark, table):
+    table.commit_overwrite(_df(spark, 0, 100, "a"))
+    table.commit_append(_df(spark, 100, 130, "b"))
+    assert table.count_rows() == 130
+    assert table.count_rows(version=0) == 100
+    table.delete_where("id < 20")
+    assert table.count_rows() == 110
+    assert table.count_rows() == table.read().count()
+
+
+def test_read_changes_rows_across_cow_commits(spark, table):
+    """Row-level CDF survives delete/replace commits: deletes are the
+    dropped-minus-added row diff (bounded by the rewritten files), and
+    every change carries its commit version."""
+    table.commit_overwrite(_df(spark, 0, 100, "a"))        # v0
+    table.commit_append(_df(spark, 100, 120, "b"))          # v1: +20
+    table.delete_where("id < 10")                           # v2: -10
+    table.replace_where("id >= 115", _df(spark, 200, 205, "c"))  # v3: -5 +5
+
+    ch = table.read_changes_rows(0)
+    got = {
+        (r["_commit_version"], r["_change_type"], r["id"]) for r in ch.collect()
+    }
+    assert {(1, "insert", i) for i in range(100, 120)} <= got
+    assert {(2, "delete", i) for i in range(10)} <= got
+    assert {(3, "delete", i) for i in range(115, 120)} <= got
+    assert {(3, "insert", i) for i in range(200, 205)} <= got
+    assert len(got) == 20 + 10 + 5 + 5
+    # replaying the feed onto the base snapshot reproduces the head
+    base = {r["id"] for r in table.read(version=0).collect()}
+    for v in (1, 2, 3):
+        ins = {r["id"] for r in ch.filter(
+            f"_commit_version = {v} AND _change_type = 'insert'").collect()}
+        dels = {r["id"] for r in ch.filter(
+            f"_commit_version = {v} AND _change_type = 'delete'").collect()}
+        base = (base - dels) | ins
+    assert base == {r["id"] for r in table.read().collect()}
+    # empty range: zero rows, stable schema
+    empty = table.read_changes_rows(3)
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+    # whole-table rewrites still refuse
+    table.commit_overwrite(_df(spark, 0, 5, "d"))
+    with pytest.raises(ValueError, match="row-level delta"):
+        table.read_changes_rows(0)
