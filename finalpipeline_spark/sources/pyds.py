@@ -13,10 +13,16 @@ from this repo at all, just the registered format name:
   Offsets are manifest versions; each micro-batch reads exactly the
   files added by the new commits (the `read_changes` file diff), so a
   downstream streaming job processes O(delta) per trigger and resumes
-  from its checkpointed version after restart. Content-replacing
-  commits (overwrite/rollback/optimize/clone) have no row-level delta
-  and fail the stream with a clear error — same contract as Delta's
-  CDF without ``readChangeFeed`` row tracking.
+  from its checkpointed version after restart. In the default
+  append-only mode, content-mutating commits fail the stream with a
+  clear error; with ``option("changeFeed", "true")`` CoW delete/
+  replace commits instead stream as rows tagged ``_change_type``
+  ('insert'|'delete') and ``_commit_version`` — Delta's
+  readChangeFeed contract at file granularity (a CoW survivor churns
+  as delete+insert of identical content; keyed consumers applying
+  deletes-then-inserts per commit converge to the exact snapshot).
+  Whole-table rewrites (overwrite/rollback/optimize past the initial
+  snapshot) fail either mode.
 
 Executor-side constraint: DataSource objects are pickled to workers,
 so this module reads manifests and parquet with ``os``/``json``/
@@ -78,8 +84,10 @@ def _manifest_any(root: str, version: int) -> dict | None:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, change: str | None = None, version: int | None = None):
         self.path = path
+        self.change = change        # CDF mode: 'insert' | 'delete'
+        self.version = version      # CDF mode: the commit that caused it
 
 
 # Spark simple-type DDL → Arrow type, for typed-NULL backfill of columns
@@ -140,10 +148,18 @@ class VersionedDataSource(DataSource):
             raise ValueError(f"version {v} of {root} not found/expired")
         return live[v]
 
+    def _cdf(self) -> bool:
+        return str(self.options.get("changeFeed", "false")).lower() == "true"
+
     def schema(self) -> str:
         # manifests record df.schema.simpleString(); Spark's parser
-        # accepts the struct<...> form directly
-        return self._manifest()["schema"]
+        # accepts the struct<...> form directly.  In change-feed mode
+        # every row additionally carries its change type and commit
+        # version (the Delta readChangeFeed column contract).
+        base = self._manifest()["schema"]
+        if self._cdf():
+            return base[:-1] + ",_change_type:string,_commit_version:bigint>"
+        return base
 
     def reader(self, schema) -> "VersionedReader":
         return VersionedReader(
@@ -156,6 +172,7 @@ class VersionedDataSource(DataSource):
         return VersionedStreamReader(
             self.options["root"],
             [(f.name, f.dataType.simpleString()) for f in schema.fields],
+            cdf=self._cdf(),
         )
 
 
@@ -232,9 +249,14 @@ class VersionedStreamReader(DataSourceStreamReader):
     """Versions are the offset axis: micro-batch (start, end] reads the
     files added by commits start+1 .. end."""
 
-    def __init__(self, root: str, fields: list[tuple[str, str]]):
+    _META_COLS = ("_change_type", "_commit_version")
+
+    def __init__(
+        self, root: str, fields: list[tuple[str, str]], cdf: bool = False
+    ):
         self._root = root
         self._fields = fields
+        self._cdf = cdf
 
     def initialOffset(self) -> dict:
         # start BEFORE the earliest live version so the first batch
@@ -257,6 +279,53 @@ class VersionedStreamReader(DataSourceStreamReader):
         live = _live_manifests(self._root)
         return {"version": max(live) if live else -1}
 
+    def _cdf_partitions(
+        self, start: dict, s: int, e: int, live: dict[int, dict]
+    ) -> Sequence[InputPartition]:
+        """Change-feed partitions: per commit in (s, e], the ADDED
+        files stream as 'insert' rows and the DROPPED files as
+        'delete' rows, each tagged with the commit version — so CoW
+        delete/replace commits flow through the stream instead of
+        failing it. File granularity means a CoW survivor appears as a
+        delete (its old file) AND an insert (its rewrite) with
+        identical content: a keyed consumer applying deletes-then-
+        inserts per commit converges to the exact snapshot (upsert/CDC
+        semantics); a blind appender must not use changeFeed mode.
+        Whole-table rewrites still raise — their diff is the entire
+        table twice."""
+        parts: list[_FilePartition] = []
+        prev: dict | None
+        if start.get("snapshot"):
+            prev = None
+        elif s in live:
+            prev = live[s]
+        else:
+            prev = _manifest_any(self._root, s)
+        for v in range(s + 1, e + 1):
+            cur = live[v]
+            if cur["action"] not in ("append", "delete", "replace", "overwrite", "clone"):
+                raise ValueError(
+                    f"version {v} is '{cur['action']}': whole-table rewrite "
+                    "has no row-level change feed — restart from a snapshot"
+                )
+            if cur["action"] in ("overwrite", "clone") and v > min(live):
+                raise ValueError(
+                    f"version {v} is '{cur['action']}': whole-table rewrite "
+                    "has no row-level change feed — restart from a snapshot"
+                )
+            prev_paths = set(_abs_paths(self._root, prev)) if prev else set()
+            cur_paths = set(_abs_paths(self._root, cur))
+            parts += [
+                _FilePartition(p, "insert", v)
+                for p in sorted(cur_paths - prev_paths)
+            ]
+            parts += [
+                _FilePartition(p, "delete", v)
+                for p in sorted(prev_paths - cur_paths)
+            ]
+            prev = cur
+        return parts
+
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         s, e = start["version"], end["version"]
         if e <= s:
@@ -268,6 +337,8 @@ class VersionedStreamReader(DataSourceStreamReader):
                     f"version {v} of {self._root} was vacuumed before this "
                     "stream consumed it — restart from a fresh checkpoint"
                 )
+            if self._cdf:
+                continue  # CDF mode validates per-action below
             if v > min(live) and live[v]["action"] != "append":
                 # a CoW delete rewrites SURVIVOR rows into new files —
                 # emitting those as additions would double-count them
@@ -275,6 +346,15 @@ class VersionedStreamReader(DataSourceStreamReader):
                     f"version {v} is '{live[v]['action']}': content "
                     "mutation has no row-level delta; reprocess the snapshot"
                 )
+        if self._cdf:
+            try:
+                return self._cdf_partitions(start, s, e, live)
+            except json.JSONDecodeError:
+                raise ValueError(
+                    f"start version {s} of {self._root} has an unreadable "
+                    "manifest — cannot compute an exact delta; restart "
+                    "from a fresh checkpoint"
+                ) from None
         # Base file set for the delta diff.  If the start version was
         # vacuumed UNDER the stream (expired while e was still live),
         # its tombstone manifest still carries the full file list, so
@@ -308,7 +388,28 @@ class VersionedStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition) -> Iterator:
         if partition is None:  # empty partition list → one None split
             return iter(())
-        return _read_file_batches(partition.path, self._fields)
+        if not self._cdf:
+            return _read_file_batches(partition.path, self._fields)
+        return self._read_cdf_batches(partition)
+
+    def _read_cdf_batches(self, partition: _FilePartition) -> Iterator:
+        import pyarrow as pa
+
+        data_fields = [
+            (n, t) for n, t in self._fields if n not in self._META_COLS
+        ]
+        for batch in _read_file_batches(partition.path, data_fields):
+            t = pa.Table.from_batches([batch])
+            n = t.num_rows
+            t = t.append_column(
+                "_change_type",
+                pa.array([partition.change] * n, pa.large_string()),
+            )
+            t = t.append_column(
+                "_commit_version",
+                pa.array([partition.version] * n, pa.int64()),
+            )
+            yield from t.to_batches(max_chunksize=1 << 16)
 
     def commit(self, end: dict) -> None:
         pass  # progress is tracked by the stream's own checkpoint

@@ -133,7 +133,7 @@ def test_batch_filter_pushdown_prunes_files(spark, tmp_path):
 def _stream_reader(root):
     from finalpipeline_spark.sources.pyds import VersionedStreamReader
 
-    return VersionedStreamReader(root, ["id", "bucket"])
+    return VersionedStreamReader(root, [("id", "bigint"), ("bucket", "bigint")])
 
 
 def _partition_paths(reader, start, end):
@@ -197,3 +197,58 @@ def test_batch_read_across_schema_evolution(spark, vt):
     assert df.filter("note = 'x'").count() == 10
     native = vt.read()
     assert df.exceptAll(native).count() == 0 and native.exceptAll(df).count() == 0
+
+
+def test_stream_change_feed_mode_survives_cow_delete(spark, vt, tmp_path):
+    """option("changeFeed","true") streams CoW commits as tagged
+    insert/delete rows instead of failing: applying deletes-then-
+    inserts per commit reproduces the head snapshot exactly."""
+    out = str(tmp_path / "cdf_out")
+    ckpt = str(tmp_path / "cdf_ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned")
+            .option("root", vt.root)
+            .option("changeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()  # initial snapshot: everything arrives as inserts
+    first = spark.read.parquet(out)
+    assert set(first.columns) == {"id", "bucket", "_change_type", "_commit_version"}
+    assert first.filter("_change_type = 'insert'").count() == 130
+    assert first.filter("_change_type = 'delete'").count() == 0
+
+    vt.delete_where("id < 5")  # CoW: rewrites the file(s) holding 0..4
+    drain()
+    ch = spark.read.parquet(out)
+    v = vt.latest_version()
+    step = ch.filter(f"_commit_version = {v}")
+    dels = {r["id"] for r in step.filter("_change_type = 'delete'").collect()}
+    ins = {r["id"] for r in step.filter("_change_type = 'insert'").collect()}
+    assert set(range(5)) <= dels          # retracted rows are deletes
+    assert ins == dels - set(range(5))    # survivors churn delete+insert
+    # replay the feed keyed by id → head snapshot
+    state: set[int] = set()
+    for r in sorted(
+        ch.collect(), key=lambda r: (r["_commit_version"], r["_change_type"] == "insert")
+    ):
+        if r["_change_type"] == "delete":
+            state.discard(r["id"])
+        else:
+            state.add(r["id"])
+    assert state == {r["id"] for r in vt.read().collect()}
+
+
+def test_stream_default_mode_still_rejects_mutation(spark, vt, tmp_path):
+    vt.delete_where("id < 5")
+    reader = _stream_reader(vt.root)
+    with pytest.raises(ValueError, match="content"):
+        reader.partitions({"version": 1}, {"version": 2})
