@@ -57,6 +57,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from finalpipeline_spark.operators.compaction import _fs_and_path
 
@@ -443,6 +444,115 @@ class VersionedTable:
             ).filter(~F.expr(predicate))
             new_files = self._write_data_files(survivors)
         return self._commit("delete", keep + new_files, m["schema"])
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        delete_col: str | None = None,
+        meta: dict[str, Any] | None = None,
+    ) -> CommitInfo:
+        """Delta-style MERGE: one atomic commit that upserts ``source``
+        rows into the table by ``keys`` (whole-row replacement for
+        matched keys, insert for new keys) and, when ``delete_col``
+        names a boolean column, deletes matched keys flagged true.
+
+        Copy-on-write with FILE pruning on the join: only files that
+        actually contain a matched key are rewritten — found by one
+        key-join carrying ``_metadata.file_path`` (result bounded by
+        the file count) — and every untouched file carries over by
+        reference, so a merge touching 0.1% of keys costs the rewrite
+        of the files those keys live in, not the table. The commit is
+        a single manifest create: readers never observe the
+        delete-without-insert intermediate of a delete+append pair.
+        ``source`` must be key-unique (enforced — a double-matched key
+        would make the outcome order-dependent).
+
+        This is the consumer half of CDC: feed it the per-key FINAL
+        state of a change feed (see ``replicate_from``) and the target
+        converges to the producer's snapshot."""
+        if delete_col and delete_col in keys:
+            raise ValueError("delete_col cannot be a merge key")
+        m = self.manifest()
+        schema = self._schema_of(m)
+        cols = [f.name for f in schema.fields]
+        dup = (
+            source.groupBy(*keys).count().filter("count > 1").limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge source is not unique on {keys}: e.g. "
+                f"{tuple(dup[0][k] for k in keys)}"
+            )
+        current = self.read()
+        # _metadata is only resolvable on the scan relation — project
+        # it (with the keys) BEFORE the join.
+        hit_files = {
+            r["f"]
+            for r in current.select(
+                F.col("_metadata.file_path").alias("f"), *keys
+            )
+            .join(source.select(*keys).distinct(), keys, "left_semi")
+            .select("f")
+            .distinct()
+            .collect()  # bounded by file count, not rows
+        }
+        keep, rewrite_abs = [], []
+        for entry in m["files"]:
+            if any(h.endswith(entry["path"]) for h in hit_files):
+                rewrite_abs.append(self._abs(entry))
+            else:
+                keep.append(entry)
+        upserts = (
+            source.filter(~F.col(delete_col)) if delete_col else source
+        ).select(*cols)
+        new_files: list[dict[str, Any]] = []
+        if rewrite_abs:
+            survivors = (
+                self.spark.read.schema(schema)
+                .parquet(*rewrite_abs)
+                .join(source.select(*keys).distinct(), keys, "left_anti")
+            )
+            new_files += self._write_data_files(survivors.unionByName(upserts))
+        else:
+            new_files += self._write_data_files(upserts)
+        return self._commit("replace", keep + new_files, m["schema"], meta)
+
+    def replicate_from(
+        self,
+        producer: "VersionedTable",
+        keys: list[str],
+        since_version: int,
+        version: int | None = None,
+    ) -> CommitInfo:
+        """CDC replication: fold the producer's row-level change feed
+        over ``(since_version, version]`` into this table with ONE
+        merge commit. The per-key final state is resolved first (last
+        commit wins; within a commit an insert beats the delete of the
+        same key — the CoW survivor churn), so replays and multi-step
+        ranges collapse to a single upsert/delete set bounded by the
+        changed keys, and the target provably converges to the
+        producer's snapshot at ``version``."""
+        ch = producer.read_changes_rows(since_version, version)
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc("_commit_version"),
+            # insert outranks delete at the same version: a CoW
+            # survivor emits both; its content survives
+            F.desc(F.col("_change_type") == F.lit("insert")),
+        )
+        final = (
+            ch.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .withColumn("__delete", F.col("_change_type") == F.lit("delete"))
+            .drop("__rn", "_change_type", "_commit_version")
+        )
+        return self.merge(
+            final,
+            keys,
+            delete_col="__delete",
+            meta={"replicated_from": producer.root, "source_version":
+                  producer.manifest(version)["version"]},
+        )
 
     def replace_where(
         self, predicate: str, df: DataFrame, meta: dict[str, Any] | None = None

@@ -480,3 +480,62 @@ def test_read_changes_rows_across_cow_commits(spark, table):
     table.commit_overwrite(_df(spark, 0, 5, "d"))
     with pytest.raises(ValueError, match="row-level delta"):
         table.read_changes_rows(0)
+
+
+def test_merge_upserts_deletes_one_commit_with_file_pruning(spark, table):
+    """MERGE = whole-row upsert + flagged delete in ONE commit; only
+    files containing matched keys are rewritten."""
+    table.commit_overwrite(_df(spark, 0, 100, "a").coalesce(1))   # file A
+    table.commit_append(_df(spark, 100, 200, "b").coalesce(1))    # file B
+    v_before = table.latest_version()
+    files_before = {f["path"] for f in table.manifest()["files"]}
+    # touch only file B's key range: update 150, insert 500, delete 199
+    src = spark.createDataFrame(
+        [(150, "updated", False), (500, "new", False), (199, "x", True)],
+        "id long, tag string, is_del boolean",
+    )
+    info = table.merge(src, keys=["id"], delete_col="is_del")
+    assert info.version == v_before + 1  # atomic
+    assert table.manifest()["action"] == "replace"
+    got = {r["id"]: r["tag"] for r in table.read().collect()}
+    assert got[150] == "updated" and got[500] == "new"
+    assert 199 not in got and len(got) == 200  # 200 - 1 del + 1 ins
+    # exactly one pre-merge file survives by reference: file A, whose
+    # key range the merge never touched
+    kept = {f["path"] for f in table.manifest()["files"]}
+    assert len(files_before & kept) == 1
+    # non-unique source is rejected
+    bad = spark.createDataFrame(
+        [(1, "x", False), (1, "y", False)], "id long, tag string, is_del boolean"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        table.merge(bad, keys=["id"], delete_col="is_del")
+
+
+def test_replicate_from_converges_to_producer(spark, tmp_path):
+    """CDC loop: producer commits appends, CoW deletes and replaces;
+    the consumer folds the row-level change feed with one merge per
+    sync and converges to the producer's snapshot each time."""
+    prod = VersionedTable(spark, str(tmp_path / "prod"))
+    cons = VersionedTable(spark, str(tmp_path / "cons"))
+    prod.commit_overwrite(_df(spark, 0, 100, "a"))
+    cons.commit_overwrite(prod.read())  # initial seed at version 0
+    seeded = prod.latest_version()
+
+    prod.commit_append(_df(spark, 100, 130, "b"))
+    prod.delete_where("id < 20")
+    prod.replace_where("id >= 125", _df(spark, 300, 305, "c"))
+    cons.replicate_from(prod, keys=["id"], since_version=seeded)
+    assert sorted(r["id"] for r in cons.read().collect()) == sorted(
+        r["id"] for r in prod.read().collect()
+    )
+    # second sync window
+    synced = prod.latest_version()
+    prod.commit_append(_df(spark, 400, 410, "d"))
+    prod.delete_where("id BETWEEN 50 AND 59")
+    cons.replicate_from(prod, keys=["id"], since_version=synced)
+    p_rows = sorted(tuple(r) for r in prod.read().collect())
+    c_rows = sorted(tuple(r) for r in cons.read().collect())
+    assert p_rows == c_rows
+    # lineage recorded
+    assert cons.manifest()["meta"]["replicated_from"] == prod.root
