@@ -228,3 +228,87 @@ def stream_append_versioned(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def replicate_epoch(
+    batch_df: DataFrame,
+    consumer_root: str,
+    keys: Sequence[str],
+    sink_id: str,
+    epoch_id: int,
+) -> bool:
+    """Apply one change-feed micro-batch to the consumer table — the
+    per-epoch unit of stream_replicate_versioned. Exactly-once effect
+    via (checkpoint, epoch) commit identity, like
+    versioned_append_epoch. Returns True if a commit happened.
+
+    The batch's per-key FINAL state is resolved first (highest commit
+    version wins; insert outranks the same-commit delete, absorbing
+    CoW survivor churn), then folded in with ONE atomic merge. An
+    empty consumer bootstraps from the feed's initial-snapshot inserts
+    as its version 0."""
+    from pyspark.sql.window import Window
+
+    from finalpipeline_spark.sources.versioned import VersionedTable
+
+    spark = batch_df.sparkSession
+    vt = VersionedTable(spark, consumer_root)
+    key = f"{sink_id}#{epoch_id}"
+    if key in vt.committed_meta("sink_epoch"):
+        return False  # replayed epoch: already applied, no-op
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc("_commit_version"),
+        F.desc(F.col("_change_type") == F.lit("insert")),
+    )
+    final = (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .withColumn("__delete", F.col("_change_type") == F.lit("delete"))
+        .drop("__rn", "_change_type", "_commit_version")
+    )
+    if vt.latest_version() is None:
+        vt.commit_overwrite(
+            final.filter(~F.col("__delete")).drop("__delete"),
+            meta={"sink_epoch": key},
+        )
+    else:
+        vt.merge(final, list(keys), delete_col="__delete", meta={"sink_epoch": key})
+    return True
+
+
+def stream_replicate_versioned(
+    spark,
+    producer_root: str,
+    consumer_root: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Continuous CDC replication between versioned tables: tail the
+    producer's change feed (``format("versioned")`` with
+    ``changeFeed`` on, so CoW deletes/replaces flow through) and fold
+    each micro-batch into the consumer with one atomic merge — the
+    full streaming CDC loop (Delta's `readChangeFeed` → `MERGE`
+    pattern) on plain parquet.
+
+    Exactly-once effect from at-least-once delivery: each consumer
+    commit records its (checkpoint, epoch) identity, so a replayed
+    epoch after a crash is recognized and skipped. The consumer
+    converges to every producer snapshot the stream has drained, and
+    each sync is itself a pinnable consumer version with lineage."""
+    sink_id = checkpoint_dir.rstrip("/")
+    stream = (
+        spark.readStream.format("versioned")
+        .option("root", producer_root)
+        .option("changeFeed", "true")
+        .load()
+    )
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        replicate_epoch(batch_df, consumer_root, keys, sink_id, epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

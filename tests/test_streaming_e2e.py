@@ -97,3 +97,64 @@ def test_producer_log_consumer_exactly_once(spark, tmp_path):
     # per-epoch lineage: every commit carries its (checkpoint, epoch) id
     epochs = vt.committed_meta("sink_epoch")
     assert len(epochs) == 2 and all(e.startswith(pckpt.rstrip("/")) for e in epochs)
+
+
+def test_stream_replicate_versioned_cdc_loop(spark, tmp_path):
+    """Full streaming CDC: producer versioned table → changeFeed
+    stream → per-epoch atomic merge into a consumer. The consumer
+    converges across appends AND CoW deletes/replaces, bootstraps
+    itself from the initial snapshot, and a replayed epoch is a
+    no-op."""
+    from pyspark.sql import functions as SF
+
+    from finalpipeline_spark.streaming.sinks import (
+        replicate_epoch,
+        stream_replicate_versioned,
+    )
+
+    register_versioned_source(spark)
+    prod = VersionedTable(spark, str(tmp_path / "prod"))
+    cons_root = str(tmp_path / "cons")
+    ckpt = str(tmp_path / "rckpt")
+    prod.commit_overwrite(
+        spark.range(0, 50).selectExpr("id", "concat('v', id) AS payload")
+    )
+
+    def sync():
+        q = stream_replicate_versioned(
+            spark, prod.root, cons_root, keys=["id"], checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    def rows(vt_root):
+        return sorted(
+            tuple(r) for r in VersionedTable(spark, vt_root).read().collect()
+        )
+
+    sync()  # bootstrap from initial snapshot
+    assert rows(cons_root) == sorted(tuple(r) for r in prod.read().collect())
+
+    prod.commit_append(
+        spark.range(50, 60).selectExpr("id", "concat('v', id) AS payload")
+    )
+    prod.delete_where("id < 5")
+    prod.replace_where(
+        "id >= 58", spark.range(100, 103).selectExpr("id", "'r' AS payload")
+    )
+    sync()
+    assert rows(cons_root) == sorted(tuple(r) for r in prod.read().collect())
+
+    # replayed epoch: same (checkpoint, epoch) identity → no new commit
+    cons = VersionedTable(spark, cons_root)
+    v = cons.latest_version()
+    replay = (
+        prod.read()
+        .limit(1)
+        .withColumn("_change_type", SF.lit("insert"))
+        .withColumn("_commit_version", SF.lit(999))
+    )
+    assert replicate_epoch(replay, cons_root, ["id"], ckpt.rstrip("/"), 0) is False
+    assert cons.latest_version() == v
+    # idle sync moves nothing
+    sync()
+    assert rows(cons_root) == sorted(tuple(r) for r in prod.read().collect())
