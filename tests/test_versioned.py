@@ -539,3 +539,48 @@ def test_replicate_from_converges_to_producer(spark, tmp_path):
     assert p_rows == c_rows
     # lineage recorded
     assert cons.manifest()["meta"]["replicated_from"] == prod.root
+
+
+def test_cdc_replication_soak_random_commit_sequence(spark, table, tmp_path):
+    """Soak the CDC loop: a seeded-random interleaving of appends, CoW
+    deletes and replaceWhere commits on the producer, synced to a
+    consumer at random version boundaries — after every sync the
+    consumer must equal the producer row-for-row."""
+    import random
+
+    rng = random.Random(20260814)
+    prod = table
+    cons = VersionedTable(spark, str(tmp_path / "soak_cons"))
+    prod.commit_overwrite(_df(spark, 0, 200, "seed"))
+    cons.commit_overwrite(prod.read())
+    synced = prod.latest_version()
+    next_id = 200
+
+    def present_ids():
+        return [r["id"] for r in prod.read().select("id").collect()]
+
+    for step in range(12):
+        op = rng.choice(["append", "delete", "replace"])
+        if op == "append":
+            n = rng.randrange(5, 30)
+            prod.commit_append(_df(spark, next_id, next_id + n, f"a{step}"))
+            next_id += n
+        elif op == "delete":
+            ids = present_ids()
+            victims = rng.sample(ids, min(len(ids), rng.randrange(1, 15)))
+            prod.delete_where("id IN (" + ",".join(map(str, victims)) + ")")
+        else:
+            ids = present_ids()
+            victims = rng.sample(ids, min(len(ids), rng.randrange(1, 10)))
+            n = rng.randrange(1, 8)
+            prod.replace_where(
+                "id IN (" + ",".join(map(str, victims)) + ")",
+                _df(spark, next_id, next_id + n, f"r{step}"),
+            )
+            next_id += n
+        if rng.random() < 0.4 or step == 11:  # sync at random boundaries
+            cons.replicate_from(prod, keys=["id"], since_version=synced)
+            synced = prod.latest_version()
+            assert sorted(tuple(r) for r in cons.read().collect()) == sorted(
+                tuple(r) for r in prod.read().collect()
+            ), f"diverged after step {step}"
