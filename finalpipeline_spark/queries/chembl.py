@@ -300,7 +300,8 @@ def _stage_lsh_sigs(spark: SparkSession, sf_dir: str, scope: str) -> None:
     tags=("reference", "extension"),
 )
 def chembl_tanimoto_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 at the 100 TB shape: MinHash(32)-banded (16×2) candidate
+    """J3 at the 100 TB shape: MinHash(48)-banded (_LSH_BANDS=24 ×
+    _LSH_ROWS=2) candidate
     buckets over fingerprint bit-sets, band-bucket equi-join (no cross
     product), exact-Tanimoto rescore of candidates only, window top-10
     per target. Approximate by design — recall is governed by the band

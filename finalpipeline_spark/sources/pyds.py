@@ -162,6 +162,16 @@ class VersionedDataSource(DataSource):
         return base
 
     def reader(self, schema) -> "VersionedReader":
+        if self._cdf():
+            # The change feed is a STREAM-only surface: the batch reader
+            # has no per-commit diff machinery, so honoring the option
+            # here would return all-NULL _change_type/_commit_version
+            # columns (typed-null backfill) — silently wrong. Fail loud.
+            raise ValueError(
+                "changeFeed=true requires readStream (spark.readStream"
+                '.format("versioned")); for a batch row-level delta use '
+                "VersionedTable.read_changes_rows(since_version)"
+            )
         return VersionedReader(
             self.options["root"],
             self._manifest(),

@@ -87,6 +87,36 @@ class CommitInfo:
     n_rows: int
 
 
+def cdf_final_state(ch: DataFrame, keys: list[str]) -> DataFrame:
+    """Per-key FINAL state of a row-level change feed: highest commit
+    version wins; within a commit an insert outranks the delete of the
+    same key (a CoW survivor emits both — its content survives); any
+    remaining tie (a non-key-unique producer emitting two different
+    insert rows for one key in the same commit) is broken
+    DETERMINISTICALLY by ordering on every orderable value column, so
+    replication picks the same winner on every run/replay instead of a
+    partition-order-dependent one. Returns the winning rows with a
+    ``__delete`` flag and the feed's meta columns dropped."""
+    value_cols = [
+        c
+        for c, t in ch.dtypes
+        if c not in keys
+        and c not in ("_change_type", "_commit_version")
+        and not t.startswith("map<")  # maps are not orderable in Spark
+    ]
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc("_commit_version"),
+        F.desc(F.col("_change_type") == F.lit("insert")),
+        *[F.desc_nulls_last(c) for c in value_cols],
+    )
+    return (
+        ch.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .withColumn("__delete", F.col("_change_type") == F.lit("delete"))
+        .drop("__rn", "_change_type", "_commit_version")
+    )
+
+
 def _stat_cols(df: DataFrame) -> list[str]:
     """Columns worth min/max stats: atomic orderable types only."""
     keep = {"int", "bigint", "smallint", "tinyint", "float", "double",
@@ -166,13 +196,15 @@ class VersionedTable:
         path = self._manifest_path(version)
         if not self._fs.exists(path):
             raise VersionNotFoundError(f"version {version} of {self.root}")
+        return json.loads(self._read_raw(path).decode("utf-8"))
+
+    def _read_raw(self, path) -> bytes:
         stream = self._fs.open(path)
         try:
             ioutils = self._jvm.org.apache.commons.io.IOUtils
-            raw = bytes(ioutils.toByteArray(stream))
+            return bytes(ioutils.toByteArray(stream))
         finally:
             stream.close()
-        return json.loads(raw.decode("utf-8"))
 
     def manifest(self, version: int | None = None) -> dict[str, Any]:
         v = self.latest_version() if version is None else version
@@ -223,11 +255,39 @@ class VersionedTable:
                     f"version {version} of {self.root} was committed "
                     "concurrently"
                 ) from exc
-            renamed = self._fs.rename(
-                path, self._p(_LOG_DIR, (_MANIFEST_FMT % version) + ".aborted")
+            # Quarantine the aborted fragment under a UNIQUE name: the
+            # atomic rename is the exclusive recovery claim (two racing
+            # recoverers cannot both win a rename of the same source).
+            # NEVER delete ``path`` here — between the probe above and
+            # this rename a racing writer may have finished its own
+            # recovery and committed a VALID manifest at ``path``;
+            # a delete would silently destroy that commit.
+            quarantine = self._p(
+                _LOG_DIR,
+                (_MANIFEST_FMT % version) + ".aborted-" + uuid.uuid4().hex,
             )
-            if not renamed:  # an earlier .aborted already holds the name
-                self._fs.delete(path, False)
+            if not self._fs.rename(path, quarantine):
+                # The file moved (another writer's recovery won) or is
+                # gone: back off and let the caller re-read and retry.
+                raise ConcurrentCommitError(
+                    f"version {version} of {self.root}: aborted-manifest "
+                    "recovery lost a race"
+                ) from exc
+            # Verify-after-claim: whatever now sits at the quarantine
+            # name is exclusively ours. If a racer committed a valid
+            # manifest between the probe and our rename, we just
+            # quarantined a live commit — restore it and back off.
+            try:
+                json.loads(self._read_raw(quarantine).decode("utf-8"))
+                stole_valid = True
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                stole_valid = False
+            if stole_valid:
+                self._fs.rename(quarantine, path)  # restore the live commit
+                raise ConcurrentCommitError(
+                    f"version {version} of {self.root} was committed "
+                    "concurrently (recovered mid-flight by another writer)"
+                ) from exc
             try:
                 out = self._fs.create(path, False)
             except Exception as exc2:
@@ -451,6 +511,7 @@ class VersionedTable:
         keys: list[str],
         delete_col: str | None = None,
         meta: dict[str, Any] | None = None,
+        merge_schema: bool = False,
     ) -> CommitInfo:
         """Delta-style MERGE: one atomic commit that upserts ``source``
         rows into the table by ``keys`` (whole-row replacement for
@@ -470,11 +531,42 @@ class VersionedTable:
 
         This is the consumer half of CDC: feed it the per-key FINAL
         state of a change feed (see ``replicate_from``) and the target
-        converges to the producer's snapshot."""
+        converges to the producer's snapshot.
+
+        ``merge_schema=True`` extends additive schema evolution to
+        MERGE (Delta's ``withSchemaEvolution()``): source columns the
+        table lacks are appended to the table schema, with existing
+        files NULL-backfilling at read, so replication keeps following
+        a producer that evolved mid-stream. Without the flag an
+        evolved source is rejected loudly — silently projecting the
+        new columns away would diverge the replica."""
         if delete_col and delete_col in keys:
             raise ValueError("delete_col cannot be a merge key")
         m = self.manifest()
         schema = self._schema_of(m)
+        old = {f.name: f.dataType for f in schema.fields}
+        src = {
+            f.name: f for f in source.schema.fields if f.name != delete_col
+        }
+        conflicts = sorted(
+            n for n, f in src.items() if n in old and f.dataType != old[n]
+        )
+        if conflicts:
+            raise SchemaMismatchError(
+                f"type change on {conflicts} is not supported "
+                "(additive evolution only)"
+            )
+        extra = [f for n, f in src.items() if n not in old]
+        if extra:
+            if not merge_schema:
+                raise SchemaMismatchError(
+                    f"merge source has columns the table lacks "
+                    f"({[f.name for f in extra]}); pass merge_schema=True "
+                    "for additive evolution"
+                )
+            from pyspark.sql.types import StructType
+
+            schema = StructType(list(schema.fields) + extra)
         cols = [f.name for f in schema.fields]
         dup = (
             source.groupBy(*keys).count().filter("count > 1").limit(1).collect()
@@ -516,7 +608,9 @@ class VersionedTable:
             new_files += self._write_data_files(survivors.unionByName(upserts))
         else:
             new_files += self._write_data_files(upserts)
-        return self._commit("replace", keep + new_files, m["schema"], meta)
+        return self._commit(
+            "replace", keep + new_files, schema.simpleString(), meta
+        )
 
     def replicate_from(
         self,
@@ -534,24 +628,15 @@ class VersionedTable:
         changed keys, and the target provably converges to the
         producer's snapshot at ``version``."""
         ch = producer.read_changes_rows(since_version, version)
-        w = Window.partitionBy(*keys).orderBy(
-            F.desc("_commit_version"),
-            # insert outranks delete at the same version: a CoW
-            # survivor emits both; its content survives
-            F.desc(F.col("_change_type") == F.lit("insert")),
-        )
-        final = (
-            ch.withColumn("__rn", F.row_number().over(w))
-            .filter("__rn = 1")
-            .withColumn("__delete", F.col("_change_type") == F.lit("delete"))
-            .drop("__rn", "_change_type", "_commit_version")
-        )
+        final = cdf_final_state(ch, keys)
         return self.merge(
             final,
             keys,
             delete_col="__delete",
             meta={"replicated_from": producer.root, "source_version":
                   producer.manifest(version)["version"]},
+            # follow the producer through additive schema evolution
+            merge_schema=True,
         )
 
     def replace_where(
@@ -747,17 +832,21 @@ class VersionedTable:
             prev = self._read_manifest_file(v - 1)
             prev_paths = {self._abs(f) for f in prev["files"]}
             cur_paths = {self._abs(f) for f in m["files"]}
-            schema = self._schema_of(m)
+            # Every step scans with the TARGET version's schema, not its
+            # own commit's: evolution is additive-only, so the target
+            # schema is a superset of every step's, and pre-evolution
+            # files backfill NULL for later-added columns (the
+            # documented NULL-backfill semantics). This keeps the
+            # per-step exceptAll in one consistent column space AND
+            # makes the cross-step union well-typed when the requested
+            # range spans a merge_schema commit — per-step schemas would
+            # make the final unionByName raise on the missing columns.
+            schema = self._schema_of(target)
             added = sorted(cur_paths - prev_paths)
             dropped = sorted(prev_paths - cur_paths)
 
             def _scan(paths, sch):
                 return self.spark.read.schema(sch).parquet(*paths)
-
-            # Both sides are imposed the STEP's schema: under additive
-            # evolution a dropped pre-evolution file backfills NULL for
-            # the new columns, so the exceptAll diff compares rows in
-            # one consistent column space.
             step = None
             if added:
                 ins = _scan(added, schema)
@@ -885,8 +974,18 @@ class VersionedTable:
             try:
                 self._read_manifest_file(v)
             except json.JSONDecodeError:
-                self._fs.rename(st.getPath(), self._p(_LOG_DIR, name + ".aborted"))
-                retired.append(v)
+                # Same claim protocol as _write_manifest's auto-recovery:
+                # unique quarantine name (rename success == exclusive
+                # claim), then verify-after-claim so a manifest that
+                # became valid mid-race is restored, never retired.
+                q = self._p(_LOG_DIR, name + ".aborted-" + uuid.uuid4().hex)
+                if not self._fs.rename(st.getPath(), q):
+                    continue  # a racing recoverer won; nothing to retire
+                try:
+                    json.loads(self._read_raw(q).decode("utf-8"))
+                    self._fs.rename(q, st.getPath())  # valid: restore
+                except (json.JSONDecodeError, UnicodeDecodeError):
+                    retired.append(v)
         return retired
 
     def vacuum(

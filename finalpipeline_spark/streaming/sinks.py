@@ -244,35 +244,32 @@ def replicate_epoch(
 
     The batch's per-key FINAL state is resolved first (highest commit
     version wins; insert outranks the same-commit delete, absorbing
-    CoW survivor churn), then folded in with ONE atomic merge. An
-    empty consumer bootstraps from the feed's initial-snapshot inserts
-    as its version 0."""
-    from pyspark.sql.window import Window
-
-    from finalpipeline_spark.sources.versioned import VersionedTable
+    CoW survivor churn; remaining ties broken deterministically by the
+    value columns — see versioned.cdf_final_state), then folded in with
+    ONE atomic merge. An empty consumer bootstraps from the feed's
+    initial-snapshot inserts as its version 0."""
+    from finalpipeline_spark.sources.versioned import VersionedTable, cdf_final_state
 
     spark = batch_df.sparkSession
     vt = VersionedTable(spark, consumer_root)
     key = f"{sink_id}#{epoch_id}"
     if key in vt.committed_meta("sink_epoch"):
         return False  # replayed epoch: already applied, no-op
-    w = Window.partitionBy(*keys).orderBy(
-        F.desc("_commit_version"),
-        F.desc(F.col("_change_type") == F.lit("insert")),
-    )
-    final = (
-        batch_df.withColumn("__rn", F.row_number().over(w))
-        .filter("__rn = 1")
-        .withColumn("__delete", F.col("_change_type") == F.lit("delete"))
-        .drop("__rn", "_change_type", "_commit_version")
-    )
+    final = cdf_final_state(batch_df, list(keys))
     if vt.latest_version() is None:
         vt.commit_overwrite(
             final.filter(~F.col("__delete")).drop("__delete"),
             meta={"sink_epoch": key},
         )
     else:
-        vt.merge(final, list(keys), delete_col="__delete", meta={"sink_epoch": key})
+        vt.merge(
+            final,
+            list(keys),
+            delete_col="__delete",
+            meta={"sink_epoch": key},
+            # follow the producer through additive schema evolution
+            merge_schema=True,
+        )
     return True
 
 

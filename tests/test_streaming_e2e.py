@@ -158,3 +158,89 @@ def test_stream_replicate_versioned_cdc_loop(spark, tmp_path):
     # idle sync moves nothing
     sync()
     assert rows(cons_root) == sorted(tuple(r) for r in prod.read().collect())
+
+
+def test_stream_replicate_across_schema_evolution(spark, tmp_path):
+    """Producer evolves ADDITIVELY mid-replication (VERDICT r4 item 5):
+    the next sync (stream restart re-resolves the evolved schema from
+    the latest manifest) must carry the new column through the change
+    feed — pre-evolution commits NULL-backfill — and the consumer's
+    merge follows the evolution instead of silently projecting it
+    away."""
+    from finalpipeline_spark.streaming.sinks import stream_replicate_versioned
+
+    register_versioned_source(spark)
+    prod = VersionedTable(spark, str(tmp_path / "eprod"))
+    cons_root = str(tmp_path / "econs")
+    ckpt = str(tmp_path / "eckpt")
+    prod.commit_overwrite(
+        spark.range(0, 30).selectExpr("id", "concat('v', id) AS payload")
+    )
+
+    def sync():
+        q = stream_replicate_versioned(
+            spark, prod.root, cons_root, keys=["id"], checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    sync()  # bootstrap pre-evolution
+    cons = VersionedTable(spark, cons_root)
+    assert cons.read().columns == ["id", "payload"]
+
+    # additive evolution + post-evolution lifecycle on the producer
+    widened = spark.range(30, 40).selectExpr(
+        "id", "concat('v', id) AS payload", "cast(id * 2 as bigint) AS score"
+    )
+    prod.commit_append(widened, merge_schema=True)
+    prod.delete_where("id < 3")
+    sync()  # stream restart resolves the evolved schema
+    assert cons.read().columns == ["id", "payload", "score"]
+    assert sorted(tuple(r) for r in cons.read().collect()) == sorted(
+        tuple(r) for r in prod.read().collect()
+    )
+
+
+def test_stream_replicate_fan_in_two_producers(spark, tmp_path):
+    """Streaming fan-in: two producers' change feeds drain into ONE
+    consumer through separate checkpoints (separate epoch identities),
+    folding disjoint key spaces; after each drain pair the consumer
+    equals the union of producer snapshots."""
+    from finalpipeline_spark.streaming.sinks import stream_replicate_versioned
+
+    register_versioned_source(spark)
+    pa = VersionedTable(spark, str(tmp_path / "fpa"))
+    pb = VersionedTable(spark, str(tmp_path / "fpb"))
+    cons_root = str(tmp_path / "fcons")
+    cka, ckb = str(tmp_path / "fcka"), str(tmp_path / "fckb")
+    pa.commit_overwrite(
+        spark.range(0, 20).selectExpr("id", "concat('a', id) AS payload")
+    )
+    pb.commit_overwrite(
+        spark.range(1000, 1020).selectExpr("id", "concat('b', id) AS payload")
+    )
+
+    def sync(root, ckpt):
+        q = stream_replicate_versioned(
+            spark, root, cons_root, keys=["id"], checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    sync(pa.root, cka)
+    sync(pb.root, ckb)
+    cons = VersionedTable(spark, cons_root)
+
+    def union_rows():
+        return sorted(
+            tuple(r) for r in pa.read().unionByName(pb.read()).collect()
+        )
+
+    assert sorted(tuple(r) for r in cons.read().collect()) == union_rows()
+
+    # interleaved post-bootstrap lifecycle, drains in swapped order
+    pa.delete_where("id < 5")
+    pb.commit_append(
+        spark.range(1020, 1030).selectExpr("id", "concat('b', id) AS payload")
+    )
+    sync(pb.root, ckb)
+    sync(pa.root, cka)
+    assert sorted(tuple(r) for r in cons.read().collect()) == union_rows()

@@ -3,6 +3,7 @@ delete, rollback, concurrency, crash recovery, vacuum, stats pruning."""
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
@@ -363,7 +364,8 @@ def test_commit_auto_recovers_from_aborted_manifest(spark, table):
     info = table.commit_append(_df(spark, 20, 30, "b"))
     assert info.version == 1
     assert table.read().count() == 30
-    assert os.path.exists(partial + ".aborted")  # forensic trail kept
+    # forensic trail kept under a unique quarantine name (never deleted)
+    assert glob.glob(partial + ".aborted-*")
     # a PARSEABLE existing manifest is still a genuine conflict
     existing = json.load(open(os.path.join(table.root, "_log", "v%012d.json" % 1)))
     with pytest.raises(ConcurrentCommitError):
@@ -584,3 +586,201 @@ def test_cdc_replication_soak_random_commit_sequence(spark, table, tmp_path):
             assert sorted(tuple(r) for r in cons.read().collect()) == sorted(
                 tuple(r) for r in prod.read().collect()
             ), f"diverged after step {step}"
+
+
+def test_recovery_restores_mid_race_valid_manifest(spark, table, monkeypatch):
+    """TOCTOU closure (verify-after-claim): if a racing writer commits
+    a VALID manifest between this writer's unparseability probe and its
+    quarantine rename, the rename steals a live commit — recovery must
+    detect that on the claimed file, restore it, and back off. The old
+    code deleted/overwrote it: a silently lost commit."""
+    table.commit_overwrite(_df(spark, 0, 20, "a"))
+    # the racing writer commits a VALID v1
+    other = VersionedTable(spark, table.root)
+    other.commit_append(_df(spark, 20, 30, "b"))
+    path1 = os.path.join(table.root, "_log", "v%012d.json" % 1)
+    valid = json.load(open(path1))
+    # simulate this writer's STALE probe: it saw an unparseable fragment
+    orig = table._read_manifest_file
+
+    def stale_probe(v):
+        if v == 1:
+            raise json.JSONDecodeError("stale probe", "", 0)
+        return orig(v)
+
+    monkeypatch.setattr(table, "_read_manifest_file", stale_probe)
+    ddl = _df(spark, 0, 1, "x").schema.simpleString()
+    files = table._write_data_files(_df(spark, 30, 40, "c"))
+    with pytest.raises(ConcurrentCommitError, match="mid-flight"):
+        table._write_manifest(
+            {"version": 1, "parent": 0, "action": "append",
+             "schema": ddl, "files": files}
+        )
+    monkeypatch.undo()
+    # the racer's commit survived intact — nothing deleted or replaced
+    assert json.load(open(path1)) == valid
+    assert table.latest_version() == 1
+    assert table.read().count() == 30
+
+
+def test_recover_log_restores_mid_race_valid_manifest(spark, table, monkeypatch):
+    """Same verify-after-claim protocol in recover_log: a manifest that
+    became valid between the probe and the rename is restored, never
+    retired."""
+    table.commit_overwrite(_df(spark, 0, 20, "a"))
+    table.commit_append(_df(spark, 20, 30, "b"))
+    path1 = os.path.join(table.root, "_log", "v%012d.json" % 1)
+    valid = json.load(open(path1))
+    orig = table._read_manifest_file
+
+    def stale_probe(v):
+        if v == 1:
+            raise json.JSONDecodeError("stale probe", "", 0)
+        return orig(v)
+
+    monkeypatch.setattr(table, "_read_manifest_file", stale_probe)
+    assert table.recover_log() == []  # nothing retired
+    monkeypatch.undo()
+    assert json.load(open(path1)) == valid
+    assert table.read().count() == 30
+
+
+def test_read_changes_rows_across_schema_evolution(spark, table, tmp_path):
+    """Row-level CDF whose range SPANS an additive merge_schema commit:
+    every step is imposed the target version's schema (pre-evolution
+    rows NULL-backfill the new column), so the cross-step union is
+    well-typed and replication follows the producer's evolution."""
+    table.commit_overwrite(_df(spark, 0, 30, "a"))                      # v0
+    widened = spark.range(30, 40).selectExpr(
+        "id", "'b' AS tag", "cast(id * 10 as bigint) AS score"
+    )
+    table.commit_append(widened, merge_schema=True)                     # v1
+    table.delete_where("id < 5")                                        # v2
+    ch = table.read_changes_rows(0)  # spans the evolution commit
+    assert ch.columns == ["id", "tag", "score", "_change_type", "_commit_version"]
+    got = {
+        (r["_commit_version"], r["_change_type"], r["id"], r["score"])
+        for r in ch.collect()
+    }
+    assert {(1, "insert", i, i * 10) for i in range(30, 40)} <= got
+    assert {(2, "delete", i, None) for i in range(5)} <= got
+    assert len(got) == 15
+    # CDC replication across the evolution: consumer seeded PRE-evolution
+    # follows the producer's schema and converges row-for-row
+    cons = VersionedTable(spark, str(tmp_path / "cons_evo"))
+    cons.commit_overwrite(table.read(version=0))
+    cons.replicate_from(table, keys=["id"], since_version=0)
+    assert cons.read().columns == ["id", "tag", "score"]
+    assert sorted(tuple(r) for r in cons.read().collect()) == sorted(
+        tuple(r) for r in table.read().collect()
+    )
+
+
+def test_merge_rejects_evolved_source_without_flag(spark, table):
+    """Silently projecting away a source column the table lacks would
+    diverge a replica — merge must reject unless merge_schema=True."""
+    from finalpipeline_spark.sources.versioned import SchemaMismatchError
+
+    table.commit_overwrite(_df(spark, 0, 10, "a"))
+    src = spark.createDataFrame(
+        [(3, "upd", 99, False)], "id long, tag string, score long, is_del boolean"
+    )
+    with pytest.raises(SchemaMismatchError, match="merge_schema"):
+        table.merge(src, keys=["id"], delete_col="is_del")
+    table.merge(src, keys=["id"], delete_col="is_del", merge_schema=True)
+    got = {r["id"]: (r["tag"], r["score"]) for r in table.read().collect()}
+    assert got[3] == ("upd", 99)
+    assert got[0] == ("a", None)  # NULL-backfilled
+    # type conflict is still rejected
+    bad = spark.createDataFrame([(1, 7, False)], "id long, tag long, is_del boolean")
+    with pytest.raises(SchemaMismatchError, match="type change"):
+        table.merge(bad, keys=["id"], delete_col="is_del", merge_schema=True)
+
+
+def test_changefeed_option_rejected_on_batch_read(spark, table):
+    """changeFeed=true is a stream-only surface; a batch read would
+    return typed-NULL change columns — must fail loud instead."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from finalpipeline_spark.sources.pyds import register_versioned_source
+
+    register_versioned_source(spark)
+    table.commit_overwrite(_df(spark, 0, 10, "a"))
+    with pytest.raises((ValueError, AnalysisException), match="readStream"):
+        (
+            spark.read.format("versioned")
+            .option("root", table.root)
+            .option("changeFeed", "true")
+            .load()
+            .collect()
+        )
+
+
+def test_cdf_final_state_deterministic_tiebreak(spark):
+    """A non-key-unique producer emitting two DIFFERENT insert rows for
+    one key in the same commit must resolve to the same winner on every
+    run — the tiebreak orders by the value columns, not partition
+    luck."""
+    from finalpipeline_spark.sources.versioned import cdf_final_state
+
+    rows = [
+        (1, "zebra", "insert", 3),
+        (1, "apple", "insert", 3),
+        (1, "old", "insert", 2),
+        (2, "kept", "insert", 3),
+    ]
+    ch = spark.createDataFrame(
+        rows, "id long, tag string, _change_type string, _commit_version long"
+    )
+    winners = {
+        (r["id"], r["tag"], r["__delete"])
+        for r in cdf_final_state(ch, ["id"]).collect()
+    }
+    # desc_nulls_last on the value column: 'zebra' > 'apple'
+    assert winners == {(1, "zebra", False), (2, "kept", False)}
+    # stable across repartitionings (the nondeterminism the old code had)
+    for n in (1, 7):
+        again = {
+            (r["id"], r["tag"], r["__delete"])
+            for r in cdf_final_state(ch.repartition(n), ["id"]).collect()
+        }
+        assert again == winners
+
+
+def test_cdc_fan_in_two_producers_one_consumer(spark, tmp_path):
+    """Fan-in replication (VERDICT r4 item 5): two producers with
+    disjoint key spaces fold into ONE consumer via interleaved
+    replicate_from syncs; after each producer's sync the consumer
+    equals the union of both producers' snapshots."""
+    pa = VersionedTable(spark, str(tmp_path / "pa"))
+    pb = VersionedTable(spark, str(tmp_path / "pb"))
+    cons = VersionedTable(spark, str(tmp_path / "fan_cons"))
+    pa.commit_overwrite(_df(spark, 0, 50, "a"))
+    pb.commit_overwrite(_df(spark, 1000, 1050, "b"))
+    cons.commit_overwrite(pa.read().unionByName(pb.read()))
+    sa, sb = pa.latest_version(), pb.latest_version()
+
+    # interleaved lifecycle on both producers
+    pa.commit_append(_df(spark, 50, 70, "a2"))
+    pb.delete_where("id < 1010")
+    pa.delete_where("id >= 60")
+    pb.commit_append(_df(spark, 1050, 1060, "b2"))
+    pb.replace_where("id >= 1055", _df(spark, 2000, 2003, "b3"))
+
+    cons.replicate_from(pa, keys=["id"], since_version=sa)
+    cons.replicate_from(pb, keys=["id"], since_version=sb)
+    want = sorted(
+        tuple(r) for r in pa.read().unionByName(pb.read()).collect()
+    )
+    assert sorted(tuple(r) for r in cons.read().collect()) == want
+
+    # second round, syncs in the opposite order
+    sa, sb = pa.latest_version(), pb.latest_version()
+    pa.delete_where("id BETWEEN 10 AND 19")
+    pb.commit_append(_df(spark, 3000, 3010, "b4"))
+    cons.replicate_from(pb, keys=["id"], since_version=sb)
+    cons.replicate_from(pa, keys=["id"], since_version=sa)
+    want = sorted(
+        tuple(r) for r in pa.read().unionByName(pb.read()).collect()
+    )
+    assert sorted(tuple(r) for r in cons.read().collect()) == want
