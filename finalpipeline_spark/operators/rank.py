@@ -62,6 +62,60 @@ def assign_global_rank(
     ).drop("_pid", "_local_rn")
 
 
+def partitioned_prefix_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    weight_col: str,
+    out_col: str = "cum_weight",
+) -> DataFrame:
+    """Exact running sum of ``weight_col`` over ``order_cols`` WITHIN
+    each ``group_cols`` group — ``sum(w) OVER (PARTITION BY g ORDER BY
+    o ROWS UNBOUNDED PRECEDING)`` — without ever giving one task an
+    entire group.
+
+    A low-cardinality group key (e.g. 3 return flags over a 100 TB
+    fact) makes the textbook window a 3-task stage. Two-phase instead:
+    range-repartition on (group, order) so each task holds a contiguous
+    slice of one-or-more groups, run the window per (task, group) —
+    zero extra shuffle after the range exchange — then broadcast-join
+    each (task, group)'s preceding-weight offset (driver state =
+    parallelism × groups-per-task boundary, not data)."""
+    all_order = list(group_cols) + list(order_cols)
+    ranged = df.repartitionByRange(*all_order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=False)  # pin sampled boundaries
+    w = (
+        W.partitionBy("_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = ranged.withColumn("_local_cum", F.sum(weight_col).over(w))
+    rows = (
+        local.groupBy("_pid", *group_cols)
+        .agg(F.sum(weight_col).alias("_w"))
+        .collect()  # bounded by partitions × groups-crossing-a-boundary
+    )
+    rows.sort(key=lambda r: r["_pid"])
+    acc: dict[tuple, int] = {}
+    offsets = []
+    for r in rows:
+        g = tuple(r[c] for c in group_cols)
+        offsets.append(tuple(g) + (r["_pid"], acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + (r["_w"] or 0)
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets,
+        schema=local.select(*group_cols, "_pid").schema.add("_offset", "long"),
+    )
+    return (
+        local.join(F.broadcast(off_df), [*group_cols, "_pid"])
+        .withColumn(out_col, (F.col("_local_cum") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_local_cum", "_offset")
+    )
+
+
 def global_ntile(
     df: DataFrame,
     order_cols: Sequence[str],

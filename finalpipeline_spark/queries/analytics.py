@@ -93,9 +93,49 @@ def _rfm_sql(dialect: str) -> str:
 @register("orders_rfm_segments", oracle=_rfm_sql(D.DUCK), tags=("extension",))
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM quartile segments over the orders fact: customer counts and
-    average spend per (R,F,M) cell. See _rfm_sql."""
+    average spend per (R,F,M) cell. See _rfm_sql for the semantics.
+
+    Each quartile is computed by the DISTRIBUTED exact-ntile operator
+    (operators/rank.global_ntile: range exchange + offset broadcast) —
+    no unpartitioned ``ntile() OVER (ORDER BY ...)`` window anywhere in
+    the plan, so no single task ever ranks all |customers| rows. The
+    tile arithmetic is bit-identical to the single-window oracle form
+    (SQL-standard big-tiles-first boundaries over a total order)."""
+    from pyspark.sql import functions as F
+
+    from finalpipeline_spark.operators.rank import global_ntile
+
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(_ORD_VIEW)
-    return spark.sql(_rfm_sql(D.SPARK))
+    per_cust = spark.sql(
+        f"""
+        SELECT o_custkey,
+               cast(datediff(date '{_RFM_ANCHOR}',
+                             cast(max(o_orderdate) as date)) as bigint)
+                   AS recency_days,
+               cast(count(*) as bigint) AS frequency,
+               cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+                   AS monetary_cents
+        FROM {_ORD_VIEW}
+        GROUP BY o_custkey
+        """
+    ).withColumn("neg_frequency", -F.col("frequency")).withColumn(
+        "neg_monetary", -F.col("monetary_cents")
+    )
+    scored = global_ntile(
+        per_cust, ["recency_days", "o_custkey"], _N_TILES, out_col="r_tile"
+    )
+    scored = global_ntile(
+        scored, ["neg_frequency", "o_custkey"], _N_TILES, out_col="f_tile"
+    )
+    scored = global_ntile(
+        scored, ["neg_monetary", "o_custkey"], _N_TILES, out_col="m_tile"
+    )
+    return scored.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.expr("cast(count(*) as bigint)").alias("n_customers"),
+        F.expr(
+            "cast(sum(monetary_cents) as double) / (100.0 * count(*))"
+        ).alias("avg_monetary"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -532,3 +572,142 @@ def doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     homogeneity measure for corpus-mix monitoring. See _simpson_sql."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(_DOC_VIEW_AN)
     return spark.sql(_simpson_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Seasonal decomposition (additive trend/seasonal/residual over events)
+# --------------------------------------------------------------------------
+def _seasonal_sql(dialect: str) -> str:
+    """STL-style additive decomposition of the hourly event series into
+    trend + seasonal + residual, in the exact two-way-effects
+    formulation:
+
+        y[day,hour] = trend(day) + seasonal(hour) + residual
+
+    with trend(day) = mean of the day's hourly counts, seasonal(hour) =
+    hour-of-day mean minus the grand mean (so effects are centered),
+    and residual the remainder. Exactness: every sum/count is int64
+    (pure integer epoch bucketing, like events_dow_hour_heatmap — no
+    timezone); each emitted double is ONE fixed IEEE expression over
+    those exact integers, with identical parse structure in both
+    dialects, so the engines agree bit-for-bit.
+
+    Scale shape: one fact shuffle to (day, hour) cells; everything
+    after is cell-sized (days × 24): the day/hour/grand effect tables
+    are tiny and broadcast back onto the cells."""
+    epoch_s = "ts_epoch_s" if dialect == D.SPARK else "(epoch_us(ts) // 1000000)"
+    day = D.idiv(epoch_s, 86400, dialect)
+    hour = f"({D.idiv(epoch_s, 3600, dialect)}) % 24"
+    return f"""
+        WITH cells AS (
+            SELECT cast({day} as bigint) AS day,
+                   cast({hour} as bigint) AS hour,
+                   cast(count(*) as bigint) AS y
+            FROM {_ev(dialect)}
+            GROUP BY 1, 2
+        ),
+        grand AS (
+            SELECT cast(sum(y) as bigint) AS g, cast(count(*) as bigint) AS n
+            FROM cells
+        ),
+        day_eff AS (
+            SELECT day, cast(sum(y) as bigint) AS sd,
+                   cast(count(*) as bigint) AS nd
+            FROM cells GROUP BY day
+        ),
+        hour_eff AS (
+            SELECT hour, cast(sum(y) as bigint) AS sh,
+                   cast(count(*) as bigint) AS nh
+            FROM cells GROUP BY hour
+        )
+        SELECT c.day, c.hour, c.y,
+               cast(d.sd as double) / cast(d.nd as double) AS trend,
+               (cast(h.sh as double) / cast(h.nh as double))
+                   - (cast(g.g as double) / cast(g.n as double)) AS seasonal,
+               cast(c.y as double)
+                   - (cast(d.sd as double) / cast(d.nd as double))
+                   - ((cast(h.sh as double) / cast(h.nh as double))
+                      - (cast(g.g as double) / cast(g.n as double)))
+                   AS residual
+        FROM cells c
+        JOIN day_eff d ON c.day = d.day
+        JOIN hour_eff h ON c.hour = h.hour
+        CROSS JOIN grand g
+    """
+
+
+@register("events_seasonal_decompose", oracle=_seasonal_sql(D.DUCK), tags=("extension",))
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the hourly event series
+    (trend = day level, seasonal = centered hour-of-day effect,
+    residual = remainder). See _seasonal_sql for exactness and the
+    cell-sized scale shape."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(_EV_VIEW)
+    return spark.sql(_seasonal_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Shannon entropy of the language mix per source (Simpson's sibling)
+# --------------------------------------------------------------------------
+_AN_LN_SCALE = 1_000_000  # micro-nat quantization of ln(count)
+
+
+def _entropy_sql(dialect: str) -> str:
+    """Per-source Shannon entropy of the language distribution, in the
+    exact count form
+
+        H = ln(N) - (1/N) * sum_i n_i * ln(n_i)
+
+    with the curation.doc_lm_perplexity fixed-point parity scheme:
+    ln(n_i) is quantized to integer micro-nats (floor of an identical
+    double is identical in both engines), so the cross-language sum is
+    exact int64 arithmetic — order-independent — and only the final
+    ln(N) and one division run in IEEE on identical operands. Also
+    emits normalized entropy H / ln(n_langs) (evenness), NULL for
+    single-language sources.
+
+    Scale shape: one corpus shuffle to (source, lang) partials, then a
+    |sources|-sized rollup — doc_simpson_diversity's shape exactly."""
+    qln = (
+        f"cast(floor(ln(cast(n as double)) * {_AN_LN_SCALE}.0 + 0.5) as bigint)"
+    )
+    return f"""
+        WITH sl AS (
+            SELECT source, lang, cast(count(*) as bigint) AS n
+            FROM {_doc_tbl_an(dialect)}
+            GROUP BY source, lang
+        ),
+        q AS (
+            SELECT source, n, {qln} AS qln FROM sl
+        ),
+        agg AS (
+            SELECT source,
+                   cast(sum(n) as bigint) AS n_docs,
+                   cast(count(*) as bigint) AS n_langs,
+                   cast(sum(n * qln) as bigint) AS qsum
+            FROM q
+            GROUP BY source
+        )
+        SELECT source, n_docs, n_langs,
+               (ln(cast(n_docs as double))
+                - cast(qsum as double)
+                  / ({_AN_LN_SCALE}.0 * cast(n_docs as double)))
+                   AS entropy_nats,
+               CASE WHEN n_langs > 1 THEN
+                   (ln(cast(n_docs as double))
+                    - cast(qsum as double)
+                      / ({_AN_LN_SCALE}.0 * cast(n_docs as double)))
+                   / ln(cast(n_langs as double))
+               END AS evenness
+        FROM agg
+    """
+
+
+@register("doc_entropy_by_source", oracle=_entropy_sql(D.DUCK), tags=("extension",))
+def doc_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (and evenness) of each source's language mix —
+    the log-scale diversity diagnostic next to doc_simpson_diversity's
+    collision probability. See _entropy_sql for the micro-nat parity
+    scheme."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(_DOC_VIEW_AN)
+    return spark.sql(_entropy_sql(D.SPARK))

@@ -553,10 +553,11 @@ def _weighted_median_sql(dialect: str) -> str:
     deterministic rank selection, no interpolation, no float math
     before the final output cast.
 
-    Scale shape: one fact shuffle onto |flags| window partitions; at
-    extreme scale the cumulative weight comes from the two-phase
-    global-rank decomposition (operators/rank.py) instead of one
-    window per flag — same arithmetic, same selection rule."""
+    Scale shape (SQL form = the oracle): one fact shuffle onto |flags|
+    window partitions. The shipped Spark implementation instead takes
+    the cumulative weight from the two-phase decomposition
+    (operators/rank.partitioned_prefix_sum) — same arithmetic, same
+    selection rule, no one-task-per-flag stage."""
     li = _LI_VIEW if dialect == D.SPARK else "lineitem"
     return f"""
         WITH w AS (
@@ -594,9 +595,45 @@ def _weighted_median_sql(dialect: str) -> str:
 )
 def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantity-weighted median price per return flag via
-    cumulative-weight rank selection. See _weighted_median_sql."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(_LI_VIEW)
-    return spark.sql(_weighted_median_sql(D.SPARK))
+    cumulative-weight rank selection. See _weighted_median_sql for the
+    semantics.
+
+    The cumulative weight comes from the two-phase decomposition
+    (operators/rank.partitioned_prefix_sum: range exchange on
+    (flag, price-order), per-task running sum, broadcast offsets) —
+    NOT from ``sum() OVER (PARTITION BY flag ...)``, which would give
+    one task per return flag (3 tasks for the whole fact at any
+    scale). Same arithmetic, same selection rule, same oracle."""
+    from pyspark.sql import functions as F
+
+    from finalpipeline_spark.operators.rank import partitioned_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.selectExpr(
+        "l_returnflag AS flag",
+        "cast(round(l_extendedprice * 100) AS bigint) AS cents",
+        "cast(l_quantity AS bigint) AS wt",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = partitioned_prefix_sum(
+        w, ["flag"], ["cents", "l_orderkey", "l_linenumber"], "wt", out_col="cumw"
+    )
+    totals = w.groupBy("flag").agg(
+        F.expr("cast(sum(wt) as bigint)").alias("total_w"),
+        F.expr("cast(count(*) as bigint)").alias("n_lines"),
+    )
+    return (
+        cum.join(F.broadcast(totals), "flag")
+        .where("2 * cumw >= total_w")
+        .groupBy("flag")
+        .agg(
+            F.expr("cast(max(n_lines) as bigint)").alias("n_lines"),
+            F.expr("cast(max(total_w) as bigint)").alias("total_qty"),
+            F.expr("cast(min(cents) as bigint)").alias("weighted_median_cents"),
+        )
+        .withColumnRenamed("flag", "l_returnflag")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -50,79 +50,88 @@ def register(
 # queries (registration order == dict insertion order).  The window is
 # rotated each round to maximize cumulative driver-verified coverage:
 # r1 checked chembl/documents/embeddings/events/extended; r2 checked
-# relational/tpch/multimodal/chembl; r3 checked training/curation/events
-# + the r3 additions (49/50 green).  Round 4 window = the ONE r3 red row
-# (tpch_grouping_sets, fixed this round) + all 28 queries that have
-# never had a driver CORRECTNESS row in any round (analytics, drift,
-# attribution, BPE trio, sketch twins, profiling twins, graph paths,
-# mm_audio/mm_video, matryoshka, weighted sampling, unpivot) + every
-# query ADDED this round.  After this round every registered query has a
-# driver row in some round; future windows re-rotate oldest-first.
+# relational/tpch/multimodal/chembl; r3 checked training/curation/events;
+# r4 checked the 28 never-checked + all r4 additions — after r4,
+# cumulative attestation is COMPLETE (all 187 queries have a driver row:
+# 183 green + 4 rows-only by design).  Round 5 re-rotates OLDEST-FIRST
+# (VERDICT r4 item 1): the r1-attested families are 4 rounds stale and
+# the driver's events.ts physical encoding has changed twice since their
+# last driver row, so the window = every oracle-checkable r1 query
+# (events first) + the queries ADDED or REWIRED this round.  The 4
+# rows-only queries (chembl_crossscore_udf, ref_approx_distinct,
+# doc_bpe_learn_merges, doc_bpe_encode) get NO slots — their first-row
+# boxes are ticked and a rows-only slot can never go red or green.
 # Everything outside the window stays covered by the local oracle-parity
-# suite (tests/test_oracle_parity.py — same compare, now dtype-strict).
+# suite (tests/test_oracle_parity.py — same compare, dtype-strict).
 # NOTE: the window is a single explicit list — module-based priority was
 # dropped because adding a query to a priority module silently shifted
 # the window.  After ANY registration change, re-print list(queries())
 # [:52] and re-curate this list.
 _PRIORITY_MODULES: tuple[str, ...] = ()
 _PRIORITY_QUERIES = (
-    # r3's one red row — fixed (HUGEINT cast), needs re-attestation
-    "tpch_grouping_sets",
-    # -- the 28 never-driver-checked queries (VERDICT r3 item 2) --
-    "doc_bpe_pair_counts",
-    "doc_unpivot_lang_counts",
-    "mm_audio_energy",
-    "mm_video_scene_cut",
-    "doc_bpe_learn_merges",   # rows-only by design (iterative merge learner)
-    "doc_bpe_encode",         # rows-only by design (applies learned merges)
+    # -- every events-touching r1 query: the ts encoding has changed
+    #    twice since their only driver row --
+    "events_hourly_rollup",
+    "events_sliding_window",
+    "events_sessionize",
+    "events_json_extract",
+    "events_udaf_median",
+    "events_anomaly_zscore",
+    "events_user_deltas",
+    "events_top_users_per_type",
+    "events_salted_agg",
+    "events_asof_signup",
+    "events_range_self_join",
+    "events_window_frames",
+    "events_rank_functions",
+    "events_cohort_retention",
+    "events_conversion_funnel",
+    # -- queries ADDED this round (first driver row) --
+    "events_seasonal_decompose",
+    "doc_entropy_by_source",
+    # -- queries REWIRED this round through operators/rank.py (driver
+    #    re-attestation that the scale path kept oracle equality) --
     "orders_rfm_segments",
-    "lineitem_basket_lift",
-    "events_first_touch_attribution",
-    "orders_spend_tiles",
-    "events_last_touch_attribution",
-    "events_funnel_latency",
-    "orders_cohort_ltv",
-    "lineitem_abc_analysis",
-    "events_dow_hour_heatmap",
-    "doc_simpson_diversity",
-    "emb_covariance_prefix",
-    "doc_quality_weighted_sample",
-    "emb_matryoshka_eval",
-    "doc_drift_psi",
-    "events_drift_ks",
-    "nation_shortest_paths",
-    "lineitem_price_histogram",
-    "events_skew_profile",
-    "events_concurrency_curve",
-    "doc_bigram_lm",
-    "hll_union_parts",
-    "events_cms_join_size",
-    # -- queries added in round 4 (each gets its first driver row) --
-    "chembl_tanimoto_lsh_topk",
-    "chembl_tanimoto_lsh_recall",
-    "events_forecast_backtest",
-    "events_changepoint",
-    "events_mad_outliers",
-    "events_markov_transitions",
-    "fk_integrity_audit",
-    "lineitem_benford_audit",
-    "orders_gini_revenue",
-    "part_skyline",
-    "doc_tokenizer_fertility",
-    "doc_dedup_containment",
     "lineitem_weighted_median",
-    "customer_division_regions",
-    "doc_lang_source_contingency",
-    "events_top_paths",
-    "orders_backlog_sweep",
-    "events_ab_test_zscore",
-    "orders_median_gap",
-    "doc_dup_rate_by_source",
+    # -- remaining r1-attested staples, oldest evidence in the log --
+    "chembl_tanimoto_topk",
+    "chembl_id_resolution",
+    "doc_token_stats",
+    "doc_quality_score",
+    "doc_langid",
+    "doc_fingerprint",
+    "doc_bpe_token_count",
+    "doc_dedup_exact",
+    "doc_dedup_ngram_jaccard",
+    "doc_dedup_minhash_lsh",
+    "doc_simhash",
+    "doc_simhash_near_dup",
+    "doc_corpus_curation",
+    "doc_tfidf_topterms",
+    "doc_train_test_split",
+    "doc_sample_per_lang",
+    "doc_top_ngrams",
+    "doc_contamination_check",
+    "doc_dedup_clusters",
+    "doc_edit_distance_pairs",
+    "emb_cosine_topk",
+    "emb_lsh_buckets",
+    "emb_ivf_centroids",
+    "emb_scalar_quantize_int8",
+    "emb_ivf_topk",
+    "emb_near_dup_pairs",
+    "orders_date_math",
+    "orders_full_outer_reconcile",
+    "lineitem_percentiles",
+    "lineitem_approx_quantiles",
+    "tpch_q11_share",
 )
 
-# No r4 deferrals needed: window membership is fully explicit above, and
-# everything else (r1-r3 green, unchanged) follows in registration order
-# past the 50-query line, covered by the local parity suite.
+# Two r1 queries deliberately deferred to the r6 rotation for window
+# space (the 50-slot line): tpch_rollup_sales and tpch_cube_sales —
+# structurally the same EXPAND+aggregate plan as tpch_grouping_sets,
+# which was re-attested green in r4; both stay covered by the local
+# parity suite.
 _DEFER_QUERIES: tuple[str, ...] = ()
 
 

@@ -349,3 +349,20 @@ def test_skyline_is_window_not_dominance_join(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("SortMergeJoin") == 0
     assert "Window" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["orders_rfm_segments", "lineitem_weighted_median", "orders_spend_tiles"]
+)
+def test_global_rank_scale_path_no_unpartitioned_window(spark, sf_dir, name):
+    """VERDICT r4 item 2: the global-rank consumers route through the
+    two-phase decomposition (operators/rank.py). Every Window in the
+    plan must be partitioned by the range-exchange partition id — an
+    unpartitioned ntile()/sum() OVER (ORDER BY) window (one task ranks
+    everything) must not appear anywhere."""
+    plan = _plan(spark, sf_dir, name)
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln and "OVER" not in ln]
+    assert win_lines, f"expected the per-slice windows in the plan:\n{plan}"
+    for ln in win_lines:
+        assert "_pid" in ln, f"unpartitioned window in scale path: {ln}"
+    assert "ntile(" not in plan  # tile is offset arithmetic, never ntile

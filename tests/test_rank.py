@@ -54,3 +54,41 @@ def test_no_single_partition_global_window_in_plan(spark, skewed):
     # (unpartitioned) Window would print 'Window [...ORDER BY...]' with
     # an empty partition spec; assert the partition column is present
     assert "_pid" in plan
+
+
+def test_partitioned_prefix_sum_equals_window(spark, skewed):
+    from finalpipeline_spark.operators.rank import partitioned_prefix_sum
+
+    df = skewed.selectExpr("k % 5 as g", "k", "id", "id % 13 + 1 as wt")
+    got = partitioned_prefix_sum(df, ["g"], ["k", "id"], "wt", out_col="cum")
+    got = got.select("g", "k", "id", "wt", "cum")
+    want = df.withColumn(
+        "cum",
+        F.sum("wt")
+        .over(
+            W.partitionBy("g")
+            .orderBy("k", "id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .cast("long"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_partitioned_prefix_sum_no_per_group_window(spark, skewed):
+    """The point of the operator: no Window partitioned ONLY by the
+    (low-cardinality) group key — every Window must include the range
+    partition id."""
+    from finalpipeline_spark.operators.rank import partitioned_prefix_sum
+
+    df = skewed.selectExpr("k % 2 as g", "k", "id", "cast(1 as bigint) as wt")
+    plan = (
+        partitioned_prefix_sum(df, ["g"], ["k", "id"], "wt")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for ln in plan.splitlines():
+        if "Window" in ln:
+            assert "_pid" in ln, f"per-group-only window: {ln}"
