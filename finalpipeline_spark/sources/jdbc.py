@@ -11,7 +11,11 @@ filters to the database instead of shipping the table.
 Capability-gated like Avro: a JDBC driver jar is not bundled with a
 plain pyspark install, so the absence surfaces as a clear
 NotImplementedError naming the fix, not an opaque
-ClassNotFoundException from the JVM.
+ClassNotFoundException from the JVM. Where a driver jar IS available,
+the path is integration-tested for real (tests/test_jdbc.py runs
+read_jdbc's plain/partitioned/subquery scans and write_jdbc's batched
+write against DuckDB over its public JDBC driver in a subprocess
+session with spark.jars set).
 
 At scale: the JDBC side is the small side — dimension tables, ID maps,
 ledgers. The 100 TB fact data lives columnar (parquet/ORC); a JDBC
