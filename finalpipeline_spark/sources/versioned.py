@@ -66,6 +66,9 @@ _DATA_DIR = "data"
 _MANIFEST_FMT = "v%012d.json"
 
 
+_NO_CAS = object()  # commit_overwrite's "no compare-and-swap" sentinel
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer claimed this version first; re-read and retry."""
 
@@ -143,12 +146,23 @@ class VersionedTable:
         bloom_col: str | None = None,
         bloom_bits: int = 8192,
         bloom_k: int = 3,
+        recovery_grace_seconds: float = 60.0,
     ):
         self.spark = spark
         self.root = root.rstrip("/")
         self.bloom_col = bloom_col
         self.bloom_bits = bloom_bits
         self.bloom_k = bloom_k
+        # An unparseable manifest is only treated as ABORTED (and
+        # auto-retired) once its modification time is older than this
+        # grace period. The commit protocol's exclusive-create and
+        # content write are two steps, so a LIVE writer's manifest is
+        # briefly unparseable too — without the grace, a racing
+        # recoverer can steal a mid-write manifest that becomes valid
+        # milliseconds later (vacuum's in-flight-commit logic, applied
+        # to the log). A crashed writer's fragment is stale forever, so
+        # recovery still unwedges it after the grace.
+        self.recovery_grace_seconds = recovery_grace_seconds
         self._fs, _, self._jvm = _fs_and_path(spark, self.root)
 
     # -- paths -------------------------------------------------------
@@ -197,6 +211,27 @@ class VersionedTable:
         if not self._fs.exists(path):
             raise VersionNotFoundError(f"version {version} of {self.root}")
         return json.loads(self._read_raw(path).decode("utf-8"))
+
+    def _older_than_grace(self, path) -> bool:
+        """True if ``path``'s mtime is older than the recovery grace —
+        the discriminator between a crashed writer's permanent fragment
+        and a live writer's milliseconds-long create→write window."""
+        try:
+            mtime_ms = self._fs.getFileStatus(path).getModificationTime()
+        except Exception:
+            return False  # vanished mid-probe: not ours to recover
+        return mtime_ms < (time.time() - self.recovery_grace_seconds) * 1000.0
+
+    def _rename_claim(self, src, dst) -> bool:
+        """Atomic rename as an exclusive claim: False on ANY failure.
+        Hadoop filesystems are inconsistent here — LocalFileSystem
+        THROWS (FileNotFoundException) when the source vanished, which
+        is exactly the lost-a-race case the callers must treat as an
+        ordinary claim failure, not an error."""
+        try:
+            return bool(self._fs.rename(src, dst))
+        except Exception:
+            return False
 
     def _read_raw(self, path) -> bytes:
         stream = self._fs.open(path)
@@ -247,7 +282,11 @@ class VersionedTable:
                 self._read_manifest_file(version)
                 aborted = False
             except json.JSONDecodeError:
-                aborted = True
+                # Only a STALE fragment is an aborted commit; a fresh
+                # one is most likely a live writer between its create
+                # and its content write — hands off, let the caller
+                # retry (it will see the completed commit next round).
+                aborted = self._older_than_grace(path)
             except VersionNotFoundError:
                 aborted = False  # transient FS race: surface as concurrent
             if not aborted:
@@ -266,7 +305,7 @@ class VersionedTable:
                 _LOG_DIR,
                 (_MANIFEST_FMT % version) + ".aborted-" + uuid.uuid4().hex,
             )
-            if not self._fs.rename(path, quarantine):
+            if not self._rename_claim(path, quarantine):
                 # The file moved (another writer's recovery won) or is
                 # gone: back off and let the caller re-read and retry.
                 raise ConcurrentCommitError(
@@ -283,7 +322,32 @@ class VersionedTable:
             except (json.JSONDecodeError, UnicodeDecodeError):
                 stole_valid = False
             if stole_valid:
-                self._fs.rename(quarantine, path)  # restore the live commit
+                restored = self._rename_claim(quarantine, path)
+                if not restored:
+                    # The slot was re-occupied (e.g. a new fragment
+                    # landed). If the occupant is itself unparseable,
+                    # claim it away and retry the restore once.
+                    blocker = self._p(
+                        _LOG_DIR,
+                        (_MANIFEST_FMT % version)
+                        + ".aborted-"
+                        + uuid.uuid4().hex,
+                    )
+                    try:
+                        json.loads(self._read_raw(path).decode("utf-8"))
+                    except Exception:
+                        if self._rename_claim(path, blocker):
+                            restored = self._rename_claim(quarantine, path)
+                if not restored:
+                    # Restore failed: the live commit is preserved at
+                    # the quarantine path but missing from the log —
+                    # never proceed silently past that.
+                    raise RuntimeError(
+                        f"failed to restore concurrently committed "
+                        f"manifest for version {version} of {self.root}; "
+                        f"it is preserved at {quarantine} — restore it "
+                        "manually"
+                    )
                 raise ConcurrentCommitError(
                     f"version {version} of {self.root} was committed "
                     "concurrently (recovered mid-flight by another writer)"
@@ -382,8 +446,25 @@ class VersionedTable:
         files: list[dict[str, Any]],
         schema_ddl: str,
         meta: dict[str, Any] | None = None,
+        base_version: int | None | object = _NO_CAS,
     ) -> CommitInfo:
+        """``base_version`` is the compare-and-swap guard: the version
+        the caller's file list was COMPUTED from (None = empty table).
+        Preparing a commit takes seconds (Spark jobs write the data
+        files), so without the check a writer that snapshotted the file
+        list, lost a race during its data write, and then claimed the
+        NEXT free version would silently drop the racer's files from
+        the live file list — a lost update the exclusive version claim
+        alone cannot catch. Only ``commit_overwrite`` skips the guard:
+        replacing the whole table is last-writer-wins by intent."""
         parent = self.latest_version()
+        if base_version is not _NO_CAS and parent != base_version:
+            raise ConcurrentCommitError(
+                f"{self.root} advanced to version {parent} while this "
+                f"'{action}' was prepared against "
+                f"{'empty' if base_version is None else f'version {base_version}'}"
+                " — re-read and retry"
+            )
         version = 0 if parent is None else parent + 1
         manifest = {
             "version": version,
@@ -436,7 +517,7 @@ class VersionedTable:
         existing rows' meaning."""
         prev_exists = self.latest_version() is not None
         schema_ddl = df.schema.simpleString()
-        prev = {"files": []}
+        prev: dict[str, Any] = {"files": [], "version": None}
         if prev_exists:
             prev = self.manifest()
             prev_schema = self._schema_of(prev)
@@ -465,7 +546,11 @@ class VersionedTable:
             schema_ddl = merged.simpleString()
         new_files = self._write_data_files(df)
         return self._commit(
-            "append", list(prev["files"]) + new_files, schema_ddl, meta
+            "append",
+            list(prev["files"]) + new_files,
+            schema_ddl,
+            meta,
+            base_version=prev["version"],
         )
 
     def committed_meta(self, key: str) -> set[Any]:
@@ -503,7 +588,9 @@ class VersionedTable:
                 *rewrite_abs
             ).filter(~F.expr(predicate))
             new_files = self._write_data_files(survivors)
-        return self._commit("delete", keep + new_files, m["schema"])
+        return self._commit(
+            "delete", keep + new_files, m["schema"], base_version=m["version"]
+        )
 
     def merge(
         self,
@@ -609,7 +696,11 @@ class VersionedTable:
         else:
             new_files += self._write_data_files(upserts)
         return self._commit(
-            "replace", keep + new_files, schema.simpleString(), meta
+            "replace",
+            keep + new_files,
+            schema.simpleString(),
+            meta,
+            base_version=m["version"],
         )
 
     def replicate_from(
@@ -674,7 +765,10 @@ class VersionedTable:
             ).filter(~F.expr(predicate))
             new_files += self._write_data_files(survivors)
         new_files += self._write_data_files(df)
-        return self._commit("replace", keep + new_files, m["schema"], meta)
+        return self._commit(
+            "replace", keep + new_files, m["schema"], meta,
+            base_version=m["version"],
+        )
 
     def optimize(
         self,
@@ -710,14 +804,20 @@ class VersionedTable:
         else:
             packed = current.coalesce(n_out)
         return self._commit(
-            "optimize", self._write_data_files(packed), m["schema"]
+            "optimize",
+            self._write_data_files(packed),
+            m["schema"],
+            base_version=m["version"],
         )
 
     def rollback(self, version: int) -> CommitInfo:
         """Commit a NEW version whose content equals ``version``'s.
         History is append-only; nothing is deleted or rewritten."""
+        base = self.latest_version()
         m = self.manifest(version)
-        return self._commit("rollback", list(m["files"]), m["schema"])
+        return self._commit(
+            "rollback", list(m["files"]), m["schema"], base_version=base
+        )
 
     def clone_to(self, dest_root: str, version: int | None = None) -> "VersionedTable":
         """SHALLOW CLONE (Delta semantics): a new table at ``dest_root``
@@ -742,6 +842,7 @@ class VersionedTable:
             cloned,
             m["schema"],
             meta={"cloned_from": self.root, "source_version": m["version"]},
+            base_version=dest.latest_version(),
         )
         return dest
 
@@ -975,15 +1076,19 @@ class VersionedTable:
                 self._read_manifest_file(v)
             except json.JSONDecodeError:
                 # Same claim protocol as _write_manifest's auto-recovery:
-                # unique quarantine name (rename success == exclusive
-                # claim), then verify-after-claim so a manifest that
-                # became valid mid-race is restored, never retired.
+                # grace-gated (a fresh fragment may be a live writer's
+                # create→write window), unique quarantine name (rename
+                # success == exclusive claim), then verify-after-claim
+                # so a manifest that became valid mid-race is restored,
+                # never retired.
+                if not self._older_than_grace(st.getPath()):
+                    continue
                 q = self._p(_LOG_DIR, name + ".aborted-" + uuid.uuid4().hex)
-                if not self._fs.rename(st.getPath(), q):
+                if not self._rename_claim(st.getPath(), q):
                     continue  # a racing recoverer won; nothing to retire
                 try:
                     json.loads(self._read_raw(q).decode("utf-8"))
-                    self._fs.rename(q, st.getPath())  # valid: restore
+                    self._rename_claim(q, st.getPath())  # valid: restore
                 except (json.JSONDecodeError, UnicodeDecodeError):
                     retired.append(v)
         return retired

@@ -25,6 +25,16 @@ def _df(spark, lo, hi, tag):
     return spark.range(lo, hi).selectExpr("id", f"'{tag}' as tag")
 
 
+def _age(path, seconds=3600):
+    """Back-date a planted manifest fragment past the recovery grace
+    (a real crash fragment is permanently stale; tests plant fresh
+    files)."""
+    import time as _t
+
+    t = _t.time() - seconds
+    os.utime(path, (t, t))
+
+
 def test_snapshot_and_time_travel(spark, table):
     c0 = table.commit_overwrite(_df(spark, 0, 100, "a"))
     c1 = table.commit_append(_df(spark, 100, 150, "b"))
@@ -102,10 +112,14 @@ def test_aborted_commit_is_invisible_and_recoverable(spark, table):
     assert table.read().count() == 10
     # crash B: manifest truncated mid-write → ignored by readers
     log_dir = os.path.join(table.root, "_log")
-    with open(os.path.join(log_dir, "v%012d.json" % 1), "w") as fh:
+    partial = os.path.join(log_dir, "v%012d.json" % 1)
+    with open(partial, "w") as fh:
         fh.write('{"version": 1, "files": [')  # truncated JSON
     assert table.latest_version() == 0
     assert table.read().count() == 10
+    # a FRESH fragment could be a live writer mid-write: grace-protected
+    assert table.recover_log() == []
+    _age(partial)  # the crash happened long ago
     # recover_log retires it so version 1 is claimable again
     assert table.recover_log() == [1]
     info = table.commit_append(_df(spark, 10, 20, "b"))
@@ -361,6 +375,11 @@ def test_commit_auto_recovers_from_aborted_manifest(spark, table):
     partial = os.path.join(table.root, "_log", "v%012d.json" % 1)
     with open(partial, "w") as fh:
         fh.write('{"version": 1, "files": [')
+    # while FRESH, the fragment is grace-protected (could be a live
+    # writer mid-write) — the claim conflicts instead of recovering
+    with pytest.raises(ConcurrentCommitError):
+        table.commit_append(_df(spark, 20, 30, "b"))
+    _age(partial)  # the crash happened long ago
     info = table.commit_append(_df(spark, 20, 30, "b"))
     assert info.version == 1
     assert table.read().count() == 30
@@ -600,6 +619,7 @@ def test_recovery_restores_mid_race_valid_manifest(spark, table, monkeypatch):
     other.commit_append(_df(spark, 20, 30, "b"))
     path1 = os.path.join(table.root, "_log", "v%012d.json" % 1)
     valid = json.load(open(path1))
+    _age(path1)  # past the grace, so recovery would normally proceed
     # simulate this writer's STALE probe: it saw an unparseable fragment
     orig = table._read_manifest_file
 
@@ -631,6 +651,7 @@ def test_recover_log_restores_mid_race_valid_manifest(spark, table, monkeypatch)
     table.commit_append(_df(spark, 20, 30, "b"))
     path1 = os.path.join(table.root, "_log", "v%012d.json" % 1)
     valid = json.load(open(path1))
+    _age(path1)  # past the grace, so recovery would normally proceed
     orig = table._read_manifest_file
 
     def stale_probe(v):
@@ -784,3 +805,84 @@ def test_cdc_fan_in_two_producers_one_consumer(spark, tmp_path):
         tuple(r) for r in pa.read().unionByName(pb.read()).collect()
     )
     assert sorted(tuple(r) for r in cons.read().collect()) == want
+
+
+def test_concurrent_commit_soak_with_planted_partials(spark, table):
+    """Real-thread concurrency soak for the commit protocol: racing
+    appenders (optimistic retry on ConcurrentCommitError) while a chaos
+    writer keeps planting PARTIAL manifests at the next version. The
+    unique-quarantine recovery must retire fragments without ever
+    destroying a valid commit: afterwards the log is a contiguous
+    parent-linked chain and every appended row is present exactly
+    once."""
+    import threading
+    import time as _t
+
+    # short recovery grace: the soak plants fragments continuously and
+    # must see them auto-recovered within the test's lifetime; real
+    # writes complete far inside even this short grace, so the
+    # live-writer protection still holds
+    grace = 1.0
+    table = VersionedTable(spark, table.root, recovery_grace_seconds=grace)
+    table.commit_overwrite(_df(spark, 0, 10, "seed"))
+    n_threads, n_commits, batch = 4, 3, 10
+    errors: list[Exception] = []
+    stop = threading.Event()
+
+    def appender(t: int) -> None:
+        try:
+            vt = VersionedTable(spark, table.root, recovery_grace_seconds=grace)
+            for c in range(n_commits):
+                lo = 1000 + (t * n_commits + c) * batch
+                deadline = _t.time() + 60
+                while True:  # optimistic retry loop
+                    try:
+                        vt.commit_append(_df(spark, lo, lo + batch, f"t{t}c{c}"))
+                        break
+                    except ConcurrentCommitError:
+                        if _t.time() > deadline:
+                            raise RuntimeError(
+                                f"thread {t} never won a commit"
+                            ) from None
+                        _t.sleep(0.05)
+        except Exception as e:  # noqa: BLE001 - surfaced to the assert
+            errors.append(e)
+
+    def chaos() -> None:
+        log_dir = os.path.join(table.root, "_log")
+        while not stop.is_set():
+            try:
+                nxt = (VersionedTable(spark, table.root).latest_version() or 0) + 1
+                frag = os.path.join(log_dir, "v%012d.json" % nxt)
+                with open(frag, "x") as fh:  # "x": never clobber a commit
+                    fh.write('{"version": %d, "files": [' % nxt)
+            except Exception:
+                pass  # racing the appenders is the point
+            stop.wait(0.05)
+
+    chaos_t = threading.Thread(target=chaos, daemon=True)
+    chaos_t.start()
+    threads = [threading.Thread(target=appender, args=(t,)) for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    stop.set()
+    chaos_t.join(timeout=10)
+    assert not errors, errors
+    # contiguous parent-linked log
+    vs = table.versions()
+    assert vs == list(range(len(vs)))
+    for v in vs[1:]:
+        assert table._read_manifest_file(v)["parent"] == v - 1
+    # every appended row exactly once, seed intact
+    got = sorted(r["id"] for r in table.read().collect())
+    want = sorted(
+        list(range(10))
+        + [
+            1000 + k * batch + i
+            for k in range(n_threads * n_commits)
+            for i in range(batch)
+        ]
+    )
+    assert got == want
