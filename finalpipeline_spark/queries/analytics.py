@@ -577,7 +577,21 @@ def doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Seasonal decomposition (additive trend/seasonal/residual over events)
 # --------------------------------------------------------------------------
-def _seasonal_sql(dialect: str) -> str:
+def _seasonal_cells_sql(dialect: str) -> str:
+    """The (day, hour) → count cell aggregation both engines share."""
+    epoch_s = "ts_epoch_s" if dialect == D.SPARK else "(epoch_us(ts) // 1000000)"
+    day = D.idiv(epoch_s, 86400, dialect)
+    hour = f"({D.idiv(epoch_s, 3600, dialect)}) % 24"
+    return f"""
+            SELECT cast({day} as bigint) AS day,
+                   cast({hour} as bigint) AS hour,
+                   cast(count(*) as bigint) AS y
+            FROM {_ev(dialect)}
+            GROUP BY 1, 2
+    """
+
+
+def _seasonal_sql(dialect: str, cells_rel: str | None = None) -> str:
     """STL-style additive decomposition of the hourly event series into
     trend + seasonal + residual, in the exact two-way-effects
     formulation:
@@ -594,18 +608,14 @@ def _seasonal_sql(dialect: str) -> str:
 
     Scale shape: one fact shuffle to (day, hour) cells; everything
     after is cell-sized (days × 24): the day/hour/grand effect tables
-    are tiny and broadcast back onto the cells."""
-    epoch_s = "ts_epoch_s" if dialect == D.SPARK else "(epoch_us(ts) // 1000000)"
-    day = D.idiv(epoch_s, 86400, dialect)
-    hour = f"({D.idiv(epoch_s, 3600, dialect)}) % 24"
+    are tiny and broadcast back onto the cells. The Spark path stages
+    the cells relation once (scoped cache) because FOUR consumers read
+    it and Spark inlines CTEs — without staging, the fact would be
+    scanned and aggregated four times."""
+    cells_sql = _seasonal_cells_sql(dialect)
+    cells = cells_rel if cells_rel else f"({cells_sql})"
     return f"""
-        WITH cells AS (
-            SELECT cast({day} as bigint) AS day,
-                   cast({hour} as bigint) AS hour,
-                   cast(count(*) as bigint) AS y
-            FROM {_ev(dialect)}
-            GROUP BY 1, 2
-        ),
+        WITH cells AS (SELECT * FROM {cells}),
         grand AS (
             SELECT cast(sum(y) as bigint) AS g, cast(count(*) as bigint) AS n
             FROM cells
@@ -641,9 +651,16 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal decomposition of the hourly event series
     (trend = day level, seasonal = centered hour-of-day effect,
     residual = remainder). See _seasonal_sql for exactness and the
-    cell-sized scale shape."""
+    cell-sized scale shape; the cells relation is staged (scoped cache)
+    so the fact is scanned once for its four consumers."""
+    from finalpipeline_spark.functions.caching import scoped_cache
+
     load_table(spark, sf_dir, "events").createOrReplaceTempView(_EV_VIEW)
-    return spark.sql(_seasonal_sql(D.SPARK))
+    cells = scoped_cache(
+        spark.sql(_seasonal_cells_sql(D.SPARK)), "events_seasonal_decompose"
+    )
+    cells.createOrReplaceTempView("__fps_an_seasonal_cells")
+    return spark.sql(_seasonal_sql(D.SPARK, cells_rel="__fps_an_seasonal_cells"))
 
 
 # --------------------------------------------------------------------------
