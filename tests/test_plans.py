@@ -366,3 +366,27 @@ def test_global_rank_scale_path_no_unpartitioned_window(spark, sf_dir, name):
     for ln in win_lines:
         assert "_pid" in ln, f"unpartitioned window in scale path: {ln}"
     assert "ntile(" not in plan  # tile is offset arithmetic, never ntile
+
+
+@pytest.mark.parametrize(
+    "name", ["events_seasonal_decompose", "doc_entropy_by_source"]
+)
+def test_round5_query_plan_hygiene(spark, sf_dir, name):
+    """Round-5 families stay on the fast path: no cartesian product, no
+    row-at-a-time Python, no full-sort-before-limit."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    import re
+
+    assert not re.search(r"GlobalLimit.*\n.*\+- Sort", plan), "full sort before limit"
+
+
+def test_seasonal_decompose_single_fact_scan(spark, sf_dir):
+    """The (day, hour) cell aggregate feeds four consumers from cache —
+    the events fact is scanned once (at cache build), like
+    events_forecast_backtest."""
+    df = SPECS["events_seasonal_decompose"].fn(spark, sf_dir)
+    df.collect()  # materialize the scoped cache
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3  # every consumer cached

@@ -886,3 +886,27 @@ def test_concurrent_commit_soak_with_planted_partials(spark, table):
         ]
     )
     assert got == want
+
+
+def test_commit_cas_rejects_stale_snapshot(spark, table):
+    """Deterministic unit form of the soak's lost-update scenario: a
+    commit prepared against a snapshot that went stale during the data
+    write must be rejected by the compare-and-swap guard, and the retry
+    against the fresh snapshot must keep BOTH writers' rows."""
+    table.commit_overwrite(_df(spark, 0, 10, "a"))
+    m = table.manifest()
+    files = table._write_data_files(_df(spark, 10, 20, "b"))
+    # another writer advances the table during our data write
+    VersionedTable(spark, table.root).commit_append(_df(spark, 50, 60, "z"))
+    with pytest.raises(ConcurrentCommitError, match="advanced"):
+        table._commit(
+            "append", list(m["files"]) + files, m["schema"],
+            base_version=m["version"],
+        )
+    m2 = table.manifest()
+    info = table._commit(
+        "append", list(m2["files"]) + files, m2["schema"],
+        base_version=m2["version"],
+    )
+    assert info.version == m2["version"] + 1
+    assert table.read().count() == 30  # nothing lost
