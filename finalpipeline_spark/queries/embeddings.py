@@ -395,3 +395,92 @@ def emb_covariance_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     ).createOrReplaceTempView(_MOMENTS_VIEW)
     return spark.sql(_cov_report_sql(_MOMENTS_VIEW, D.SPARK) + " ORDER BY i, j")
+
+
+# --------------------------------------------------------------------------
+# Cluster-quality sign-off: centroid-based (simplified) silhouette
+# --------------------------------------------------------------------------
+_SIL_SAMPLE_MOD = 20  # deterministic 1-in-20 vector sample
+
+
+def _silhouette_sql(dialect: str) -> str:
+    """Per-cluster simplified-silhouette profile: for each sampled
+    vector, a = distance to its OWN cluster centroid, b = distance to
+    the nearest OTHER centroid, s = (b−a)/max(a,b) — the
+    centroid-based silhouette (Vendramin et al.'s simplified variant),
+    which costs |sample|·|clusters| centroid distances instead of the
+    full-silhouette |n|² pairwise pass. The quality sign-off next to
+    emb_ivf_centroids/emb_kmeans_lloyd: negative s = vector closer to
+    another centroid than its own (misassigned under the clustering).
+
+    Exactness: centroid components round to 6dp (engine-identical
+    despite float-summation order, the emb_ivf_topk scheme); each
+    a/b/s is ONE fixed IEEE expression per row; the per-cluster rollup
+    uses only order-independent aggregates over identical doubles —
+    exact counts of sign buckets and min/max — never a cross-row float
+    sum. Scale shape: the cross join is |sample| × |clusters| (tiny at
+    any data size — cluster count is the index parameter), own/other
+    resolution is one (vec, cluster)-keyed aggregation."""
+    if dialect == D.SPARK:
+        expl = f"""
+            SELECT label, posexplode(embedding) AS (dim_i, component)
+            FROM {_emb_tbl(dialect)}
+        """
+        assemble = "transform(array_sort(collect_list(struct(dim_i, c))), s -> s.c)"
+    else:
+        expl = f"""
+            SELECT label, generate_subscripts(embedding, 1) - 1 AS dim_i,
+                   unnest(embedding)::double AS component
+            FROM {_emb_tbl(dialect)}
+        """
+        assemble = "list(c ORDER BY dim_i)"
+    xx = D.dot("s.embedding", "s.embedding", DIM, dialect)
+    xc = D.dot("s.embedding", "c.cv", DIM, dialect)
+    cc = D.dot("c.cv", "c.cv", DIM, dialect)
+    return f"""
+        WITH expl AS ({expl}),
+        cent AS (
+            SELECT label, dim_i, round(avg(cast(component as double)), 6) AS c
+            FROM expl GROUP BY label, dim_i
+        ),
+        cvec AS (SELECT label, {assemble} AS cv FROM cent GROUP BY label),
+        s AS (
+            SELECT vec_id, label AS own, embedding
+            FROM {_emb_tbl(dialect)} WHERE vec_id % {_SIL_SAMPLE_MOD} = 0
+        ),
+        dists AS (
+            SELECT s.vec_id, s.own, c.label AS clabel,
+                   sqrt({xx} - 2 * {xc} + {cc}) AS dist
+            FROM s CROSS JOIN cvec c
+        ),
+        pv AS (
+            SELECT vec_id, own,
+                   min(CASE WHEN clabel = own THEN dist END) AS a,
+                   min(CASE WHEN clabel <> own THEN dist END) AS b
+            FROM dists GROUP BY vec_id, own
+        ),
+        sil AS (
+            SELECT vec_id, own, a, b,
+                   (b - a) / nullif(greatest(a, b), 0.0) AS s
+            FROM pv
+        )
+        SELECT own AS label,
+               cast(count(*) as bigint) AS n_sampled,
+               cast(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) as bigint)
+                   AS n_misassigned,
+               cast(sum(CASE WHEN s > 0.25 THEN 1 ELSE 0 END) as bigint)
+                   AS n_well_separated,
+               min(s) AS min_s,
+               max(s) AS max_s
+        FROM sil
+        GROUP BY own
+    """
+
+
+@register("emb_silhouette", oracle=_silhouette_sql(D.DUCK), tags=("extension",))
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette profile per cluster — the clustering
+    quality sign-off (misassignment and separation counts, silhouette
+    range) over a deterministic sample. See _silhouette_sql."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_silhouette_sql(D.SPARK))

@@ -89,6 +89,7 @@ _PRIORITY_QUERIES = (
     # -- queries ADDED this round (first driver row) --
     "events_seasonal_decompose",
     "doc_entropy_by_source",
+    "emb_silhouette",
     # -- queries REWIRED this round through operators/rank.py (driver
     #    re-attestation that the scale path kept oracle equality) --
     "orders_rfm_segments",
@@ -110,7 +111,6 @@ _PRIORITY_QUERIES = (
     "doc_tfidf_topterms",
     "doc_train_test_split",
     "doc_sample_per_lang",
-    "doc_top_ngrams",
     "doc_contamination_check",
     "doc_dedup_clusters",
     "doc_edit_distance_pairs",
@@ -127,11 +127,12 @@ _PRIORITY_QUERIES = (
     "tpch_q11_share",
 )
 
-# Two r1 queries deliberately deferred to the r6 rotation for window
+# Three r1 queries deliberately deferred to the r6 rotation for window
 # space (the 50-slot line): tpch_rollup_sales and tpch_cube_sales —
 # structurally the same EXPAND+aggregate plan as tpch_grouping_sets,
-# which was re-attested green in r4; both stay covered by the local
-# parity suite.
+# which was re-attested green in r4 — and doc_top_ngrams (same
+# tokenize+explode+count shape as the window's doc_tfidf_topterms).
+# All three stay covered by the local parity suite.
 _DEFER_QUERIES: tuple[str, ...] = ()
 
 

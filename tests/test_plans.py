@@ -369,7 +369,8 @@ def test_global_rank_scale_path_no_unpartitioned_window(spark, sf_dir, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["events_seasonal_decompose", "doc_entropy_by_source"]
+    "name",
+    ["events_seasonal_decompose", "doc_entropy_by_source", "emb_silhouette"],
 )
 def test_round5_query_plan_hygiene(spark, sf_dir, name):
     """Round-5 families stay on the fast path: no cartesian product, no
