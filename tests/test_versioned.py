@@ -910,3 +910,62 @@ def test_commit_cas_rejects_stale_snapshot(spark, table):
     )
     assert info.version == m2["version"] + 1
     assert table.read().count() == 30  # nothing lost
+
+
+def test_concurrent_mixed_cow_soak(spark, table):
+    """Racing append + CoW delete threads (each owning a disjoint key
+    range, optimistic retry on ConcurrentCommitError): the CAS guard
+    must serialize the interleaving so no thread's rows are lost to a
+    stale-snapshot rewrite — the delete path's version of the
+    lost-update race."""
+    import threading
+    import time as _t
+
+    grace = 1.0
+    table = VersionedTable(spark, table.root, recovery_grace_seconds=grace)
+    table.commit_overwrite(_df(spark, 0, 10, "seed"))
+    errors: list[Exception] = []
+
+    def worker(t: int) -> None:
+        base = 10_000 * (t + 1)
+        try:
+            vt = VersionedTable(spark, table.root, recovery_grace_seconds=grace)
+
+            def attempt(fn):
+                deadline = _t.time() + 90
+                while True:
+                    try:
+                        return fn()
+                    except ConcurrentCommitError:
+                        if _t.time() > deadline:
+                            raise
+                        _t.sleep(0.05)
+
+            attempt(lambda: vt.commit_append(_df(spark, base, base + 30, f"t{t}")))
+            attempt(
+                lambda: vt.delete_where(
+                    f"id >= {base + 20} AND id < {base + 30}"
+                )
+            )
+            attempt(
+                lambda: vt.commit_append(
+                    _df(spark, base + 100, base + 110, f"t{t}b")
+                )
+            )
+        except Exception as e:  # noqa: BLE001 - surfaced to the assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    vs = table.versions()
+    assert vs == list(range(len(vs)))  # contiguous log
+    want = set(range(10))
+    for t in range(3):
+        b = 10_000 * (t + 1)
+        want |= set(range(b, b + 20)) | set(range(b + 100, b + 110))
+    got = {r["id"] for r in table.read().collect()}
+    assert got == want  # every append kept, every delete scoped to owner
