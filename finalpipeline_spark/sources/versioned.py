@@ -1136,6 +1136,16 @@ class VersionedTable:
                         deleted.append(rel)
                 if not self._fs.listStatus(commit_st.getPath()):
                     self._fs.delete(commit_st.getPath(), True)
+        # reclaim aged recovery quarantines (.aborted-<uuid> fragments):
+        # forensic value decays, and a busy log would otherwise grow one
+        # junk file per recovered crash forever
+        log = self._p(_LOG_DIR)
+        if self._fs.exists(log):
+            for st in self._fs.listStatus(log):
+                name = st.getPath().getName()
+                if ".aborted-" in name and st.getModificationTime() <= cutoff_ms:
+                    self._fs.delete(st.getPath(), False)
+                    deleted.append(f"{_LOG_DIR}/{name}")
         for v in expired:
             m = self._read_manifest_file(v)
             if not m.get("expired"):

@@ -969,3 +969,28 @@ def test_concurrent_mixed_cow_soak(spark, table):
         want |= set(range(b, b + 20)) | set(range(b + 100, b + 110))
     got = {r["id"] for r in table.read().collect()}
     assert got == want  # every append kept, every delete scoped to owner
+
+
+def test_vacuum_reclaims_aged_quarantines(spark, table):
+    """Recovery quarantines (.aborted-<uuid>) are junk after the grace:
+    vacuum reclaims aged ones and keeps fresh ones (same retention
+    threshold as data files)."""
+    table.commit_overwrite(_df(spark, 0, 10, "a"))
+    log_dir = os.path.join(table.root, "_log")
+    partial = os.path.join(log_dir, "v%012d.json" % 1)
+    with open(partial, "w") as fh:
+        fh.write('{"version": 1, "files": [')
+    _age(partial)
+    assert table.recover_log() == [1]
+    (q,) = glob.glob(partial + ".aborted-*")
+    os.utime(q)  # rename kept the back-dated mtime; make it fresh again
+    # fresh quarantine survives the graced vacuum
+    table.vacuum(retain_last=1, grace_seconds=3600)
+    assert os.path.exists(q)
+    # aged quarantine is reclaimed
+    _age(q)
+    deleted = table.vacuum(retain_last=1, grace_seconds=3600)
+    assert not os.path.exists(q)
+    assert any(".aborted-" in d for d in deleted)
+    # the live table is untouched
+    assert table.read().count() == 10
