@@ -344,39 +344,53 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
 # --------------------------------------------------------------------------
 # Funnel latency percentiles (signup → purchase)
 # --------------------------------------------------------------------------
-def _funnel_latency_sql(dialect: str) -> str:
-    """Time-to-convert distribution: per user, seconds from first
-    signup to the first purchase AFTER it; exact p50/p90 by
-    rank-selection over the converted-user relation (value at rank
-    ceil(q·n) in the (delta, user_id) total order — deterministic, no
-    interpolation ambiguity). All integer epoch math; the ranking
-    window orders |converted users| rows, never events."""
+def _funnel_converted_sql(dialect: str) -> str:
     epoch_s = "ts_epoch_s" if dialect == D.SPARK else "(epoch_us(ts) // 1000000)"
     return f"""
         WITH signup AS (
             SELECT user_id, min({epoch_s}) AS s0
             FROM {_ev(dialect)} WHERE event_type = 'signup'
             GROUP BY user_id
-        ),
-        converted AS (
-            SELECT e.user_id,
-                   cast(min({epoch_s}) - max(s.s0) as bigint) AS delta_s
-            FROM {_ev(dialect)} e JOIN signup s ON e.user_id = s.user_id
-            WHERE e.event_type = 'purchase' AND {epoch_s} >= s.s0
-            GROUP BY e.user_id
-        ),
-        ranked AS (
-            SELECT delta_s,
-                   row_number() OVER (ORDER BY delta_s, user_id) AS rk,
-                   count(*) OVER () AS n
-            FROM converted
         )
-        SELECT cast(max(n) as bigint) AS n_converted,
-               cast(max(CASE WHEN rk = cast(ceil(0.5 * n) as bigint)
-                             THEN delta_s END) as bigint) AS p50_s,
-               cast(max(CASE WHEN rk = cast(ceil(0.9 * n) as bigint)
-                             THEN delta_s END) as bigint) AS p90_s
-        FROM ranked
+        SELECT e.user_id,
+               cast(min({epoch_s}) - max(s.s0) as bigint) AS delta_s
+        FROM {_ev(dialect)} e JOIN signup s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND {epoch_s} >= s.s0
+        GROUP BY e.user_id
+    """
+
+
+def _funnel_latency_sql(dialect: str, ranked_rel: str | None = None) -> str:
+    """Time-to-convert distribution: per user, seconds from first
+    signup to the first purchase AFTER it; exact p50/p90 by
+    rank-selection over the converted-user relation (value at rank
+    ceil(q·n) in the (delta, user_id) total order — deterministic, no
+    interpolation ambiguity). All integer epoch math. The SHIPPED
+    Spark path ranks converted users with the two-phase global rank
+    (operators/rank.assign_global_rank — ``ranked_rel``) and takes n
+    from a 1-row broadcast; the oracle keeps the textbook window."""
+    if ranked_rel:
+        ranked = ranked_rel
+        prelude = "WITH "
+    else:
+        ranked = "ranked"
+        prelude = f"""
+        WITH converted AS ({_funnel_converted_sql(dialect)}),
+        ranked AS (
+            SELECT user_id, delta_s,
+                   row_number() OVER (ORDER BY delta_s, user_id) AS rk
+            FROM converted
+        ),"""
+    return f"""{prelude}
+        t AS (SELECT delta_s, rk FROM {ranked}),
+        nn AS (SELECT cast(count(*) as bigint) AS n FROM t)
+        SELECT nn.n AS n_converted,
+               cast(max(CASE WHEN t.rk = cast(ceil(0.5 * nn.n) as bigint)
+                             THEN t.delta_s END) as bigint) AS p50_s,
+               cast(max(CASE WHEN t.rk = cast(ceil(0.9 * nn.n) as bigint)
+                             THEN t.delta_s END) as bigint) AS p90_s
+        FROM t CROSS JOIN nn
+        GROUP BY nn.n
     """
 
 
@@ -387,9 +401,17 @@ def _funnel_latency_sql(dialect: str) -> str:
 )
 def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signup→purchase latency: exact rank-selected p50/p90 seconds
-    over converted users. See _funnel_latency_sql."""
+    over converted users; rank from the two-phase decomposition. See
+    _funnel_latency_sql."""
+    from finalpipeline_spark.operators.rank import assign_global_rank
+
     load_table(spark, sf_dir, "events").createOrReplaceTempView(_EV_VIEW)
-    return spark.sql(_funnel_latency_sql(D.SPARK))
+    converted = spark.sql(_funnel_converted_sql(D.SPARK))
+    ranked = assign_global_rank(converted, ["delta_s", "user_id"], out_col="rk")
+    ranked.createOrReplaceTempView("__fps_an_funnel_ranked")
+    return spark.sql(
+        _funnel_latency_sql(D.SPARK, ranked_rel="__fps_an_funnel_ranked")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -451,45 +473,58 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Pareto / ABC analysis (revenue concentration)
 # --------------------------------------------------------------------------
-def _abc_sql(dialect: str) -> str:
+def _abc_per_part_sql(dialect: str) -> str:
+    return f"""
+            SELECT l_partkey,
+                   cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint)
+                       AS cents
+            FROM {_li(dialect)}
+            GROUP BY l_partkey
+    """
+
+
+def _abc_sql(dialect: str, ranked_rel: str | None = None) -> str:
     """ABC classification of parts by revenue share: rank parts by
     exact-cents revenue, classify by cumulative share (A ≤ 80%,
     B ≤ 95%, C above) — the 80/20 inventory-analysis staple.
 
     Exactness: the class boundaries compare cum_cents * 100 against
     threshold * total_cents in exact int64 — no floating-point share is
-    ever compared. Scale shape: one fact shuffle to |parts| partials,
-    then a support-sized cumulative window and a 3-row rollup."""
-    return f"""
-        WITH per_part AS (
-            SELECT l_partkey,
-                   cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint)
-                       AS cents
-            FROM {_li(dialect)}
-            GROUP BY l_partkey
-        ),
-        tot AS (
-            SELECT cast(sum(cents) as bigint) AS total FROM per_part
-        ),
+    ever compared. Scale shape: one fact shuffle to |parts| partials;
+    the SHIPPED Spark path computes the cumulative revenue with the
+    two-phase prefix sum (operators/rank.partitioned_prefix_sum —
+    ``ranked_rel``), so no single task ever windows all parts; the
+    oracle keeps the textbook unpartitioned cumulative window."""
+    if ranked_rel:
+        ranked = ranked_rel
+        prelude = "WITH "
+    else:
+        ranked = "ranked"
+        prelude = f"""
+        WITH per_part AS ({_abc_per_part_sql(dialect)}),
         ranked AS (
             SELECT l_partkey, cents,
                    cast(sum(cents) OVER (ORDER BY cents DESC, l_partkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
                        AS cum_cents
             FROM per_part
+        ),"""
+    return f"""{prelude}
+        tot AS (
+            SELECT cast(sum(cents) as bigint) AS total FROM {ranked}
         ),
         classed AS (
             SELECT CASE WHEN cum_cents * 100 <= 80 * tot.total THEN 'A'
                         WHEN cum_cents * 100 <= 95 * tot.total THEN 'B'
                         ELSE 'C' END AS abc_class,
                    cents
-            FROM ranked CROSS JOIN tot
+            FROM {ranked} CROSS JOIN tot
         )
         SELECT abc_class,
                cast(count(*) as bigint) AS n_parts,
                cast(sum(cents) as bigint) AS class_cents,
-               cast(sum(cents) as double) / cast((SELECT total FROM tot) as double)
-                   AS revenue_share
+               cast(sum(cents) as double)
+                   / cast((SELECT total FROM tot) as double) AS revenue_share
         FROM classed
         GROUP BY abc_class
     """
@@ -498,10 +533,21 @@ def _abc_sql(dialect: str) -> str:
 @register("lineitem_abc_analysis", oracle=_abc_sql(D.DUCK), tags=("extension",))
 def lineitem_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto/ABC revenue classification of parts (A ≤ 80% cumulative
-    share, B ≤ 95%, C the tail) — exact-integer class boundaries. See
-    _abc_sql."""
+    share, B ≤ 95%, C the tail) — exact-integer class boundaries;
+    cumulative revenue from the two-phase prefix sum. See _abc_sql."""
+    from pyspark.sql import functions as F
+
+    from finalpipeline_spark.operators.rank import partitioned_prefix_sum
+
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(_LI_VIEW)
-    return spark.sql(_abc_sql(D.SPARK))
+    per_part = spark.sql(_abc_per_part_sql(D.SPARK)).withColumn(
+        "neg_cents", -F.col("cents")
+    )
+    ranked = partitioned_prefix_sum(
+        per_part, [], ["neg_cents", "l_partkey"], "cents", out_col="cum_cents"
+    )
+    ranked.createOrReplaceTempView("__fps_an_abc_ranked")
+    return spark.sql(_abc_sql(D.SPARK, ranked_rel="__fps_an_abc_ranked"))
 
 
 # --------------------------------------------------------------------------

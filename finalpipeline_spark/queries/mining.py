@@ -418,44 +418,62 @@ def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Gini coefficient (revenue inequality)
 # --------------------------------------------------------------------------
-def _gini_sql(dialect: str) -> str:
+def _gini_rev_sql(dialect: str) -> str:
+    od = _ORD_VIEW if dialect == D.SPARK else "orders"
+    return f"""
+            SELECT o_custkey,
+                   cast(sum(cast(round(o_totalprice * 100) AS bigint))
+                        AS bigint) AS cents
+            FROM {od} GROUP BY o_custkey
+    """
+
+
+def _gini_sql(dialect: str, ranked_rel: str | None = None) -> str:
     """Gini coefficient of per-customer revenue via the rank formula
     G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over ascending-sorted exact
     cents (custkey tiebreak) — the single-number complement of the ABC
     classification (lineitem_abc_analysis). Every Σ is exact int64
     (explicit bigint casts defeat HUGEINT widening); G is ONE final
-    division. Scale: one orders shuffle to |customers| partials, one
-    rank window over customers; at extreme scale the rank comes from
-    the two-phase global rank (operators/rank.py), same arithmetic."""
-    od = _ORD_VIEW if dialect == D.SPARK else "orders"
-    return f"""
-        WITH rev AS (
-            SELECT o_custkey,
-                   cast(sum(cast(round(o_totalprice * 100) AS bigint))
-                        AS bigint) AS cents
-            FROM {od} GROUP BY o_custkey
-        ),
+    division. Scale: one orders shuffle to |customers| partials; the
+    SHIPPED Spark path computes the rank i with the two-phase global
+    rank (operators/rank.assign_global_rank — ``ranked_rel``), so no
+    single task ever ranks all customers; the oracle keeps the
+    textbook single window, same arithmetic."""
+    if ranked_rel:
+        ranked = ranked_rel
+        prelude = ""
+    else:
+        ranked = "ranked"
+        prelude = f"""
+        WITH rev AS ({_gini_rev_sql(dialect)}),
         ranked AS (
             SELECT cents,
                    cast(row_number() OVER (ORDER BY cents, o_custkey)
                         AS bigint) AS i
             FROM rev
-        )
+        )"""
+    return f"""{prelude}
         SELECT cast(count(*) AS bigint) AS n_customers,
                cast(sum(cents) AS bigint) AS total_cents,
                cast(2 * cast(sum(i * cents) AS bigint)
                     - (count(*) + 1) * cast(sum(cents) AS bigint) AS double)
                / cast(count(*) * cast(sum(cents) AS bigint) AS double) AS gini
-        FROM ranked
+        FROM {ranked}
     """
 
 
 @register("orders_gini_revenue", oracle=_gini_sql(D.DUCK), tags=("extension",))
 def orders_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer revenue concentration (exact-cents
-    rank formula). See _gini_sql."""
+    rank formula), ranks from the two-phase global rank. See
+    _gini_sql."""
+    from finalpipeline_spark.operators.rank import assign_global_rank
+
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(_ORD_VIEW)
-    return spark.sql(_gini_sql(D.SPARK))
+    rev = spark.sql(_gini_rev_sql(D.SPARK))
+    ranked = assign_global_rank(rev, ["cents", "o_custkey"], out_col="i")
+    ranked.createOrReplaceTempView("__fps_mine_gini_ranked")
+    return spark.sql(_gini_sql(D.SPARK, ranked_rel="__fps_mine_gini_ranked"))
 
 
 # --------------------------------------------------------------------------
@@ -915,14 +933,7 @@ def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Purchase cadence: median inter-order gap
 # --------------------------------------------------------------------------
-def _order_gap_sql(dialect: str) -> str:
-    """Median days between a customer's consecutive orders — the
-    purchase-cadence metric behind replenishment and churn models.
-    Gaps come from one lag() window per customer (calendar-day diffs of
-    DATE-cast values, tz-free); the median is rank-SELECTED from the
-    (gap, custkey, rank-in-customer) total order. Scale shape: one
-    customer-keyed window over orders, then a global rank over |gaps|
-    (two-phase global rank at extreme scale, same selection rule)."""
+def _order_gap_gaps_sql(dialect: str) -> str:
     od = _ORD_VIEW if dialect == D.SPARK else "orders"
     if dialect == D.SPARK:
         day = "datediff(cast(o_orderdate as date), date '1970-01-01')"
@@ -939,32 +950,60 @@ def _order_gap_sql(dialect: str) -> str:
                        PARTITION BY o_custkey
                        ORDER BY o_orderdate, o_orderkey) AS k
             FROM {od}
-        ),
-        gaps AS (
-            SELECT o_custkey, k, d - prev_d AS gap
-            FROM seq WHERE prev_d IS NOT NULL
-        ),
-        ranked AS (
-            SELECT gap,
-                   row_number() OVER (ORDER BY gap, o_custkey, k) AS rn,
-                   count(*) OVER () AS n
-            FROM gaps
         )
-        SELECT cast(max(n) AS bigint) AS n_gaps,
-               cast(max(CASE WHEN rn = {_idiv("(n + 1)", "2", dialect)}
-                             THEN gap END) AS bigint) AS median_gap_days,
-               cast(max(CASE WHEN rn = cast(ceil(0.9 * n) AS bigint)
-                             THEN gap END) AS bigint) AS p90_gap_days
-        FROM ranked
+        SELECT o_custkey, k, d - prev_d AS gap
+        FROM seq WHERE prev_d IS NOT NULL
+    """
+
+
+def _order_gap_sql(dialect: str, ranked_rel: str | None = None) -> str:
+    """Median days between a customer's consecutive orders — the
+    purchase-cadence metric behind replenishment and churn models.
+    Gaps come from one lag() window per customer (calendar-day diffs of
+    DATE-cast values, tz-free); the median is rank-SELECTED from the
+    (gap, custkey, rank-in-customer) total order. Scale shape: one
+    customer-keyed window over orders; the SHIPPED Spark path takes the
+    global gap rank from the two-phase decomposition
+    (operators/rank.assign_global_rank — ``ranked_rel``) and the gap
+    count from a 1-row broadcast, so no single task ever sees all
+    gaps; the oracle keeps the textbook window, same selection rule."""
+    if ranked_rel:
+        ranked = ranked_rel
+        prelude = "WITH "
+    else:
+        ranked = "ranked"
+        prelude = f"""
+        WITH gaps AS ({_order_gap_gaps_sql(dialect)}),
+        ranked AS (
+            SELECT o_custkey, k, gap,
+                   row_number() OVER (ORDER BY gap, o_custkey, k) AS rn
+            FROM gaps
+        ),"""
+    return f"""{prelude}
+        t AS (SELECT gap, rn FROM {ranked}),
+        nn AS (SELECT cast(count(*) AS bigint) AS n FROM t)
+        SELECT nn.n AS n_gaps,
+               cast(max(CASE WHEN t.rn = {_idiv("(nn.n + 1)", "2", dialect)}
+                             THEN t.gap END) AS bigint) AS median_gap_days,
+               cast(max(CASE WHEN t.rn = cast(ceil(0.9 * nn.n) AS bigint)
+                             THEN t.gap END) AS bigint) AS p90_gap_days
+        FROM t CROSS JOIN nn
+        GROUP BY nn.n
     """
 
 
 @register("orders_median_gap", oracle=_order_gap_sql(D.DUCK), tags=("extension",))
 def orders_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median and p90 days between consecutive orders per customer,
-    rank-selected exactly. See _order_gap_sql."""
+    rank-selected exactly; global rank from the two-phase
+    decomposition. See _order_gap_sql."""
+    from finalpipeline_spark.operators.rank import assign_global_rank
+
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(_ORD_VIEW)
-    return spark.sql(_order_gap_sql(D.SPARK))
+    gaps = spark.sql(_order_gap_gaps_sql(D.SPARK))
+    ranked = assign_global_rank(gaps, ["gap", "o_custkey", "k"], out_col="rn")
+    ranked.createOrReplaceTempView("__fps_mine_gap_ranked")
+    return spark.sql(_order_gap_sql(D.SPARK, ranked_rel="__fps_mine_gap_ranked"))
 
 
 # --------------------------------------------------------------------------

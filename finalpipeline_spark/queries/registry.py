@@ -94,6 +94,10 @@ _PRIORITY_QUERIES = (
     #    re-attestation that the scale path kept oracle equality) --
     "orders_rfm_segments",
     "lineitem_weighted_median",
+    "orders_gini_revenue",
+    "orders_median_gap",
+    "events_funnel_latency",
+    "lineitem_abc_analysis",
     # -- remaining r1-attested staples, oldest evidence in the log --
     "chembl_tanimoto_topk",
     "chembl_id_resolution",
@@ -120,19 +124,18 @@ _PRIORITY_QUERIES = (
     "emb_scalar_quantize_int8",
     "emb_ivf_topk",
     "emb_near_dup_pairs",
-    "orders_date_math",
-    "orders_full_outer_reconcile",
-    "lineitem_percentiles",
     "lineitem_approx_quantiles",
-    "tpch_q11_share",
 )
 
-# Three r1 queries deliberately deferred to the r6 rotation for window
-# space (the 50-slot line): tpch_rollup_sales and tpch_cube_sales —
-# structurally the same EXPAND+aggregate plan as tpch_grouping_sets,
-# which was re-attested green in r4 — and doc_top_ngrams (same
-# tokenize+explode+count shape as the window's doc_tfidf_topterms).
-# All three stay covered by the local parity suite.
+# Seven r1 queries deliberately deferred to the r6 rotation for window
+# space (the 50-slot line), displaced by queries CHANGED this round
+# (changed queries carry the higher re-attestation risk):
+# tpch_rollup_sales / tpch_cube_sales (same EXPAND+aggregate plan as
+# tpch_grouping_sets, re-attested green in r4), doc_top_ngrams (same
+# tokenize+explode+count shape as the window's doc_tfidf_topterms),
+# orders_date_math, orders_full_outer_reconcile, lineitem_percentiles,
+# tpch_q11_share (unchanged since r1, plain date/join/window logic).
+# All stay covered by the local parity suite.
 _DEFER_QUERIES: tuple[str, ...] = ()
 
 

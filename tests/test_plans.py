@@ -352,19 +352,36 @@ def test_skyline_is_window_not_dominance_join(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["orders_rfm_segments", "lineitem_weighted_median", "orders_spend_tiles"]
+    "name,allowed_partition_keys",
+    [
+        ("orders_rfm_segments", ("_pid",)),
+        ("lineitem_weighted_median", ("_pid",)),
+        ("orders_spend_tiles", ("_pid",)),
+        ("orders_gini_revenue", ("_pid",)),
+        ("events_funnel_latency", ("_pid",)),
+        ("lineitem_abc_analysis", ("_pid",)),
+        # the per-customer lag() window is legitimately partitioned by
+        # o_custkey; the GLOBAL rank runs per-_pid slice
+        ("orders_median_gap", ("_pid", "o_custkey")),
+    ],
 )
-def test_global_rank_scale_path_no_unpartitioned_window(spark, sf_dir, name):
-    """VERDICT r4 item 2: the global-rank consumers route through the
+def test_global_rank_scale_path_no_unpartitioned_window(
+    spark, sf_dir, name, allowed_partition_keys
+):
+    """VERDICT r4 item 2 (extended in r5 to every data-sized global
+    window): the global-rank/prefix-sum consumers route through the
     two-phase decomposition (operators/rank.py). Every Window in the
-    plan must be partitioned by the range-exchange partition id — an
-    unpartitioned ntile()/sum() OVER (ORDER BY) window (one task ranks
-    everything) must not appear anywhere."""
+    plan must be partitioned — by the range-exchange partition id, or
+    by a real data key for the genuinely per-group windows — an
+    unpartitioned ntile()/row_number()/sum() OVER (ORDER BY) window
+    (one task ranks everything) must not appear anywhere."""
     plan = _plan(spark, sf_dir, name)
     win_lines = [ln for ln in plan.splitlines() if "Window" in ln and "OVER" not in ln]
     assert win_lines, f"expected the per-slice windows in the plan:\n{plan}"
     for ln in win_lines:
-        assert "_pid" in ln, f"unpartitioned window in scale path: {ln}"
+        assert any(k in ln for k in allowed_partition_keys), (
+            f"unpartitioned window in scale path: {ln}"
+        )
     assert "ntile(" not in plan  # tile is offset arithmetic, never ntile
 
 
