@@ -116,6 +116,61 @@ def partitioned_prefix_sum(
     )
 
 
+def partitioned_prefix_min(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "prev_min",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Running minimum of ``value_col`` over ``order_cols`` within each
+    ``group_cols`` group — the min sibling of partitioned_prefix_sum,
+    same two-phase shape (range exchange, per-slice window, broadcast
+    per-(slice, group) offsets). ``inclusive=False`` gives the
+    ``ROWS … 1 PRECEDING`` (exclusive) frame skyline scans need: the
+    first row of each group's total order gets NULL. The offset merge
+    uses ``least``, which skips NULLs, so a slice's first row correctly
+    inherits only the preceding slices' minimum."""
+    all_order = list(group_cols) + list(order_cols)
+    ranged = df.repartitionByRange(*all_order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=False)  # pin sampled boundaries
+    w = (
+        W.partitionBy("_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow if inclusive else -1)
+    )
+    local = ranged.withColumn("_local_min", F.min(value_col).over(w))
+    rows = (
+        local.groupBy("_pid", *group_cols)
+        .agg(F.min(value_col).alias("_m"))
+        .collect()  # bounded by partitions × groups-crossing-a-boundary
+    )
+    rows.sort(key=lambda r: r["_pid"])
+    run: dict[tuple, object] = {}
+    offsets = []
+    for r in rows:
+        g = tuple(r[c] for c in group_cols)
+        offsets.append(tuple(g) + (r["_pid"], run.get(g)))  # EARLIER slices' min
+        cur, prev = r["_m"], run.get(g)
+        if cur is not None and (prev is None or cur < prev):
+            run[g] = cur
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets,
+        schema=local.select(*group_cols, "_pid").schema.add(
+            "_offset", local.schema[value_col].dataType
+        ),
+    )
+    return (
+        local.join(F.broadcast(off_df), [*group_cols, "_pid"])
+        .withColumn(out_col, F.least(F.col("_local_min"), F.col("_offset")))
+        .drop("_pid", "_local_min", "_offset")
+    )
+
+
 def global_ntile(
     df: DataFrame,
     order_cols: Sequence[str],

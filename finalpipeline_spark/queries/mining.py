@@ -479,34 +479,47 @@ def orders_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Skyline / Pareto front (multi-objective dominance)
 # --------------------------------------------------------------------------
-def _skyline_sql(dialect: str) -> str:
+def _skyline_pp_sql(dialect: str) -> str:
+    pt = _PART_VIEW if dialect == D.SPARK else "part"
+    return f"""
+            SELECT p_retailprice AS price,
+                   min(p_size) AS size,
+                   cast(count(*) AS bigint) AS n_parts
+            FROM {pt} GROUP BY p_retailprice
+    """
+
+
+def _skyline_sql(dialect: str, scanned_rel: str | None = None) -> str:
     """2-D skyline of parts minimizing (retail price, size): the
     Pareto-optimal offers no other part dominates on both axes.
 
     Sort-based formulation (Börzsönyi et al.'s SFS reduced to 2-D):
     collapse each distinct price to its minimum size, then a point is
     on the front iff its size is strictly below the running minimum of
-    all cheaper points — one window over |distinct prices| rows, no
-    quadratic dominance join. The running min uses an explicit ROWS …
-    1 PRECEDING frame so a point is never compared against itself.
-    Scale: one part-sized aggregation + one range-sorted window."""
-    pt = _PART_VIEW if dialect == D.SPARK else "part"
-    return f"""
-        WITH pp AS (
-            SELECT p_retailprice AS price,
-                   min(p_size) AS size,
-                   cast(count(*) AS bigint) AS n_parts
-            FROM {pt} GROUP BY p_retailprice
-        ),
+    all cheaper points. The running min uses the exclusive
+    (1 PRECEDING) frame so a point is never compared against itself.
+    Scale: one part-sized aggregation; the SHIPPED Spark path computes
+    the running minimum with the two-phase prefix min
+    (operators/rank.partitioned_prefix_min — ``scanned_rel``), so no
+    single task windows all |distinct prices| rows; the oracle keeps
+    the textbook unpartitioned window."""
+    if scanned_rel:
+        scanned = scanned_rel
+        prelude = ""
+    else:
+        scanned = "scanned"
+        prelude = f"""
+        WITH pp AS ({_skyline_pp_sql(dialect)}),
         scanned AS (
             SELECT price, size, n_parts,
                    min(size) OVER (ORDER BY price
                                    ROWS BETWEEN UNBOUNDED PRECEDING
                                    AND 1 PRECEDING) AS prev_min
             FROM pp
-        )
+        )"""
+    return f"""{prelude}
         SELECT price, size, n_parts
-        FROM scanned
+        FROM {scanned}
         WHERE prev_min IS NULL OR size < prev_min
     """
 
@@ -514,9 +527,19 @@ def _skyline_sql(dialect: str) -> str:
 @register("part_skyline", oracle=_skyline_sql(D.DUCK), tags=("extension",))
 def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto front of parts on (price, size), sort-based — no
-    quadratic dominance join. See _skyline_sql."""
+    quadratic dominance join; running min from the two-phase prefix
+    min. See _skyline_sql."""
+    from finalpipeline_spark.operators.rank import partitioned_prefix_min
+
     load_table(spark, sf_dir, "part").createOrReplaceTempView(_PART_VIEW)
-    return spark.sql(_skyline_sql(D.SPARK))
+    pp = spark.sql(_skyline_pp_sql(D.SPARK))
+    scanned = partitioned_prefix_min(
+        pp, [], ["price"], "size", out_col="prev_min", inclusive=False
+    )
+    scanned.createOrReplaceTempView("__fps_mine_skyline_scanned")
+    return spark.sql(
+        _skyline_sql(D.SPARK, scanned_rel="__fps_mine_skyline_scanned")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -98,6 +98,7 @@ _PRIORITY_QUERIES = (
     "orders_median_gap",
     "events_funnel_latency",
     "lineitem_abc_analysis",
+    "part_skyline",
     # -- remaining r1-attested staples, oldest evidence in the log --
     "chembl_tanimoto_topk",
     "chembl_id_resolution",
@@ -124,17 +125,18 @@ _PRIORITY_QUERIES = (
     "emb_scalar_quantize_int8",
     "emb_ivf_topk",
     "emb_near_dup_pairs",
-    "lineitem_approx_quantiles",
 )
 
-# Seven r1 queries deliberately deferred to the r6 rotation for window
+# Eight r1 queries deliberately deferred to the r6 rotation for window
 # space (the 50-slot line), displaced by queries CHANGED this round
 # (changed queries carry the higher re-attestation risk):
 # tpch_rollup_sales / tpch_cube_sales (same EXPAND+aggregate plan as
 # tpch_grouping_sets, re-attested green in r4), doc_top_ngrams (same
 # tokenize+explode+count shape as the window's doc_tfidf_topterms),
 # orders_date_math, orders_full_outer_reconcile, lineitem_percentiles,
-# tpch_q11_share (unchanged since r1, plain date/join/window logic).
+# tpch_q11_share (unchanged since r1, plain date/join/window logic),
+# lineitem_approx_quantiles (unchanged; its accuracy claim is now also
+# MEASURED at sf0.1 by tests/test_sketch_bounds.py).
 # All stay covered by the local parity suite.
 _DEFER_QUERIES: tuple[str, ...] = ()
 

@@ -363,6 +363,7 @@ def test_skyline_is_window_not_dominance_join(spark, sf_dir):
         # the per-customer lag() window is legitimately partitioned by
         # o_custkey; the GLOBAL rank runs per-_pid slice
         ("orders_median_gap", ("_pid", "o_custkey")),
+        ("part_skyline", ("_pid",)),
     ],
 )
 def test_global_rank_scale_path_no_unpartitioned_window(

@@ -92,3 +92,41 @@ def test_partitioned_prefix_sum_no_per_group_window(spark, skewed):
     for ln in plan.splitlines():
         if "Window" in ln:
             assert "_pid" in ln, f"per-group-only window: {ln}"
+
+
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_partitioned_prefix_min_equals_window(spark, skewed, inclusive):
+    from finalpipeline_spark.operators.rank import partitioned_prefix_min
+
+    df = skewed.selectExpr("k % 4 as g", "k", "id", "(id * 7) % 101 as v")
+    got = partitioned_prefix_min(
+        df, ["g"], ["k", "id"], "v", out_col="pm", inclusive=inclusive
+    ).select("g", "k", "id", "v", "pm")
+    upper = W.currentRow if inclusive else -1
+    want = df.withColumn(
+        "pm",
+        F.min("v").over(
+            W.partitionBy("g")
+            .orderBy("k", "id")
+            .rowsBetween(W.unboundedPreceding, upper)
+        ),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_partitioned_prefix_min_global_exclusive(spark, skewed):
+    """The skyline shape: no groups, exclusive frame — first row of the
+    total order gets NULL, later rows the strict predecessors' min."""
+    from finalpipeline_spark.operators.rank import partitioned_prefix_min
+
+    df = skewed.selectExpr("k", "id", "(id * 13) % 997 as v")
+    got = partitioned_prefix_min(
+        df, [], ["k", "id"], "v", out_col="pm", inclusive=False
+    ).select("k", "id", "v", "pm")
+    want = df.withColumn(
+        "pm",
+        F.min("v").over(W.orderBy("k", "id").rowsBetween(W.unboundedPreceding, -1)),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
