@@ -68,6 +68,31 @@ _MANIFEST_FMT = "v%012d.json"
 
 _NO_CAS = object()  # commit_overwrite's "no compare-and-swap" sentinel
 
+# Writer self-verification budget: after writing its manifest a writer
+# polls its slot for its OWN bytes this long before declaring the
+# commit stolen (raising ConcurrentCommitError and retrying).  The
+# margin pads clock/scheduling skew wherever recovery reasons about a
+# quarantined commit's writer still being inside this poll.
+_VERIFY_POLL_SECONDS = 1.0
+_VERIFY_MARGIN_SECONDS = 0.5
+
+
+def _is_file_not_found(exc: Exception) -> bool:
+    """True when a py4j-wrapped Java exception is (or is caused by)
+    java.io.FileNotFoundException — the definitive vanished-mid-read
+    signal the commit protocol's TOCTOU handling keys on."""
+    je = getattr(exc, "java_exception", None)
+    for _ in range(8):  # bounded cause-chain walk
+        if je is None:
+            return False
+        try:
+            if je.getClass().getName() == "java.io.FileNotFoundException":
+                return True
+            je = je.getCause()
+        except Exception:
+            return False
+    return False
+
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer claimed this version first; re-read and retry."""
@@ -105,7 +130,10 @@ def cdf_final_state(ch: DataFrame, keys: list[str]) -> DataFrame:
         for c, t in ch.dtypes
         if c not in keys
         and c not in ("_change_type", "_commit_version")
-        and not t.startswith("map<")  # maps are not orderable in Spark
+        # maps are not orderable in Spark, at ANY nesting depth — an
+        # array<map<...>> or a struct with a map field is just as
+        # unorderable as a top-level map, so match anywhere in the type
+        and "map<" not in t
     ]
     w = Window.partitionBy(*keys).orderBy(
         F.desc("_commit_version"),
@@ -163,7 +191,26 @@ class VersionedTable:
         # to the log). A crashed writer's fragment is stale forever, so
         # recovery still unwedges it after the grace.
         self.recovery_grace_seconds = recovery_grace_seconds
-        self._fs, _, self._jvm = _fs_and_path(spark, self.root)
+        fs, _, self._jvm = _fs_and_path(spark, self.root)
+        # On file:// Hadoop hands back ChecksumFileSystem, which keeps a
+        # hidden .crc sidecar per file and renames data+crc as TWO
+        # non-atomic ops — so the commit protocol's rename-claims can
+        # strand a STALE sidecar that poisons the next occupant of a
+        # manifest slot (its read fails checksum verification while the
+        # bytes are valid; observed as raw FileNotFound/ChecksumException
+        # escapes under the concurrency soak). The log protocol carries
+        # its own integrity checks (JSON parse + the writer's
+        # read-back-own-bytes verification), so the crc lens adds
+        # nothing here: use the RAW filesystem. Non-checksummed
+        # filesystems (HDFS, S3A — their integrity is internal) don't
+        # expose getRawFileSystem and keep their native client.
+        # Listing filters are sidecar-proof either way ('.'-prefixed
+        # names are skipped everywhere).
+        try:
+            fs = fs.getRawFileSystem()
+        except Exception:
+            pass
+        self._fs = fs
 
     # -- paths -------------------------------------------------------
     def _p(self, *parts: str):
@@ -199,6 +246,15 @@ class VersionedTable:
                     m = self._read_manifest_file(int(name[1:-5]))
                 except (ValueError, json.JSONDecodeError):
                     continue
+                except VersionNotFoundError:
+                    # The manifest vanished between listStatus and the
+                    # read: by protocol invariant that is an ABORTED
+                    # fragment being quarantined by a racing writer's
+                    # recovery — committed manifests are never deleted
+                    # (vacuum keeps expired ones as tombstones), so a
+                    # vanished entry was never a version. Skip it like
+                    # any other aborted commit.
+                    continue
                 out.append(m["version"])
         return sorted(out)
 
@@ -210,7 +266,28 @@ class VersionedTable:
         path = self._manifest_path(version)
         if not self._fs.exists(path):
             raise VersionNotFoundError(f"version {version} of {self.root}")
-        return json.loads(self._read_raw(path).decode("utf-8"))
+        try:
+            raw = self._read_raw(path)
+        except Exception as exc:
+            # exists→open is a TOCTOU window: a racing writer's recovery
+            # can quarantine an aborted fragment between the probe and
+            # the open, and Hadoop surfaces that as a raw Java
+            # FileNotFoundException (py4j-wrapped) that no caller's
+            # VersionNotFoundError handling would see.  FNF at open
+            # time is DEFINITIVE: the path did not exist at that
+            # instant, and a manifest missing at any instant was never
+            # a committed version (committed manifests are never
+            # deleted) — normalize it.  The exists() re-probe alone is
+            # not enough: a new fragment can be planted at the same
+            # slot within the race window, making "still exists" true
+            # for a DIFFERENT file.  Non-FNF failures on a
+            # still-present path are real I/O errors and must surface.
+            if _is_file_not_found(exc) or not self._fs.exists(path):
+                raise VersionNotFoundError(
+                    f"version {version} of {self.root}"
+                ) from exc
+            raise
+        return json.loads(raw.decode("utf-8"))
 
     def _older_than_grace(self, path) -> bool:
         """True if ``path``'s mtime is older than the recovery grace —
@@ -223,15 +300,101 @@ class VersionedTable:
         return mtime_ms < (time.time() - self.recovery_grace_seconds) * 1000.0
 
     def _rename_claim(self, src, dst) -> bool:
-        """Atomic rename as an exclusive claim: False on ANY failure.
-        Hadoop filesystems are inconsistent here — LocalFileSystem
-        THROWS (FileNotFoundException) when the source vanished, which
-        is exactly the lost-a-race case the callers must treat as an
-        ordinary claim failure, not an error."""
+        """Rename as an exclusive NO-CLOBBER claim: False on ANY
+        failure or when ``dst`` already exists.  Hadoop filesystems are
+        doubly inconsistent here: LocalFileSystem THROWS
+        (FileNotFoundException) when the source vanished — the
+        lost-a-race case callers must treat as an ordinary claim
+        failure — and its rename CLOBBERS an existing destination
+        (POSIX renameTo) where HDFS refuses.  The explicit existence
+        precheck gives both platforms the HDFS no-clobber semantics the
+        protocol reasons about; the residual check→rename window is the
+        same ms-scale race class the writer's read-back verification
+        already absorbs (a clobbered writer fails verification and
+        retries)."""
         try:
+            if self._fs.exists(dst):
+                return False
             return bool(self._fs.rename(src, dst))
         except Exception:
             return False
+
+    def _restore_quarantined(self, quarantine, path, version: int) -> None:
+        """Resolve a VALID manifest that a recovery claim quarantined.
+
+        Writer self-verification (:meth:`_verify_own_commit`) makes the
+        outcome depend on WHEN the quarantined manifest was written
+        (its mtime — renames preserve it):
+
+        * **fresh** (now < mtime + poll − margin): its writer is still
+          inside the read-back poll and has NOT reported success.
+          Restore immediately so that poll sees its own bytes; if the
+          slot was re-occupied, steal the occupant only when it is both
+          unparseable AND older than the recovery grace (a fresh
+          fragment is most likely a live writer mid-write).  If the
+          restore still fails, DON'T raise: wait out the writer's poll
+          deadline — after it, the writer has certainly raised
+          ``ConcurrentCommitError`` and retried from a fresh snapshot,
+          so the quarantined copy is an ordinary aborted commit (aged
+          junk, vacuum-reclaimed), not a stranded version.  Never
+          restore after the deadline: the writer may have already
+          given up, and a late restore would resurrect a commit whose
+          rows its writer is re-committing (duplicates).
+
+        * **stale** (claim landed a manifest already older than the
+          poll window): its writer may have verified and reported
+          success long ago, so leaving it quarantined would silently
+          lose a committed version — restore or raise loudly.  (This
+          branch requires the pre-claim probe — which saw unparseable
+          bytes milliseconds earlier — to have been stalled across the
+          write; loud is the only safe answer.)
+
+        Residual window, accepted and documented: in the fresh case a
+        writer whose first read-back lands in the microseconds between
+        the manifest write and our claim has already returned success;
+        junking its quarantined copy then loses the commit.  That
+        needs the recoverer's probe→claim gap, the writer's
+        write→verify gap, and the fragment's grace expiry to all
+        coincide within the same few milliseconds."""
+        try:
+            mtime_s = self._fs.getFileStatus(quarantine).getModificationTime() / 1000.0
+        except Exception:
+            return  # quarantine vanished: another actor resolved it
+        verify_deadline = mtime_s + _VERIFY_POLL_SECONDS
+        fresh = time.time() < verify_deadline - _VERIFY_MARGIN_SECONDS
+        restored = self._rename_claim(quarantine, path)
+        if not restored:
+            try:
+                json.loads(self._read_raw(path).decode("utf-8"))
+                occupant_aborted = False
+            except Exception:
+                occupant_aborted = self._older_than_grace(path)
+            if occupant_aborted and (
+                fresh or time.time() < verify_deadline - _VERIFY_MARGIN_SECONDS
+            ):
+                blocker = self._p(
+                    _LOG_DIR,
+                    (_MANIFEST_FMT % version) + ".aborted-" + uuid.uuid4().hex,
+                )
+                if self._rename_claim(path, blocker):
+                    restored = self._rename_claim(quarantine, path)
+        if restored:
+            return
+        if fresh:
+            # wait out the writer's poll so it has definitely raised and
+            # retried before anyone could vacuum the quarantined copy
+            wait = verify_deadline + _VERIFY_MARGIN_SECONDS - time.time()
+            if wait > 0:
+                time.sleep(wait)
+            return
+        # stale case: the committed manifest is preserved at the
+        # quarantine path but missing from the log — never proceed
+        # silently past that.
+        raise RuntimeError(
+            f"failed to restore concurrently committed manifest for "
+            f"version {version} of {self.root}; it is preserved at "
+            f"{quarantine} — restore it manually"
+        )
 
     def _read_raw(self, path) -> bytes:
         stream = self._fs.open(path)
@@ -322,32 +485,7 @@ class VersionedTable:
             except (json.JSONDecodeError, UnicodeDecodeError):
                 stole_valid = False
             if stole_valid:
-                restored = self._rename_claim(quarantine, path)
-                if not restored:
-                    # The slot was re-occupied (e.g. a new fragment
-                    # landed). If the occupant is itself unparseable,
-                    # claim it away and retry the restore once.
-                    blocker = self._p(
-                        _LOG_DIR,
-                        (_MANIFEST_FMT % version)
-                        + ".aborted-"
-                        + uuid.uuid4().hex,
-                    )
-                    try:
-                        json.loads(self._read_raw(path).decode("utf-8"))
-                    except Exception:
-                        if self._rename_claim(path, blocker):
-                            restored = self._rename_claim(quarantine, path)
-                if not restored:
-                    # Restore failed: the live commit is preserved at
-                    # the quarantine path but missing from the log —
-                    # never proceed silently past that.
-                    raise RuntimeError(
-                        f"failed to restore concurrently committed "
-                        f"manifest for version {version} of {self.root}; "
-                        f"it is preserved at {quarantine} — restore it "
-                        "manually"
-                    )
+                self._restore_quarantined(quarantine, path, version)
                 raise ConcurrentCommitError(
                     f"version {version} of {self.root} was committed "
                     "concurrently (recovered mid-flight by another writer)"
@@ -359,11 +497,70 @@ class VersionedTable:
                     f"version {version} of {self.root} was committed "
                     "concurrently (after aborted-manifest recovery)"
                 ) from exc2
+        payload = json.dumps(manifest).encode("utf-8")
         try:
-            out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+            out.write(bytearray(payload))
         finally:
             out.close()
+        self._verify_own_commit(path, payload, version)
         return version
+
+    def _verify_own_commit(self, path, payload: bytes, version: int) -> None:
+        """Writer self-verification — commit success is only reported
+        once the writer re-reads its slot and sees its OWN bytes.
+
+        This closes the lease hole no recovery grace can: a writer
+        stalled longer than the grace between its exclusive create and
+        its content write looks exactly like a crashed writer's
+        fragment, so a racing recoverer may quarantine its manifest
+        mid-write (the writer keeps writing into the renamed inode).
+        Without this check that writer would report success while its
+        version slot belongs to someone else — a silently lost commit
+        (observed as lost rows by the concurrency soak).  With it, the
+        authoritative commit point moves to this verification: a stolen
+        writer sees a foreign/missing manifest, raises
+        ``ConcurrentCommitError``, and simply retries — it never
+        claimed success, so the quarantined copy is an ordinary aborted
+        commit.
+
+        Outcomes per re-read:
+          * our payload          → committed (a recoverer that briefly
+            quarantined us has restored us — its verify-after-claim);
+          * a DIFFERENT valid manifest → definitive loss (a committed
+            manifest at a slot never changes), raise and retry;
+          * missing / unparseable → indeterminate: we may sit in a
+            racer's quarantine milliseconds from being restored — poll
+            briefly (the racer's read+parse+rename is ms), then treat
+            as lost.  Residual window: a recoverer stalled longer than
+            the poll budget between its claim and its restore can still
+            restore a commit whose writer already gave up — two
+            independent multi-second stalls on adjacent metadata ops.
+        """
+        deadline = time.time() + _VERIFY_POLL_SECONDS
+        while True:
+            try:
+                now = self._read_raw(path)
+            except Exception:
+                now = None
+            if now == payload:
+                return
+            if now is not None:
+                try:
+                    json.loads(now.decode("utf-8"))
+                    raise ConcurrentCommitError(
+                        f"version {version} of {self.root}: this writer's "
+                        "manifest was recovered away mid-write and the slot "
+                        "was committed by another writer — retry"
+                    )
+                except (json.JSONDecodeError, UnicodeDecodeError):
+                    pass  # unparseable occupant: indeterminate
+            if time.time() > deadline:
+                raise ConcurrentCommitError(
+                    f"version {version} of {self.root}: this writer's "
+                    "manifest vanished from its slot mid-write (quarantined "
+                    "by a racing recovery) — retry"
+                )
+            time.sleep(0.02)
 
     def _write_data_files(self, df: DataFrame) -> list[dict[str, Any]]:
         """Write ``df`` into a fresh commit directory and return file
@@ -483,6 +680,38 @@ class VersionedTable:
             n_rows=sum(f["rows"] for f in files),
         )
 
+    def commit_with_retry(
+        self,
+        fn,
+        attempts: int = 10,
+        base_backoff_seconds: float = 0.05,
+    ) -> CommitInfo:
+        """Bounded optimistic-concurrency loop: call ``fn(self)`` —
+        which must RE-READ the current snapshot and attempt exactly one
+        commit — retrying on ``ConcurrentCommitError`` with jittered
+        exponential backoff.  This is the ergonomic half of the CAS
+        commit protocol: every snapshot-based writer raises on a lost
+        race (correct, but every caller would hand-roll the same loop);
+        re-derive-and-retry is safe precisely because ``fn`` starts
+        from a fresh ``manifest()`` read each attempt.  After
+        ``attempts`` losses the last ``ConcurrentCommitError``
+        propagates — sustained contention should surface, not spin."""
+        import random
+
+        if attempts < 1:
+            raise ValueError("attempts must be >= 1")
+        for attempt in range(attempts):
+            try:
+                return fn(self)
+            except ConcurrentCommitError:
+                if attempt == attempts - 1:
+                    raise
+                # full jitter: contending writers must desynchronize
+                time.sleep(
+                    base_backoff_seconds * (2**attempt) * random.random()
+                )
+        raise AssertionError("unreachable")  # pragma: no cover
+
     # -- write API -----------------------------------------------------
     def commit_overwrite(
         self, df: DataFrame, meta: dict[str, Any] | None = None
@@ -564,9 +793,16 @@ class VersionedTable:
                 out.add(m[key])
         return out
 
-    def delete_where(self, predicate: str) -> CommitInfo:
+    def delete_where(self, predicate: str, attempts: int = 10) -> CommitInfo:
         """Copy-on-write delete: rewrite only files containing matching
-        rows; all other files carry over by reference."""
+        rows; all other files carry over by reference.  Retries the
+        whole derive+commit on a lost CAS race (``attempts=1`` restores
+        raise-on-conflict)."""
+        return self.commit_with_retry(
+            lambda t: t._delete_where_once(predicate), attempts
+        )
+
+    def _delete_where_once(self, predicate: str) -> CommitInfo:
         m = self.manifest()
         current = self.read()
         hit_files = {
@@ -599,6 +835,7 @@ class VersionedTable:
         delete_col: str | None = None,
         meta: dict[str, Any] | None = None,
         merge_schema: bool = False,
+        attempts: int = 10,
     ) -> CommitInfo:
         """Delta-style MERGE: one atomic commit that upserts ``source``
         rows into the table by ``keys`` (whole-row replacement for
@@ -626,7 +863,23 @@ class VersionedTable:
         files NULL-backfilling at read, so replication keeps following
         a producer that evolved mid-stream. Without the flag an
         evolved source is rejected loudly — silently projecting the
-        new columns away would diverge the replica."""
+        new columns away would diverge the replica.
+
+        Retries the whole derive+commit on a lost CAS race
+        (``attempts=1`` restores raise-on-conflict)."""
+        return self.commit_with_retry(
+            lambda t: t._merge_once(source, keys, delete_col, meta, merge_schema),
+            attempts,
+        )
+
+    def _merge_once(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        delete_col: str | None = None,
+        meta: dict[str, Any] | None = None,
+        merge_schema: bool = False,
+    ) -> CommitInfo:
         if delete_col and delete_col in keys:
             raise ValueError("delete_col cannot be a merge key")
         m = self.manifest()
@@ -731,7 +984,11 @@ class VersionedTable:
         )
 
     def replace_where(
-        self, predicate: str, df: DataFrame, meta: dict[str, Any] | None = None
+        self,
+        predicate: str,
+        df: DataFrame,
+        meta: dict[str, Any] | None = None,
+        attempts: int = 10,
     ) -> CommitInfo:
         """Delta-style ``replaceWhere``: atomically delete the rows
         matching ``predicate`` AND insert ``df``'s rows, as ONE commit.
@@ -742,7 +999,16 @@ class VersionedTable:
         manifest — so no reader can ever observe the deleted-but-not-
         yet-replaced intermediate state that a delete+append pair would
         expose between its two versions.  The maintenance shape for
-        partition-scoped rewrites (e.g. repacking a shard)."""
+        partition-scoped rewrites (e.g. repacking a shard).  Retries
+        the whole derive+commit on a lost CAS race (``attempts=1``
+        restores raise-on-conflict)."""
+        return self.commit_with_retry(
+            lambda t: t._replace_where_once(predicate, df, meta), attempts
+        )
+
+    def _replace_where_once(
+        self, predicate: str, df: DataFrame, meta: dict[str, Any] | None = None
+    ) -> CommitInfo:
         m = self.manifest()
         current = self.read()
         hit_files = {
@@ -1074,6 +1340,8 @@ class VersionedTable:
             v = int(name[1:-5])
             try:
                 self._read_manifest_file(v)
+            except VersionNotFoundError:
+                continue  # vanished since listStatus: a racing claim won
             except json.JSONDecodeError:
                 # Same claim protocol as _write_manifest's auto-recovery:
                 # grace-gated (a fresh fragment may be a live writer's
@@ -1088,8 +1356,16 @@ class VersionedTable:
                     continue  # a racing recoverer won; nothing to retire
                 try:
                     json.loads(self._read_raw(q).decode("utf-8"))
-                    self._rename_claim(q, st.getPath())  # valid: restore
+                    stole_valid = True
                 except (json.JSONDecodeError, UnicodeDecodeError):
+                    stole_valid = False
+                if stole_valid:
+                    # Became valid between the probe and the claim:
+                    # restore it — checked, like _write_manifest's path
+                    # (an unverified rename could strand a committed
+                    # version at a vacuum-reclaimable quarantine name).
+                    self._restore_quarantined(q, st.getPath(), v)
+                else:
                     retired.append(v)
         return retired
 
@@ -1143,7 +1419,12 @@ class VersionedTable:
         if self._fs.exists(log):
             for st in self._fs.listStatus(log):
                 name = st.getPath().getName()
-                if ".aborted-" in name and st.getModificationTime() <= cutoff_ms:
+                # '.'-prefixed names are ChecksumFileSystem .crc
+                # sidecars from before the raw-fs switch — stale lint
+                # the raw protocol neither reads nor maintains
+                if (
+                    ".aborted-" in name or name.startswith(".")
+                ) and st.getModificationTime() <= cutoff_ms:
                     self._fs.delete(st.getPath(), False)
                     deleted.append(f"{_LOG_DIR}/{name}")
         for v in expired:

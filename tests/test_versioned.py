@@ -994,3 +994,179 @@ def test_vacuum_reclaims_aged_quarantines(spark, table):
     assert any(".aborted-" in d for d in deleted)
     # the live table is untouched
     assert table.read().count() == 10
+
+
+def test_commit_with_retry_racing_writers_no_manual_loop(spark, table):
+    """VERDICT r5 #4: the snapshot-based writers (merge / delete_where /
+    replace_where) retry lost CAS races internally — racing threads use
+    them bare, with NO test-side ConcurrentCommitError handling, and
+    every write lands exactly once."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    table.commit_overwrite(
+        spark.range(0, 100).selectExpr("id", "'seed' as tag")
+    )
+    errors: list[Exception] = []
+
+    def upserter(t: int) -> None:
+        try:
+            vt = VersionedTable(spark, table.root)
+            src = spark.range(1000 + t * 10, 1000 + t * 10 + 10).selectExpr(
+                "id", f"'t{t}' as tag"
+            )
+            vt.merge(src, keys=["id"])  # no retry loop here — internal
+        except Exception as e:  # noqa: BLE001 - surfaced to the assert
+            errors.append(e)
+
+    def deleter() -> None:
+        try:
+            VersionedTable(spark, table.root).delete_where("id >= 90 AND id < 100")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def replacer() -> None:
+        try:
+            VersionedTable(spark, table.root).replace_where(
+                "id >= 80 AND id < 90",
+                spark.range(80, 90).selectExpr("id", "'replaced' as tag"),
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=upserter, args=(t,)) for t in range(3)
+    ] + [threading.Thread(target=deleter), threading.Thread(target=replacer)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    got = {(r["id"], r["tag"]) for r in table.read().collect()}
+    assert {id_ for id_, _ in got} == set(range(0, 90)) | set(
+        range(1000, 1030)
+    )
+    assert {tag for id_, tag in got if 80 <= id_ < 90} == {"replaced"}
+    for t in range(3):
+        assert {
+            tag for id_, tag in got if 1000 + t * 10 <= id_ < 1000 + t * 10 + 10
+        } == {f"t{t}"}
+    # retry on conflict can be disabled: attempts=1 restores raise-on-race
+    with pytest.raises(ValueError):
+        table.delete_where("id < 0", attempts=0)
+
+
+def test_writer_self_verification_detects_stolen_slot(spark, table):
+    """The commit point is the writer's read-back of its own manifest:
+    if a racing recovery quarantined the manifest mid-write and the
+    slot was re-committed by another writer, the stalled writer must
+    raise ConcurrentCommitError, never report success (the lost-rows
+    mode the r5 soak exposed)."""
+    table.commit_overwrite(_df(spark, 0, 10, "seed"))
+    payload = json.dumps({"version": 1, "parent": 0}).encode()
+    # foreign VALID manifest at our slot → definitive loss
+    with open(os.path.join(table.root, "_log", "v%012d.json" % 1), "w") as fh:
+        fh.write(
+            json.dumps(
+                {"version": 1, "parent": 0, "action": "append",
+                 "schema": "id bigint", "files": []}
+            )
+        )
+    with pytest.raises(ConcurrentCommitError):
+        table._verify_own_commit(table._manifest_path(1), payload, 1)
+    # slot vanished entirely → indeterminate, then loss after the poll
+    missing = table._manifest_path(7)
+    with pytest.raises(ConcurrentCommitError):
+        table._verify_own_commit(missing, payload, 7)
+    # own bytes present → success (the normal path)
+    own = json.loads(
+        open(os.path.join(table.root, "_log", "v%012d.json" % 0)).read()
+    )
+    table._verify_own_commit(
+        table._manifest_path(0), json.dumps(own).encode("utf-8"), 0
+    )
+
+
+def test_fnf_detection_and_vanish_normalization(spark, table):
+    """The vanished-mid-read TOCTOU normalization keys on the Java
+    FileNotFoundException itself (an exists() re-probe can be fooled by
+    a fragment REPLANTED at the same slot within the race window)."""
+    from finalpipeline_spark.sources.versioned import _is_file_not_found
+
+    table.commit_overwrite(_df(spark, 0, 5, "seed"))
+    missing = table._p("_log", "definitely-not-there.json")
+    try:
+        table._read_raw(missing)
+        raise AssertionError("open of a missing path must fail")
+    except Exception as exc:  # noqa: BLE001
+        assert _is_file_not_found(exc)
+    assert not _is_file_not_found(ValueError("nope"))
+
+
+def test_restore_quarantined_fresh_leaves_junk_quietly(spark, table):
+    """Fresh case: the quarantined commit's writer is still inside its
+    read-back poll — a failed restore must NOT raise (the writer will
+    fail verification and retry; the quarantine is ordinary junk), and
+    must never steal the fresh occupant of the slot."""
+    import json as _json
+    import time as _t
+
+    table.commit_overwrite(_df(spark, 0, 5, "seed"))
+    log = os.path.join(table.root, "_log")
+    slot = os.path.join(log, "v%012d.json" % 1)
+    quarantine = os.path.join(log, "v%012d.json.aborted-deadbeef" % 1)
+    valid = _json.dumps(
+        {"version": 1, "parent": 0, "action": "append",
+         "schema": "id bigint", "files": []}
+    )
+    with open(quarantine, "w") as fh:  # fresh mtime: writer still polling
+        fh.write(valid)
+    with open(slot, "w") as fh:  # fresh unparseable occupant (live writer)
+        fh.write('{"version": 1, "files": [')
+    t0 = _t.time()
+    table._restore_quarantined(
+        table._p("_log", os.path.basename(quarantine)),
+        table._p("_log", os.path.basename(slot)),
+        1,
+    )
+    # waited out the writer's poll deadline, left both files alone
+    assert _t.time() - t0 >= 1.0
+    assert os.path.exists(quarantine)
+    with open(slot) as fh:
+        assert fh.read() == '{"version": 1, "files": ['
+
+
+def test_restore_quarantined_stale_raises_loudly(spark, table):
+    """Stale case: the quarantined manifest predates the verification
+    window (its writer may have reported success long ago) — a failed
+    restore must raise, never silently junk a possibly-committed
+    version."""
+    import json as _json
+
+    table.commit_overwrite(_df(spark, 0, 5, "seed"))
+    log = os.path.join(table.root, "_log")
+    slot = os.path.join(log, "v%012d.json" % 1)
+    quarantine = os.path.join(log, "v%012d.json.aborted-cafebabe" % 1)
+    with open(quarantine, "w") as fh:
+        fh.write(
+            _json.dumps(
+                {"version": 1, "parent": 0, "action": "append",
+                 "schema": "id bigint", "files": []}
+            )
+        )
+    _age(quarantine, seconds=30)  # written long before any live poll
+    # slot blocked by a VALID foreign manifest (not stealable)
+    with open(slot, "w") as fh:
+        fh.write(
+            _json.dumps(
+                {"version": 1, "parent": 0, "action": "append",
+                 "schema": "id bigint", "files": [], "meta": {"w": "other"}}
+            )
+        )
+    with pytest.raises(RuntimeError, match="preserved at"):
+        table._restore_quarantined(
+            table._p("_log", os.path.basename(quarantine)),
+            table._p("_log", os.path.basename(slot)),
+            1,
+        )
