@@ -33,33 +33,49 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from finalpipeline_spark.operators.checkpointing import truncate_lineage
 
-def assign_global_rank(
-    df: DataFrame, order_cols: Sequence[str], out_col: str = "global_rank"
-) -> DataFrame:
-    """Exact contiguous rank 1..N in ``order_cols`` total order."""
+
+def _two_phase_rank(
+    df: DataFrame, order_cols: Sequence[str], out_col: str
+) -> tuple[DataFrame, int]:
+    """Shared two-phase rank core; also returns the TOTAL row count —
+    already summed while building the offsets, so consumers that need N
+    (``global_ntile``) never run a second counting job."""
     ranged = df.repartitionByRange(*order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    ranged = ranged.localCheckpoint(eager=False)  # pin sampled boundaries
+    ranged = truncate_lineage(ranged, eager=False)  # pin sampled boundaries
     w = W.partitionBy("_pid").orderBy(*order_cols)
     numbered = ranged.withColumn("_local_rn", F.row_number().over(w))
     counts = sorted(
         (r["_pid"], r["cnt"])
         for r in numbered.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     )
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid, cnt in counts:
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += cnt
-    offset_expr = F.expr(
-        "CASE _pid "
-        + " ".join(f"WHEN {pid} THEN {off}" for pid, off in offsets.items())
-        + " ELSE 0 END"
+    # Broadcast-joined offset table, never a CASE chain: at 100 TB the
+    # range exchange runs ~10^5 tasks, and a 10^5-arm CASE is an
+    # analyzer/codegen blowup, while a parallelism-sized broadcast join
+    # stays O(1) per row at any partition count (the same mechanism as
+    # partitioned_prefix_sum/min).
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
+    ranked = (
+        numbered.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_local_rn") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_local_rn", "_offset")
     )
-    return numbered.withColumn(
-        out_col, (F.col("_local_rn") + offset_expr).cast("long")
-    ).drop("_pid", "_local_rn")
+    return ranked, acc
+
+
+def assign_global_rank(
+    df: DataFrame, order_cols: Sequence[str], out_col: str = "global_rank"
+) -> DataFrame:
+    """Exact contiguous rank 1..N in ``order_cols`` total order."""
+    ranked, _ = _two_phase_rank(df, order_cols, out_col)
+    return ranked
 
 
 def partitioned_prefix_sum(
@@ -85,35 +101,58 @@ def partitioned_prefix_sum(
     ranged = df.repartitionByRange(*all_order).withColumn(
         "_pid", F.spark_partition_id()
     )
-    ranged = ranged.localCheckpoint(eager=False)  # pin sampled boundaries
+    ranged = truncate_lineage(ranged, eager=False)  # pin sampled boundaries
     w = (
         W.partitionBy("_pid", *group_cols)
         .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     local = ranged.withColumn("_local_cum", F.sum(weight_col).over(w))
-    rows = (
-        local.groupBy("_pid", *group_cols)
-        .agg(F.sum(weight_col).alias("_w"))
-        .collect()  # bounded by partitions × groups-crossing-a-boundary
+    per_slice = local.groupBy("_pid", *group_cols).agg(
+        F.sum(weight_col).alias("_w")
     )
+    # The running type follows the WEIGHT column through Spark's own
+    # sum-widening (bigint→bigint, float/double→double, decimal→wider
+    # decimal) — accumulating as Python int and casting to long would
+    # silently truncate fractional weights.
+    sum_type = per_slice.schema["_w"].dataType
+    zero = _zero_of(sum_type)
+    rows = per_slice.collect()  # bounded by partitions × boundary groups
     rows.sort(key=lambda r: r["_pid"])
-    acc: dict[tuple, int] = {}
+    acc: dict[tuple, object] = {}
     offsets = []
     for r in rows:
         g = tuple(r[c] for c in group_cols)
-        offsets.append(tuple(g) + (r["_pid"], acc.get(g, 0)))
-        acc[g] = acc.get(g, 0) + (r["_w"] or 0)
+        offsets.append(tuple(g) + (r["_pid"], acc.get(g, zero)))
+        acc[g] = acc.get(g, zero) + (zero if r["_w"] is None else r["_w"])
     spark = df.sparkSession
     off_df = spark.createDataFrame(
         offsets,
-        schema=local.select(*group_cols, "_pid").schema.add("_offset", "long"),
+        schema=local.select(*group_cols, "_pid").schema.add("_offset", sum_type),
     )
     return (
         local.join(F.broadcast(off_df), [*group_cols, "_pid"])
-        .withColumn(out_col, (F.col("_local_cum") + F.col("_offset")).cast("long"))
+        .withColumn(
+            out_col,
+            (F.col("_local_cum") + F.col("_offset")).cast(sum_type),
+        )
         .drop("_pid", "_local_cum", "_offset")
     )
+
+
+def _zero_of(sum_type):
+    """The additive identity in ``sum_type``'s Python representation
+    (createDataFrame verification is type-strict: an int 0 is rejected
+    for a double/decimal column)."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType, DoubleType, FloatType
+
+    if isinstance(sum_type, (DoubleType, FloatType)):
+        return 0.0
+    if isinstance(sum_type, DecimalType):
+        return Decimal(0)
+    return 0
 
 
 def partitioned_prefix_min(
@@ -136,7 +175,7 @@ def partitioned_prefix_min(
     ranged = df.repartitionByRange(*all_order).withColumn(
         "_pid", F.spark_partition_id()
     )
-    ranged = ranged.localCheckpoint(eager=False)  # pin sampled boundaries
+    ranged = truncate_lineage(ranged, eager=False)  # pin sampled boundaries
     w = (
         W.partitionBy("_pid", *group_cols)
         .orderBy(*order_cols)
@@ -181,8 +220,9 @@ def global_ntile(
     global rank via the two-phase exchange, then the SQL-standard tile
     boundary arithmetic — big tiles (ceil(N/n)) first, then small ones.
     """
-    ranked = assign_global_rank(df, order_cols, out_col="_grank")
-    n_total = ranked.count()  # the rank pass already materialized counts
+    # the rank pass's offsets collect already summed the total — no
+    # second counting job
+    ranked, n_total = _two_phase_rank(df, order_cols, out_col="_grank")
     q, r = divmod(n_total, n_tiles)
     big = q + 1
     # ranks 1 .. r*big fall in the r big tiles; the rest in small tiles

@@ -240,32 +240,15 @@ def doc_assign_global_ids(spark: SparkSession, docs: DataFrame) -> DataFrame:
     not: a row's id is its rank in the fixed total order, wherever the
     boundaries land. monotonically_increasing_id() cannot give this
     (non-contiguous, partition-dependent).
-    """
-    from pyspark.sql.window import Window as W
 
-    ranged = docs.repartitionByRange("source", "doc_id").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    ranged = ranged.localCheckpoint(eager=False)  # pin sampled boundaries
-    w = W.partitionBy("_pid").orderBy("source", "doc_id")
-    numbered = ranged.withColumn("_local_rn", F.row_number().over(w))
-    counts = sorted(
-        (r["_pid"], r["cnt"])
-        for r in numbered.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid, cnt in counts:
-        offsets[pid] = acc
-        acc += cnt
-    offset_expr = F.expr(
-        "CASE _pid "
-        + " ".join(f"WHEN {pid} THEN {off}" for pid, off in offsets.items())
-        + " ELSE 0 END"
-    )
-    return numbered.withColumn(
-        "global_id", (F.col("_local_rn") + offset_expr).cast("long")
-    ).drop("_pid", "_local_rn")
+    Delegates to the generalized operator (operators/rank.py), which
+    broadcasts the parallelism-sized offset table as a join — never a
+    per-partition CASE chain, which would blow up the analyzer at
+    100k-task partition counts.
+    """
+    from finalpipeline_spark.operators.rank import assign_global_rank
+
+    return assign_global_rank(docs, ["source", "doc_id"], out_col="global_id")
 
 
 @register(
