@@ -774,3 +774,99 @@ def doc_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheme."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(_DOC_VIEW_AN)
     return spark.sql(_entropy_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation function of the hourly event series
+# --------------------------------------------------------------------------
+_ACF_MAX_LAG = 24
+
+
+def _acf_sql(dialect: str) -> str:
+    """Sample autocorrelation r_k of the zero-filled hourly event-count
+    series at lags 1..{max_lag}:
+
+        r_k = sum_t (y_t - m)(y_{{t-k}} - m) / sum_t (y_t - m)^2
+
+    computed in the algebraically expanded form so every data-sized
+    aggregate is EXACT int64 (counts, pairwise products, squares) and
+    each emitted double is one fixed IEEE expression over those
+    integers — identical parse structure in both dialects, so the
+    engines agree bit-for-bit (the events_seasonal_decompose parity
+    scheme).  The series is zero-filled over [min_hour, max_hour]
+    (gap hours contribute y=0), so n_terms is always n - k and the
+    estimator is the standard one for a regular series.
+
+    Scale shape: ONE fact shuffle to (hour → count) cells; everything
+    downstream is series-sized (hours × lags), orders of magnitude
+    smaller than the data — the lag alignment is an equi-join on the
+    hour index (h = h + k), never a data-sized window, and the global
+    moments enter via a 1-row cross join."""
+    epoch_s = "ts_epoch_s" if dialect == D.SPARK else "(epoch_us(ts) // 1000000)"
+    hour = D.idiv(epoch_s, 3600, dialect)
+    if dialect == D.SPARK:
+        dense_h = "explode(sequence(b.hmin, b.hmax))"
+        lag_k = f"explode(sequence(1, {_ACF_MAX_LAG}))"
+    else:
+        dense_h = "unnest(generate_series(b.hmin, b.hmax))"
+        lag_k = f"unnest(generate_series(1, {_ACF_MAX_LAG}))"
+    return f"""
+        WITH hours AS (
+            SELECT cast({hour} as bigint) AS h,
+                   cast(count(*) as bigint) AS y
+            FROM {_ev(dialect)}
+            GROUP BY 1
+        ),
+        bounds AS (SELECT min(h) AS hmin, max(h) AS hmax FROM hours),
+        dense AS (
+            SELECT d.h, cast(coalesce(c.y, 0) as bigint) AS y
+            FROM (SELECT {dense_h} AS h FROM bounds b) d
+            LEFT JOIN hours c ON d.h = c.h
+        ),
+        gmom AS (
+            SELECT cast(count(*) as bigint) AS n,
+                   cast(sum(y) as bigint) AS s,
+                   cast(sum(y * y) as bigint) AS syy
+            FROM dense
+        ),
+        lags AS (SELECT cast(k as bigint) AS k FROM (SELECT {lag_k} AS k) lk),
+        pairs AS (
+            SELECT l.k,
+                   cast(count(*) as bigint) AS n_terms,
+                   cast(sum(a.y * c.y) as bigint) AS sxy,
+                   cast(sum(a.y) as bigint) AS sx,
+                   cast(sum(c.y) as bigint) AS sy
+            FROM lags l
+            JOIN dense a ON 1 = 1
+            JOIN dense c ON c.h = a.h + l.k
+            GROUP BY l.k
+        )
+        SELECT p.k AS lag,
+               p.n_terms,
+               (cast(p.sxy as double)
+                - (cast(g.s as double) / cast(g.n as double))
+                  * cast(p.sx as double)
+                - (cast(g.s as double) / cast(g.n as double))
+                  * cast(p.sy as double)
+                + cast(p.n_terms as double)
+                  * (cast(g.s as double) / cast(g.n as double))
+                  * (cast(g.s as double) / cast(g.n as double)))
+               / nullif(cast(g.syy as double)
+                        - cast(g.n as double)
+                          * (cast(g.s as double) / cast(g.n as double))
+                          * (cast(g.s as double) / cast(g.n as double)),
+                        0.0) AS acf
+        FROM pairs p
+        CROSS JOIN gmom g
+    """
+
+
+@register("events_autocorrelation", oracle=_acf_sql(D.DUCK), tags=("extension",))
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the hourly event series at lags 1..24
+    — the periodicity diagnostic that pairs with
+    events_seasonal_decompose (a daily cycle shows as a peak at lag
+    24). See _acf_sql for the exact-integer parity scheme and the
+    series-sized scale shape."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(_EV_VIEW)
+    return spark.sql(_acf_sql(D.SPARK))

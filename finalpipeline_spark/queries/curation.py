@@ -362,21 +362,37 @@ def _kmeans_sql(dialect: str, v_rel: str | None = None, ex_rel: str | None = Non
             f"SELECT vec_id, dim_i, cast(comp as double) AS comp FROM {v_src} "
             f"LATERAL VIEW posexplode(embedding) t AS dim_i, comp"
         )
-        cvec_agg = (
-            "transform(array_sort(collect_list(struct(dim_i, comp))), s -> s.comp)"
-        )
     else:
         expl = (
             f"SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim_i, "
             f"unnest(embedding)::double AS comp FROM {v_src}"
         )
-        cvec_agg = "list(comp ORDER BY dim_i)"
-    d1_dot = D.dot("a.embedding", "c.cvec", dim, dialect)
-    cnrm1 = D.dot("cvec", "cvec", dim, dialect)
     with_v = "" if v_rel else f"v AS (SELECT vec_id, embedding, {nrm} AS nrm FROM {_emb_tbl_cur(dialect)}),\n        "
     with_ex = "" if ex_rel else f"ex AS ({expl}),\n        "
     return f"""
-        WITH {with_v}{with_ex}s0 AS (
+        WITH {with_v}{with_ex}{_kmeans_assign_ctes(dialect, v_src, ex_src)}
+        SELECT a2.cid, e.dim_i, round(avg(e.comp), 6) AS centroid_component,
+               count(*) AS n_vectors
+        FROM a2 JOIN {ex_src} e ON a2.vec_id = e.vec_id
+        GROUP BY a2.cid, e.dim_i
+    """
+
+
+def _kmeans_assign_ctes(dialect: str, v_src: str, ex_src: str) -> str:
+    """The shared Lloyd-iteration CTE chain (seeds → assign → update →
+    assign), ending at ``a2`` (vec_id → cid) and ``c1n`` (cid, cvec,
+    cnrm) — consumed by BOTH the centroid query (_kmeans_sql) and the
+    trained-lists IVF search (_ivf_kmeans_sql)."""
+    dim = E.DIM
+    if dialect == D.SPARK:
+        cvec_agg = (
+            "transform(array_sort(collect_list(struct(dim_i, comp))), s -> s.comp)"
+        )
+    else:
+        cvec_agg = "list(comp ORDER BY dim_i)"
+    d1_dot = D.dot("a.embedding", "c.cvec", dim, dialect)
+    cnrm1 = D.dot("cvec", "cvec", dim, dialect)
+    return f"""s0 AS (
             SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
             FROM {v_src} WHERE vec_id < {_KM_K}
         ),
@@ -414,12 +430,7 @@ def _kmeans_sql(dialect: str, v_rel: str | None = None, ex_rel: str | None = Non
                     PARTITION BY vec_id ORDER BY dist, cid) AS rn
                 FROM d2
             ) t WHERE rn = 1
-        )
-        SELECT a2.cid, e.dim_i, round(avg(e.comp), 6) AS centroid_component,
-               count(*) AS n_vectors
-        FROM a2 JOIN {ex_src} e ON a2.vec_id = e.vec_id
-        GROUP BY a2.cid, e.dim_i
-    """
+        )"""
 
 
 def _emb_tbl_cur(dialect: str) -> str:
@@ -455,6 +466,115 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex.createOrReplaceTempView("__fps_km_ex")
     return spark.sql(_kmeans_sql(D.SPARK, v_rel="__fps_km_v", ex_rel="__fps_km_ex"))
+
+
+# --------------------------------------------------------------------------
+# IVF search over TRAINED lists (kmeans assignment, not the label column)
+# --------------------------------------------------------------------------
+_IVF_KM_NPROBE = 2
+_IVF_KM_K = 5
+
+
+def _ivf_kmeans_sql(dialect: str, v_rel: str | None = None, ex_rel: str | None = None) -> str:
+    """IVF-flat search whose inverted lists are the TRAINED kmeans
+    assignment (the _kmeans_sql Lloyd chain), not the label column —
+    the production coarse quantizer: lists follow the data's own
+    geometry, so recall at a fixed probe fraction is bounded below by
+    the label-partitioned variant's (measured at sf0.1 by
+    tests/test_recall_bounds.py, where trained lists roughly double
+    label-IVF recall on the synthetic corpus).
+
+    Same exactness scheme as _kmeans_sql/_ivf_topk_sql: sequential-fold
+    dot products, 6-dp-rounded centroid components, argmin/argmax ties
+    broken by id — both engines agree bit-for-bit.
+
+    Scale shape: the Lloyd chain is two broadcast assignment joins +
+    two K x DIM partial-sum shuffles; the search probes {nprobe} of
+    {k} lists via a |queries| x K broadcast cross join and scans ONLY
+    vectors whose a2 assignment matches a probed list — at 100 TB the
+    a2 relation is the persisted list index (plans/incremental_ann.py
+    maintains exactly this shape incrementally)."""
+    dim = E.DIM
+    nrm = D.dot("embedding", "embedding", dim, dialect)
+    v_src = v_rel or "v"
+    ex_src = ex_rel or "ex"
+    if dialect == D.SPARK:
+        expl = (
+            f"SELECT vec_id, dim_i, cast(comp as double) AS comp FROM {v_src} "
+            f"LATERAL VIEW posexplode(embedding) t AS dim_i, comp"
+        )
+        rn_cast = "cast(rn as int)"
+    else:
+        expl = (
+            f"SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim_i, "
+            f"unnest(embedding)::double AS comp FROM {v_src}"
+        )
+        rn_cast = "rn::int"
+    qc_dot = D.dot("q.embedding", "c.cvec", dim, dialect)
+    qe_dot = D.dot("q.embedding", "e.embedding", dim, dialect)
+    with_v = "" if v_rel else f"v AS (SELECT vec_id, embedding, {nrm} AS nrm FROM {_emb_tbl_cur(dialect)}),\n        "
+    with_ex = "" if ex_rel else f"ex AS ({expl}),\n        "
+    return f"""
+        WITH {with_v}{with_ex}{_kmeans_assign_ctes(dialect, v_src, ex_src)},
+        q AS (
+            SELECT vec_id, embedding, nrm FROM {v_src} WHERE vec_id % 50 = 0
+        ),
+        probe AS (
+            SELECT vec_id, cid FROM (
+                SELECT q.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY (q.nrm - 2 * {qc_dot} + c.cnrm), c.cid
+                       ) AS pr
+                FROM q CROSS JOIN c1n c
+            ) t WHERE pr <= {_IVF_KM_NPROBE}
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   ({qe_dot} / sqrt(q.nrm * e.nrm)) AS cosine
+            FROM probe p
+            JOIN q ON q.vec_id = p.vec_id
+            JOIN a2 ON a2.cid = p.cid
+            JOIN {v_src} e ON e.vec_id = a2.vec_id
+            WHERE e.vec_id != q.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, {rn_cast} AS rn
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM scored
+        ) t WHERE rn <= {_IVF_KM_K}
+    """
+
+
+@register("emb_ivf_kmeans_topk", oracle=_ivf_kmeans_sql(D.DUCK), tags=("extension",))
+def emb_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN search over TRAINED (kmeans) inverted lists — the
+    production counterpart of emb_ivf_topk's label-partitioned
+    demonstrator. See _ivf_kmeans_sql for semantics and the staged
+    relations (normed + exploded tables feed the Lloyd chain AND the
+    search)."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(E.SPARK_VIEW)
+    par = spark.sparkContext.defaultParallelism
+    nrm = D.dot("embedding", "embedding", E.DIM, D.SPARK)
+    v = scoped_cache(
+        spark.sql(
+            f"SELECT vec_id, embedding, {nrm} AS nrm FROM {E.SPARK_VIEW}"
+        ).repartition(par),
+        "emb_ivf_kmeans_topk",
+    )
+    v.createOrReplaceTempView("__fps_ivfkm_v")
+    ex = scoped_cache(
+        spark.sql(
+            "SELECT vec_id, dim_i, cast(comp as double) AS comp FROM __fps_ivfkm_v "
+            "LATERAL VIEW posexplode(embedding) t AS dim_i, comp"
+        ),
+        "emb_ivf_kmeans_topk",
+    )
+    ex.createOrReplaceTempView("__fps_ivfkm_ex")
+    return spark.sql(
+        _ivf_kmeans_sql(D.SPARK, v_rel="__fps_ivfkm_v", ex_rel="__fps_ivfkm_ex")
+    )
 
 
 # --------------------------------------------------------------------------

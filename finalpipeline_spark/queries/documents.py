@@ -1083,20 +1083,26 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters are near-cliques, so 2-3 rounds in practice.
 
     Scale notes: edges and labels are doc_id-keyed shuffles; each
-    round is one join + one groupBy. localCheckpoint truncates the
-    iteration lineage (without it the plan doubles per round). At
-    100 TB-with-deep-chains the alternating large-star/small-star
-    variant bounds per-round skew; the convergence protocol here is
-    unchanged. The DuckDB oracle is the same closure as a recursive
-    CTE.
+    round is one join + one groupBy. Lineage is truncated per round
+    via operators/checkpointing (without it the plan doubles per
+    round). At 100 TB-with-deep-chains — where diameter-bounded
+    rounds fail — the alternating large-star/small-star variant is
+    IMPLEMENTED as operators/components.connected_components
+    (O(log² n) rounds on any shape, proven equal to this query on the
+    real LSH pair graph by tests/test_components.py); label
+    propagation stays the shipped form here because LSH dup clusters
+    are near-cliques (2-3 rounds, fewer shuffles per round). The
+    DuckDB oracle is the same closure as a recursive CTE.
 
     Output: every clustered doc with its component id (= min doc_id in
     the component) and the canonical-keeper flag.
     """
+    from finalpipeline_spark.operators.checkpointing import truncate_lineage
+
     pairs = doc_dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
     fwd = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
     rev = pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
-    edges = fwd.union(rev).localCheckpoint()
+    edges = truncate_lineage(fwd.union(rev), eager=True)
     # Seed with round 1 fused into the initialization: every node is a
     # dst (edges are symmetrized), so min(self, in-neighbors) is one
     # aggregation — saving the identity-label pass and its join.
@@ -1107,8 +1113,8 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("doc_id"),
             F.least(F.col("dst"), F.col("nbr_min")).alias("label"),
         )
-        .localCheckpoint()
     )
+    labels = truncate_lineage(labels, eager=True)
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(50):
         nbr_min = (
@@ -1122,15 +1128,14 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("src_label").alias("nbr_min"))
             .select(F.col("dst").alias("doc_id"), "nbr_min")
         )
-        labels = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
+        labels = truncate_lineage(
+            labels.join(nbr_min, "doc_id", "left").select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
-            )
-            .localCheckpoint()
+            ),
+            eager=True,
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
@@ -1141,3 +1146,124 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_canonical"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact substring-level decontamination (variable-length token runs)
+# --------------------------------------------------------------------------
+_SUBSTR_SEED_N = 5       # seed shingle width (tokens)
+_SUBSTR_MIN_RUN = 8      # report pairs sharing a run of >= this many tokens
+_SUBSTR_DF_CAP = 50      # ignore seeds occurring more often (boilerplate)
+
+
+def _decontam_substring_sql(dialect: str) -> str:
+    """Eval→train pairs sharing an EXACT common token run of at least
+    {min_run} tokens, with the run length — the suffix-level
+    decontamination check (Lee et al.-style exact substring dedup)
+    that fixed-n shingle overlap cannot express: a 40-token verbatim
+    quote and eight scattered 5-gram coincidences look identical to
+    n-gram overlap, but only the former is contamination.
+
+    Method (seed-and-extend, all relational):
+      1. every {seed_n}-token shingle WITH ITS POSITION, per doc;
+      2. seeds occurring more than {df_cap} times corpus-wide are
+         dropped (boilerplate guard — and the skew bound: no seed can
+         fan out into more than df_cap^2 join pairs);
+      3. eval seeds equi-join train seeds on the seed STRING (exact,
+         no hashing — a match IS a common substring of {seed_n}
+         tokens);
+      4. matches on the same (eval_doc, train_doc) DIAGONAL
+         (train_pos - eval_pos) at consecutive positions are one
+         longer run: gaps-and-islands (pos - row_number) inside the
+         partitioned window groups them, and a run of c consecutive
+         seed starts covers c + {seed_n} - 1 tokens.
+
+    Exactness: run arithmetic is pure int64; the only join key is a
+    string equality — no floats anywhere.  Scale shape: one scan →
+    seed explode (data-sized but narrow) → frequency-capped equi-join
+    → windows partitioned by (pair, diagonal), never a global window,
+    never a cartesian product."""
+    toks = _toks(dialect)
+    n = _SUBSTR_SEED_N
+    if dialect == D.SPARK:
+        seeds_rel = f"""
+            SELECT doc_id, split, pos, seed
+            FROM (
+                SELECT doc_id, split,
+                       posexplode(CASE WHEN size(tk) >= {n}
+                           THEN transform(sequence(1, size(tk) - {n} + 1),
+                                          i -> array_join(slice(tk, i, {n}), ' '))
+                           ELSE array() END) AS (pos, seed)
+                FROM (SELECT doc_id, {{split}} AS split, {toks} AS tk
+                      FROM {_doc_tbl(dialect)}) t
+            ) s
+        """
+    else:
+        seeds_rel = f"""
+            SELECT doc_id, split,
+                   unnest(generate_series(1, len(sarr))) - 1 AS pos,
+                   unnest(sarr) AS seed
+            FROM (
+                SELECT doc_id, split,
+                       list_transform(
+                           generate_series(1, greatest(len(tk) - {n} + 1, 0)),
+                           i -> array_to_string(list_slice(tk, i, i + {n} - 1), ' ')
+                       ) AS sarr
+                FROM (SELECT doc_id, {{split}} AS split, {toks} AS tk
+                      FROM {_doc_tbl(dialect)}) t
+            ) s
+        """
+    seeds_rel = seeds_rel.format(split=_split_of("doc_id"))
+    return f"""
+        WITH seeds AS ({seeds_rel}),
+        rare AS (
+            SELECT seed FROM seeds
+            GROUP BY seed
+            HAVING count(*) <= {_SUBSTR_DF_CAP}
+        ),
+        cand AS (
+            SELECT e.doc_id AS eval_doc_id,
+                   t.doc_id AS train_doc_id,
+                   e.pos AS epos,
+                   t.pos - e.pos AS diag
+            FROM seeds e
+            JOIN rare r ON e.seed = r.seed
+            JOIN seeds t ON t.seed = e.seed
+            WHERE e.split = 'eval' AND t.split = 'train'
+        ),
+        islands AS (
+            SELECT eval_doc_id, train_doc_id, diag,
+                   epos - row_number() OVER (
+                       PARTITION BY eval_doc_id, train_doc_id, diag
+                       ORDER BY epos
+                   ) AS isl
+            FROM cand
+        ),
+        runs AS (
+            SELECT eval_doc_id, train_doc_id,
+                   cast(count(*) + {n} - 1 as bigint) AS run_tokens
+            FROM islands
+            GROUP BY eval_doc_id, train_doc_id, diag, isl
+        )
+        SELECT eval_doc_id, train_doc_id,
+               cast(max(run_tokens) as bigint) AS max_run_tokens,
+               cast(count(*) as bigint) AS n_runs
+        FROM runs
+        GROUP BY eval_doc_id, train_doc_id
+        HAVING max(run_tokens) >= {_SUBSTR_MIN_RUN}
+    """
+
+
+@register(
+    "doc_decontam_substring",
+    oracle=_decontam_substring_sql(D.DUCK),
+    tags=("extension",),
+)
+def doc_decontam_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level train/eval decontamination: the longest
+    verbatim common token run per straddling pair, via positioned seed
+    shingles + diagonal gaps-and-islands extension. Complements
+    doc_contamination_check (set-overlap Jaccard) with the
+    ORDER-SENSITIVE exact-match test. See _decontam_substring_sql."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_decontam_substring_sql(D.SPARK))

@@ -53,11 +53,12 @@ def register(
 # relational/tpch/multimodal/chembl; r3 checked training/curation/events;
 # r4 checked the 28 never-checked + all r4 additions — after r4,
 # cumulative attestation is COMPLETE (all 187 queries have a driver row:
-# 183 green + 4 rows-only by design).  Round 5 re-rotates OLDEST-FIRST
-# (VERDICT r4 item 1): the r1-attested families are 4 rounds stale and
-# the driver's events.ts physical encoding has changed twice since their
-# last driver row, so the window = every oracle-checkable r1 query
-# (events first) + the queries ADDED or REWIRED this round.  The 4
+# 183 green + 4 rows-only by design); r5 re-attested the r1 events
+# family + everything added/rewired in r5 (50/50 green).  Round 6
+# continues OLDEST-FIRST (VERDICT r5 item 2): the 7 queries whose only
+# driver row is r1 (deferred from the r5 window exactly as documented
+# there), then the full r2-attested relational/tpch/multimodal block,
+# plus the two queries ADDED this round (first driver row).  The 4
 # rows-only queries (chembl_crossscore_udf, ref_approx_distinct,
 # doc_bpe_learn_merges, doc_bpe_encode) get NO slots — their first-row
 # boxes are ticked and a rows-only slot can never go red or green.
@@ -69,74 +70,72 @@ def register(
 # [:52] and re-curate this list.
 _PRIORITY_MODULES: tuple[str, ...] = ()
 _PRIORITY_QUERIES = (
-    # -- every events-touching r1 query: the ts encoding has changed
-    #    twice since their only driver row --
-    "events_hourly_rollup",
-    "events_sliding_window",
-    "events_sessionize",
-    "events_json_extract",
-    "events_udaf_median",
-    "events_anomaly_zscore",
-    "events_user_deltas",
-    "events_top_users_per_type",
-    "events_salted_agg",
-    "events_asof_signup",
-    "events_range_self_join",
-    "events_window_frames",
-    "events_rank_functions",
-    "events_cohort_retention",
-    "events_conversion_funnel",
+    # -- the 7 queries whose ONLY driver row is r1 (deferred from the
+    #    r5 window; oldest evidence in the log) --
+    "tpch_rollup_sales",
+    "tpch_cube_sales",
+    "doc_top_ngrams",
+    "orders_date_math",
+    "orders_full_outer_reconcile",
+    "lineitem_percentiles",
+    "tpch_q11_share",
     # -- queries ADDED this round (first driver row) --
-    "events_seasonal_decompose",
-    "doc_entropy_by_source",
-    "emb_silhouette",
-    # -- queries REWIRED this round through operators/rank.py (driver
-    #    re-attestation that the scale path kept oracle equality) --
-    "orders_rfm_segments",
-    "lineitem_weighted_median",
-    "orders_gini_revenue",
-    "orders_median_gap",
-    "events_funnel_latency",
-    "lineitem_abc_analysis",
-    "part_skyline",
-    # -- remaining r1-attested staples, oldest evidence in the log --
-    "chembl_tanimoto_topk",
-    "chembl_id_resolution",
-    "doc_token_stats",
-    "doc_quality_score",
-    "doc_langid",
-    "doc_fingerprint",
-    "doc_bpe_token_count",
-    "doc_dedup_exact",
-    "doc_dedup_ngram_jaccard",
-    "doc_dedup_minhash_lsh",
-    "doc_simhash",
-    "doc_simhash_near_dup",
-    "doc_corpus_curation",
-    "doc_tfidf_topterms",
-    "doc_train_test_split",
-    "doc_sample_per_lang",
-    "doc_contamination_check",
-    "doc_dedup_clusters",
-    "doc_edit_distance_pairs",
-    "emb_cosine_topk",
-    "emb_lsh_buckets",
-    "emb_ivf_centroids",
-    "emb_scalar_quantize_int8",
-    "emb_ivf_topk",
-    "emb_near_dup_pairs",
+    "doc_decontam_substring",
+    "events_autocorrelation",
+    "emb_ivf_kmeans_topk",
+    # -- the full r2-attested block (last driver row 4 rounds ago):
+    #    reference-parity relational staples ... --
+    "flagship_datamart_chain",
+    "ref_clean_ids",
+    "ref_filter_project",
+    "ref_left_join_lookup",
+    "ref_anti_join_pairs",
+    "ref_dim_draft",
+    "ref_star_enrich",
+    "ref_view_avg_sim",
+    "ref_view_avg_absdiff",
+    "ref_view_avg_absdiff_nonull",
+    "ref_union_all",
+    "ref_except_all",
+    "ref_intersect",
+    "ref_counts",
+    "ref_topk_per_group",
+    "ref_tie_flag_topk",
+    "ref_orderby_limit",
+    # -- ... multimodal binary-payload operators (mm_feature_extract
+    #    yields its slot to emb_ivf_kmeans_topk, new-this-round; it
+    #    heads the r7 oldest list) ... --
+    "mm_image_meta",
+    "mm_frame_sample",
+    "mm_resize",
+    # -- ... and the r2 TPC-H block --
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_topk_join",
 )
 
-# Eight r1 queries deliberately deferred to the r6 rotation for window
-# space (the 50-slot line), displaced by queries CHANGED this round
-# (changed queries carry the higher re-attestation risk):
-# tpch_rollup_sales / tpch_cube_sales (same EXPAND+aggregate plan as
-# tpch_grouping_sets, re-attested green in r4), doc_top_ngrams (same
-# tokenize+explode+count shape as the window's doc_tfidf_topterms),
-# orders_date_math, orders_full_outer_reconcile, lineitem_percentiles,
-# tpch_q11_share (unchanged since r1, plain date/join/window logic),
-# lineitem_approx_quantiles (unchanged; its accuracy claim is now also
-# MEASURED at sf0.1 by tests/test_sketch_bounds.py).
+# After this window every query's LATEST driver row is r3 or newer
+# except mm_feature_extract (r2, displaced by the new
+# emb_ivf_kmeans_topk) — the r7 rotation starts there, then the
+# r3-attested block (doc training/curation + events families,
+# search/sketches), then r4's additions.
 # All stay covered by the local parity suite.
 _DEFER_QUERIES: tuple[str, ...] = ()
 

@@ -409,3 +409,28 @@ def test_seasonal_decompose_single_fact_scan(spark, sf_dir):
     df.collect()  # materialize the scoped cache
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 3  # every consumer cached
+
+
+def test_decontam_substring_bucket_bounded(spark, sf_dir):
+    """VERDICT r5 item 7's plan gate: the suffix-level decontamination
+    query's candidate generation is a seed-string EQUI-join (frequency-
+    capped buckets), never a cartesian, and its gaps-and-islands
+    windows are partitioned by (pair, diagonal) — no global window, no
+    Python in the plan."""
+    plan = _plan(spark, sf_dir, "doc_decontam_substring")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln and "OVER" not in ln]
+    assert win_lines, f"expected the islands window in the plan:\n{plan}"
+    for ln in win_lines:
+        assert "diag" in ln, f"unpartitioned window in decontam path: {ln}"
+
+
+def test_autocorrelation_series_sized_no_global_window(spark, sf_dir):
+    """The ACF query's lag alignment is an equi-join on the hour index;
+    the only data-sized operation is the one fact shuffle to hourly
+    cells — no window at all, no Python."""
+    plan = _plan(spark, sf_dir, "events_autocorrelation")
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,89 @@
+"""Measured ANN/LSH recall at sf0.1 (VERDICT r5 item 5): the recall
+sign-off queries attest VALUE-correctness of the approximation at
+sf0.01, but band/nprobe parameters that look fine at small corpora can
+degrade with growth — so the recall LEVEL itself is asserted here at
+bench scale, against documented floors.
+
+Measured context for the floors (synthetic testdata, 2026-08):
+
+* banded Tanimoto (24 bands x 2 rows over MinHash-48): recall 0.956,
+  high-similarity recall 0.978 — the banding survives the 4x corpus
+  growth with margin; floors 0.90 / 0.95.
+* label-partitioned IVF (emb_ivf_topk, nprobe 2 of 10): mean recall
+  0.245.  The synthetic embeddings are ISOTROPIC (intra-label and
+  inter-label cosine are indistinguishable), so list pruning can do no
+  better than its scan fraction (2/10) plus directional luck — this is
+  the data's information-theoretic bound, not a tuning bug, and the
+  floor (0.15) asserts the query never falls below the scan-fraction
+  baseline it is documented to deliver.
+* trained-lists IVF (emb_ivf_kmeans_topk, nprobe 2 of 8): mean recall
+  0.485 — kmeans lists roughly DOUBLE label-IVF recall at the same
+  probe budget even on isotropic data, which is exactly why the
+  production path trains its coarse quantizer.  Floors: >= 0.35
+  absolute and >= 1.5x the label-IVF mean (the lift is the claim).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from finalpipeline_spark.queries.registry import load_all
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+needs_sf01 = pytest.mark.skipif(
+    not os.path.isdir(SF01), reason="sf0.1 testdata absent"
+)
+
+SPECS = load_all()
+
+
+@needs_sf01
+def test_banded_tanimoto_recall_floor_at_sf01(spark):
+    row = SPECS["chembl_tanimoto_lsh_recall"].fn(spark, SF01).collect()[0]
+    assert row["n_dense"] > 0
+    assert row["recall"] >= 0.90, row.asDict()
+    # pairs whose true similarity clears the 0.3 relevance bar must be
+    # found at a stricter rate — banding concentrates recall where it
+    # matters
+    assert row["recall_hi"] >= 0.95, row.asDict()
+
+
+def _mean_recall(df) -> float:
+    rows = df.collect()
+    assert rows
+    return sum(r["recall"] for r in rows) / len(rows)
+
+
+@needs_sf01
+def test_label_ivf_recall_holds_scan_fraction_floor_at_sf01(spark):
+    """The label-partitioned IVF demonstrator on isotropic data: recall
+    is bounded by the probed scan fraction (2 of 10 lists); assert it
+    never degrades below that baseline as the corpus grows."""
+    mean = _mean_recall(SPECS["emb_ann_recall_eval"].fn(spark, SF01))
+    assert mean >= 0.15, f"label-IVF mean recall {mean:.3f} fell below floor"
+
+
+@needs_sf01
+def test_trained_ivf_recall_floor_and_lift_at_sf01(spark):
+    """The production path: kmeans-trained lists must clear an absolute
+    floor AND a measured lift over the label-assumed lists at the same
+    probe budget — the reason the coarse quantizer is trained."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SPECS["emb_cosine_topk"].fn(spark, SF01).collect()
+    }
+    km = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SPECS["emb_ivf_kmeans_topk"].fn(spark, SF01).collect()
+    }
+    assert exact
+    km_recall = len(exact & km) / len(exact)
+    assert km_recall >= 0.35, f"trained-IVF recall {km_recall:.3f} below floor"
+    label_mean = _mean_recall(SPECS["emb_ann_recall_eval"].fn(spark, SF01))
+    assert km_recall >= 1.5 * label_mean, (
+        f"trained lists should lift recall >=1.5x over label lists: "
+        f"{km_recall:.3f} vs {label_mean:.3f}"
+    )
