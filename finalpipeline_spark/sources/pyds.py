@@ -131,8 +131,31 @@ def _read_file_batches(path: str, fields: Sequence[tuple[str, str]]) -> Iterator
     yield from table.to_batches(max_chunksize=1 << 16)
 
 
+def _version_as_of_timestamp(root: str, live: dict[int, dict], ts: float) -> int:
+    """Latest live version at or before epoch ``ts`` — mirror of
+    VersionedTable.version_as_of_timestamp (same skew-adjusted
+    monotonic resolution; mtime fallback for pre-timestamp tables)."""
+    last = float("-inf")
+    winner = None
+    for v in sorted(live):
+        t = live[v].get("ts")
+        if t is None:
+            t = os.path.getmtime(os.path.join(root, _LOG_DIR, "v%012d.json" % v))
+        t = max(float(t), last + 1e-3)
+        last = t
+        if t <= ts:
+            winner = v
+    if winner is None:
+        raise ValueError(
+            f"no live version of {root} at or before epoch timestamp {ts}"
+        )
+    return winner
+
+
 class VersionedDataSource(DataSource):
-    """format("versioned"): option("root", ...), option("version", N)."""
+    """format("versioned"): option("root", ...) plus time travel via
+    option("version", N) — VERSION AS OF — or
+    option("timestampAsOf", epochSeconds) — TIMESTAMP AS OF."""
 
     @classmethod
     def name(cls) -> str:
@@ -143,7 +166,13 @@ class VersionedDataSource(DataSource):
         live = _live_manifests(root)
         if not live:
             raise ValueError(f"{root} has no live versions")
-        v = int(self.options.get("version", max(live)))
+        ts_opt = self.options.get("timestampAsOf")
+        if ts_opt is not None and "version" in self.options:
+            raise ValueError("pass version or timestampAsOf, not both")
+        if ts_opt is not None:
+            v = _version_as_of_timestamp(root, live, float(ts_opt))
+        else:
+            v = int(self.options.get("version", max(live)))
         if v not in live:
             raise ValueError(f"version {v} of {root} not found/expired")
         return live[v]

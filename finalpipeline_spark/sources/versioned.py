@@ -668,6 +668,11 @@ class VersionedTable:
             "parent": parent,
             "action": action,
             "schema": schema_ddl,
+            # wall-clock commit time: the raw input of timestamp time
+            # travel (version_as_of_timestamp adjusts for multi-writer
+            # clock skew at RESOLUTION time, Delta-style — recorded
+            # values stay honest)
+            "ts": round(time.time(), 3),
             "files": files,
         }
         if meta:
@@ -1118,9 +1123,19 @@ class VersionedTable:
         another table's root for shallow-cloned entries)."""
         return f"{entry.get('base', self.root)}/{entry['path']}"
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read (time travel when ``version`` is given): scans
-        exactly the manifest's file list — no directory listing."""
+    def read(
+        self,
+        version: int | None = None,
+        as_of_timestamp: float | None = None,
+    ) -> DataFrame:
+        """Snapshot read (time travel when ``version`` — VERSION AS OF —
+        or ``as_of_timestamp`` — TIMESTAMP AS OF, epoch seconds — is
+        given): scans exactly the manifest's file list — no directory
+        listing."""
+        if version is not None and as_of_timestamp is not None:
+            raise ValueError("pass version or as_of_timestamp, not both")
+        if as_of_timestamp is not None:
+            version = self.version_as_of_timestamp(as_of_timestamp)
         m = self.manifest(version)
         if not m["files"]:
             raise VersionNotFoundError(f"version {m['version']} is empty")
@@ -1308,7 +1323,9 @@ class VersionedTable:
 
     def history(self) -> DataFrame:
         """One row per live version: (version, parent, action, n_files,
-        n_rows) — the audit trail."""
+        n_rows, commit_ts) — the audit trail.  ``commit_ts`` is the
+        writer's recorded wall clock (epoch seconds; NULL for versions
+        committed before timestamps were recorded)."""
         rows = []
         for v in self.versions_live():
             m = self._read_manifest_file(v)
@@ -1319,11 +1336,52 @@ class VersionedTable:
                     m["action"],
                     len(m["files"]),
                     sum(f["rows"] for f in m["files"]),
+                    m.get("ts"),
                 )
             )
         return self.spark.createDataFrame(
-            rows, "version bigint, parent bigint, action string, n_files bigint, n_rows bigint"
+            rows,
+            "version bigint, parent bigint, action string, n_files bigint, "
+            "n_rows bigint, commit_ts double",
         )
+
+    def version_as_of_timestamp(self, ts: float) -> int:
+        """Latest live version whose ADJUSTED commit time is <= ``ts``
+        (epoch seconds) — Delta's TIMESTAMP AS OF semantics.
+
+        Commit times come from each manifest's recorded wall clock
+        (falling back to the manifest file's mtime for tables written
+        before timestamps were recorded) and are adjusted to be
+        strictly increasing across versions at resolution time: with
+        multiple writers on skewed clocks a later version can carry an
+        earlier raw timestamp, and un-adjusted resolution would make
+        time travel non-monotonic (asking for a LATER instant could
+        return an EARLIER version).  Raises when ``ts`` predates the
+        first live commit."""
+        adjusted = []
+        last = float("-inf")
+        for v in self.versions_live():
+            m = self._read_manifest_file(v)
+            t = m.get("ts")
+            if t is None:
+                t = (
+                    self._fs.getFileStatus(self._manifest_path(v))
+                    .getModificationTime()
+                    / 1000.0
+                )
+            t = max(float(t), last + 1e-3)
+            adjusted.append((v, t))
+            last = t
+        winner = None
+        for v, t in adjusted:
+            if t <= ts:
+                winner = v
+        if winner is None:
+            raise VersionNotFoundError(
+                f"no live version of {self.root} at or before epoch "
+                f"timestamp {ts}"
+            )
+        return winner
 
     # -- maintenance ---------------------------------------------------
     def recover_log(self) -> list[int]:

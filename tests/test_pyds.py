@@ -252,3 +252,35 @@ def test_stream_default_mode_still_rejects_mutation(spark, vt, tmp_path):
     reader = _stream_reader(vt.root)
     with pytest.raises(ValueError, match="content"):
         reader.partitions({"version": 1}, {"version": 2})
+
+
+def test_batch_timestamp_as_of(spark, vt):
+    """TIMESTAMP AS OF through the DataSource: resolves the same
+    version the native reader resolves, and rejects combining both
+    time-travel options."""
+    import time as _t
+
+    v0_ts = vt.manifest(0)["ts"]
+    mid = (v0_ts + vt.manifest(1)["ts"]) / 2.0
+    df = (
+        spark.read.format("versioned")
+        .option("root", vt.root)
+        .option("timestampAsOf", str(mid))
+        .load()
+    )
+    assert df.count() == 100  # v0 snapshot
+    now = (
+        spark.read.format("versioned")
+        .option("root", vt.root)
+        .option("timestampAsOf", str(_t.time() + 5))
+        .load()
+    )
+    assert now.count() == 130
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("versioned").option("root", vt.root).option(
+            "version", "0"
+        ).option("timestampAsOf", str(mid)).load().count()
+    with pytest.raises(Exception, match="at or before"):
+        spark.read.format("versioned").option("root", vt.root).option(
+            "timestampAsOf", str(v0_ts - 3600)
+        ).load().count()

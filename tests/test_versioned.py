@@ -1170,3 +1170,73 @@ def test_restore_quarantined_stale_raises_loudly(spark, table):
             table._p("_log", os.path.basename(slot)),
             1,
         )
+
+
+def test_timestamp_time_travel(spark, table):
+    """Delta TIMESTAMP AS OF parity: read(as_of_timestamp=...) resolves
+    the latest version committed at or before the instant; history()
+    carries the recorded wall clock."""
+    import time as _t
+
+    table.commit_overwrite(_df(spark, 0, 5, "v0"))
+    t0 = _t.time()
+    _t.sleep(0.05)
+    table.commit_append(_df(spark, 5, 8, "v1"))
+    _t.sleep(0.05)
+    t1 = _t.time()
+    table.commit_append(_df(spark, 8, 10, "v2"))
+
+    assert table.read(as_of_timestamp=t0).count() == 5
+    assert table.read(as_of_timestamp=t1).count() == 8
+    assert table.read(as_of_timestamp=_t.time() + 5).count() == 10
+    with pytest.raises(VersionNotFoundError):
+        table.read(as_of_timestamp=t0 - 3600)
+    with pytest.raises(ValueError):
+        table.read(version=0, as_of_timestamp=t0)
+    hist = table.history().collect()
+    ts_by_v = {r["version"]: r["commit_ts"] for r in hist}
+    assert all(ts_by_v[v] is not None for v in (0, 1, 2))
+
+
+def test_timestamp_resolution_is_monotonic_under_clock_skew(spark, table):
+    """A later version carrying an EARLIER raw wall clock (multi-writer
+    skew) must not make time travel non-monotonic: resolution adjusts
+    commit times to be strictly increasing (Delta semantics), and the
+    recorded values in history() stay honest (unadjusted)."""
+    import json as _json
+
+    table.commit_overwrite(_df(spark, 0, 5, "v0"))
+    table.commit_append(_df(spark, 5, 8, "v1"))
+    table.commit_append(_df(spark, 8, 10, "v2"))
+    # skew v1's recorded clock an hour into the past
+    p1 = os.path.join(table.root, "_log", "v%012d.json" % 1)
+    m1 = _json.loads(open(p1).read())
+    t0 = _json.loads(
+        open(os.path.join(table.root, "_log", "v%012d.json" % 0)).read()
+    )["ts"]
+    m1["ts"] = t0 - 3600.0
+    with open(p1, "w") as fh:
+        fh.write(_json.dumps(m1))
+    # adjusted order is still v0 < v1 < v2: asking for v0's instant
+    # yields v0 (not the skewed v1), and versions stay reachable in order
+    assert table.version_as_of_timestamp(t0) == 0
+    v2_ts = table.history().collect()[-1]["commit_ts"]
+    assert table.version_as_of_timestamp(v2_ts + 1) == 2
+    # history reports the raw recorded value
+    hist = {r["version"]: r["commit_ts"] for r in table.history().collect()}
+    assert hist[1] == m1["ts"]
+
+
+def test_timestamp_fallback_to_manifest_mtime_for_legacy_tables(spark, table):
+    """Tables written before commit timestamps existed resolve via the
+    manifest file's mtime."""
+    import json as _json
+    import time as _t
+
+    table.commit_overwrite(_df(spark, 0, 5, "v0"))
+    p0 = os.path.join(table.root, "_log", "v%012d.json" % 0)
+    m0 = _json.loads(open(p0).read())
+    del m0["ts"]
+    with open(p0, "w") as fh:
+        fh.write(_json.dumps(m0))
+    assert table.version_as_of_timestamp(_t.time() + 1) == 0
