@@ -103,6 +103,10 @@ class SchemaMismatchError(ValueError):
     ``merge_schema=True`` for additive evolution)."""
 
 
+class ConstraintViolationError(ValueError):
+    """Written rows violate a table CHECK constraint."""
+
+
 class VersionNotFoundError(LookupError):
     """Requested version does not exist (never written, or vacuumed)."""
 
@@ -562,10 +566,97 @@ class VersionedTable:
                 )
             time.sleep(0.02)
 
-    def _write_data_files(self, df: DataFrame) -> list[dict[str, Any]]:
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """The table's CHECK constraints (name → SQL predicate) at
+        ``version`` (default latest); empty for an empty table."""
+        try:
+            return dict(self.manifest(version).get("constraints") or {})
+        except VersionNotFoundError:
+            return {}
+
+    def _check_df(self, df: DataFrame, cons: dict[str, str]) -> None:
+        """One aggregate pass counting violations of every constraint
+        (SQL CHECK semantics: a row violates only when the predicate is
+        literally FALSE — NULL passes, as in ANSI and Delta)."""
+        aggs = [
+            F.sum(
+                F.when(F.expr(pred).eqNullSafe(F.lit(False)), 1).otherwise(0)
+            ).alias(f"__viol_{i}")
+            for i, pred in enumerate(cons.values())
+        ]
+        row = df.agg(*aggs).first()
+        for i, (name, pred) in enumerate(cons.items()):
+            n_bad = row[f"__viol_{i}"]
+            if n_bad:
+                raise ConstraintViolationError(
+                    f"CHECK constraint '{name}' ({pred}) violated by "
+                    f"{n_bad} written row(s) in {self.root}"
+                )
+
+    def add_constraint(
+        self, name: str, predicate: str, attempts: int = 10
+    ) -> CommitInfo:
+        """Delta-style ``ADD CONSTRAINT``: validate the EXISTING
+        snapshot satisfies ``predicate`` (one full scan, like Delta),
+        then record it in a metadata-only commit (files carried by
+        reference).  Every subsequent write validates its written rows
+        against all recorded constraints before committing."""
+        return self.commit_with_retry(
+            lambda t: t._add_constraint_once(name, predicate), attempts
+        )
+
+    def _add_constraint_once(self, name: str, predicate: str) -> CommitInfo:
+        m = self.manifest()
+        cons = dict(m.get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint '{name}' already exists on {self.root}")
+        if m["files"]:
+            self._check_df(self.read(m["version"]), {name: predicate})
+        cons[name] = predicate
+        return self._commit(
+            "add_constraint",
+            list(m["files"]),
+            m["schema"],
+            base_version=m["version"],
+            constraints=cons,
+        )
+
+    def drop_constraint(self, name: str, attempts: int = 10) -> CommitInfo:
+        """Remove a CHECK constraint (metadata-only commit)."""
+        return self.commit_with_retry(
+            lambda t: t._drop_constraint_once(name), attempts
+        )
+
+    def _drop_constraint_once(self, name: str) -> CommitInfo:
+        m = self.manifest()
+        cons = dict(m.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"no constraint '{name}' on {self.root}")
+        del cons[name]
+        return self._commit(
+            "drop_constraint",
+            list(m["files"]),
+            m["schema"],
+            base_version=m["version"],
+            constraints=cons,
+        )
+
+    def _write_data_files(
+        self, df: DataFrame, enforce: bool = True
+    ) -> list[dict[str, Any]]:
         """Write ``df`` into a fresh commit directory and return file
         entries (relative path, rows, min/max stats). The stats pass
-        re-reads only the new files (column-pruned, combines map-side)."""
+        re-reads only the new files (column-pruned, combines map-side).
+
+        ``enforce=True`` first validates the written rows against the
+        table's CHECK constraints (one extra aggregate pass — the
+        price of enforcement, skipped for rewrites of rows that are
+        already in the table: CoW delete/replace survivors and
+        optimize, whose content is provably unchanged)."""
+        if enforce:
+            cons = self.constraints()
+            if cons:
+                self._check_df(df, cons)
         commit_dir = f"{_DATA_DIR}/c{uuid.uuid4().hex}"
         abs_dir = f"{self.root}/{commit_dir}"
         df.write.mode("errorifexists").parquet(abs_dir)
@@ -644,6 +735,7 @@ class VersionedTable:
         schema_ddl: str,
         meta: dict[str, Any] | None = None,
         base_version: int | None | object = _NO_CAS,
+        constraints: dict[str, str] | None = None,
     ) -> CommitInfo:
         """``base_version`` is the compare-and-swap guard: the version
         the caller's file list was COMPUTED from (None = empty table).
@@ -677,6 +769,14 @@ class VersionedTable:
         }
         if meta:
             manifest["meta"] = meta
+        # CHECK constraints are table properties: carried forward from
+        # the parent manifest by every commit (including overwrite —
+        # replacing the data does not drop the rules), replaced only by
+        # the add/drop constraint commits that pass them explicitly.
+        if constraints is None and parent is not None:
+            constraints = self._read_manifest_file(parent).get("constraints")
+        if constraints:
+            manifest["constraints"] = dict(constraints)
         self._write_manifest(manifest)
         return CommitInfo(
             version=version,
@@ -828,7 +928,7 @@ class VersionedTable:
             survivors = self.spark.read.schema(self._schema_of(m)).parquet(
                 *rewrite_abs
             ).filter(~F.expr(predicate))
-            new_files = self._write_data_files(survivors)
+            new_files = self._write_data_files(survivors, enforce=False)
         return self._commit(
             "delete", keep + new_files, m["schema"], base_version=m["version"]
         )
@@ -1034,7 +1134,7 @@ class VersionedTable:
             survivors = self.spark.read.schema(self._schema_of(m)).parquet(
                 *rewrite_abs
             ).filter(~F.expr(predicate))
-            new_files += self._write_data_files(survivors)
+            new_files += self._write_data_files(survivors, enforce=False)
         new_files += self._write_data_files(df)
         return self._commit(
             "replace", keep + new_files, m["schema"], meta,
@@ -1076,7 +1176,7 @@ class VersionedTable:
             packed = current.coalesce(n_out)
         return self._commit(
             "optimize",
-            self._write_data_files(packed),
+            self._write_data_files(packed, enforce=False),
             m["schema"],
             base_version=m["version"],
         )
@@ -1114,6 +1214,7 @@ class VersionedTable:
             m["schema"],
             meta={"cloned_from": self.root, "source_version": m["version"]},
             base_version=dest.latest_version(),
+            constraints=m.get("constraints"),  # table properties clone too
         )
         return dest
 

@@ -4,6 +4,8 @@ and skipped (exactly-once effect); history stays time-travelable."""
 
 from __future__ import annotations
 
+import pytest
+
 from finalpipeline_spark.sources.versioned import VersionedTable
 from finalpipeline_spark.streaming.sinks import stream_append_versioned
 
@@ -59,3 +61,29 @@ def test_stream_versioned_append_and_replay(spark, tmp_path):
     _drain(spark, src, root, ckpt)
     assert len(vt.versions()) == n_versions
     assert vt.read().count() == 3
+
+
+def test_stream_append_respects_check_constraints(spark, tmp_path):
+    """A violating micro-batch must FAIL the epoch commit (surfacing as
+    a stream error) rather than silently landing bad rows — and no
+    version bump happens, so the retried epoch starts clean."""
+    from finalpipeline_spark.sources.versioned import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+    from finalpipeline_spark.streaming.sinks import versioned_append_epoch
+
+    root = str(tmp_path / "vt")
+    vt = VersionedTable(spark, root)
+    vt.commit_overwrite(
+        spark.createDataFrame([(1, "a")], _SCHEMA)
+    )
+    vt.add_constraint("id_pos", "id > 0")
+    v = vt.latest_version()
+    bad = spark.createDataFrame([(2, "b"), (-7, "x")], _SCHEMA)
+    with pytest.raises(ConstraintViolationError, match="id_pos"):
+        versioned_append_epoch(bad, root, "ck", 0)
+    assert vt.latest_version() == v
+    good = spark.createDataFrame([(2, "b")], _SCHEMA)
+    assert versioned_append_epoch(good, root, "ck", 0) is True
+    assert vt.read().count() == 2

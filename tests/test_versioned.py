@@ -1240,3 +1240,64 @@ def test_timestamp_fallback_to_manifest_mtime_for_legacy_tables(spark, table):
     with open(p0, "w") as fh:
         fh.write(_json.dumps(m0))
     assert table.version_as_of_timestamp(_t.time() + 1) == 0
+
+
+def test_check_constraints_enforced_on_writes(spark, table):
+    """Delta CHECK-constraint parity: add_constraint validates the
+    existing snapshot, every subsequent write validates its written
+    rows, NULL predicate results pass (ANSI CHECK semantics), and the
+    rules survive overwrite/optimize and can be dropped."""
+    from finalpipeline_spark.sources.versioned import ConstraintViolationError
+
+    table.commit_overwrite(_df(spark, 0, 10, "seed"))
+    table.add_constraint("id_nonneg", "id >= 0")
+    assert table.constraints() == {"id_nonneg": "id >= 0"}
+
+    # adding a constraint the existing data violates: rejected, no commit
+    v = table.latest_version()
+    with pytest.raises(ConstraintViolationError, match="id_small"):
+        table.add_constraint("id_small", "id < 5")
+    assert table.latest_version() == v
+    assert table.constraints() == {"id_nonneg": "id >= 0"}
+
+    # violating append rejected before any version bump
+    with pytest.raises(ConstraintViolationError, match="id_nonneg"):
+        table.commit_append(_df(spark, -5, -1, "bad"))
+    assert table.latest_version() == v
+    table.commit_append(_df(spark, 10, 15, "ok"))
+
+    # violating merge source rejected
+    with pytest.raises(ConstraintViolationError, match="id_nonneg"):
+        table.merge(_df(spark, -3, -2, "bad"), keys=["id"])
+
+    # NULL predicate result passes (ANSI CHECK): tag IS NULL → NULL > check
+    table.add_constraint("tag_t", "length(tag) >= 0 OR tag IS NULL")
+    nulls = spark.range(100, 103).selectExpr("id", "cast(NULL as string) as tag")
+    table.commit_append(nulls)
+
+    # constraints survive overwrite and optimize
+    table.commit_overwrite(_df(spark, 0, 4, "ow"))
+    assert set(table.constraints()) == {"id_nonneg", "tag_t"}
+    table.optimize(target_rows_per_file=100)
+    assert set(table.constraints()) == {"id_nonneg", "tag_t"}
+    with pytest.raises(ConstraintViolationError):
+        table.commit_append(_df(spark, -1, 0, "bad"))
+
+    # drop ends enforcement
+    table.drop_constraint("id_nonneg")
+    table.commit_append(_df(spark, -1, 0, "now ok"))
+    with pytest.raises(ValueError, match="no constraint"):
+        table.drop_constraint("id_nonneg")
+    with pytest.raises(ValueError, match="already exists"):
+        table.add_constraint("tag_t", "1 = 1")
+
+
+def test_check_constraint_cow_delete_skips_survivor_revalidation(spark, table):
+    """CoW delete rewrites surviving rows verbatim — enforcement is
+    skipped for them (they were validated when written), but the
+    delete still carries the constraints forward."""
+    table.commit_overwrite(_df(spark, 0, 10, "seed"))
+    table.add_constraint("id_nonneg", "id >= 0")
+    table.delete_where("id >= 5")
+    assert table.read().count() == 5
+    assert table.constraints() == {"id_nonneg": "id >= 0"}
