@@ -87,3 +87,44 @@ def test_trained_ivf_recall_floor_and_lift_at_sf01(spark):
         f"trained lists should lift recall >=1.5x over label lists: "
         f"{km_recall:.3f} vs {label_mean:.3f}"
     )
+
+
+@needs_sf01
+def test_simhash_banding_recall_is_exact_by_pigeonhole_at_sf01(spark):
+    """doc_simhash_near_dup claims EXACT recall at hamming <= 3 by
+    pigeonhole (4 chunks over 60 bits: any pair within 3 flips shares
+    at least one chunk). The oracle proves Spark == DuckDB, but both
+    could share a band-boundary bug vs the mathematical definition —
+    this differential rebuilds the ground truth by brute force (all
+    pairs, popcount of xor) at sf0.1 and asserts set EQUALITY: recall
+    1.0 (pigeonhole holds) and precision 1.0 (candidates are verified
+    by exact hamming)."""
+    from pyspark.sql import functions as F
+
+    from finalpipeline_spark.queries.documents import (
+        doc_simhash,
+        doc_simhash_near_dup,
+    )
+
+    sims = doc_simhash(spark, SF01).cache()
+    a = sims.select(
+        F.col("doc_id").alias("ida"), F.col("simhash").alias("sa")
+    )
+    b = sims.select(
+        F.col("doc_id").alias("idb"), F.col("simhash").alias("sb")
+    )
+    brute = {
+        (r["ida"], r["idb"], r["h"])
+        for r in a.crossJoin(b)
+        .where(F.col("ida") < F.col("idb"))
+        .withColumn("h", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .where(F.col("h") <= 3)
+        .collect()
+    }
+    banded = {
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+        for r in doc_simhash_near_dup(spark, SF01).collect()
+    }
+    sims.unpersist()
+    assert banded == brute
+    assert brute, "degenerate ground truth: no near-dup pairs at sf0.1"
