@@ -870,3 +870,159 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     series-sized scale shape."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView(_EV_VIEW)
     return spark.sql(_acf_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend exponential smoothing of the daily series per type
+# --------------------------------------------------------------------------
+_HOLT_ALPHA = "cast(0.3 as double)"   # level gain (cast: Spark parses bare
+_HOLT_BETA = "cast(0.1 as double)"    # trend gain   0.3 literals as DECIMAL)
+
+
+def _holt_sql(dialect: str) -> str:
+    """Holt double (linear-trend) exponential smoothing of each event
+    type's zero-filled daily count series:
+
+        l_t = a*y_t + (1-a)*(l_{{t-1}} + b_{{t-1}})
+        b_t = B*(l_t - l_{{t-1}}) + (1-B)*b_{{t-1}}
+
+    initialized l_1 = y_1, b_1 = y_2 - y_1, folded LEFT-TO-RIGHT over
+    the ordered series — the trend-aware sibling of events_ewma_value
+    (which this family's fold-parity scheme comes from): both engines
+    fold the same array in the same order with the same IEEE expression
+    tree (every leaf cast double; the series elements are wrapped in
+    {{'l','b'}} structs so the lambda TEXT is identical — only the
+    struct constructor differs per dialect), so level/trend/forecast
+    agree bit-for-bit with no rounding step.
+
+    Scale shape: one fact shuffle to (type, day) cells, then one
+    |types|-row aggregation whose per-row fold is O(days) — series
+    length scales with calendar time, not data volume; the dense grid
+    (types x days, gap days = 0) comes from a broadcast-sized
+    generate/sequence, and the 1-row bounds cross join is the same
+    device as events_autocorrelation."""
+    epoch_s = "ts_epoch_s" if dialect == D.SPARK else "(epoch_us(ts) // 1000000)"
+    day = D.idiv(epoch_s, 86400, dialect)
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    one_m_a, one_m_b = f"(cast(1 as double) - {a})", f"(cast(1 as double) - {b})"
+    if dialect == D.SPARK:
+        dense_day = "explode(sequence(bo.dmin, bo.dmax))"
+        ys = "transform(array_sort(collect_list(named_struct('day', day, 'y', y))), s -> cast(s.y as double))"
+        tail = "transform(slice(ys, 3, size(ys) - 2), v -> named_struct('l', v, 'b', cast(0 as double)))"
+        seed = "named_struct('l', element_at(ys, 1), 'b', element_at(ys, 2) - element_at(ys, 1))"
+        n_days = "cast(size(ys) as bigint)"
+        lp = "(" + a + " * x.l + " + one_m_a + " * (acc.l + acc.b))"
+        step = (
+            f"named_struct('l', {lp}, "
+            f"'b', {b} * ({lp} - acc.l) + {one_m_b} * acc.b)"
+        )
+        fold = f"aggregate({tail}, {seed}, (acc, x) -> {step})"
+    else:
+        # The oracle CANNOT use list_reduce with a struct accumulator:
+        # DuckDB evaluates the lambda's struct fields by overwriting
+        # the accumulator IN PLACE, so from the second iteration on a
+        # later field ('b') reads the earlier field's freshly-written
+        # value ('l' of THIS step) instead of the old state — verified
+        # against a Python reference fold (Spark's aggregate() is
+        # correct).  A recursive CTE carries (l, b) as plain columns —
+        # no in-place aliasing — with the same per-step expression
+        # tree, so the engines still agree bit-for-bit.
+        dense_day = "unnest(generate_series(bo.dmin, bo.dmax))"
+        lp = f"({a} * e.x + {one_m_a} * (r.l + r.b))"
+        return f"""
+        WITH RECURSIVE cells AS (
+            SELECT event_type, cast({day} as bigint) AS day,
+                   cast(count(*) as bigint) AS y
+            FROM {_ev(dialect)}
+            GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(day) AS dmin, max(day) AS dmax FROM cells),
+        grid AS (
+            SELECT t.event_type, d.day
+            FROM (SELECT DISTINCT event_type FROM cells) t
+            CROSS JOIN (SELECT {dense_day} AS day FROM bounds bo) d
+        ),
+        dense AS (
+            SELECT g.event_type, g.day,
+                   cast(coalesce(c.y, 0) as bigint) AS y
+            FROM grid g
+            LEFT JOIN cells c
+              ON c.event_type = g.event_type AND c.day = g.day
+        ),
+        idx AS (
+            SELECT event_type,
+                   row_number() OVER (PARTITION BY event_type ORDER BY day)
+                       AS i,
+                   cast(y as double) AS x
+            FROM dense
+        ),
+        n AS (
+            SELECT event_type, cast(count(*) as bigint) AS n_days
+            FROM idx GROUP BY 1
+        ),
+        rec AS (
+            SELECT e1.event_type, 2 AS i, e1.x AS l, e2.x - e1.x AS b
+            FROM idx e1
+            JOIN idx e2 ON e2.event_type = e1.event_type AND e2.i = 2
+            WHERE e1.i = 1
+            UNION ALL
+            SELECT r.event_type, r.i + 1,
+                   {lp} AS l,
+                   {b} * ({lp} - r.l) + {one_m_b} * r.b AS b
+            FROM rec r
+            JOIN idx e ON e.event_type = r.event_type AND e.i = r.i + 1
+        )
+        SELECT r.event_type, n.n_days,
+               r.l AS level,
+               r.b AS trend,
+               (r.l + r.b) AS forecast_next
+        FROM rec r
+        JOIN n ON n.event_type = r.event_type
+        WHERE r.i = n.n_days AND n.n_days >= 3
+    """
+    return f"""
+        WITH cells AS (
+            SELECT event_type, cast({day} as bigint) AS day,
+                   cast(count(*) as bigint) AS y
+            FROM {_ev(dialect)}
+            GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(day) AS dmin, max(day) AS dmax FROM cells),
+        grid AS (
+            SELECT t.event_type, d.day
+            FROM (SELECT DISTINCT event_type FROM cells) t
+            CROSS JOIN (SELECT {dense_day} AS day FROM bounds bo) d
+        ),
+        dense AS (
+            SELECT g.event_type, g.day,
+                   cast(coalesce(c.y, 0) as bigint) AS y
+            FROM grid g
+            LEFT JOIN cells c
+              ON c.event_type = g.event_type AND c.day = g.day
+        ),
+        series AS (
+            SELECT event_type, {ys} AS ys
+            FROM dense
+            GROUP BY event_type
+        ),
+        fitted AS (
+            SELECT event_type, {n_days} AS n_days, {fold} AS st
+            FROM series
+            WHERE {n_days} >= 3
+        )
+        SELECT event_type, n_days,
+               st.l AS level,
+               st.b AS trend,
+               (st.l + st.b) AS forecast_next
+        FROM fitted
+    """
+
+
+@register("events_holt_smoothing", oracle=_holt_sql(D.DUCK), tags=("extension",))
+def events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing per event type: final level, trend,
+    and one-step forecast over the zero-filled daily series. See
+    _holt_sql for the fold-parity scheme and series-sized scale
+    shape."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(_EV_VIEW)
+    return spark.sql(_holt_sql(D.SPARK))

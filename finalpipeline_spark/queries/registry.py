@@ -58,7 +58,7 @@ def register(
 # continues OLDEST-FIRST (VERDICT r5 item 2): the 7 queries whose only
 # driver row is r1 (deferred from the r5 window exactly as documented
 # there), then the full r2-attested relational/tpch/multimodal block,
-# plus the two queries ADDED this round (first driver row).  The 4
+# plus three of the queries ADDED this round (first driver row).  The 4
 # rows-only queries (chembl_crossscore_udf, ref_approx_distinct,
 # doc_bpe_learn_merges, doc_bpe_encode) get NO slots — their first-row
 # boxes are ticked and a rows-only slot can never go red or green.
@@ -133,10 +133,11 @@ _PRIORITY_QUERIES = (
 
 # After this window every query's LATEST driver row is r3 or newer
 # except mm_feature_extract (r2, displaced by the new
-# emb_ivf_kmeans_topk) — the r7 rotation starts there, then the
-# r3-attested block (doc training/curation + events families,
-# search/sketches), then r4's additions.
-# All stay covered by the local parity suite.
+# emb_ivf_kmeans_topk) and events_holt_smoothing (added late in r6,
+# registered outside the full window — no driver row yet) — the r7
+# rotation starts with those two, then the r3-attested block (doc
+# training/curation + events families, search/sketches), then r4's
+# additions.  All stay covered by the local parity suite.
 _DEFER_QUERIES: tuple[str, ...] = ()
 
 

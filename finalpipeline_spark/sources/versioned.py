@@ -1529,7 +1529,10 @@ class VersionedTable:
         return retired
 
     def vacuum(
-        self, retain_last: int = 1, grace_seconds: float = 7 * 24 * 3600
+        self,
+        retain_last: int = 1,
+        grace_seconds: float = 7 * 24 * 3600,
+        dry_run: bool = False,
     ) -> list[str]:
         """Delete data files referenced ONLY by versions older than the
         last ``retain_last`` live ones, plus orphan commit dirs from
@@ -1545,6 +1548,10 @@ class VersionedTable:
         could delete files a racing writer is about to reference,
         corrupting that version for all readers.  Tests (and callers
         that can prove no concurrent writers) pass ``grace_seconds=0``.
+
+        ``dry_run=True`` (Delta's VACUUM ... DRY RUN) returns the same
+        reclaimable-path list WITHOUT deleting anything or expiring any
+        manifest — the audit step before an irreversible retention run.
         """
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
@@ -1565,11 +1572,13 @@ class VersionedTable:
                     if st.getModificationTime() > cutoff_ms:
                         continue  # possibly an in-flight commit: retain
                     if name.startswith(("_", ".")):
-                        self._fs.delete(st.getPath(), False)
+                        if not dry_run:
+                            self._fs.delete(st.getPath(), False)
                     elif rel not in referenced:
-                        self._fs.delete(st.getPath(), False)
+                        if not dry_run:
+                            self._fs.delete(st.getPath(), False)
                         deleted.append(rel)
-                if not self._fs.listStatus(commit_st.getPath()):
+                if not dry_run and not self._fs.listStatus(commit_st.getPath()):
                     self._fs.delete(commit_st.getPath(), True)
         # reclaim aged recovery quarantines (.aborted-<uuid> fragments):
         # forensic value decays, and a busy log would otherwise grow one
@@ -1584,8 +1593,11 @@ class VersionedTable:
                 if (
                     ".aborted-" in name or name.startswith(".")
                 ) and st.getModificationTime() <= cutoff_ms:
-                    self._fs.delete(st.getPath(), False)
+                    if not dry_run:
+                        self._fs.delete(st.getPath(), False)
                     deleted.append(f"{_LOG_DIR}/{name}")
+        if dry_run:
+            return deleted
         for v in expired:
             m = self._read_manifest_file(v)
             if not m.get("expired"):

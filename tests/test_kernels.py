@@ -82,3 +82,46 @@ def test_tie_flag_tolerance_is_isclose(spark):
     # in-top 1, overall 2 -> flag 2.
     assert set(flags) == {1, 3}
     assert all(v == 2 for v in flags.values())
+
+
+def test_holt_smoothing_matches_python_reference_fold(spark, sf_dir):
+    """The engines agreeing (oracle parity) is not enough for an
+    iterative kernel — both could share a fold bug (DuckDB's
+    list_reduce struct-accumulator in-place aliasing was exactly such
+    a trap, documented in _holt_sql). Rebuild the expected values with
+    plain Python floats from the same dense daily series and require
+    EXACT equality."""
+    from pyspark.sql import functions as F
+
+    from finalpipeline_spark.queries.analytics import events_holt_smoothing
+    from finalpipeline_spark.tables import load_table
+
+    got = {
+        r["event_type"]: (r["n_days"], r["level"], r["trend"], r["forecast_next"])
+        for r in events_holt_smoothing(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy(
+            "event_type", F.expr("cast(ts_epoch_s div 86400 as bigint)").alias("day")
+        )
+        .count()
+        .collect()
+    )
+    by_type: dict[str, dict[int, int]] = {}
+    for r in cells:
+        by_type.setdefault(r["event_type"], {})[r["day"]] = r["count"]
+    dmin = min(d for m in by_type.values() for d in m)
+    dmax = max(d for m in by_type.values() for d in m)
+    alpha, beta = 0.3, 0.1
+    for t, m in by_type.items():
+        ys = [float(m.get(d, 0)) for d in range(dmin, dmax + 1)]
+        if len(ys) < 3:
+            assert t not in got
+            continue
+        lv, tr = ys[0], ys[1] - ys[0]
+        for x in ys[2:]:
+            lp = alpha * x + (1.0 - alpha) * (lv + tr)
+            tr = beta * (lp - lv) + (1.0 - beta) * tr
+            lv = lp
+        assert got[t] == (len(ys), lv, tr, lv + tr), t

@@ -1301,3 +1301,20 @@ def test_check_constraint_cow_delete_skips_survivor_revalidation(spark, table):
     table.delete_where("id >= 5")
     assert table.read().count() == 5
     assert table.constraints() == {"id_nonneg": "id >= 0"}
+
+
+def test_vacuum_dry_run_lists_without_deleting(spark, table):
+    """VACUUM DRY RUN parity: same reclaimable-path list, zero effect —
+    no file deleted, no manifest expired, and the subsequent real
+    vacuum reclaims exactly the previewed paths."""
+    table.commit_overwrite(_df(spark, 0, 10, "v0"))
+    table.commit_overwrite(_df(spark, 10, 20, "v1"))
+    preview = sorted(table.vacuum(retain_last=1, grace_seconds=0, dry_run=True))
+    assert preview  # v0's files are unreferenced by the retained head
+    # nothing happened: old snapshot still readable, files on disk
+    assert table.read(version=0).count() == 10
+    assert sorted(table.versions_live()) == [0, 1]
+    real = sorted(table.vacuum(retain_last=1, grace_seconds=0))
+    assert real == preview
+    with pytest.raises(VersionNotFoundError):
+        table.read(version=0)
