@@ -84,10 +84,57 @@ def _manifest_any(root: str, version: int) -> dict | None:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, change: str | None = None, version: int | None = None):
+    def __init__(
+        self,
+        path: str,
+        change: str | None = None,
+        version: int | None = None,
+        rel: str | None = None,      # manifest-relative path (DV join key)
+        dv: str | None = None,       # deletion-vector file covering path
+        dv_old: str | None = None,   # CDF dv-diff: the PREVIOUS vector
+        dv_diff: bool = False,       # CDF: emit newly-vectored rows only
+    ):
         self.path = path
         self.change = change        # CDF mode: 'insert' | 'delete'
         self.version = version      # CDF mode: the commit that caused it
+        self.rel = rel
+        self.dv = dv
+        self.dv_old = dv_old
+        self.dv_diff = dv_diff
+
+
+def _entry_partition(root: str, e: dict, **kw) -> _FilePartition:
+    """Partition for one manifest entry, carrying its deletion-vector
+    reference so the executor-side read can mask dead positions."""
+    base = e.get("base", root)
+    dv = e.get("dv")
+    return _FilePartition(
+        os.path.join(base, e["path"]),
+        rel=e["path"],
+        dv=os.path.join(dv.get("base", base), dv["path"]) if dv else None,
+        **kw,
+    )
+
+
+def _dv_positions_for(dv_path: str | None, rel: str) -> set[int]:
+    """Deleted row positions recorded for file ``rel`` in the vector at
+    ``dv_path`` (a Spark-written parquet directory). Bounded by that
+    file's deleted-row count — executor-side, never on the driver."""
+    if not dv_path:
+        return set()
+    import pyarrow.dataset as pds
+
+    parts = [
+        os.path.join(dv_path, f)
+        for f in os.listdir(dv_path)
+        if f.endswith(".parquet")
+    ]
+    if not parts:
+        return set()
+    t = pds.dataset(parts, format="parquet").to_table(
+        filter=pds.field("__file") == rel, columns=["__pos"]
+    )
+    return set(t["__pos"].to_pylist())
 
 
 # Spark simple-type DDL → Arrow type, for typed-NULL backfill of columns
@@ -114,10 +161,18 @@ def _arrow_type(ddl: str):
     )
 
 
-def _read_file_batches(path: str, fields: Sequence[tuple[str, str]]) -> Iterator:
+def _read_file_batches(
+    path: str,
+    fields: Sequence[tuple[str, str]],
+    drop_positions: set[int] | None = None,
+    keep_positions: set[int] | None = None,
+) -> Iterator:
     """One file → Arrow batches with the reader's column set. Columns
     the file predates (added later via merge_schema) are backfilled as
-    typed nulls, mirroring the JVM reader's impose-schema semantics."""
+    typed nulls, mirroring the JVM reader's impose-schema semantics.
+    ``drop_positions`` masks deletion-vector'd row positions out;
+    ``keep_positions`` selects exactly those positions (the CDF
+    dv-diff's newly-deleted rows)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -128,6 +183,14 @@ def _read_file_batches(path: str, fields: Sequence[tuple[str, str]]) -> Iterator
     for n, t in missing:
         table = table.append_column(n, pa.nulls(table.num_rows, _arrow_type(t)))
     table = table.select(names)
+    if drop_positions:
+        import numpy as np
+
+        mask = np.ones(table.num_rows, dtype=bool)
+        mask[np.fromiter(drop_positions, dtype=np.int64)] = False
+        table = table.filter(pa.array(mask))
+    elif keep_positions is not None:
+        table = table.take(pa.array(sorted(keep_positions), pa.int64()))
     yield from table.to_batches(max_chunksize=1 << 16)
 
 
@@ -273,7 +336,7 @@ class VersionedReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         return [
-            _FilePartition(os.path.join(e.get("base", self._root), e["path"]))
+            _entry_partition(self._root, e)
             for e in self._entries
             if self._may_match(e)
         ]
@@ -281,7 +344,11 @@ class VersionedReader(DataSourceReader):
     def read(self, partition: _FilePartition) -> Iterator:
         if partition is None:  # all files pruned → one None split
             return iter(())
-        return _read_file_batches(partition.path, self._fields)
+        return _read_file_batches(
+            partition.path,
+            self._fields,
+            drop_positions=_dv_positions_for(partition.dv, partition.rel),
+        )
 
 
 class VersionedStreamReader(DataSourceStreamReader):
@@ -352,16 +419,63 @@ class VersionedStreamReader(DataSourceStreamReader):
                     f"version {v} is '{cur['action']}': whole-table rewrite "
                     "has no row-level change feed — restart from a snapshot"
                 )
-            prev_paths = set(_abs_paths(self._root, prev)) if prev else set()
-            cur_paths = set(_abs_paths(self._root, cur))
+            prev_by = (
+                {os.path.join(f.get("base", self._root), f["path"]): f
+                 for f in prev["files"]}
+                if prev
+                else {}
+            )
+            cur_by = {
+                os.path.join(f.get("base", self._root), f["path"]): f
+                for f in cur["files"]
+            }
+            # entry-aware diffs: a dropped file's rows stream as deletes
+            # MINUS anything its deletion vector already killed, and a
+            # merge-on-read delete (same file list, changed vector ref)
+            # streams exactly the newly-vectored positions as deletes.
             parts += [
-                _FilePartition(p, "insert", v)
-                for p in sorted(cur_paths - prev_paths)
+                _entry_partition(self._root, cur_by[p], change="insert", version=v)
+                for p in sorted(set(cur_by) - set(prev_by))
             ]
             parts += [
-                _FilePartition(p, "delete", v)
-                for p in sorted(prev_paths - cur_paths)
+                _entry_partition(self._root, prev_by[p], change="delete", version=v)
+                for p in sorted(set(prev_by) - set(cur_by))
             ]
+            for p in sorted(set(cur_by) & set(prev_by)):
+                ne, oe = cur_by[p], prev_by[p]
+                if (ne.get("dv") or {}).get("path") == (oe.get("dv") or {}).get(
+                    "path"
+                ):
+                    continue
+                if not ne.get("dv"):
+                    # positions removed from a live entry = resurrected
+                    # rows; no writer produces this (rollback raises
+                    # above) — fail loud rather than mis-stream
+                    raise ValueError(
+                        f"version {v} dropped the deletion vector of "
+                        f"{ne['path']} in place — no row-level change "
+                        "feed for resurrection; restart from a snapshot"
+                    )
+                base = ne.get("base", self._root)
+                parts.append(
+                    _FilePartition(
+                        p,
+                        change="delete",
+                        version=v,
+                        rel=ne["path"],
+                        dv=os.path.join(
+                            ne["dv"].get("base", base), ne["dv"]["path"]
+                        ),
+                        dv_old=(
+                            os.path.join(
+                                oe["dv"].get("base", base), oe["dv"]["path"]
+                            )
+                            if oe.get("dv")
+                            else None
+                        ),
+                        dv_diff=True,
+                    )
+                )
             prev = cur
         return parts
 
@@ -417,18 +531,21 @@ class VersionedStreamReader(DataSourceStreamReader):
                     "from a fresh checkpoint"
                 ) from None
         base_paths = set(_abs_paths(self._root, base)) if base else set()
-        new = [
-            p
-            for p in _abs_paths(self._root, live[e])
-            if p not in base_paths
+        return [
+            _entry_partition(self._root, f)
+            for f in live[e]["files"]
+            if os.path.join(f.get("base", self._root), f["path"]) not in base_paths
         ]
-        return [_FilePartition(p) for p in new]
 
     def read(self, partition: _FilePartition) -> Iterator:
         if partition is None:  # empty partition list → one None split
             return iter(())
         if not self._cdf:
-            return _read_file_batches(partition.path, self._fields)
+            return _read_file_batches(
+                partition.path,
+                self._fields,
+                drop_positions=_dv_positions_for(partition.dv, partition.rel),
+            )
         return self._read_cdf_batches(partition)
 
     def _read_cdf_batches(self, partition: _FilePartition) -> Iterator:
@@ -437,7 +554,20 @@ class VersionedStreamReader(DataSourceStreamReader):
         data_fields = [
             (n, t) for n, t in self._fields if n not in self._META_COLS
         ]
-        for batch in _read_file_batches(partition.path, data_fields):
+        if partition.dv_diff:
+            keep = _dv_positions_for(
+                partition.dv, partition.rel
+            ) - _dv_positions_for(partition.dv_old, partition.rel)
+            batches = _read_file_batches(
+                partition.path, data_fields, keep_positions=keep
+            )
+        else:
+            batches = _read_file_batches(
+                partition.path,
+                data_fields,
+                drop_positions=_dv_positions_for(partition.dv, partition.rel),
+            )
+        for batch in batches:
             t = pa.Table.from_batches([batch])
             n = t.num_rows
             t = t.append_column(

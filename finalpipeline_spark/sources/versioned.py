@@ -33,6 +33,18 @@ mechanism behind Delta Lake / Apache Iceberg, reduced to its core:
   files); untouched files carry over into the new version by
   reference, so a delete touching 0.1% of files costs 0.1% of a
   rewrite.
+* **Merge-on-read deletion vectors.** ``delete_where(mode="mor")``
+  deletes WITHOUT rewriting any data file (Delta deletion-vector
+  parity): the matching rows' positions — ``_metadata.row_index``
+  within their immutable physical file — are written as one tiny
+  ``_dv/`` parquet per commit, and each affected manifest entry
+  references it. Readers anti-join the referenced positions back out
+  (broadcast-sized: bounded by deleted-row count, never table size).
+  A scattered 0.1%-of-rows delete costs kilobytes of position lists
+  instead of rewriting every hit file — at 100 TB the difference
+  between a metadata operation and a multi-TB rewrite. Any later
+  rewrite of a DV'd file (CoW delete/replace/merge/optimize) applies
+  the vector first, so rewrites purge vectors for free.
 * **Rollback is roll-forward.** ``rollback(v)`` commits a NEW version
   whose file list equals version v's — history is never rewritten, so
   concurrent readers of any version are unaffected.
@@ -63,7 +75,17 @@ from finalpipeline_spark.operators.compaction import _fs_and_path
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+_DV_DIR = "_dv"
 _MANIFEST_FMT = "v%012d.json"
+
+# A deletion-vector side is broadcast to the anti-join below this many
+# deleted rows (≈ tens of MB of (path, pos) pairs); beyond it, let the
+# join planner shuffle — a table carrying more DV'd rows than this
+# should be OPTIMIZE'd anyway.
+_DV_BROADCAST_ROWS = 5_000_000
+
+# (file, position) lineage schema shared by every deletion-vector file
+_DV_SCHEMA = "__file string, __pos bigint"
 
 
 _NO_CAS = object()  # commit_overwrite's "no compare-and-swap" sentinel
@@ -782,7 +804,7 @@ class VersionedTable:
             version=version,
             action=action,
             n_files=len(files),
-            n_rows=sum(f["rows"] for f in files),
+            n_rows=sum(self._entry_live_rows(f) for f in files),
         )
 
     def commit_with_retry(
@@ -898,39 +920,109 @@ class VersionedTable:
                 out.add(m[key])
         return out
 
-    def delete_where(self, predicate: str, attempts: int = 10) -> CommitInfo:
-        """Copy-on-write delete: rewrite only files containing matching
-        rows; all other files carry over by reference.  Retries the
-        whole derive+commit on a lost CAS race (``attempts=1`` restores
-        raise-on-conflict)."""
-        return self.commit_with_retry(
-            lambda t: t._delete_where_once(predicate), attempts
+    def delete_where(
+        self, predicate: str, attempts: int = 10, mode: str = "cow"
+    ) -> CommitInfo:
+        """Row delete, two physical strategies (Delta parity):
+
+        * ``mode="cow"`` (copy-on-write, default): rewrite only files
+          containing matching rows; all other files carry over by
+          reference. Best when deletes are clustered (whole partitions)
+          or the table is about to be read many times.
+        * ``mode="mor"`` (merge-on-read, Delta deletion vectors): no
+          data file is touched — the matching rows' (file, position)
+          pairs land in a tiny ``_dv/`` parquet and the affected
+          entries reference it; readers anti-join the positions back
+          out. Best for scattered deletes (GDPR row erasure across a
+          100 TB table writes kilobytes instead of rewriting every hit
+          file). A later rewrite of the file (CoW delete/replace/merge,
+          OPTIMIZE) applies and drops the vector.
+
+        Retries the whole derive+commit on a lost CAS race
+        (``attempts=1`` restores raise-on-conflict)."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        fn = (
+            (lambda t: t._delete_where_once(predicate))
+            if mode == "cow"
+            else (lambda t: t._delete_where_mor_once(predicate))
         )
+        return self.commit_with_retry(fn, attempts)
 
     def _delete_where_once(self, predicate: str) -> CommitInfo:
         m = self.manifest()
-        current = self.read()
-        hit_files = {
-            r["f"]
-            for r in current.filter(F.expr(predicate))
-            .select(F.col("_metadata.file_path").alias("f"))
+        schema = self._schema_of(m)
+        live = self._apply_dv(self._lineage_scan(m["files"], schema), m["files"])
+        hit_rels = {
+            r["__file"]
+            for r in live.filter(F.expr(predicate))
+            .select("__file")
             .distinct()
             .collect()  # bounded by file count, not rows
         }
-        keep, rewrite_abs = [], []
-        for entry in m["files"]:
-            if any(h.endswith(entry["path"]) for h in hit_files):
-                rewrite_abs.append(self._abs(entry))
-            else:
-                keep.append(entry)
+        keep = [e for e in m["files"] if e["path"] not in hit_rels]
+        rewrite = [e for e in m["files"] if e["path"] in hit_rels]
         new_files: list[dict[str, Any]] = []
-        if rewrite_abs:
-            survivors = self.spark.read.schema(self._schema_of(m)).parquet(
-                *rewrite_abs
-            ).filter(~F.expr(predicate))
+        if rewrite:
+            # the rewrite applies any existing deletion vector first, so
+            # DV'd rows stay dead and the new files carry no vector
+            survivors = self._scan_entries(rewrite, schema).filter(
+                ~F.expr(predicate)
+            )
             new_files = self._write_data_files(survivors, enforce=False)
         return self._commit(
             "delete", keep + new_files, m["schema"], base_version=m["version"]
+        )
+
+    def _delete_where_mor_once(self, predicate: str) -> CommitInfo:
+        m = self.manifest()
+        schema = self._schema_of(m)
+        bad = {"__file", "__pos"} & set(schema.fieldNames())
+        if bad:
+            raise ValueError(
+                f"merge-on-read delete reserves column names {sorted(bad)}"
+            )
+        live = self._apply_dv(self._lineage_scan(m["files"], schema), m["files"])
+        hits = live.filter(F.expr(predicate)).select("__file", "__pos")
+        # Consolidate: the new vector file carries old ∪ new positions
+        # for every AFFECTED file, so each entry references exactly one
+        # vector; entries untouched by this delete keep their old one.
+        per_file = {
+            r["__file"]: r["n"]
+            for r in hits.groupBy("__file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded by file count
+        }
+        if not per_file:
+            return self._commit(
+                "delete", list(m["files"]), m["schema"], base_version=m["version"]
+            )
+        affected = [e for e in m["files"] if e["path"] in per_file]
+        carried = self._dv_positions(affected)
+        dv_rel = f"{_DV_DIR}/d{uuid.uuid4().hex}"
+        # position lists are deleted-rows-sized — one output file
+        hits.unionByName(carried).coalesce(1).write.mode("errorifexists").parquet(
+            f"{self.root}/{dv_rel}"
+        )
+        new_entries = []
+        for e in m["files"]:
+            if e["path"] not in per_file:
+                new_entries.append(e)
+                continue
+            deleted = per_file[e["path"]] + (e.get("dv") or {}).get("deleted", 0)
+            if deleted >= e["rows"]:
+                # fully dead file: drop the entry outright (vacuum
+                # reclaims the data file once its versions expire)
+                continue
+            kept = {k: v for k, v in e.items() if k != "dv"}
+            kept["dv"] = {"path": dv_rel, "deleted": deleted}
+            if e.get("base", self.root) != self.root:
+                # carried (cloned) data file: the vector is OURS, not
+                # the source's — pin its base to this root
+                kept["dv"]["base"] = self.root
+            new_entries.append(kept)
+        return self._commit(
+            "delete", new_entries, m["schema"], base_version=m["version"]
         )
 
     def merge(
@@ -1021,33 +1113,30 @@ class VersionedTable:
                 f"merge source is not unique on {keys}: e.g. "
                 f"{tuple(dup[0][k] for k in keys)}"
             )
-        current = self.read()
-        # _metadata is only resolvable on the scan relation — project
-        # it (with the keys) BEFORE the join.
-        hit_files = {
-            r["f"]
-            for r in current.select(
-                F.col("_metadata.file_path").alias("f"), *keys
-            )
+        # lineage scan so existing deletion vectors are honored both in
+        # hit discovery and in the survivor rewrite (a DV'd row must
+        # neither mark its file as hit nor resurrect in the rewrite)
+        base_schema = self._schema_of(m)
+        live = self._apply_dv(
+            self._lineage_scan(m["files"], base_schema), m["files"]
+        )
+        hit_rels = {
+            r["__file"]
+            for r in live.select("__file", *keys)
             .join(source.select(*keys).distinct(), keys, "left_semi")
-            .select("f")
+            .select("__file")
             .distinct()
             .collect()  # bounded by file count, not rows
         }
-        keep, rewrite_abs = [], []
-        for entry in m["files"]:
-            if any(h.endswith(entry["path"]) for h in hit_files):
-                rewrite_abs.append(self._abs(entry))
-            else:
-                keep.append(entry)
+        keep = [e for e in m["files"] if e["path"] not in hit_rels]
+        rewrite = [e for e in m["files"] if e["path"] in hit_rels]
         upserts = (
             source.filter(~F.col(delete_col)) if delete_col else source
         ).select(*cols)
         new_files: list[dict[str, Any]] = []
-        if rewrite_abs:
+        if rewrite:
             survivors = (
-                self.spark.read.schema(schema)
-                .parquet(*rewrite_abs)
+                self._scan_entries(rewrite, schema)
                 .join(source.select(*keys).distinct(), keys, "left_anti")
             )
             new_files += self._write_data_files(survivors.unionByName(upserts))
@@ -1115,25 +1204,22 @@ class VersionedTable:
         self, predicate: str, df: DataFrame, meta: dict[str, Any] | None = None
     ) -> CommitInfo:
         m = self.manifest()
-        current = self.read()
-        hit_files = {
-            r["f"]
-            for r in current.filter(F.expr(predicate))
-            .select(F.col("_metadata.file_path").alias("f"))
+        schema = self._schema_of(m)
+        live = self._apply_dv(self._lineage_scan(m["files"], schema), m["files"])
+        hit_rels = {
+            r["__file"]
+            for r in live.filter(F.expr(predicate))
+            .select("__file")
             .distinct()
             .collect()  # bounded by file count, not rows
         }
-        keep, rewrite_abs = [], []
-        for entry in m["files"]:
-            if any(h.endswith(entry["path"]) for h in hit_files):
-                rewrite_abs.append(self._abs(entry))
-            else:
-                keep.append(entry)
+        keep = [e for e in m["files"] if e["path"] not in hit_rels]
+        rewrite = [e for e in m["files"] if e["path"] in hit_rels]
         new_files: list[dict[str, Any]] = []
-        if rewrite_abs:
-            survivors = self.spark.read.schema(self._schema_of(m)).parquet(
-                *rewrite_abs
-            ).filter(~F.expr(predicate))
+        if rewrite:
+            survivors = self._scan_entries(rewrite, schema).filter(
+                ~F.expr(predicate)
+            )
             new_files += self._write_data_files(survivors, enforce=False)
         new_files += self._write_data_files(df)
         return self._commit(
@@ -1164,7 +1250,7 @@ class VersionedTable:
             raise ValueError("pass cluster_by or zorder_by, not both")
         m = self.manifest()
         current = self.read()
-        total_rows = sum(f["rows"] for f in m["files"])
+        total_rows = sum(self._entry_live_rows(f) for f in m["files"])
         n_out = max(1, -(-total_rows // target_rows_per_file))
         if zorder_by:
             from finalpipeline_spark.operators.zorder import zorder_cluster
@@ -1224,6 +1310,97 @@ class VersionedTable:
         another table's root for shallow-cloned entries)."""
         return f"{entry.get('base', self.root)}/{entry['path']}"
 
+    def _dv_abs(self, entry: dict[str, Any]) -> str:
+        """Absolute path of an entry's deletion-vector file. A vector
+        normally lives under the same root as the data file it covers
+        (so shallow-cloned entries resolve through ``base`` like the
+        data) — EXCEPT when a clone MoR-deletes from a carried file:
+        the data stays under the source root while the new vector
+        lands under the clone's, recorded as the vector's own
+        ``base``."""
+        dv = entry["dv"]
+        base = dv.get("base", entry.get("base", self.root))
+        return f"{base}/{dv['path']}"
+
+    @staticmethod
+    def _entry_live_rows(entry: dict[str, Any]) -> int:
+        """Logical (live) row count of a file entry: physical rows
+        minus deletion-vector'd positions. Metadata-only."""
+        return entry["rows"] - (entry.get("dv") or {}).get("deleted", 0)
+
+    @staticmethod
+    def _rel_file_expr() -> F.Column:
+        """Manifest-relative path of each scanned row's physical file,
+        recovered from ``_metadata.file_path`` — the stable join key
+        between scans and deletion vectors (absolute paths differ per
+        clone base; ``data/c<uuid>/<part>`` never collides)."""
+        return F.regexp_extract(
+            F.col("_metadata.file_path"), r"(data/c[0-9a-f]{32}/[^/]+)$", 1
+        )
+
+    def _lineage_scan(self, entries: list[dict[str, Any]], schema) -> DataFrame:
+        """Scan ``entries`` exposing row lineage: ``__file`` (manifest-
+        relative path) and ``__pos`` (``_metadata.row_index`` — the
+        row's position within its immutable physical file) ahead of the
+        data columns. ``_metadata`` is only resolvable on the scan
+        relation, so lineage must be projected HERE, before any join."""
+        df = self.spark.read.schema(schema).parquet(*(self._abs(e) for e in entries))
+        return df.select(
+            self._rel_file_expr().alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+            *schema.fieldNames(),
+        )
+
+    def _dv_positions(self, entries: list[dict[str, Any]]) -> DataFrame:
+        """(__file, __pos) union of ``entries``' deletion vectors,
+        restricted to exactly those entries' files (a consolidated
+        vector file may also carry positions for files still
+        referencing an OLDER vector — those must not leak in)."""
+        paths = sorted({self._dv_abs(e) for e in entries if e.get("dv")})
+        if not paths:
+            return self.spark.createDataFrame([], _DV_SCHEMA)
+        rels = [e["path"] for e in entries if e.get("dv")]
+        return (
+            self.spark.read.schema(_DV_SCHEMA)
+            .parquet(*paths)
+            .where(F.col("__file").isin(rels))
+        )
+
+    def _apply_dv(self, lineage: DataFrame, entries: list[dict[str, Any]]) -> DataFrame:
+        """Filter a lineage scan down to LIVE rows by anti-joining the
+        entries' deletion vectors on (file, position). The vector side
+        is bounded by deleted-row count — broadcast when small."""
+        dv_entries = [e for e in entries if e.get("dv")]
+        if not dv_entries:
+            return lineage
+        dels = self._dv_positions(dv_entries)
+        if sum(e["dv"]["deleted"] for e in dv_entries) <= _DV_BROADCAST_ROWS:
+            dels = F.broadcast(dels)
+        return lineage.join(dels, ["__file", "__pos"], "left_anti")
+
+    def _scan_entries(self, entries: list[dict[str, Any]], schema) -> DataFrame:
+        """Content scan of ``entries`` honoring deletion vectors.
+        Entries without a vector keep the plain one-relation scan (so
+        ``_metadata`` stays resolvable for callers on the fast path);
+        DV'd entries route through the lineage anti-join."""
+        plain = [e for e in entries if not e.get("dv")]
+        dved = [e for e in entries if e.get("dv")]
+        parts = []
+        if plain:
+            parts.append(
+                self.spark.read.schema(schema).parquet(*(self._abs(e) for e in plain))
+            )
+        if dved:
+            parts.append(
+                self._apply_dv(self._lineage_scan(dved, schema), dved).select(
+                    *schema.fieldNames()
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(
         self,
         version: int | None = None,
@@ -1240,9 +1417,7 @@ class VersionedTable:
         m = self.manifest(version)
         if not m["files"]:
             raise VersionNotFoundError(f"version {m['version']} is empty")
-        return self.spark.read.schema(self._schema_of(m)).parquet(
-            *(self._abs(f) for f in m["files"])
-        )
+        return self._scan_entries(m["files"], self._schema_of(m))
 
     def read_changes(self, since_version: int, version: int | None = None) -> DataFrame:
         """Rows added after ``since_version`` (exclusive) up to
@@ -1280,8 +1455,9 @@ class VersionedTable:
         snapshot-summary shortcut). O(manifest), zero data I/O — at
         100 TB the difference between a dashboard refresh and a full
         scan. Exactness holds because files are immutable and every
-        commit path records counts from the written data."""
-        return sum(f["rows"] for f in self.manifest(version)["files"])
+        commit path records counts from the written data (deletion-
+        vector'd positions are subtracted from their entry's count)."""
+        return sum(self._entry_live_rows(f) for f in self.manifest(version)["files"])
 
     def read_changes_rows(
         self, since_version: int, version: int | None = None
@@ -1313,8 +1489,8 @@ class VersionedTable:
                     "has no row-level delta — reprocess from the snapshot"
                 )
             prev = self._read_manifest_file(v - 1)
-            prev_paths = {self._abs(f) for f in prev["files"]}
-            cur_paths = {self._abs(f) for f in m["files"]}
+            prev_by = {self._abs(f): f for f in prev["files"]}
+            cur_by = {self._abs(f): f for f in m["files"]}
             # Every step scans with the TARGET version's schema, not its
             # own commit's: evolution is additive-only, so the target
             # schema is a superset of every step's, and pre-evolution
@@ -1325,21 +1501,59 @@ class VersionedTable:
             # range spans a merge_schema commit — per-step schemas would
             # make the final unionByName raise on the missing columns.
             schema = self._schema_of(target)
-            added = sorted(cur_paths - prev_paths)
-            dropped = sorted(prev_paths - cur_paths)
-
-            def _scan(paths, sch):
-                return self.spark.read.schema(sch).parquet(*paths)
+            added = [cur_by[p] for p in sorted(set(cur_by) - set(prev_by))]
+            dropped = [prev_by[p] for p in sorted(set(prev_by) - set(cur_by))]
+            # A merge-on-read delete changes no file list — the delta
+            # lives in the deletion-vector references: rows at positions
+            # newly present in a file's vector are that commit's deletes
+            # (positions are never REMOVED from a live entry's vector —
+            # only rollback restores old references, and rollback raises
+            # above). Scans of added/dropped files are entry-aware too,
+            # so rows a vector already killed can't churn the diff.
+            dv_changed = [
+                (prev_by[p], cur_by[p])
+                for p in sorted(set(cur_by) & set(prev_by))
+                if (prev_by[p].get("dv") or {}).get("path")
+                != (cur_by[p].get("dv") or {}).get("path")
+            ]
             step = None
             if added:
-                ins = _scan(added, schema)
-                ins = ins if not dropped else ins.exceptAll(_scan(dropped, schema))
+                ins = self._scan_entries(added, schema)
+                ins = (
+                    ins
+                    if not dropped
+                    else ins.exceptAll(self._scan_entries(dropped, schema))
+                )
                 step = ins.withColumn("_change_type", F.lit("insert"))
             if dropped:
-                dels = _scan(dropped, schema)
-                dels = dels if not added else dels.exceptAll(_scan(added, schema))
+                dels = self._scan_entries(dropped, schema)
+                dels = (
+                    dels
+                    if not added
+                    else dels.exceptAll(self._scan_entries(added, schema))
+                )
                 dels = dels.withColumn("_change_type", F.lit("delete"))
                 step = dels if step is None else step.unionByName(dels)
+            if dv_changed:
+                old_e = [o for o, _ in dv_changed]
+                new_e = [n for _, n in dv_changed]
+                newly = self._dv_positions(new_e).join(
+                    self._dv_positions(old_e), ["__file", "__pos"], "left_anti"
+                )
+                n_newly = sum(
+                    (n.get("dv") or {}).get("deleted", 0)
+                    - (o.get("dv") or {}).get("deleted", 0)
+                    for o, n in dv_changed
+                )  # exact from manifest metadata — positions only grow
+                if n_newly <= _DV_BROADCAST_ROWS:
+                    newly = F.broadcast(newly)
+                dv_dels = (
+                    self._lineage_scan(new_e, schema)
+                    .join(newly, ["__file", "__pos"], "left_semi")
+                    .select(*schema.fieldNames())
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+                step = dv_dels if step is None else step.unionByName(dv_dels)
             if step is not None:
                 step = step.withColumn("_commit_version", F.lit(v))
                 out = step if out is None else out.unionByName(step)
@@ -1360,7 +1574,7 @@ class VersionedTable:
         from the manifest stats, before any footer is opened. The exact
         filter is still applied (over-selection only)."""
         m = self.manifest(version)
-        paths = []
+        hits = []
         for f in m["files"]:
             mn, mx = f["stats"].get(col, [None, None])
             try:
@@ -1372,12 +1586,11 @@ class VersionedTable:
                 # mirroring pyds._may_match.
                 keep = True
             if keep:
-                paths.append(self._abs(f))
-        if not paths:
+                hits.append(f)
+        if not hits:
             return self.read(version).filter(F.lit(False))
-        return (
-            self.spark.read.schema(self._schema_of(m)).parquet(*paths)
-            .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        return self._scan_entries(hits, self._schema_of(m)).filter(
+            (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
         )
 
     def read_point_lookup(
@@ -1390,14 +1603,14 @@ class VersionedTable:
         if self.bloom_col is None:
             raise ValueError("table was opened without a bloom_col")
         m = self.manifest(version)
-        paths = []
+        hits = []
         for f in m["files"]:
             bloom = f.get("bloom")
             if bloom is None or self._bloom_might_contain(bloom, value):
-                paths.append(self._abs(f))
-        if not paths:
+                hits.append(f)
+        if not hits:
             return self.read(version).filter(F.lit(False))
-        return self.spark.read.schema(self._schema_of(m)).parquet(*paths).filter(
+        return self._scan_entries(hits, self._schema_of(m)).filter(
             F.col(self.bloom_col) == F.lit(value)
         )
 
@@ -1415,11 +1628,14 @@ class VersionedTable:
                 f["rows"],
                 json.dumps(f.get("stats", {}), sort_keys=True),
                 "bloom" in f,
+                (f.get("dv") or {}).get("deleted", 0),
             )
             for f in m["files"]
         ]
         return self.spark.createDataFrame(
-            rows, "path string, base string, rows bigint, stats string, has_bloom boolean"
+            rows,
+            "path string, base string, rows bigint, stats string, "
+            "has_bloom boolean, dv_deleted bigint",
         )
 
     def history(self) -> DataFrame:
@@ -1436,7 +1652,7 @@ class VersionedTable:
                     m["parent"],
                     m["action"],
                     len(m["files"]),
-                    sum(f["rows"] for f in m["files"]),
+                    sum(self._entry_live_rows(f) for f in m["files"]),
                     m.get("ts"),
                 )
             )
@@ -1559,7 +1775,10 @@ class VersionedTable:
         retained, expired = live[-retain_last:], live[:-retain_last]
         referenced = set()
         for v in retained:
-            referenced |= {f["path"] for f in self._read_manifest_file(v)["files"]}
+            for f in self._read_manifest_file(v)["files"]:
+                referenced.add(f["path"])
+                if f.get("dv"):
+                    referenced.add(f["dv"]["path"])
         cutoff_ms = (time.time() - grace_seconds) * 1000.0
         deleted: list[str] = []
         data = self._p(_DATA_DIR)
@@ -1580,6 +1799,20 @@ class VersionedTable:
                         deleted.append(rel)
                 if not dry_run and not self._fs.listStatus(commit_st.getPath()):
                     self._fs.delete(commit_st.getPath(), True)
+        # reclaim deletion-vector files referenced only by expired
+        # versions (each _dv/d<uuid> dir is one delete commit's vector;
+        # grace applies — an in-flight MoR delete writes its vector
+        # before its manifest, exactly like data files)
+        dv = self._p(_DV_DIR)
+        if self._fs.exists(dv):
+            for st in self._fs.listStatus(dv):
+                rel = f"{_DV_DIR}/{st.getPath().getName()}"
+                if st.getModificationTime() > cutoff_ms:
+                    continue
+                if rel not in referenced:
+                    if not dry_run:
+                        self._fs.delete(st.getPath(), True)
+                    deleted.append(rel)
         # reclaim aged recovery quarantines (.aborted-<uuid> fragments):
         # forensic value decays, and a busy log would otherwise grow one
         # junk file per recovered crash forever

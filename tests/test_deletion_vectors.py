@@ -1,0 +1,233 @@
+"""Merge-on-read deletion vectors: delete without rewriting data files.
+
+Delta deletion-vector parity for the versioned table
+(sources/versioned.py): ``delete_where(mode="mor")`` records matching
+rows' (file, position) pairs in a tiny ``_dv/`` parquet instead of
+copy-on-write rewriting every hit file; every reader — snapshot,
+pruned, point-lookup, CDC, the format("versioned") DataSource, batch
+and stream — anti-joins the positions back out.  The reference engine
+overwrote tables in place (db_interact.py:115-130), so all deletion
+semantics here are new capability, not parity.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from finalpipeline_spark.sources.versioned import VersionedTable, cdf_final_state
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit_overwrite(
+        spark.range(0, 100)
+        .withColumn("grp", (F.col("id") % 10).cast("int"))
+        .repartition(4)
+    )
+    return t
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_mor_delete_rewrites_nothing(spark, table):
+    before = {f["path"] for f in table.manifest()["files"]}
+    info = table.delete_where("id % 7 = 0", mode="mor")
+    after = table.manifest()["files"]
+    # identical data-file set — the delete was pure metadata + a vector
+    assert {f["path"] for f in after} == before
+    assert info.action == "delete" and info.n_rows == 85
+    assert _ids(table.read()) == [i for i in range(100) if i % 7]
+    # live row count stays metadata-only and DV-adjusted
+    assert table.count_rows() == 85
+    assert sum(f["dv"]["deleted"] for f in after if f.get("dv")) == 15
+    # history's n_rows is the live count too
+    hist = {r["version"]: r["n_rows"] for r in table.history().collect()}
+    assert hist[1] == 85
+
+
+def test_mor_consolidates_and_time_travels(spark, table):
+    table.delete_where("id % 7 = 0", mode="mor")
+    table.delete_where("id % 5 = 0", mode="mor")
+    want = [i for i in range(100) if i % 7 and i % 5]
+    assert _ids(table.read()) == want
+    # each entry references exactly ONE vector (old ∪ new consolidated)
+    for e in table.manifest()["files"]:
+        if e.get("dv"):
+            assert isinstance(e["dv"]["path"], str)
+    # time travel sees every historical snapshot
+    assert table.read(0).count() == 100
+    assert _ids(table.read(1)) == [i for i in range(100) if i % 7]
+
+
+def test_mor_noop_and_fully_dead_file(spark, tmp_path, table):
+    v = table.latest_version()
+    table.delete_where("id > 1000", mode="mor")  # no matches
+    assert table.latest_version() == v + 1
+    assert all("dv" not in f for f in table.manifest()["files"])
+    t2 = VersionedTable(spark, str(tmp_path / "dead"))
+    t2.commit_overwrite(spark.range(0, 10).repartition(2))
+    t2.delete_where("true", mode="mor")
+    # fully-dead files are dropped from the manifest outright
+    assert t2.manifest()["files"] == [] and t2.count_rows() == 0
+
+
+def test_rewrites_apply_vectors_first(spark, table):
+    table.delete_where("id % 5 = 0", mode="mor")
+    # CoW delete of grp=3 rewrites those files WITH the vector applied:
+    # nothing resurrects, rewritten files carry no vector
+    table.delete_where("grp = 3", mode="cow")
+    want = [i for i in range(100) if i % 5 and i % 10 != 3]
+    assert _ids(table.read()) == want
+    # merge: upsert one key, DV'd keys stay dead
+    src = spark.createDataFrame([(41, 99), (999, 1)], "id bigint, grp int")
+    table.merge(src, ["id"])
+    got = {r["id"]: r["grp"] for r in table.read().collect()}
+    assert got[41] == 99 and got[999] == 1 and 40 not in got
+    # optimize purges every vector while preserving content
+    n = table.count_rows()
+    table.optimize(target_rows_per_file=1000)
+    assert all("dv" not in f for f in table.manifest()["files"])
+    assert table.count_rows() == n == table.read().count()
+
+
+def test_pruned_and_point_reads_honor_vectors(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "vt"), bloom_col="id")
+    t.commit_overwrite(spark.range(0, 100).repartition(4))
+    t.delete_where("id = 42", mode="mor")
+    assert t.read_pruned("id", 40, 45).count() == 5
+    assert t.read_point_lookup(42).count() == 0
+    assert t.read_point_lookup(43).count() == 1
+
+
+def test_cdc_streams_mor_deletes(spark, table):
+    table.delete_where("id % 7 = 0", mode="mor")
+    table.delete_where("id % 5 = 0", mode="mor")
+    ch = table.read_changes_rows(0)
+    assert ch.filter("_change_type = 'insert'").count() == 0
+    d1 = _ids(ch.filter("_commit_version = 1"))
+    d2 = _ids(ch.filter("_commit_version = 2"))
+    assert d1 == [i for i in range(100) if i % 7 == 0]
+    assert d2 == [i for i in range(100) if i % 5 == 0 and i % 7]
+    # replication converges through a MoR producer
+    final = cdf_final_state(ch, ["id"])
+    dead = _ids(final.filter("__delete"))
+    assert dead == sorted(set(d1) | set(d2))
+
+
+def test_cdc_mixed_mor_and_cow(spark, table):
+    table.delete_where("id % 7 = 0", mode="mor")
+    table.commit_append(
+        spark.range(200, 210).withColumn("grp", F.lit(1).cast("int"))
+    )
+    table.delete_where("grp = 3", mode="cow")
+    ch = table.read_changes_rows(0)
+    final = cdf_final_state(ch, ["id"])
+    # the feed is a DELTA over the v0 snapshot: CoW churn (survivor
+    # delete+insert) collapses, DV deletes and the append survive
+    dead = set(_ids(final.filter("__delete")))
+    ups = set(_ids(final.filter("NOT __delete")))
+    assert dead == {i for i in range(100) if i % 7 == 0 or i % 10 == 3}
+    assert ups == set(range(200, 210))
+    # folding the delta onto the base reproduces the head snapshot
+    base = {r["id"] for r in table.read(0).collect()}
+    assert sorted((base - dead) | ups) == _ids(table.read())
+
+
+def test_replicate_from_mor_producer(spark, tmp_path, table):
+    table.delete_where("id % 7 = 0", mode="mor")
+    consumer = VersionedTable(spark, str(tmp_path / "replica"))
+    consumer.commit_overwrite(table.read(0))
+    consumer.replicate_from(table, ["id"], since_version=0)
+    assert _ids(consumer.read()) == _ids(table.read())
+
+
+def test_vacuum_reclaims_expired_vectors(spark, table):
+    table.delete_where("id % 7 = 0", mode="mor")   # vector A (v1)
+    table.delete_where("id % 5 = 0", mode="mor")   # vector B (v2, consolidated)
+    dv_a = next(
+        f["dv"]["path"] for f in table.manifest(1)["files"] if f.get("dv")
+    )
+    dv_b = next(
+        f["dv"]["path"] for f in table.manifest(2)["files"] if f.get("dv")
+    )
+    assert dv_a != dv_b
+    preview = table.vacuum(retain_last=1, grace_seconds=0, dry_run=True)
+    assert dv_a in preview and dv_b not in preview
+    deleted = table.vacuum(retain_last=1, grace_seconds=0)
+    assert dv_a in deleted and dv_b not in deleted
+    # the live snapshot still reads correctly through vector B
+    assert _ids(table.read()) == [i for i in range(100) if i % 7 and i % 5]
+    assert not glob.glob(f"{table.root}/{dv_a}")
+
+
+def test_clone_carries_vectors(spark, tmp_path, table):
+    table.delete_where("id % 7 = 0", mode="mor")
+    clone = table.clone_to(str(tmp_path / "clone"))
+    assert _ids(clone.read()) == _ids(table.read())
+    # the clone's own MoR delete lands under its own root
+    clone.delete_where("id = 1", mode="mor")
+    assert clone.read().filter("id = 1").count() == 0
+    assert table.read().filter("id = 1").count() == 1
+
+
+def test_mor_respects_check_constraints_scope(spark, table):
+    # deletes can't violate CHECK constraints: a MoR delete on a
+    # constrained table commits without a validation scan
+    table.add_constraint("pos_id", "id >= 0")
+    table.delete_where("id % 2 = 0", mode="mor")
+    assert table.count_rows() == 50
+    assert "pos_id" in table.constraints()
+
+
+def test_pyds_batch_honors_vectors(spark, table):
+    from finalpipeline_spark.sources.pyds import register_versioned_source
+
+    register_versioned_source(spark)
+    table.delete_where("id % 7 = 0", mode="mor")
+    df = spark.read.format("versioned").option("root", table.root).load()
+    assert _ids(df) == [i for i in range(100) if i % 7]
+    # filter pushdown pruning composes with the vector mask
+    assert _ids(df.filter("id < 20")) == [i for i in range(20) if i % 7]
+    v0 = (
+        spark.read.format("versioned")
+        .option("root", table.root)
+        .option("version", 0)
+        .load()
+    )
+    assert v0.count() == 100
+
+
+def test_pyds_change_feed_streams_mor_deletes(spark, tmp_path, table):
+    from finalpipeline_spark.sources.pyds import register_versioned_source
+
+    register_versioned_source(spark)
+    table.delete_where("id % 7 = 0", mode="mor")
+    table.delete_where("id % 5 = 0", mode="mor")
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("versioned")
+        .option("root", table.root)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    fed = spark.read.parquet(out)
+    assert _ids(fed.filter("_change_type = 'insert'")) == list(range(100))
+    d1 = _ids(fed.filter("_change_type = 'delete' AND _commit_version = 1"))
+    d2 = _ids(fed.filter("_change_type = 'delete' AND _commit_version = 2"))
+    assert d1 == [i for i in range(100) if i % 7 == 0]
+    assert d2 == [i for i in range(100) if i % 5 == 0 and i % 7]
+    # keyed replay of the feed converges to the head snapshot
+    alive = _ids(cdf_final_state(fed, ["id"]).filter("NOT __delete"))
+    assert alive == _ids(table.read())

@@ -290,7 +290,9 @@ def test_files_metadata_table(spark, table):
     table.commit_overwrite(_df(spark, 0, 50, "a").coalesce(1))
     table.commit_append(_df(spark, 50, 60, "b").coalesce(1))
     files = table.files()
-    assert files.columns == ["path", "base", "rows", "stats", "has_bloom"]
+    assert files.columns == [
+        "path", "base", "rows", "stats", "has_bloom", "dv_deleted"
+    ]
     rows = files.collect()
     assert sum(r.rows for r in rows) == 60
     assert all(r.base == table.root for r in rows)
