@@ -1025,6 +1025,65 @@ class VersionedTable:
             "delete", new_entries, m["schema"], base_version=m["version"]
         )
 
+    def update_where(
+        self,
+        predicate: str,
+        assignments: dict[str, str],
+        attempts: int = 10,
+    ) -> CommitInfo:
+        """Delta-style UPDATE: ``SET col = expr`` for rows matching
+        ``predicate``, one atomic copy-on-write commit.  Only files
+        containing matching rows are rewritten (non-matching rows in a
+        hit file are carried through the rewrite verbatim; untouched
+        files carry over by reference), so an update touching 0.1% of
+        files costs 0.1% of a rewrite.  Each assignment expression is
+        cast to the column's existing type — UPDATE never changes the
+        schema — and the rewritten rows pass CHECK-constraint
+        validation before the commit (an update CAN violate, unlike a
+        delete).  Retries the whole derive+commit on a lost CAS race
+        (``attempts=1`` restores raise-on-conflict)."""
+        return self.commit_with_retry(
+            lambda t: t._update_where_once(predicate, assignments), attempts
+        )
+
+    def _update_where_once(
+        self, predicate: str, assignments: dict[str, str]
+    ) -> CommitInfo:
+        if not assignments:
+            raise ValueError("update_where needs at least one assignment")
+        m = self.manifest()
+        schema = self._schema_of(m)
+        by_name = {f.name: f for f in schema.fields}
+        unknown = sorted(set(assignments) - set(by_name))
+        if unknown:
+            raise ValueError(f"unknown columns in assignments: {unknown}")
+        live = self._apply_dv(self._lineage_scan(m["files"], schema), m["files"])
+        hit_rels = {
+            r["__file"]
+            for r in live.filter(F.expr(predicate))
+            .select("__file")
+            .distinct()
+            .collect()  # bounded by file count, not rows
+        }
+        keep = [e for e in m["files"] if e["path"] not in hit_rels]
+        rewrite = [e for e in m["files"] if e["path"] in hit_rels]
+        new_files: list[dict[str, Any]] = []
+        if rewrite:
+            pred = F.expr(predicate)
+            cols = [
+                F.when(pred, F.expr(assignments[c]).cast(by_name[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in schema.fieldNames()
+            ]
+            updated = self._scan_entries(rewrite, schema).select(*cols)
+            new_files = self._write_data_files(updated)
+        return self._commit(
+            "replace", keep + new_files, m["schema"], base_version=m["version"]
+        )
+
     def merge(
         self,
         source: DataFrame,
