@@ -1030,33 +1030,57 @@ class VersionedTable:
         predicate: str,
         assignments: dict[str, str],
         attempts: int = 10,
+        mode: str = "cow",
     ) -> CommitInfo:
         """Delta-style UPDATE: ``SET col = expr`` for rows matching
-        ``predicate``, one atomic copy-on-write commit.  Only files
-        containing matching rows are rewritten (non-matching rows in a
-        hit file are carried through the rewrite verbatim; untouched
-        files carry over by reference), so an update touching 0.1% of
-        files costs 0.1% of a rewrite.  Each assignment expression is
-        cast to the column's existing type — UPDATE never changes the
-        schema — and the rewritten rows pass CHECK-constraint
-        validation before the commit (an update CAN violate, unlike a
-        delete).  Retries the whole derive+commit on a lost CAS race
-        (``attempts=1`` restores raise-on-conflict)."""
-        return self.commit_with_retry(
-            lambda t: t._update_where_once(predicate, assignments), attempts
+        ``predicate``, one atomic commit.  Two physical strategies:
+
+        * ``mode="cow"`` (copy-on-write, default): only files
+          containing matching rows are rewritten (non-matching rows in
+          a hit file are carried through the rewrite verbatim;
+          untouched files carry over by reference), so an update
+          touching 0.1% of files costs 0.1% of a rewrite.  Best when
+          updates are clustered or the table is read-hot.
+        * ``mode="mor"`` (merge-on-read): no hit file is rewritten —
+          the matched rows' positions land in a deletion vector (the
+          old values die in place) and ONLY the updated rows are
+          appended as new files.  A scattered update of 10k rows
+          across a 100 TB table writes 10k rows + a kilobyte vector
+          instead of rewriting every hit file; a later CoW pass or
+          OPTIMIZE folds the vectors away.
+
+        Each assignment expression is cast to the column's existing
+        type — UPDATE never changes the schema — and the updated rows
+        pass CHECK-constraint validation before the commit (an update
+        CAN violate, unlike a delete).  Retries the whole
+        derive+commit on a lost CAS race (``attempts=1`` restores
+        raise-on-conflict)."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        fn = (
+            (lambda t: t._update_where_once(predicate, assignments))
+            if mode == "cow"
+            else (lambda t: t._update_where_mor_once(predicate, assignments))
         )
+        return self.commit_with_retry(fn, attempts)
+
+    def _update_schema(self, m: dict[str, Any], assignments: dict[str, str]):
+        """Shared UPDATE validation: resolve the snapshot schema and
+        reject empty / unknown-column assignment maps."""
+        if not assignments:
+            raise ValueError("update_where needs at least one assignment")
+        schema = self._schema_of(m)
+        unknown = sorted(set(assignments) - set(schema.fieldNames()))
+        if unknown:
+            raise ValueError(f"unknown columns in assignments: {unknown}")
+        return schema
 
     def _update_where_once(
         self, predicate: str, assignments: dict[str, str]
     ) -> CommitInfo:
-        if not assignments:
-            raise ValueError("update_where needs at least one assignment")
         m = self.manifest()
-        schema = self._schema_of(m)
+        schema = self._update_schema(m, assignments)
         by_name = {f.name: f for f in schema.fields}
-        unknown = sorted(set(assignments) - set(by_name))
-        if unknown:
-            raise ValueError(f"unknown columns in assignments: {unknown}")
         live = self._apply_dv(self._lineage_scan(m["files"], schema), m["files"])
         hit_rels = {
             r["__file"]
@@ -1082,6 +1106,73 @@ class VersionedTable:
             new_files = self._write_data_files(updated)
         return self._commit(
             "replace", keep + new_files, m["schema"], base_version=m["version"]
+        )
+
+    def _update_where_mor_once(
+        self, predicate: str, assignments: dict[str, str]
+    ) -> CommitInfo:
+        m = self.manifest()
+        schema = self._update_schema(m, assignments)
+        by_name = {f.name: f for f in schema.fields}
+        bad = {"__file", "__pos"} & set(schema.fieldNames())
+        if bad:
+            raise ValueError(
+                f"merge-on-read update reserves column names {sorted(bad)}"
+            )
+        live = self._apply_dv(self._lineage_scan(m["files"], schema), m["files"])
+        hits = live.filter(F.expr(predicate))
+        per_file = {
+            r["__file"]: r["n"]
+            for r in hits.groupBy("__file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded by file count
+        }
+        if not per_file:
+            return self._commit(
+                "replace", list(m["files"]), m["schema"], base_version=m["version"]
+            )
+        # Updated rows first: every hit row matched the predicate, so
+        # the assignments apply unconditionally — and a CHECK violation
+        # raises here, BEFORE any vector exists that could kill the old
+        # rows. The two hits passes re-scan immutable committed files,
+        # so their row sets are identical by construction.
+        updated = hits.select(
+            *[
+                F.expr(assignments[c]).cast(by_name[c].dataType).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in schema.fieldNames()
+            ]
+        )
+        new_files = self._write_data_files(updated)
+        affected = [e for e in m["files"] if e["path"] in per_file]
+        carried = self._dv_positions(affected)
+        dv_rel = f"{_DV_DIR}/d{uuid.uuid4().hex}"
+        # consolidated old ∪ new positions for every affected file —
+        # deleted-rows-sized, one output file
+        hits.select("__file", "__pos").unionByName(carried).coalesce(1).write.mode(
+            "errorifexists"
+        ).parquet(f"{self.root}/{dv_rel}")
+        new_entries = []
+        for e in m["files"]:
+            if e["path"] not in per_file:
+                new_entries.append(e)
+                continue
+            deleted = per_file[e["path"]] + (e.get("dv") or {}).get("deleted", 0)
+            if deleted >= e["rows"]:
+                # every physical row dead: the entry drops outright
+                # (its rows live on, updated, in the appended files)
+                continue
+            kept = {k: v for k, v in e.items() if k != "dv"}
+            kept["dv"] = {"path": dv_rel, "deleted": deleted}
+            if e.get("base", self.root) != self.root:
+                kept["dv"]["base"] = self.root
+            new_entries.append(kept)
+        return self._commit(
+            "replace",
+            new_entries + new_files,
+            m["schema"],
+            base_version=m["version"],
         )
 
     def merge(

@@ -286,6 +286,83 @@ def test_update_where_cdc_roundtrip(spark, table):
     assert all(ups[i] == 77 for i in range(3))
 
 
+# -- UPDATE (merge-on-read) ----------------------------------------------
+
+
+def test_mor_update_rewrites_nothing(spark, table):
+    before = {f["path"] for f in table.manifest()["files"]}
+    info = table.update_where("id % 7 = 0", {"grp": "grp + 100"}, mode="mor")
+    assert info.action == "replace"
+    after = table.manifest()["files"]
+    # every original data file survives by reference; only new files appear
+    assert before <= {f["path"] for f in after}
+    # old values died via vector, updated rows appended exactly once
+    got = {r["id"]: r["grp"] for r in table.read().collect()}
+    assert len(got) == 100
+    for i in range(100):
+        assert got[i] == (i % 10 + 100 if i % 7 == 0 else i % 10)
+    assert table.count_rows() == 100
+    assert sum(f["dv"]["deleted"] for f in after if f.get("dv")) == 15
+    # time travel still sees the pre-update values
+    assert table.read(0).filter("grp >= 100").count() == 0
+
+
+def test_mor_update_equals_cow_update(spark, tmp_path):
+    """The two physical strategies must produce identical logical
+    snapshots from identical histories."""
+    snaps = []
+    for mode in ("cow", "mor"):
+        t = VersionedTable(spark, str(tmp_path / f"vt_{mode}"))
+        t.commit_overwrite(
+            spark.range(0, 100)
+            .withColumn("grp", (F.col("id") % 10).cast("int"))
+            .repartition(4)
+        )
+        t.delete_where("id % 2 = 0", mode="mor")
+        t.update_where("grp = 3", {"grp": "30"}, mode=mode)
+        t.update_where("grp = 30 AND id < 50", {"grp": "60"}, mode=mode)
+        snaps.append(sorted(map(tuple, t.read().collect())))
+    assert snaps[0] == snaps[1]
+
+
+def test_mor_update_drops_fully_dead_file(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit_overwrite(spark.range(0, 50).selectExpr("id", "id * 2 as v").coalesce(1))
+    t.commit_append(spark.range(50, 100).selectExpr("id", "id * 2 as v").coalesce(1))
+    first = {f["path"] for f in t.manifest(0)["files"]}
+    # update EVERY row of the first file: its entry must drop, no vector
+    t.update_where("id < 50", {"v": "v + 1"}, mode="mor")
+    after = t.manifest()["files"]
+    assert not (first & {f["path"] for f in after})
+    assert not any(f.get("dv") for f in after)
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert all(got[i] == 2 * i + 1 for i in range(50))
+    assert all(got[i] == 2 * i for i in range(50, 100))
+
+
+def test_mor_update_checks_constraints_before_vector(spark, table):
+    table.add_constraint("grp_cap", "grp < 1000")
+    v = table.latest_version()
+    with pytest.raises(Exception, match="grp_cap"):
+        table.update_where("id = 1", {"grp": "5000"}, mode="mor")
+    # the failed update left no commit and killed no rows
+    assert table.latest_version() == v
+    assert table.read().count() == 100
+
+
+def test_mor_update_cdc_roundtrip(spark, table):
+    table.update_where("id < 3", {"grp": "77"}, mode="mor")
+    ch = table.read_changes_rows(0)
+    # the update step emits exactly 3 deletes (old values) + 3 inserts
+    step = ch.filter("_commit_version = 1")
+    assert step.filter("_change_type = 'delete'").count() == 3
+    assert step.filter("_change_type = 'insert'").count() == 3
+    final = cdf_final_state(ch, ["id"])
+    # the feed covers (0, head]: exactly the 3 updated keys, new values
+    ups = {r["id"]: r["grp"] for r in final.filter("NOT __delete").collect()}
+    assert ups == {0: 77, 1: 77, 2: 77}
+
+
 def test_concurrent_mixed_mor_soak(spark, tmp_path):
     """Racing appenders + merge-on-read deleters + updaters, each
     owning a disjoint key range, relying ONLY on the writers' built-in
@@ -323,6 +400,7 @@ def test_concurrent_mixed_mor_soak(spark, tmp_path):
                 f"id >= {base} AND id < {base + 5}",
                 {"grp": "grp + 100"},
                 attempts=40,
+                mode="mor" if t % 2 else "cow",
             )
         except Exception as e:  # noqa: BLE001 - surfaced to the assert
             errors.append(e)
