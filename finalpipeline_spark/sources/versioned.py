@@ -1382,25 +1382,75 @@ class VersionedTable:
         target_rows_per_file: int = 1_000_000,
         cluster_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        mode: str = "full",
+        attempts: int = 10,
     ) -> CommitInfo:
-        """OPTIMIZE: rewrite the current snapshot's small files into
-        ~target-sized files (bin-packing), optionally range-clustered
-        on ``cluster_by`` (single-column locality) or Morton-clustered
-        on ``zorder_by`` (multi-column locality — every z-ordered
-        column's per-file range tightens, so ``read_pruned`` skips on
-        any of them) so manifest stats turn into skipped I/O. Content
-        is unchanged — only the file layout — and history is preserved:
-        old versions still read their original files until vacuumed.
+        """OPTIMIZE: rewrite small files into ~target-sized files
+        (bin-packing), optionally range-clustered on ``cluster_by``
+        (single-column locality) or Morton-clustered on ``zorder_by``
+        (multi-column locality — every z-ordered column's per-file
+        range tightens, so ``read_pruned`` skips on any of them) so
+        manifest stats turn into skipped I/O. Content is unchanged —
+        only the file layout — and history is preserved: old versions
+        still read their original files until vacuumed.
 
-        At 100 TB this is the maintenance job that keeps a streaming-
-        ingested table scannable (thousands of per-epoch files → file
-        count ∝ data size / target) and is itself one atomic commit, so
-        concurrent readers never see a half-compacted table."""
+        * ``mode="full"``: rewrite the whole snapshot — the clustering
+          pass (a global sort/z-order needs every row to tighten every
+          file's range).
+        * ``mode="compact"`` (Delta's OPTIMIZE bin-packing): rewrite
+          ONLY entries that are under-sized (live rows <
+          ``target_rows_per_file``) or carry a deletion vector (the
+          rewrite folds the vector away); well-sized clean files carry
+          over BY REFERENCE. This is the steady-state maintenance
+          shape at 100 TB — cost ∝ small-file backlog, not table size
+          — so a streaming-ingested table stays scannable without ever
+          paying a snapshot rewrite. Clustering flags apply to the
+          compacted subset only.
+
+        Either mode is one atomic commit, so concurrent readers never
+        see a half-compacted table; retries on a lost CAS race."""
         if cluster_by and zorder_by:
             raise ValueError("pass cluster_by or zorder_by, not both")
+        if mode not in ("full", "compact"):
+            raise ValueError(f"mode must be 'full' or 'compact', got {mode!r}")
+        return self.commit_with_retry(
+            lambda t: t._optimize_once(
+                target_rows_per_file, cluster_by, zorder_by, mode
+            ),
+            attempts,
+        )
+
+    def _optimize_once(
+        self,
+        target_rows_per_file: int,
+        cluster_by: list[str] | None,
+        zorder_by: list[str] | None,
+        mode: str,
+    ) -> CommitInfo:
         m = self.manifest()
-        current = self.read()
-        total_rows = sum(self._entry_live_rows(f) for f in m["files"])
+        schema = self._schema_of(m)
+        if not m["files"]:
+            raise VersionNotFoundError(f"version {m['version']} is empty")
+        if mode == "compact":
+            rewrite = [
+                e
+                for e in m["files"]
+                if e.get("dv") or self._entry_live_rows(e) < target_rows_per_file
+            ]
+            rw = {e["path"] for e in rewrite}
+            keep = [e for e in m["files"] if e["path"] not in rw]
+            if len(rewrite) < 2 and not any(e.get("dv") for e in rewrite):
+                # nothing to gain: no bin to pack, no vector to fold —
+                # metadata-only commit keeps the call atomic/idempotent
+                return self._commit(
+                    "optimize", list(m["files"]), m["schema"],
+                    base_version=m["version"],
+                )
+            current = self._scan_entries(rewrite, schema)
+        else:
+            rewrite, keep = list(m["files"]), []
+            current = self._scan_entries(rewrite, schema)
+        total_rows = sum(self._entry_live_rows(f) for f in rewrite)
         n_out = max(1, -(-total_rows // target_rows_per_file))
         if zorder_by:
             from finalpipeline_spark.operators.zorder import zorder_cluster
@@ -1412,7 +1462,7 @@ class VersionedTable:
             packed = current.coalesce(n_out)
         return self._commit(
             "optimize",
-            self._write_data_files(packed, enforce=False),
+            keep + self._write_data_files(packed, enforce=False),
             m["schema"],
             base_version=m["version"],
         )
@@ -1426,17 +1476,31 @@ class VersionedTable:
             "rollback", list(m["files"]), m["schema"], base_version=base
         )
 
-    def clone_to(self, dest_root: str, version: int | None = None) -> "VersionedTable":
-        """SHALLOW CLONE (Delta semantics): a new table at ``dest_root``
-        whose v0 manifest references this table's data files BY POINTER
-        (each entry carries ``base`` = this root) — a zero-copy fork
-        carrying stats and blooms. The clone's own writes (appends, CoW
-        deletes, optimize) land under its own root; the source is never
-        touched. Caveat (same as Delta): vacuuming the SOURCE can
-        delete files a clone still references — clones are forks for
-        experimentation, not backups."""
+    def clone_to(
+        self, dest_root: str, version: int | None = None, deep: bool = False
+    ) -> "VersionedTable":
+        """CLONE (Delta semantics), two strengths:
+
+        * ``deep=False`` — SHALLOW: a new table at ``dest_root`` whose
+          v0 manifest references this table's data files BY POINTER
+          (each entry carries ``base`` = this root) — a zero-copy fork
+          carrying stats and blooms. The clone's own writes (appends,
+          CoW deletes, optimize) land under its own root; the source
+          is never touched. Caveat (same as Delta): vacuuming the
+          SOURCE can delete files a shallow clone still references —
+          shallow clones are forks for experimentation, not backups.
+        * ``deep=True`` — DEEP: the snapshot's LIVE rows are rewritten
+          into the destination as one distributed Spark job (deletion
+          vectors applied and dropped, stats/blooms regenerated), so
+          the clone owns every byte: vacuum or delete the source and
+          the clone is unaffected. Executor-parallel by construction —
+          never a driver-side file-copy loop — which is the shape that
+          survives a 100 TB source.
+
+        Either way the clone carries the source's CHECK constraints
+        and records its lineage (``cloned_from``/``source_version``)
+        in the manifest."""
         m = self.manifest(version)
-        cloned = [{**f, "base": f.get("base", self.root)} for f in m["files"]]
         dest = VersionedTable(
             self.spark,
             dest_root,
@@ -1444,11 +1508,25 @@ class VersionedTable:
             bloom_bits=self.bloom_bits,
             bloom_k=self.bloom_k,
         )
+        if deep and m["files"]:
+            # rows already satisfied the source's constraints — skip
+            # the re-validation pass on the rewrite
+            cloned = dest._write_data_files(
+                self._scan_entries(m["files"], self._schema_of(m)), enforce=False
+            )
+        elif deep:
+            cloned = []
+        else:
+            cloned = [{**f, "base": f.get("base", self.root)} for f in m["files"]]
         dest._commit(
             "clone",
             cloned,
             m["schema"],
-            meta={"cloned_from": self.root, "source_version": m["version"]},
+            meta={
+                "cloned_from": self.root,
+                "source_version": m["version"],
+                "deep": deep,
+            },
             base_version=dest.latest_version(),
             constraints=m.get("constraints"),  # table properties clone too
         )

@@ -233,6 +233,42 @@ def test_pyds_change_feed_streams_mor_deletes(spark, tmp_path, table):
     assert alive == _ids(table.read())
 
 
+def test_pyds_change_feed_streams_mor_updates(spark, tmp_path, table):
+    """A merge-on-read UPDATE commit carries added files AND vector
+    diffs in one version: the stream must emit the old values as
+    deletes and the updated rows as inserts, converging on replay."""
+    from finalpipeline_spark.sources.pyds import register_versioned_source
+
+    register_versioned_source(spark)
+    table.update_where("id < 5", {"grp": "grp + 100"}, mode="mor")
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("versioned")
+        .option("root", table.root)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    fed = spark.read.parquet(out)
+    step = fed.filter("_commit_version = 1")
+    assert _ids(step.filter("_change_type = 'delete'")) == [0, 1, 2, 3, 4]
+    ups = {
+        r["id"]: r["grp"]
+        for r in step.filter("_change_type = 'insert'").collect()
+    }
+    assert ups == {i: i % 10 + 100 for i in range(5)}
+    # keyed replay of the whole feed converges to the head snapshot
+    final = cdf_final_state(fed, ["id"]).filter("NOT __delete")
+    assert sorted(map(tuple, final.select("id", "grp").collect())) == sorted(
+        map(tuple, table.read().select("id", "grp").collect())
+    )
+
+
 # -- UPDATE (copy-on-write) ----------------------------------------------
 
 

@@ -207,6 +207,47 @@ def test_optimize_binpacks_and_clusters(spark, table):
     assert table.read(version=v_before).count() == 500
 
 
+def test_optimize_compact_carries_big_files_by_reference(spark, table):
+    # one well-sized file + a small-file backlog from streaming appends
+    table.commit_overwrite(_df(spark, 0, 1000, "big").coalesce(1))
+    for lo in range(1000, 1200, 50):
+        table.commit_append(_df(spark, lo, lo + 50, "s").coalesce(1))
+    big = {f["path"] for f in table.manifest(0)["files"]}
+    before_rows = sorted(r["id"] for r in table.read().collect())
+
+    info = table.optimize(target_rows_per_file=500, mode="compact")
+    assert info.action == "optimize"
+    after = {f["path"] for f in table.manifest()["files"]}
+    # the well-sized file was NOT rewritten; the 4 small files were
+    # packed into ceil(200/500) = 1
+    assert big <= after
+    assert len(after) == 2
+    assert sorted(r["id"] for r in table.read().collect()) == before_rows
+
+
+def test_optimize_compact_folds_deletion_vectors(spark, table):
+    table.commit_overwrite(_df(spark, 0, 1000, "a").coalesce(1))
+    table.delete_where("id % 10 = 0", mode="mor")
+    assert any(f.get("dv") for f in table.manifest()["files"])
+    # the DV'd file is well-sized but must still be rewritten to fold
+    # the vector away
+    table.optimize(target_rows_per_file=500, mode="compact")
+    after = table.manifest()["files"]
+    assert not any(f.get("dv") for f in after)
+    assert table.read().count() == 900
+    assert table.count_rows() == 900
+
+
+def test_optimize_compact_noop_when_packed(spark, table):
+    table.commit_overwrite(_df(spark, 0, 1000, "a").coalesce(1))
+    before = {f["path"] for f in table.manifest()["files"]}
+    info = table.optimize(target_rows_per_file=500, mode="compact")
+    # single clean well-sized file: metadata-only commit, same layout
+    assert {f["path"] for f in table.manifest()["files"]} == before
+    assert info.action == "optimize"
+    assert table.read().count() == 1000
+
+
 def test_bloom_point_lookup_skips_files(spark, tmp_path):
     from finalpipeline_spark.sources.versioned import VersionedTable
 
@@ -267,7 +308,9 @@ def test_shallow_clone_zero_copy_fork(spark, table, tmp_path):
     # zero-copy: the clone references the source's files by pointer
     m0 = clone.manifest()
     assert m0["action"] == "clone"
-    assert m0["meta"] == {"cloned_from": table.root, "source_version": 1}
+    assert m0["meta"] == {
+        "cloned_from": table.root, "source_version": 1, "deep": False
+    }
     assert {f["path"] for f in m0["files"]} == src_files
     assert all(f["base"] == table.root for f in m0["files"])
     assert clone.read().count() == 120
@@ -284,6 +327,32 @@ def test_shallow_clone_zero_copy_fork(spark, table, tmp_path):
     # stats pruning still works through the pointer indirection
     pruned = clone.read_pruned("id", 0, 5)
     assert sorted(r.id for r in pruned.collect()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_deep_clone_survives_source_vacuum(spark, table, tmp_path):
+    table.commit_overwrite(_df(spark, 0, 100, "a"))
+    table.add_constraint("id_pos", "id >= 0")
+    table.delete_where("id % 10 = 0", mode="mor")
+    want = sorted(r.id for r in table.read().collect())
+
+    clone = table.clone_to(str(tmp_path / "deep"), deep=True)
+    m0 = clone.manifest()
+    assert m0["meta"]["deep"] is True
+    # the clone owns every byte: no pointer entries, no carried vectors
+    assert all("base" not in f for f in m0["files"])
+    assert not any(f.get("dv") for f in m0["files"])
+    assert sorted(r.id for r in clone.read().collect()) == want
+    # constraints travelled
+    assert "id_pos" in clone.constraints()
+
+    # nuke the source entirely — the deep clone is unaffected
+    import shutil
+
+    shutil.rmtree(table.root)
+    assert sorted(r.id for r in clone.read().collect()) == want
+    # and the clone enforces the carried constraint on its own writes
+    with pytest.raises(Exception, match="id_pos"):
+        clone.commit_append(_df(spark, -5, -1, "bad"))
 
 
 def test_files_metadata_table(spark, table):
