@@ -271,10 +271,21 @@ class VersionedDataSource(DataSource):
         )
 
     def streamReader(self, schema) -> "VersionedStreamReader":
+        caps = {}
+        for opt, key in (
+            ("maxVersionsPerTrigger", "max_versions"),
+            ("maxFilesPerTrigger", "max_files"),
+        ):
+            if opt in self.options:
+                v = int(self.options[opt])
+                if v < 1:
+                    raise ValueError(f"{opt} must be >= 1, got {v}")
+                caps[key] = v
         return VersionedStreamReader(
             self.options["root"],
             [(f.name, f.dataType.simpleString()) for f in schema.fields],
             cdf=self._cdf(),
+            **caps,
         )
 
 
@@ -358,11 +369,39 @@ class VersionedStreamReader(DataSourceStreamReader):
     _META_COLS = ("_change_type", "_commit_version")
 
     def __init__(
-        self, root: str, fields: list[tuple[str, str]], cdf: bool = False
+        self,
+        root: str,
+        fields: list[tuple[str, str]],
+        cdf: bool = False,
+        max_versions: int | None = None,
+        max_files: int | None = None,
     ):
         self._root = root
         self._fields = fields
         self._cdf = cdf
+        # Trigger pacing (Delta's maxFilesPerTrigger shape): the Python
+        # DataSource API has no ReadLimit parameter, so the reader
+        # paces itself — latestOffset returns at most max_versions
+        # commits / max_files added files PAST THE LAST PLANNED BATCH
+        # END, and only partitions()/initialOffset move that cursor
+        # (latestOffset is polled many times per trigger for progress
+        # reporting, so advancing state there would race the cursor to
+        # head and silently disable the cap — measured). Semantics:
+        # a FRESH stream's first batch is the initial snapshot
+        # (uncapped, the pre-existing contract — the cursor is still
+        # unknown at first poll); every later batch is paced, so a
+        # consumer that fell 10k commits behind catches up in bounded
+        # micro-batches instead of one table-sized batch. On restart
+        # the engine replays the last batch (partitions call) before
+        # planning, which re-syncs the cursor — restart batches are
+        # paced immediately. availableNow/once falls back to Spark's
+        # single-batch mode for Python sources: there the cap bounds
+        # that single batch past the checkpoint (a bounded incremental
+        # drain per run), matching Delta's "rate limits interact with
+        # Trigger.Once" caveat.
+        self._max_versions = max_versions
+        self._max_files = max_files
+        self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
         # start BEFORE the earliest live version so the first batch
@@ -378,12 +417,46 @@ class VersionedStreamReader(DataSourceStreamReader):
             return {"version": -1, "snapshot": True}
         first = min(live)
         if live[first]["action"] in ("overwrite", "append", "clone"):
+            self._last_end = first - 1
             return {"version": first - 1, "snapshot": True}
+        self._last_end = max(live)
         return {"version": max(live)}
 
     def latestOffset(self) -> dict:
+        # IDEMPOTENT under polling: the engine calls this many times
+        # per trigger interval (progress reporting, prefetch), so the
+        # capped end is computed fresh from the last PLANNED batch end
+        # (advanced only by partitions()) and never from this call —
+        # otherwise polling would race the cursor to head before the
+        # first batch plans, silently disabling the cap.
         live = _live_manifests(self._root)
-        return {"version": max(live) if live else -1}
+        if not live:
+            return {"version": -1}
+        head = max(live)
+        start = self._last_end
+        uncapped = self._max_versions is None and self._max_files is None
+        if uncapped or start is None or head <= start:
+            return {"version": head}
+        # advance version-by-version until a cap would be exceeded —
+        # always at least one version so the stream makes progress
+        end, files_acc = start, 0
+        prev = _manifest_any(self._root, start) if start >= 0 else None
+        for v in range(start + 1, head + 1):
+            cur = live.get(v) or _manifest_any(self._root, v)
+            if cur is None:
+                break  # gap: partitions() raises the clearer error
+            pv = {f["path"] for f in prev["files"]} if prev else set()
+            added = sum(1 for f in cur["files"] if f["path"] not in pv)
+            if end > start and (
+                self._max_files is not None and files_acc + added > self._max_files
+            ):
+                break
+            end, files_acc, prev = v, files_acc + added, cur
+            if self._max_versions is not None and end - start >= self._max_versions:
+                break
+            if self._max_files is not None and files_acc >= self._max_files:
+                break
+        return {"version": end}
 
     def _cdf_partitions(
         self, start: dict, s: int, e: int, live: dict[int, dict]
@@ -481,6 +554,9 @@ class VersionedStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         s, e = start["version"], end["version"]
+        # resync pacing with the checkpoint on a restart-replayed batch
+        if self._last_end is None or e > self._last_end:
+            self._last_end = e
         if e <= s:
             return []
         live = _live_manifests(self._root)

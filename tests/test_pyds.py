@@ -284,3 +284,95 @@ def test_batch_timestamp_as_of(spark, vt):
         spark.read.format("versioned").option("root", vt.root).option(
             "timestampAsOf", str(v0_ts - 3600)
         ).load().count()
+
+
+# -- trigger pacing (maxVersionsPerTrigger / maxFilesPerTrigger) ---------
+
+
+def test_pacing_unit_offsets(spark, tmp_path):
+    """Offset mechanics without an engine: latestOffset is idempotent
+    under polling and advances only when partitions() moves the
+    cursor (the engine polls latestOffset many times per trigger)."""
+    from finalpipeline_spark.sources.pyds import VersionedStreamReader
+
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit_overwrite(spark.range(0, 10).selectExpr("id"))
+    for lo in range(10, 50, 10):
+        t.commit_append(spark.range(lo, lo + 10).selectExpr("id"))
+
+    r = VersionedStreamReader(t.root, [("id", "bigint")], max_versions=1)
+    assert r.initialOffset() == {"version": -1, "snapshot": True}
+    # polling does not advance
+    assert [r.latestOffset() for _ in range(3)] == [{"version": 0}] * 3
+    r.partitions({"version": -1, "snapshot": True}, {"version": 0})
+    assert r.latestOffset() == {"version": 1}
+    r.partitions({"version": 0}, {"version": 1})
+    assert r.latestOffset() == {"version": 2}
+    # uncapped reader jumps straight to head
+    r2 = VersionedStreamReader(t.root, [("id", "bigint")])
+    r2.initialOffset()
+    assert r2.latestOffset() == {"version": 4}
+    # file cap: each commit writes >1 file, min-progress still 1 version
+    r3 = VersionedStreamReader(t.root, [("id", "bigint")], max_files=1)
+    r3.initialOffset()
+    assert r3.latestOffset() == {"version": 0}
+    r3.partitions({"version": -1, "snapshot": True}, {"version": 0})
+    assert r3.latestOffset() == {"version": 1}
+    # option validation (streamReader is built lazily at stream start,
+    # so probe the DataSource directly)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from finalpipeline_spark.sources.pyds import VersionedDataSource
+
+    ds = VersionedDataSource(
+        options={"root": t.root, "maxVersionsPerTrigger": "0"}
+    )
+    with pytest.raises(ValueError, match="maxVersionsPerTrigger"):
+        ds.streamReader(StructType([StructField("id", LongType())]))
+
+
+def test_pacing_e2e_bounded_catchup(spark, tmp_path):
+    """A checkpointed consumer that fell behind catches up in PACED
+    micro-batches: restart replays the last batch (re-syncing the
+    cursor), then each trigger advances at most one version."""
+    import time
+
+    register_versioned_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit_overwrite(spark.range(0, 10).selectExpr("id"))
+    batches: list[tuple[int, int]] = []
+
+    def mk():
+        return (
+            spark.readStream.format("versioned")
+            .option("root", t.root)
+            .option("maxVersionsPerTrigger", "1")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, eid: batches.append((eid, df.count()))
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    q = mk()
+    deadline = time.time() + 120
+    while time.time() < deadline and sum(n for _, n in batches) < 10:
+        time.sleep(1)
+    q.stop()
+    assert sum(n for _, n in batches) == 10  # initial snapshot
+
+    # fall 3 commits behind, then restart from the checkpoint
+    for lo in range(10, 40, 10):
+        t.commit_append(spark.range(lo, lo + 10).selectExpr("id"))
+    batches.clear()
+    q = mk()
+    deadline = time.time() + 180
+    while time.time() < deadline and sum(n for _, n in batches) < 30:
+        time.sleep(1)
+    q.stop()
+    # the backlog arrived as one-version batches, never one big batch
+    sizes = [n for _, n in batches if n > 0]
+    assert sum(sizes) == 30
+    assert sizes == [10, 10, 10]
