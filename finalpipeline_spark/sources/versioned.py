@@ -1868,12 +1868,38 @@ class VersionedTable:
 
     def history(self) -> DataFrame:
         """One row per live version: (version, parent, action, n_files,
-        n_rows, commit_ts) — the audit trail.  ``commit_ts`` is the
-        writer's recorded wall clock (epoch seconds; NULL for versions
-        committed before timestamps were recorded)."""
+        n_rows, commit_ts) plus Delta-operationMetrics-style per-commit
+        deltas derived from the parent's manifest — files added/removed
+        and rows newly deletion-vectored by THIS commit. ``commit_ts``
+        is the writer's recorded wall clock (epoch seconds; NULL for
+        versions committed before timestamps were recorded). Metrics
+        are computed read-side from consecutive manifests (manifest-
+        sized, zero data I/O), so no write path pays for them and
+        pre-existing logs get them retroactively; a version whose
+        parent manifest is gone (vacuum) reports NULL deltas."""
         rows = []
         for v in self.versions_live():
             m = self._read_manifest_file(v)
+            try:
+                pm = (
+                    self._read_manifest_file(m["parent"])
+                    if m["parent"] is not None
+                    else None
+                )
+            except VersionNotFoundError:
+                pm = False  # parent vacuumed: deltas unknowable
+            if pm is False:
+                added = removed = dv_new = None
+            else:
+                prev = {f["path"]: f for f in pm["files"]} if pm else {}
+                cur = {f["path"]: f for f in m["files"]}
+                added = sum(1 for p in cur if p not in prev)
+                removed = sum(1 for p in prev if p not in cur)
+                dv_new = sum(
+                    (f.get("dv") or {}).get("deleted", 0)
+                    - (prev.get(p, {}).get("dv") or {}).get("deleted", 0)
+                    for p, f in cur.items()
+                )
             rows.append(
                 (
                     m["version"],
@@ -1882,12 +1908,16 @@ class VersionedTable:
                     len(m["files"]),
                     sum(self._entry_live_rows(f) for f in m["files"]),
                     m.get("ts"),
+                    added,
+                    removed,
+                    dv_new,
                 )
             )
         return self.spark.createDataFrame(
             rows,
             "version bigint, parent bigint, action string, n_files bigint, "
-            "n_rows bigint, commit_ts double",
+            "n_rows bigint, commit_ts double, n_added_files bigint, "
+            "n_removed_files bigint, n_dv_new_deleted bigint",
         )
 
     def version_as_of_timestamp(self, ts: float) -> int:

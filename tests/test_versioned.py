@@ -1269,6 +1269,24 @@ def test_timestamp_time_travel(spark, table):
     assert all(ts_by_v[v] is not None for v in (0, 1, 2))
 
 
+def test_history_operation_metrics(spark, table):
+    table.commit_overwrite(_df(spark, 0, 100, "a").coalesce(1))
+    table.commit_append(_df(spark, 100, 200, "b").coalesce(1))
+    table.delete_where("id >= 150", mode="mor")
+    table.delete_where("id < 10")  # CoW: rewrites only the first file
+    h = {r["version"]: r for r in table.history().collect()}
+    assert (
+        h[0]["n_added_files"], h[0]["n_removed_files"], h[0]["n_dv_new_deleted"]
+    ) == (1, 0, 0)
+    assert (h[1]["n_added_files"], h[1]["n_removed_files"]) == (1, 0)
+    # merge-on-read: no file churn, 50 rows newly vectored
+    assert h[2]["n_added_files"] == 0 and h[2]["n_removed_files"] == 0
+    assert h[2]["n_dv_new_deleted"] == 50
+    # copy-on-write: one file swapped, no vector change
+    assert h[3]["n_added_files"] == 1 and h[3]["n_removed_files"] == 1
+    assert h[3]["n_dv_new_deleted"] == 0
+
+
 def test_timestamp_resolution_is_monotonic_under_clock_skew(spark, table):
     """A later version carrying an EARLIER raw wall clock (multi-writer
     skew) must not make time travel non-monotonic: resolution adjusts
