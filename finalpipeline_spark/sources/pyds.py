@@ -68,6 +68,15 @@ def _abs_paths(root: str, m: dict) -> list[str]:
     return [os.path.join(f.get("base", root), f["path"]) for f in m["files"]]
 
 
+def _same_file_refs(a: list[dict], b: list[dict]) -> bool:
+    """True when two manifests reference the same data: same (path,
+    vector) pairs — the definition of a metadata-only commit (mirror
+    of versioned._same_file_refs; duplicated because this module stays
+    importable executor-side without pyspark.sql)."""
+    key = lambda f: (f["path"], (f.get("dv") or {}).get("path"))  # noqa: E731
+    return sorted(map(key, a)) == sorted(map(key, b))
+
+
 def _manifest_any(root: str, version: int) -> dict | None:
     """Manifest ``version`` INCLUDING vacuum tombstones (an expired
     manifest keeps its full file list — vacuum only flips the
@@ -482,6 +491,11 @@ class VersionedStreamReader(DataSourceStreamReader):
             prev = _manifest_any(self._root, s)
         for v in range(s + 1, e + 1):
             cur = live[v]
+            if prev is not None and _same_file_refs(prev["files"], cur["files"]):
+                # metadata-only commit (constraint add/drop, column
+                # drop, no-op compaction): provably zero row delta
+                prev = cur
+                continue
             if cur["action"] not in ("append", "delete", "replace", "overwrite", "clone"):
                 raise ValueError(
                     f"version {v} is '{cur['action']}': whole-table rewrite "
@@ -569,6 +583,11 @@ class VersionedStreamReader(DataSourceStreamReader):
             if self._cdf:
                 continue  # CDF mode validates per-action below
             if v > min(live) and live[v]["action"] != "append":
+                pm = _manifest_any(self._root, v - 1)
+                if pm is not None and _same_file_refs(
+                    pm["files"], live[v]["files"]
+                ):
+                    continue  # metadata-only commit: zero row delta
                 # a CoW delete rewrites SURVIVOR rows into new files —
                 # emitting those as additions would double-count them
                 raise ValueError(

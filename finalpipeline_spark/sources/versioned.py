@@ -141,6 +141,13 @@ class CommitInfo:
     n_rows: int
 
 
+def _same_file_refs(a: list[dict], b: list[dict]) -> bool:
+    """True when two manifests reference the same data: same (path,
+    vector) pairs — the definition of a metadata-only commit."""
+    key = lambda f: (f["path"], (f.get("dv") or {}).get("path"))  # noqa: E731
+    return sorted(map(key, a)) == sorted(map(key, b))
+
+
 def cdf_final_state(ch: DataFrame, keys: list[str]) -> DataFrame:
     """Per-key FINAL state of a row-level change feed: highest commit
     version wins; within a commit an insert outranks the delete of the
@@ -663,6 +670,123 @@ class VersionedTable:
             constraints=cons,
         )
 
+    def add_column(
+        self, name: str, ddl_type: str, attempts: int = 10
+    ) -> CommitInfo:
+        """``ALTER TABLE ADD COLUMN`` as a METADATA-ONLY commit: the
+        manifest schema widens by one nullable field, files carry over
+        by reference, and every reader NULL-backfills the new column
+        for pre-evolution files (the same impose-schema mechanics as
+        merge_schema appends, without needing a data-carrying write).
+        The ghost-name guard applies: a previously-dropped name cannot
+        be re-added while pre-drop files may still be referenced."""
+        return self.commit_with_retry(
+            lambda t: t._add_column_once(name, ddl_type), attempts
+        )
+
+    def _add_column_once(self, name: str, ddl_type: str) -> CommitInfo:
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        m = self.manifest()
+        schema = self._schema_of(m)
+        if name in schema.fieldNames():
+            raise ValueError(f"column '{name}' already exists on {self.root}")
+        self._assert_no_readd([name], set(schema.fieldNames()))
+        dt = _parse_datatype_string(ddl_type)  # loud on a bad DDL type
+        widened = StructType(
+            list(schema.fields) + [StructField(name, dt, True)]
+        )
+        return self._commit(
+            "add_column",
+            list(m["files"]),
+            widened.simpleString(),
+            base_version=m["version"],
+        )
+
+    def drop_column(self, name: str, attempts: int = 10) -> CommitInfo:
+        """``ALTER TABLE DROP COLUMN`` as a METADATA-ONLY commit: the
+        manifest schema narrows, files carry over by reference, and no
+        byte of data moves. Safe without Delta's column-mapping
+        machinery because every reader here IMPOSES the manifest schema
+        on every scan — the dropped column simply stops being selected
+        (old physical data becomes invisible, reclaimed as files are
+        naturally rewritten). Time travel to pre-drop versions still
+        reads the column via their manifests' wider schemas.
+
+        Guards: the column must not be referenced by a CHECK
+        constraint (drop those first), and a dropped NAME cannot later
+        be re-added by schema evolution while pre-drop files may still
+        be referenced — name-based parquet reads would resurrect the
+        old values (see ``_assert_no_readd``)."""
+        return self.commit_with_retry(
+            lambda t: t._drop_column_once(name), attempts
+        )
+
+    def _drop_column_once(self, name: str) -> CommitInfo:
+        import re
+
+        from pyspark.sql.types import StructType
+
+        m = self.manifest()
+        schema = self._schema_of(m)
+        if name not in schema.fieldNames():
+            raise ValueError(f"no column '{name}' on {self.root}")
+        if len(schema.fields) == 1:
+            raise ValueError(f"cannot drop the only column of {self.root}")
+        pat = re.compile(rf"\b{re.escape(name)}\b")
+        used = sorted(
+            cn
+            for cn, pred in (m.get("constraints") or {}).items()
+            if pat.search(pred)
+        )
+        if used:
+            raise ValueError(
+                f"column '{name}' is referenced by CHECK constraint(s) "
+                f"{used} — drop them first"
+            )
+        narrowed = StructType([f for f in schema.fields if f.name != name])
+        return self._commit(
+            "drop_column",
+            list(m["files"]),
+            narrowed.simpleString(),
+            base_version=m["version"],
+        )
+
+    def _assert_no_readd(self, added: list[str], current: set[str]) -> None:
+        """Reject re-introducing a previously-dropped column name via
+        schema evolution: scans match parquet columns BY NAME, so a
+        re-added name would resurrect the old values still physically
+        present in pre-drop files. Conservative manifest-sized walk:
+        any added name seen in a schema since the last clean slate
+        (``overwrite``) raises — a fresh name is always safe, and a
+        clean slate provably dropped every old file from the
+        snapshot."""
+        if not added:
+            return
+        manifests = []
+        for v in self.versions():
+            try:
+                manifests.append(self._read_manifest_file(v))
+            except VersionNotFoundError:
+                continue
+        slate = max(
+            (mm["version"] for mm in manifests if mm["action"] == "overwrite"),
+            default=-1,
+        )
+        seen: set[str] = set()
+        for mm in manifests:
+            if mm["version"] >= slate:
+                seen |= set(self._schema_of(mm).fieldNames())
+        ghosts = sorted(set(added) & (seen - current))
+        if ghosts:
+            raise SchemaMismatchError(
+                f"columns {ghosts} were previously dropped from "
+                f"{self.root}; re-adding the same name would resurrect "
+                "old values from pre-drop files at read time — use a "
+                "new column name (or start a clean slate with "
+                "commit_overwrite)"
+            )
+
     def _write_data_files(
         self, df: DataFrame, enforce: bool = True
     ) -> list[dict[str, Any]]:
@@ -893,6 +1017,8 @@ class VersionedTable:
                     f"(new columns {added}, absent columns {dropped}); "
                     "pass merge_schema=True for additive evolution"
                 )
+            if added:
+                self._assert_no_readd(added, set(old))
             from pyspark.sql.types import StructType
 
             merged = StructType(
@@ -1251,6 +1377,7 @@ class VersionedTable:
                     f"({[f.name for f in extra]}); pass merge_schema=True "
                     "for additive evolution"
                 )
+            self._assert_no_readd([f.name for f in extra], set(old))
             from pyspark.sql.types import StructType
 
             schema = StructType(list(schema.fields) + extra)
@@ -1711,12 +1838,18 @@ class VersionedTable:
         out: DataFrame | None = None
         for v in range(since_version + 1, tv + 1):
             m = self._read_manifest_file(v)
+            prev = self._read_manifest_file(v - 1)
+            if _same_file_refs(prev["files"], m["files"]):
+                # metadata-only commit (constraint add/drop, column
+                # drop, no-op compaction): identical file list and
+                # vector refs ⇒ provably zero row delta — skip it
+                # whatever its action says
+                continue
             if m["action"] not in ("append", "delete", "replace"):
                 raise ValueError(
                     f"version {v} is '{m['action']}': whole-table rewrite "
                     "has no row-level delta — reprocess from the snapshot"
                 )
-            prev = self._read_manifest_file(v - 1)
             prev_by = {self._abs(f): f for f in prev["files"]}
             cur_by = {self._abs(f): f for f in m["files"]}
             # Every step scans with the TARGET version's schema, not its

@@ -1,0 +1,195 @@
+"""ALTER TABLE DROP COLUMN as a metadata-only commit, plus the
+metadata-only-commit CDC skip it relies on.
+
+Delta needs column-mapping mode to drop a column without rewriting;
+here every reader imposes the manifest schema on every scan, so a
+narrowed manifest IS the drop (sources/versioned.py drop_column). The
+re-add guard exists because scans match parquet columns BY NAME: a
+re-added name would resurrect old values still physically present in
+pre-drop files. The reference engine had no schema evolution at all
+(tables were overwritten whole — db_interact.py), so this is engine
+capability, not parity.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from finalpipeline_spark.sources.versioned import (
+    SchemaMismatchError,
+    VersionedTable,
+    cdf_final_state,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit_overwrite(
+        spark.range(0, 100).selectExpr(
+            "id", "cast(id % 10 as int) as grp", "id * 2 as v"
+        )
+    )
+    return t
+
+
+def test_drop_column_is_metadata_only(spark, table):
+    before = {f["path"] for f in table.manifest()["files"]}
+    info = table.drop_column("v")
+    assert info.action == "drop_column"
+    # no file moved; the column is gone from reads
+    assert {f["path"] for f in table.manifest()["files"]} == before
+    assert table.read().columns == ["id", "grp"]
+    # time travel still sees it through the old manifest's schema
+    old = table.read(0)
+    assert old.columns == ["id", "grp", "v"]
+    assert old.filter("v = 84").count() == 1
+
+
+def test_drop_column_guards(spark, table):
+    with pytest.raises(ValueError, match="no column"):
+        table.drop_column("nope")
+    table.add_constraint("v_pos", "v >= 0")
+    with pytest.raises(ValueError, match="v_pos"):
+        table.drop_column("v")
+    table.drop_constraint("v_pos")
+    table.drop_column("v")
+    table.drop_column("grp")
+    with pytest.raises(ValueError, match="only column"):
+        table.drop_column("id")
+
+
+def test_dropped_name_cannot_be_readded(spark, table):
+    table.drop_column("v")
+    # plain append with the ghost column: ordinary mismatch error
+    with pytest.raises(SchemaMismatchError, match="merge_schema"):
+        table.commit_append(table.read(0).limit(1))
+    # evolution re-adding the ghost name: the resurrect guard fires
+    with pytest.raises(SchemaMismatchError, match="resurrect"):
+        table.commit_append(table.read(0).limit(1), merge_schema=True)
+    with pytest.raises(SchemaMismatchError, match="resurrect"):
+        table.merge(
+            spark.range(0, 1).selectExpr("id", "cast(1 as int) as grp",
+                                         "id as v"),
+            ["id"],
+            merge_schema=True,
+        )
+    # a FRESH name evolves fine
+    table.commit_append(
+        spark.range(100, 110).selectExpr(
+            "id", "cast(0 as int) as grp", "id as w"
+        ),
+        merge_schema=True,
+    )
+    assert table.read().columns == ["id", "grp", "w"]
+    # a clean slate (overwrite) makes the old name safe again
+    table.commit_overwrite(
+        spark.range(0, 5).selectExpr("id", "cast(0 as int) as grp")
+    )
+    table.commit_append(
+        spark.range(5, 10).selectExpr(
+            "id", "cast(0 as int) as grp", "id as v"
+        ),
+        merge_schema=True,
+    )
+    assert "v" in table.read().columns
+
+
+def test_writes_and_updates_after_drop(spark, table):
+    table.drop_column("v")
+    table.commit_append(
+        spark.range(100, 110).selectExpr("id", "cast(3 as int) as grp")
+    )
+    table.update_where("id = 5", {"grp": "99"})
+    table.delete_where("id = 6", mode="mor")
+    got = table.read()
+    assert got.columns == ["id", "grp"]
+    assert got.count() == 109
+    assert got.filter("grp = 99").count() == 1
+    # the update's rewritten file physically lacks the dropped column
+    rewritten = [
+        f for f in table.manifest()["files"]
+        if "v" not in (f.get("stats") or {})
+    ]
+    assert rewritten
+
+
+def test_cdc_skips_metadata_only_commits(spark, table):
+    """Constraint add/drop, column drop, and no-op compaction commits
+    have provably zero row delta: the row-level feed must skip them
+    instead of raising, and emit rows in the TARGET (narrowed)
+    schema."""
+    table.commit_append(
+        spark.range(100, 110).selectExpr(
+            "id", "cast(1 as int) as grp", "id * 2 as v"
+        )
+    )
+    table.add_constraint("id_pos", "id >= 0")
+    table.drop_constraint("id_pos")
+    table.drop_column("v")
+    # a true no-op compaction: no file is under 1 row, no vectors
+    table.optimize(target_rows_per_file=1, mode="compact")
+    table.commit_append(
+        spark.range(110, 120).selectExpr("id", "cast(2 as int) as grp")
+    )
+    ch = table.read_changes_rows(0)
+    assert set(ch.columns) == {"id", "grp", "_change_type", "_commit_version"}
+    assert ch.count() == 20  # the two appends only
+    final = cdf_final_state(ch, ["id"]).filter("NOT __delete")
+    assert final.count() == 20
+
+
+def test_stream_survives_metadata_only_commits(spark, tmp_path, table):
+    from finalpipeline_spark.sources.pyds import register_versioned_source
+
+    register_versioned_source(spark)
+    table.add_constraint("id_pos", "id >= 0")
+    table.drop_column("v")
+    table.commit_append(
+        spark.range(100, 110).selectExpr("id", "cast(1 as int) as grp")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("versioned")
+        .option("root", table.root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    fed = spark.read.parquet(out)
+    # narrowed schema, snapshot + post-drop append, no error
+    assert set(fed.columns) == {"id", "grp"}
+    assert fed.count() == 110
+
+
+def test_add_column_metadata_only(spark, table):
+    before = {f["path"] for f in table.manifest()["files"]}
+    info = table.add_column("score", "double")
+    assert info.action == "add_column"
+    assert {f["path"] for f in table.manifest()["files"]} == before
+    got = table.read()
+    assert got.columns == ["id", "grp", "v", "score"]
+    assert got.filter("score IS NULL").count() == 100  # NULL backfill
+    # subsequent writes fill it without merge_schema
+    table.commit_append(
+        spark.range(100, 105).selectExpr(
+            "id", "cast(0 as int) as grp", "id * 2 as v",
+            "cast(1.5 as double) as score",
+        )
+    )
+    assert table.read().filter("score = 1.5").count() == 5
+    # UPDATE can populate it on pre-evolution rows
+    table.update_where("id < 3", {"score": "cast(id as double)"})
+    assert table.read().filter("score IS NOT NULL").count() == 8
+    with pytest.raises(ValueError, match="already exists"):
+        table.add_column("grp", "int")
+    with pytest.raises(Exception):
+        table.add_column("bad", "not_a_type")
+    # the ghost-name guard covers explicit ADD too
+    table.drop_column("score")
+    with pytest.raises(SchemaMismatchError, match="resurrect"):
+        table.add_column("score", "double")
