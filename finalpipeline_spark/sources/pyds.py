@@ -102,6 +102,7 @@ class _FilePartition(InputPartition):
         dv: str | None = None,       # deletion-vector file covering path
         dv_old: str | None = None,   # CDF dv-diff: the PREVIOUS vector
         dv_diff: bool = False,       # CDF: emit newly-vectored rows only
+        cmap: dict | None = None,    # logical→physical names (renames)
     ):
         self.path = path
         self.change = change        # CDF mode: 'insert' | 'delete'
@@ -110,17 +111,21 @@ class _FilePartition(InputPartition):
         self.dv = dv
         self.dv_old = dv_old
         self.dv_diff = dv_diff
+        self.cmap = cmap or {}
 
 
 def _entry_partition(root: str, e: dict, **kw) -> _FilePartition:
     """Partition for one manifest entry, carrying its deletion-vector
-    reference so the executor-side read can mask dead positions."""
+    reference so the executor-side read can mask dead positions and
+    its column mapping so renamed columns resolve to their physical
+    parquet names."""
     base = e.get("base", root)
     dv = e.get("dv")
     return _FilePartition(
         os.path.join(base, e["path"]),
         rel=e["path"],
         dv=os.path.join(dv.get("base", base), dv["path"]) if dv else None,
+        cmap=e.get("cmap"),
         **kw,
     )
 
@@ -175,20 +180,28 @@ def _read_file_batches(
     fields: Sequence[tuple[str, str]],
     drop_positions: set[int] | None = None,
     keep_positions: set[int] | None = None,
+    cmap: dict | None = None,
 ) -> Iterator:
     """One file → Arrow batches with the reader's column set. Columns
     the file predates (added later via merge_schema) are backfilled as
     typed nulls, mirroring the JVM reader's impose-schema semantics.
-    ``drop_positions`` masks deletion-vector'd row positions out;
-    ``keep_positions`` selects exactly those positions (the CDF
-    dv-diff's newly-deleted rows)."""
+    ``cmap`` maps logical names to the PHYSICAL parquet names the file
+    was written with (rename_column); physical columns are read and
+    renamed back to logical. ``drop_positions`` masks deletion-
+    vector'd row positions out; ``keep_positions`` selects exactly
+    those positions (the CDF dv-diff's newly-deleted rows)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    cm = cmap or {}
     names = [n for n, _ in fields]
+    phys = {n: cm.get(n, n) for n in names}
     present = set(pq.read_schema(path).names)
-    table = pq.read_table(path, columns=[n for n in names if n in present])
-    missing = [(n, t) for n, t in fields if n not in present]
+    hit = [n for n in names if phys[n] in present]
+    table = pq.read_table(path, columns=[phys[n] for n in hit])
+    # read order equals request order: positional rename physical→logical
+    table = table.rename_columns(hit)
+    missing = [(n, t) for n, t in fields if phys[n] not in present]
     for n, t in missing:
         table = table.append_column(n, pa.nulls(table.num_rows, _arrow_type(t)))
     table = table.select(names)
@@ -340,7 +353,9 @@ class VersionedReader(DataSourceReader):
 
     def _may_match(self, entry: dict) -> bool:
         for col, op, v in self._ranges:
-            mn, mx = entry.get("stats", {}).get(col, (None, None))
+            # stats are keyed by the file's WRITE-time (physical) names
+            phys = (entry.get("cmap") or {}).get(col, col)
+            mn, mx = entry.get("stats", {}).get(phys, (None, None))
             if mn is None or mx is None:
                 continue  # no stats → cannot prune on this column
             try:
@@ -368,6 +383,7 @@ class VersionedReader(DataSourceReader):
             partition.path,
             self._fields,
             drop_positions=_dv_positions_for(partition.dv, partition.rel),
+            cmap=partition.cmap,
         )
 
 
@@ -491,6 +507,14 @@ class VersionedStreamReader(DataSourceStreamReader):
             prev = _manifest_any(self._root, s)
         for v in range(s + 1, e + 1):
             cur = live[v]
+            if cur["action"] == "rename_column":
+                # this stream's pinned schema predates the rename —
+                # silently reading NULLs (new files) or ghosts (old
+                # files) is worse than failing
+                raise ValueError(
+                    f"version {v} renames a column — restart the stream "
+                    "from a fresh checkpoint to pick up the new schema"
+                )
             if prev is not None and _same_file_refs(prev["files"], cur["files"]):
                 # metadata-only commit (constraint add/drop, column
                 # drop, no-op compaction): provably zero row delta
@@ -561,6 +585,7 @@ class VersionedStreamReader(DataSourceStreamReader):
                             else None
                         ),
                         dv_diff=True,
+                        cmap=ne.get("cmap"),
                     )
                 )
             prev = cur
@@ -582,6 +607,11 @@ class VersionedStreamReader(DataSourceStreamReader):
                 )
             if self._cdf:
                 continue  # CDF mode validates per-action below
+            if live[v]["action"] == "rename_column":
+                raise ValueError(
+                    f"version {v} renames a column — restart the stream "
+                    "from a fresh checkpoint to pick up the new schema"
+                )
             if v > min(live) and live[v]["action"] != "append":
                 pm = _manifest_any(self._root, v - 1)
                 if pm is not None and _same_file_refs(
@@ -640,6 +670,7 @@ class VersionedStreamReader(DataSourceStreamReader):
                 partition.path,
                 self._fields,
                 drop_positions=_dv_positions_for(partition.dv, partition.rel),
+                cmap=partition.cmap,
             )
         return self._read_cdf_batches(partition)
 
@@ -654,13 +685,15 @@ class VersionedStreamReader(DataSourceStreamReader):
                 partition.dv, partition.rel
             ) - _dv_positions_for(partition.dv_old, partition.rel)
             batches = _read_file_batches(
-                partition.path, data_fields, keep_positions=keep
+                partition.path, data_fields, keep_positions=keep,
+                cmap=partition.cmap,
             )
         else:
             batches = _read_file_batches(
                 partition.path,
                 data_fields,
                 drop_positions=_dv_positions_for(partition.dv, partition.rel),
+                cmap=partition.cmap,
             )
         for batch in batches:
             t = pa.Table.from_batches([batch])

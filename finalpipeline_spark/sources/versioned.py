@@ -752,6 +752,79 @@ class VersionedTable:
             base_version=m["version"],
         )
 
+    def rename_column(
+        self, old: str, new: str, attempts: int = 10
+    ) -> CommitInfo:
+        """``ALTER TABLE RENAME COLUMN`` as a METADATA-ONLY commit —
+        the column-mapping feature Delta gates behind
+        ``columnMapping=name``. Scans match parquet columns by name,
+        so a bare schema rename would silently NULL the column for
+        every already-written file; instead each CURRENT file entry
+        records the column's PHYSICAL parquet name (``cmap``:
+        logical → physical) and every reader scans in per-mapping
+        groups, aliasing physical back to logical. Files written after
+        the rename carry the new name physically (no mapping entry),
+        chained renames fold per entry (A→B→C keeps one C→A mapping;
+        renaming back to the original collapses to no mapping), and
+        time travel / clones / CDC scans are automatically correct
+        because the mapping travels WITH each entry. The old name
+        becomes a ghost for schema evolution (``_assert_no_readd``) —
+        pre-rename files still physically contain it.
+
+        Guards: CHECK constraints referencing the column block the
+        rename (drop them first; predicates are recorded SQL text)."""
+        return self.commit_with_retry(
+            lambda t: t._rename_column_once(old, new), attempts
+        )
+
+    def _rename_column_once(self, old: str, new: str) -> CommitInfo:
+        import re
+
+        from pyspark.sql.types import StructField, StructType
+
+        m = self.manifest()
+        schema = self._schema_of(m)
+        if old not in schema.fieldNames():
+            raise ValueError(f"no column '{old}' on {self.root}")
+        if new in schema.fieldNames():
+            raise ValueError(f"column '{new}' already exists on {self.root}")
+        pat = re.compile(rf"\b{re.escape(old)}\b")
+        used = sorted(
+            cn
+            for cn, pred in (m.get("constraints") or {}).items()
+            if pat.search(pred)
+        )
+        if used:
+            raise ValueError(
+                f"column '{old}' is referenced by CHECK constraint(s) "
+                f"{used} — drop them first, rename, then re-add against "
+                "the new name"
+            )
+        renamed = StructType(
+            [
+                StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        new_entries = []
+        for e in m["files"]:
+            cm = dict(e.get("cmap") or {})
+            phys = cm.pop(old, old)  # follow an existing chain
+            if new != phys:
+                cm[new] = phys
+            e2 = {k: v for k, v in e.items() if k != "cmap"}
+            if cm:
+                e2["cmap"] = cm
+            new_entries.append(e2)
+        return self._commit(
+            "rename_column",
+            new_entries,
+            renamed.simpleString(),
+            base_version=m["version"],
+        )
+
     def _assert_no_readd(self, added: list[str], current: set[str]) -> None:
         """Reject re-introducing a previously-dropped column name via
         schema evolution: scans match parquet columns BY NAME, so a
@@ -1693,18 +1766,60 @@ class VersionedTable:
             F.col("_metadata.file_path"), r"(data/c[0-9a-f]{32}/[^/]+)$", 1
         )
 
+    @staticmethod
+    def _cmap_key(entry: dict[str, Any]) -> tuple:
+        """Hashable signature of an entry's column mapping (logical →
+        physical parquet name, recorded by rename_column)."""
+        return tuple(sorted((entry.get("cmap") or {}).items()))
+
+    @staticmethod
+    def _physical_schema(schema, cm: dict[str, str]):
+        """The schema as written inside the files of one cmap group:
+        logical field names replaced by their physical parquet names."""
+        from pyspark.sql.types import StructField, StructType
+
+        return StructType(
+            [
+                StructField(cm.get(f.name, f.name), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+
     def _lineage_scan(self, entries: list[dict[str, Any]], schema) -> DataFrame:
         """Scan ``entries`` exposing row lineage: ``__file`` (manifest-
         relative path) and ``__pos`` (``_metadata.row_index`` — the
         row's position within its immutable physical file) ahead of the
         data columns. ``_metadata`` is only resolvable on the scan
-        relation, so lineage must be projected HERE, before any join."""
-        df = self.spark.read.schema(schema).parquet(*(self._abs(e) for e in entries))
-        return df.select(
-            self._rel_file_expr().alias("__file"),
-            F.col("_metadata.row_index").alias("__pos"),
-            *schema.fieldNames(),
-        )
+        relation, so lineage must be projected HERE, before any join.
+        Entries are scanned in per-column-mapping groups (renamed
+        columns read under their physical parquet names, aliased back
+        to logical) — group count is bounded by rename history, not
+        data."""
+        if not entries:
+            raise ValueError("no entries to scan")
+        groups: dict[tuple, list[dict[str, Any]]] = {}
+        for e in entries:
+            groups.setdefault(self._cmap_key(e), []).append(e)
+        parts = []
+        for key, grp in sorted(groups.items()):
+            cm = dict(key)
+            df = self.spark.read.schema(
+                self._physical_schema(schema, cm)
+            ).parquet(*(self._abs(e) for e in grp))
+            parts.append(
+                df.select(
+                    self._rel_file_expr().alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                    *[
+                        F.col(cm.get(n, n)).alias(n)
+                        for n in schema.fieldNames()
+                    ],
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _dv_positions(self, entries: list[dict[str, Any]]) -> DataFrame:
         """(__file, __pos) union of ``entries``' deletion vectors,
@@ -1741,10 +1856,19 @@ class VersionedTable:
         plain = [e for e in entries if not e.get("dv")]
         dved = [e for e in entries if e.get("dv")]
         parts = []
-        if plain:
-            parts.append(
-                self.spark.read.schema(schema).parquet(*(self._abs(e) for e in plain))
-            )
+        groups: dict[tuple, list[dict[str, Any]]] = {}
+        for e in plain:
+            groups.setdefault(self._cmap_key(e), []).append(e)
+        for key, grp in sorted(groups.items()):
+            cm = dict(key)
+            df = self.spark.read.schema(
+                self._physical_schema(schema, cm)
+            ).parquet(*(self._abs(e) for e in grp))
+            if cm:
+                df = df.select(
+                    *[F.col(cm.get(n, n)).alias(n) for n in schema.fieldNames()]
+                )
+            parts.append(df)
         if dved:
             parts.append(
                 self._apply_dv(self._lineage_scan(dved, schema), dved).select(
@@ -1839,6 +1963,14 @@ class VersionedTable:
         for v in range(since_version + 1, tv + 1):
             m = self._read_manifest_file(v)
             prev = self._read_manifest_file(v - 1)
+            if m["action"] == "rename_column":
+                # pre-rename manifests' entries lack the rename's
+                # column mapping: imposing the target schema on them
+                # would silently NULL the renamed column — refuse
+                raise ValueError(
+                    f"version {v} renames a column: no row-level delta "
+                    "across a rename — reprocess from the snapshot"
+                )
             if _same_file_refs(prev["files"], m["files"]):
                 # metadata-only commit (constraint add/drop, column
                 # drop, no-op compaction): identical file list and
@@ -1937,7 +2069,10 @@ class VersionedTable:
         m = self.manifest(version)
         hits = []
         for f in m["files"]:
-            mn, mx = f["stats"].get(col, [None, None])
+            # stats are keyed by the names the file was WRITTEN with —
+            # the entry's physical name for a since-renamed column
+            phys = (f.get("cmap") or {}).get(col, col)
+            mn, mx = f["stats"].get(phys, [None, None])
             try:
                 keep = mn is None or mx is None or (mx >= lo and mn <= hi)
             except TypeError:

@@ -1,0 +1,185 @@
+"""ALTER TABLE RENAME COLUMN via entry-level column mapping.
+
+Delta gates renames behind ``columnMapping=name`` because scans match
+parquet columns by name; here each file entry records its column's
+PHYSICAL parquet name (``cmap``) and every reader scans in per-mapping
+groups (sources/versioned.py rename_column, _scan_entries,
+_lineage_scan; sources/pyds.py _read_file_batches). The mapping
+travels WITH the entry, so time travel, clones, vectors and mixed
+file generations are correct by construction.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from finalpipeline_spark.sources.versioned import (
+    SchemaMismatchError,
+    VersionedTable,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit_overwrite(
+        spark.range(0, 100).selectExpr(
+            "id", "cast(id % 10 as int) as grp", "id * 2 as v"
+        )
+    )
+    return t
+
+
+def test_rename_is_metadata_only(spark, table):
+    before = {f["path"] for f in table.manifest()["files"]}
+    info = table.rename_column("v", "score")
+    assert info.action == "rename_column"
+    assert {f["path"] for f in table.manifest()["files"]} == before
+    got = table.read()
+    assert got.columns == ["id", "grp", "score"]
+    # old values visible under the new name
+    assert got.filter("score = 84").count() == 1
+    assert got.filter("score IS NULL").count() == 0
+    # time travel reads the old name through the old manifest
+    assert table.read(0).columns == ["id", "grp", "v"]
+
+
+def test_rename_mixed_file_generations(spark, table):
+    table.rename_column("v", "score")
+    # post-rename files carry the new name physically (no mapping)
+    table.commit_append(
+        spark.range(100, 110).selectExpr(
+            "id", "cast(0 as int) as grp", "id * 3 as score"
+        )
+    )
+    ents = table.manifest()["files"]
+    assert any(e.get("cmap") == {"score": "v"} for e in ents)
+    assert any(not e.get("cmap") for e in ents)
+    got = {r["id"]: r["score"] for r in table.read().collect()}
+    assert got[50] == 100 and got[105] == 315 and len(got) == 110
+    # predicates, updates and deletes work on the logical name across
+    # both generations
+    assert table.read().filter("score > 290").count() == 10  # new gen only
+    assert table.read().filter("score > 150").count() == 34  # both gens
+    table.update_where("id IN (1, 101)", {"score": "score + 1"})
+    got = {r["id"]: r["score"] for r in table.read().collect()}
+    assert got[1] == 3 and got[101] == 304
+    table.delete_where("score = 84", mode="mor")
+    assert table.read().filter("id = 42").count() == 0
+    assert table.count_rows() == 109
+
+
+def test_rename_chains_and_collapses(spark, table):
+    table.rename_column("v", "a")
+    table.rename_column("a", "b")
+    ents = table.manifest()["files"]
+    # chain folded: one mapping to the original physical name
+    assert all(e.get("cmap") == {"b": "v"} for e in ents)
+    assert table.read().filter("b = 84").count() == 1
+    # renaming back to the physical name collapses the mapping away
+    table.rename_column("b", "v")
+    assert all(not e.get("cmap") for e in table.manifest()["files"])
+    assert table.read().filter("v = 84").count() == 1
+
+
+def test_rename_guards_and_ghost(spark, table):
+    with pytest.raises(ValueError, match="no column"):
+        table.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        table.rename_column("v", "grp")
+    table.add_constraint("v_pos", "v >= 0")
+    with pytest.raises(ValueError, match="v_pos"):
+        table.rename_column("v", "score")
+    table.drop_constraint("v_pos")
+    table.rename_column("v", "score")
+    # the old name is a ghost: pre-rename files still physically
+    # contain it, so re-adding would resurrect old values
+    with pytest.raises(SchemaMismatchError, match="resurrect"):
+        table.add_column("v", "bigint")
+
+
+def test_rename_stats_pruning_and_optimize_purge(spark, table):
+    table.commit_append(
+        spark.range(100, 200).selectExpr(
+            "id", "cast(1 as int) as grp", "id * 2 as v"
+        )
+    )
+    table.rename_column("v", "score")
+    table.commit_append(
+        spark.range(200, 300).selectExpr(
+            "id", "cast(2 as int) as grp", "id * 2 as score"
+        )
+    )
+    # pruning on the LOGICAL name skips files via physical stats keys
+    pruned = table.read_pruned("score", 500, 520)
+    assert sorted(r["id"] for r in pruned.collect()) == list(range(250, 261))
+    assert len(pruned.inputFiles()) < len(table.manifest()["files"])
+    # a full OPTIMIZE rewrites under logical names: mappings purge
+    table.optimize(target_rows_per_file=1000)
+    assert all(not e.get("cmap") for e in table.manifest()["files"])
+    assert table.read().filter("score = 598").count() == 1
+
+
+def test_rename_cdc_refuses_crossing_then_resumes(spark, table):
+    table.commit_append(
+        spark.range(100, 110).selectExpr(
+            "id", "cast(1 as int) as grp", "id * 2 as v"
+        )
+    )
+    v_before = table.latest_version()
+    table.rename_column("v", "score")
+    table.commit_append(
+        spark.range(110, 120).selectExpr(
+            "id", "cast(2 as int) as grp", "id * 2 as score"
+        )
+    )
+    with pytest.raises(ValueError, match="rename"):
+        table.read_changes_rows(0)
+    # a post-rename window works and speaks the new schema
+    ch = table.read_changes_rows(v_before + 1)
+    assert "score" in ch.columns and ch.count() == 10
+
+
+def test_rename_clones(spark, table, tmp_path):
+    table.rename_column("v", "score")
+    shallow = table.clone_to(str(tmp_path / "sc"))
+    assert shallow.read().filter("score = 84").count() == 1
+    deep = table.clone_to(str(tmp_path / "dc"), deep=True)
+    assert all(not e.get("cmap") for e in deep.manifest()["files"])
+    assert deep.read().filter("score = 84").count() == 1
+
+
+def test_rename_pyds_batch_and_stream(spark, tmp_path, table):
+    from finalpipeline_spark.sources.pyds import register_versioned_source
+
+    register_versioned_source(spark)
+    table.delete_where("id = 7", mode="mor")  # vectors + mapping together
+    table.rename_column("v", "score")
+    table.commit_append(
+        spark.range(100, 110).selectExpr(
+            "id", "cast(1 as int) as grp", "id * 2 as score"
+        )
+    )
+    df = spark.read.format("versioned").option("root", table.root).load()
+    assert set(df.columns) == {"id", "grp", "score"}
+    assert df.count() == 109
+    assert df.filter("score = 84").count() == 1     # pre-rename file
+    assert df.filter("score = 208").count() == 1    # post-rename file
+    assert df.filter("score IS NULL").count() == 0
+    assert df.filter("id = 7").count() == 0         # vector still honored
+
+    # a stream whose range crosses the rename fails loud
+    q = (
+        spark.readStream.format("versioned")
+        .option("root", table.root)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="rename"):
+        q.awaitTermination(120)
+        raise AssertionError("stream should have failed")
