@@ -1382,6 +1382,10 @@ class VersionedTable:
         meta: dict[str, Any] | None = None,
         merge_schema: bool = False,
         attempts: int = 10,
+        when_matched_update: dict[str, str] | None = None,
+        when_matched_condition: str | None = None,
+        insert_unmatched: bool = True,
+        not_matched_by_source_delete: str | None = None,
     ) -> CommitInfo:
         """Delta-style MERGE: one atomic commit that upserts ``source``
         rows into the table by ``keys`` (whole-row replacement for
@@ -1411,10 +1415,41 @@ class VersionedTable:
         evolved source is rejected loudly — silently projecting the
         new columns away would diverge the replica.
 
+        Delta's conditional clauses, all optional and composable:
+
+        * ``when_matched_update={col: sql_expr}`` — matched target
+          rows get SET expressions applied instead of whole-row
+          replacement (``UPDATE SET`` semantics). Expressions may
+          reference the target row as ``t.<col>`` and the source row
+          as ``s.<col>`` (key columns are unqualified). The source
+          only needs its keys plus referenced columns — a partial
+          source is legal in this mode; inserts NULL-backfill the
+          rest.
+        * ``when_matched_condition="sql"`` — further gates the update
+          (``WHEN MATCHED AND <cond> THEN UPDATE``); matched rows
+          failing it carry through UNCHANGED. Requires
+          ``when_matched_update``.
+        * ``insert_unmatched=False`` — source rows with no target
+          match are ignored (``WHEN NOT MATCHED`` clause omitted).
+        * ``not_matched_by_source_delete="sql"`` — target rows with
+          NO source match AND matching the predicate are deleted
+          (Delta's ``whenNotMatchedBySourceDelete``) — the sync shape
+          that retires rows absent from the latest feed.
+
         Retries the whole derive+commit on a lost CAS race
         (``attempts=1`` restores raise-on-conflict)."""
         return self.commit_with_retry(
-            lambda t: t._merge_once(source, keys, delete_col, meta, merge_schema),
+            lambda t: t._merge_once(
+                source,
+                keys,
+                delete_col,
+                meta,
+                merge_schema,
+                when_matched_update,
+                when_matched_condition,
+                insert_unmatched,
+                not_matched_by_source_delete,
+            ),
             attempts,
         )
 
@@ -1425,9 +1460,21 @@ class VersionedTable:
         delete_col: str | None = None,
         meta: dict[str, Any] | None = None,
         merge_schema: bool = False,
+        when_matched_update: dict[str, str] | None = None,
+        when_matched_condition: str | None = None,
+        insert_unmatched: bool = True,
+        not_matched_by_source_delete: str | None = None,
     ) -> CommitInfo:
         if delete_col and delete_col in keys:
             raise ValueError("delete_col cannot be a merge key")
+        if when_matched_condition and not when_matched_update:
+            raise ValueError(
+                "when_matched_condition requires when_matched_update"
+            )
+        if when_matched_update:
+            bad = sorted(set(when_matched_update) & set(keys))
+            if bad:
+                raise ValueError(f"cannot SET merge keys {bad}")
         m = self.manifest()
         schema = self._schema_of(m)
         old = {f.name: f.dataType for f in schema.fields}
@@ -1443,7 +1490,12 @@ class VersionedTable:
                 "(additive evolution only)"
             )
         extra = [f for n, f in src.items() if n not in old]
-        if extra:
+        if extra and when_matched_update is not None:
+            # SET mode: extra source columns are expression INPUTS
+            # (s.<col>), not schema evolution — inserts project the
+            # table schema and ignore them
+            pass
+        elif extra:
             if not merge_schema:
                 raise SchemaMismatchError(
                     f"merge source has columns the table lacks "
@@ -1470,28 +1522,54 @@ class VersionedTable:
         live = self._apply_dv(
             self._lineage_scan(m["files"], base_schema), m["files"]
         )
+        src_keys = source.select(*keys).distinct()
         hit_rels = {
             r["__file"]
             for r in live.select("__file", *keys)
-            .join(source.select(*keys).distinct(), keys, "left_semi")
+            .join(src_keys, keys, "left_semi")
             .select("__file")
             .distinct()
             .collect()  # bounded by file count, not rows
         }
+        if not_matched_by_source_delete:
+            # files holding doomed source-less rows must be rewritten too
+            hit_rels |= {
+                r["__file"]
+                for r in live.select("__file", *base_schema.fieldNames())
+                .join(src_keys, keys, "left_anti")
+                .filter(F.expr(not_matched_by_source_delete))
+                .select("__file")
+                .distinct()
+                .collect()  # bounded by file count
+            }
         keep = [e for e in m["files"] if e["path"] not in hit_rels]
         rewrite = [e for e in m["files"] if e["path"] in hit_rels]
-        upserts = (
-            source.filter(~F.col(delete_col)) if delete_col else source
-        ).select(*cols)
-        new_files: list[dict[str, Any]] = []
-        if rewrite:
-            survivors = (
-                self._scan_entries(rewrite, schema)
-                .join(source.select(*keys).distinct(), keys, "left_anti")
-            )
-            new_files += self._write_data_files(survivors.unionByName(upserts))
+        if when_matched_update is None and not_matched_by_source_delete is None:
+            # whole-row upsert, the original path
+            upserts = (
+                source.filter(~F.col(delete_col)) if delete_col else source
+            ).select(*cols)
+            if not insert_unmatched:
+                upserts = upserts.join(
+                    live.select(*keys).distinct(), keys, "left_semi"
+                )
+            new_files: list[dict[str, Any]] = []
+            if rewrite:
+                survivors = (
+                    self._scan_entries(rewrite, schema)
+                    .join(src_keys, keys, "left_anti")
+                )
+                new_files += self._write_data_files(
+                    survivors.unionByName(upserts)
+                )
+            else:
+                new_files += self._write_data_files(upserts)
         else:
-            new_files += self._write_data_files(upserts)
+            new_files = self._merge_clause_files(
+                source, keys, delete_col, schema, rewrite, live,
+                when_matched_update, when_matched_condition,
+                insert_unmatched, not_matched_by_source_delete,
+            )
         return self._commit(
             "replace",
             keep + new_files,
@@ -1499,6 +1577,116 @@ class VersionedTable:
             meta,
             base_version=m["version"],
         )
+
+    def _merge_clause_files(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        delete_col: str | None,
+        schema,
+        rewrite: list[dict[str, Any]],
+        live: DataFrame,
+        when_matched_update: dict[str, str] | None,
+        when_matched_condition: str | None,
+        insert_unmatched: bool,
+        not_matched_by_source_delete: str | None,
+    ) -> list[dict[str, Any]]:
+        """Rewrite-side row derivation for the conditional-clause MERGE
+        path: ONE left join of the rewrite files against the source
+        decides every target row's fate (flagged delete / conditional
+        SET update / unchanged carry / source-less retire), and
+        unmatched source rows append NULL-backfilled inserts. Cost
+        shape matches the whole-row path: a key join over the rewrite
+        files plus one pass over the key-unique source."""
+        cols = [f.name for f in schema.fields]
+        by_name = {f.name: f for f in schema.fields}
+        if when_matched_update:
+            unknown = sorted(set(when_matched_update) - set(cols))
+            if unknown:
+                raise ValueError(f"unknown columns in SET: {unknown}")
+        reserved = {"__m", "__doomed"} & (set(cols) | set(source.columns))
+        if reserved:
+            raise ValueError(
+                f"merge reserves the column name(s) {sorted(reserved)}"
+            )
+        no_adds = when_matched_update is not None and not insert_unmatched
+        if not rewrite and no_adds:
+            return []  # nothing rewritten, nothing inserted
+        src_flag = source.withColumn("__m", F.lit(True)).alias("s")
+        rows_out = None
+        if rewrite:
+            tgt = self._scan_entries(rewrite, schema)
+            # the retire predicate speaks bare TARGET names: evaluate it
+            # BEFORE the join, where they are unambiguous
+            tgt = tgt.withColumn(
+                "__doomed",
+                F.expr(not_matched_by_source_delete)
+                if not_matched_by_source_delete
+                else F.lit(False),
+            ).alias("t")
+            j = tgt.join(src_flag, keys, "left")
+            matched = F.col("__m").isNotNull()
+            flagged = (
+                matched & F.coalesce(F.col(f"s.{delete_col}"), F.lit(False))
+                if delete_col
+                else F.lit(False)
+            )
+            cond = (
+                F.expr(when_matched_condition)
+                if when_matched_condition
+                else F.lit(True)
+            )
+            doomed = (~matched) & F.col("__doomed")
+            if when_matched_update:
+                do_update = matched & ~flagged & cond
+                out_cols = [
+                    F.col(c)
+                    if c in keys
+                    else (
+                        F.when(
+                            do_update,
+                            F.expr(when_matched_update[c]).cast(
+                                by_name[c].dataType
+                            ),
+                        )
+                        .otherwise(F.col(f"t.{c}"))
+                        .alias(c)
+                        if c in when_matched_update
+                        else F.col(f"t.{c}").alias(c)
+                    )
+                    for c in cols
+                ]
+                keep_row = ~flagged & ~doomed
+            else:
+                # whole-row replacement: matched rows drop here and
+                # re-enter from the source side below
+                out_cols = [
+                    F.col(c) if c in keys else F.col(f"t.{c}").alias(c)
+                    for c in cols
+                ]
+                keep_row = ~matched & ~doomed
+            rows_out = j.filter(keep_row).select(*out_cols)
+        # source-side additions
+        adds = source.filter(~F.col(delete_col)) if delete_col else source
+        if when_matched_update is not None:
+            # matched rows were updated in place: only NEW keys insert
+            adds = (
+                adds.join(live.select(*keys).distinct(), keys, "left_anti")
+                if insert_unmatched
+                else adds.limit(0)
+            )
+        elif not insert_unmatched:
+            adds = adds.join(live.select(*keys).distinct(), keys, "left_semi")
+        ins = adds.select(
+            *[
+                F.col(c)
+                if c in adds.columns
+                else F.lit(None).cast(by_name[c].dataType).alias(c)
+                for c in cols
+            ]
+        )
+        rows_out = ins if rows_out is None else rows_out.unionByName(ins)
+        return self._write_data_files(rows_out)
 
     def replicate_from(
         self,
