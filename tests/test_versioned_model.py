@@ -37,6 +37,8 @@ _OPS = st.lists(
                 "rename_col",
                 "optimize",
                 "rollback",
+                "merge_upsert",
+                "merge_update",
             ]
         ),
         st.integers(min_value=0, max_value=9),
@@ -64,7 +66,8 @@ class _Model:
 
 def _apply(table: VersionedTable, model: _Model, spark, op: str, arg: int):
     if not model.rows and op in (
-        "delete_cow", "delete_mor", "update_cow", "update_mor", "optimize"
+        "delete_cow", "delete_mor", "update_cow", "update_mor", "optimize",
+        "merge_upsert", "merge_update",
     ):
         return False  # content ops on an empty snapshot raise by contract
     if op == "append":
@@ -113,6 +116,39 @@ def _apply(table: VersionedTable, model: _Model, spark, op: str, arg: int):
         model.cols[model.cols.index(old)] = new
         for r in model.rows.values():
             r[new] = r.pop(old)
+    elif op == "merge_upsert":
+        # whole-row upsert: touch ids [arg, arg+3) — a mix of existing
+        # and new keys — with every current column populated
+        lo = arg
+        exprs = ["id"] + [
+            f"id * 100 + {i} as {c}" for i, c in enumerate(model.cols[1:])
+        ]
+        src = spark.range(lo, lo + 3).selectExpr(*exprs)
+        table.merge(src, ["id"])
+        for i in range(lo, lo + 3):
+            model.rows[i] = {
+                c: i * 100 + j for j, c in enumerate(model.cols[1:])
+            }
+        model.next_id = max(model.next_id, lo + 3)
+    elif op == "merge_update":
+        # conditional SET over a partial source; unmatched keys insert
+        # NULL-backfilled; the condition gates on the target value
+        col = model.cols[1 + arg % (len(model.cols) - 1)]
+        lo = arg * 2
+        src = spark.range(lo, lo + 3).selectExpr("id", "id + 7 as delta")
+        table.merge(
+            src,
+            ["id"],
+            when_matched_update={col: f"t.{col} + s.delta"},
+            when_matched_condition=f"t.{col} IS NOT NULL",
+        )
+        for i in range(lo, lo + 3):
+            if i in model.rows:
+                if model.rows[i][col] is not None:
+                    model.rows[i][col] += i + 7
+            else:
+                model.rows[i] = {c: None for c in model.cols[1:]}
+        model.next_id = max(model.next_id, lo + 3)
     elif op == "optimize":
         mode = "compact" if arg % 2 else "full"
         table.optimize(target_rows_per_file=7, mode=mode)
