@@ -46,6 +46,38 @@ from pyspark.sql.datasource import (
 _LOG_DIR = "_log"
 
 
+# Parse cache for _live_manifests: the streaming engine polls
+# latestOffset 16+ times per trigger and every poll re-lists the log;
+# without this each poll re-PARSES every manifest JSON — O(log size)
+# CPU per poll. Keyed by (size, mtime_ns), which changes on every
+# legitimate content change (commits create new files; vacuum's
+# expired-flag flip rewrites the file, changing both). LRU-bounded so
+# a long-lived reader over many tables stays memory-bounded.
+_PARSE_CACHE: dict[str, tuple[tuple, dict | None]] = {}
+_PARSE_CACHE_MAX = 4096
+
+
+def _parse_manifest_cached(path: str) -> dict | None:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    key = (st.st_size, st.st_mtime_ns)
+    hit = _PARSE_CACHE.get(path)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    try:
+        with open(path) as fh:
+            m = json.load(fh)
+    except (json.JSONDecodeError, OSError):
+        m = None  # aborted commit fragment: invisible (cached too —
+        # its mtime changes if a writer completes it)
+    if len(_PARSE_CACHE) >= _PARSE_CACHE_MAX:
+        _PARSE_CACHE.pop(next(iter(_PARSE_CACHE)))
+    _PARSE_CACHE[path] = (key, m)
+    return m
+
+
 def _live_manifests(root: str) -> dict[int, dict]:
     log = os.path.join(root, _LOG_DIR)
     if not os.path.isdir(log):
@@ -54,12 +86,8 @@ def _live_manifests(root: str) -> dict[int, dict]:
     for name in os.listdir(log):
         if not (name.startswith("v") and name.endswith(".json")):
             continue
-        try:
-            with open(os.path.join(log, name)) as fh:
-                m = json.load(fh)
-        except (json.JSONDecodeError, OSError):
-            continue  # aborted commit: invisible
-        if not m.get("expired"):
+        m = _parse_manifest_cached(os.path.join(log, name))
+        if m is not None and not m.get("expired"):
             out[m["version"]] = m
     return out
 
