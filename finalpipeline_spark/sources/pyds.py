@@ -233,6 +233,26 @@ def _read_file_batches(
     for n, t in missing:
         table = table.append_column(n, pa.nulls(table.num_rows, _arrow_type(t)))
     table = table.select(names)
+    # numeric type widening (widen_column): a file written before the
+    # widen carries the narrow physical type — upcast Arrow-side to the
+    # declared schema (the JVM reader does this natively; this mirrors
+    # it). Only numeric→numeric differences are cast; string width
+    # variants etc. pass through untouched.
+    ddl_by_name = dict(fields)
+    for i, field in enumerate(table.schema):
+        cur = field.type
+        if not (pa.types.is_integer(cur) or pa.types.is_floating(cur)):
+            continue
+        try:
+            want = _arrow_type(ddl_by_name[field.name])
+        except ValueError:
+            continue
+        if cur != want and (
+            pa.types.is_integer(want) or pa.types.is_floating(want)
+        ):
+            table = table.set_column(
+                i, field.name, table.column(i).cast(want)
+            )
     if drop_positions:
         import numpy as np
 

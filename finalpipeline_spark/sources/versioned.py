@@ -752,6 +752,66 @@ class VersionedTable:
             base_version=m["version"],
         )
 
+    # lossless widenings (Delta type-widening parity): target set per
+    # source type. bigint→double is deliberately absent (lossy > 2^53).
+    _WIDENINGS = {
+        "tinyint": {"smallint", "int", "bigint", "double"},
+        "smallint": {"int", "bigint", "double"},
+        "int": {"bigint", "double"},
+        "float": {"double"},
+    }
+
+    def widen_column(
+        self, name: str, new_type: str, attempts: int = 10
+    ) -> CommitInfo:
+        """Delta-style TYPE WIDENING as a METADATA-ONLY commit: the
+        manifest schema records the wider type, files carry over by
+        reference, and readers upcast at scan time — Spark's parquet
+        reader natively widens int8/16/32→int64 and float→double when
+        a wider schema is imposed (verified on this Spark), and the
+        Python DataSource casts Arrow-side. Only provably lossless
+        widenings are allowed (``_WIDENINGS``); anything else —
+        narrowing, bigint→double (lossy past 2^53), string
+        conversions — is rejected loudly. Subsequent writes must
+        supply the widened type (loud SchemaMismatch otherwise)."""
+        return self.commit_with_retry(
+            lambda t: t._widen_column_once(name, new_type), attempts
+        )
+
+    def _widen_column_once(self, name: str, new_type: str) -> CommitInfo:
+        from pyspark.sql.types import (
+            StructField,
+            StructType,
+            _parse_datatype_string,
+        )
+
+        m = self.manifest()
+        schema = self._schema_of(m)
+        by_name = {f.name: f for f in schema.fields}
+        if name not in by_name:
+            raise ValueError(f"no column '{name}' on {self.root}")
+        cur = by_name[name].dataType.simpleString()
+        dt = _parse_datatype_string(new_type)
+        tgt = dt.simpleString()
+        if tgt not in self._WIDENINGS.get(cur, set()):
+            raise ValueError(
+                f"cannot widen column '{name}' from {cur} to {tgt}: only "
+                "lossless numeric widenings are supported "
+                f"({ {k: sorted(v) for k, v in self._WIDENINGS.items()} })"
+            )
+        widened = StructType(
+            [
+                StructField(name, dt, f.nullable) if f.name == name else f
+                for f in schema.fields
+            ]
+        )
+        return self._commit(
+            "widen_column",
+            list(m["files"]),
+            widened.simpleString(),
+            base_version=m["version"],
+        )
+
     def rename_column(
         self, old: str, new: str, attempts: int = 10
     ) -> CommitInfo:

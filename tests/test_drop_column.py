@@ -193,3 +193,88 @@ def test_add_column_metadata_only(spark, table):
     table.drop_column("score")
     with pytest.raises(SchemaMismatchError, match="resurrect"):
         table.add_column("score", "double")
+
+
+# -- TYPE WIDENING --------------------------------------------------------
+
+
+def test_widen_column_metadata_only(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit_overwrite(
+        spark.range(0, 50).selectExpr(
+            "id", "cast(id as int) as n", "cast(id / 2 as float) as x"
+        )
+    )
+    before = {f["path"] for f in t.manifest()["files"]}
+    t.widen_column("n", "bigint")
+    t.widen_column("x", "double")
+    assert {f["path"] for f in t.manifest()["files"]} == before
+    got = t.read()
+    assert dict(got.dtypes) == {"id": "bigint", "n": "bigint", "x": "double"}
+    assert got.filter("n = 42").count() == 1
+    assert abs(got.filter("id = 9").first()["x"] - 4.5) < 1e-9
+    # time travel shows the old types
+    assert dict(t.read(0).dtypes)["n"] == "int"
+    # post-widen writes speak the wide type; mixed generations unify
+    t.commit_append(
+        spark.range(50, 60).selectExpr(
+            "id", "cast(id * 10 as bigint) as n", "cast(id as double) as x"
+        )
+    )
+    assert t.read().filter("n = 550").count() == 1
+    assert t.count_rows() == 60
+    # CDC across the widen works: the wide target schema imposes on
+    # narrow pre-widen files via the reader's native upcast
+    # CDC spanning the widen: a NARROW pre-widen append is scanned
+    # under the wide target schema (native upcast), the widen commits
+    # themselves skip (metadata-only), and the wide append follows
+    ch = t.read_changes_rows(0)
+    assert dict(ch.dtypes)["n"] == "bigint"
+    assert ch.count() == 10
+    t2 = VersionedTable(spark, t.root + "2")
+    t2.commit_overwrite(spark.range(0, 5).selectExpr("id", "cast(id as int) as n"))
+    t2.commit_append(spark.range(5, 10).selectExpr("id", "cast(id as int) as n"))
+    t2.widen_column("n", "bigint")
+    t2.commit_append(spark.range(10, 15).selectExpr("id", "cast(id as bigint) as n"))
+    ch2 = t2.read_changes_rows(0)
+    assert dict(ch2.dtypes)["n"] == "bigint"
+    assert sorted(r["n"] for r in ch2.collect()) == list(range(5, 15))
+
+
+def test_widen_column_guards(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit_overwrite(
+        spark.range(0, 5).selectExpr("id", "cast(id as int) as n")
+    )
+    with pytest.raises(ValueError, match="no column"):
+        t.widen_column("nope", "bigint")
+    with pytest.raises(ValueError, match="lossless"):
+        t.widen_column("id", "int")       # narrowing
+    with pytest.raises(ValueError, match="lossless"):
+        t.widen_column("id", "double")    # bigint→double is lossy
+    with pytest.raises(ValueError, match="lossless"):
+        t.widen_column("n", "string")
+    # narrow appends after a widen are rejected loudly
+    t.widen_column("n", "bigint")
+    with pytest.raises(Exception, match="type change"):
+        t.commit_append(
+            spark.range(5, 6).selectExpr("id", "cast(id as int) as n")
+        )
+
+
+def test_widen_column_pyds_batch(spark, tmp_path):
+    from finalpipeline_spark.sources.pyds import register_versioned_source
+
+    register_versioned_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit_overwrite(
+        spark.range(0, 20).selectExpr("id", "cast(id as int) as n")
+    )
+    t.widen_column("n", "bigint")
+    t.commit_append(
+        spark.range(20, 30).selectExpr("id", "cast(id as bigint) as n")
+    )
+    df = spark.read.format("versioned").option("root", t.root).load()
+    assert dict(df.dtypes)["n"] == "bigint"
+    vals = {r["id"]: r["n"] for r in df.collect()}
+    assert len(vals) == 30 and vals[5] == 5 and vals[25] == 25
