@@ -39,6 +39,7 @@ _OPS = st.lists(
                 "rollback",
                 "merge_upsert",
                 "merge_update",
+                "widen_col",
             ]
         ),
         st.integers(min_value=0, max_value=9),
@@ -54,13 +55,18 @@ class _Model:
     def __init__(self) -> None:
         self.rows: dict[int, dict] = {}
         self.cols: list[str] = ["id", "v"]
+        self.types: dict[str, str] = {"id": "bigint", "v": "bigint"}
         self.next_id = 0
         self.n_cols_added = 0
         self.history: list[tuple[list[str], dict[int, dict]]] = []
 
     def snap(self) -> None:
         self.history.append(
-            (list(self.cols), {k: dict(r) for k, r in self.rows.items()})
+            (
+                list(self.cols),
+                {k: dict(r) for k, r in self.rows.items()},
+                dict(self.types),
+            )
         )
 
 
@@ -74,7 +80,8 @@ def _apply(table: VersionedTable, model: _Model, spark, op: str, arg: int):
         lo = model.next_id
         model.next_id += 5
         exprs = ["id"] + [
-            f"id * {i + 2} as {c}" for i, c in enumerate(model.cols[1:])
+            f"cast(id * {i + 2} as {model.types[c]}) as {c}"
+            for i, c in enumerate(model.cols[1:])
         ]
         table.commit_append(spark.range(lo, lo + 5).selectExpr(*exprs))
         for i in range(lo, lo + 5):
@@ -98,6 +105,7 @@ def _apply(table: VersionedTable, model: _Model, spark, op: str, arg: int):
         model.n_cols_added += 1
         table.add_column(name, "bigint")
         model.cols.append(name)
+        model.types[name] = "bigint"
         for r in model.rows.values():
             r[name] = None
     elif op == "drop_col":
@@ -106,6 +114,7 @@ def _apply(table: VersionedTable, model: _Model, spark, op: str, arg: int):
         col = model.cols[1 + arg % (len(model.cols) - 1)]
         table.drop_column(col)
         model.cols.remove(col)
+        del model.types[col]
         for r in model.rows.values():
             r.pop(col, None)
     elif op == "rename_col":
@@ -114,14 +123,33 @@ def _apply(table: VersionedTable, model: _Model, spark, op: str, arg: int):
         model.n_cols_added += 1
         table.rename_column(old, new)
         model.cols[model.cols.index(old)] = new
+        model.types[new] = model.types.pop(old)
         for r in model.rows.values():
             r[new] = r.pop(old)
+    elif op == "widen_col":
+        narrow = [c for c in model.cols[1:] if model.types[c] == "int"]
+        if not narrow:
+            # add a fresh int column to widen later; a previously
+            # dropped/renamed name trips the ghost guard — skip then
+            name = f"w{model.n_cols_added}"
+            model.n_cols_added += 1
+            table.add_column(name, "int")
+            model.cols.append(name)
+            model.types[name] = "int"
+            for r in model.rows.values():
+                r[name] = None
+        else:
+            col = narrow[arg % len(narrow)]
+            table.widen_column(col, "bigint")
+            model.types[col] = "bigint"
+        # values unchanged either way (int→bigint upcast is value-exact)
     elif op == "merge_upsert":
         # whole-row upsert: touch ids [arg, arg+3) — a mix of existing
         # and new keys — with every current column populated
         lo = arg
         exprs = ["id"] + [
-            f"id * 100 + {i} as {c}" for i, c in enumerate(model.cols[1:])
+            f"cast(id * 100 + {i} as {model.types[c]}) as {c}"
+            for i, c in enumerate(model.cols[1:])
         ]
         src = spark.range(lo, lo + 3).selectExpr(*exprs)
         table.merge(src, ["id"])
@@ -157,9 +185,10 @@ def _apply(table: VersionedTable, model: _Model, spark, op: str, arg: int):
             return False
         idx = arg % len(model.history)
         table.rollback(idx)
-        cols, rows = model.history[idx]
+        cols, rows, types = model.history[idx]
         model.cols = list(cols)
         model.rows = {k: dict(r) for k, r in rows.items()}
+        model.types = dict(types)
     return True
 
 
@@ -200,7 +229,7 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops):
 
     # time travel: every live historical version equals the model's
     # remembered state at that point
-    for v, (cols, rows) in enumerate(model.history):
+    for v, (cols, rows, _types) in enumerate(model.history):
         if not rows:
             continue  # empty versions raise on read by contract
         got_cols, got_rows = _read_model_style(table, version=v)
