@@ -65,6 +65,11 @@ def _parse_manifest_cached(path: str) -> dict | None:
     key = (st.st_size, st.st_mtime_ns)
     hit = _PARSE_CACHE.get(path)
     if hit is not None and hit[0] == key:
+        # re-insert so eviction is true LRU, not FIFO — a hot manifest
+        # set larger than the cap would otherwise evict its hottest
+        # entries first and thrash
+        _PARSE_CACHE.pop(path)
+        _PARSE_CACHE[path] = hit
         return hit[1]
     try:
         with open(path) as fh:
@@ -236,8 +241,11 @@ def _read_file_batches(
     # numeric type widening (widen_column): a file written before the
     # widen carries the narrow physical type — upcast Arrow-side to the
     # declared schema (the JVM reader does this natively; this mirrors
-    # it). Only numeric→numeric differences are cast; string width
-    # variants etc. pass through untouched.
+    # it). Cast ONLY in the lossless _WIDENINGS direction (int→wider
+    # int, int≤32/float32→float64); a NARROWING mismatch means a stream
+    # checkpoint pinned the pre-widen schema — raise the same
+    # restart-from-fresh-checkpoint error the rename path gives instead
+    # of silently downcasting until the first out-of-range value.
     ddl_by_name = dict(fields)
     for i, field in enumerate(table.schema):
         cur = field.type
@@ -247,12 +255,30 @@ def _read_file_batches(
             want = _arrow_type(ddl_by_name[field.name])
         except ValueError:
             continue
-        if cur != want and (
+        if cur == want or not (
             pa.types.is_integer(want) or pa.types.is_floating(want)
         ):
-            table = table.set_column(
-                i, field.name, table.column(i).cast(want)
+            continue
+        wider = (
+            pa.types.is_integer(cur)
+            and pa.types.is_integer(want)
+            and cur.bit_width < want.bit_width
+        ) or (
+            pa.types.is_floating(want)
+            and want.bit_width == 64
+            and (
+                (pa.types.is_integer(cur) and cur.bit_width <= 32)
+                or (pa.types.is_floating(cur) and cur.bit_width < 64)
             )
+        )
+        if not wider:
+            raise ValueError(
+                f"column '{field.name}' is {want} in this reader's pinned "
+                f"schema but {cur} in the file — the table's type was "
+                "widened after this stream started; restart the stream "
+                "from a fresh checkpoint to pick up the widened schema"
+            )
+        table = table.set_column(i, field.name, table.column(i).cast(want))
     if drop_positions:
         import numpy as np
 
@@ -460,11 +486,13 @@ class VersionedStreamReader(DataSourceStreamReader):
         # (latestOffset is polled many times per trigger for progress
         # reporting, so advancing state there would race the cursor to
         # head and silently disable the cap — measured). Semantics:
-        # a FRESH stream's first batch is the initial snapshot
-        # (uncapped, the pre-existing contract — the cursor is still
-        # unknown at first poll); every later batch is paced, so a
-        # consumer that fell 10k commits behind catches up in bounded
-        # micro-batches instead of one table-sized batch. On restart
+        # EVERY batch is paced, including a fresh stream's first —
+        # initialOffset seeds the cursor, so the first batch delivers
+        # the initial snapshot AS OF the capped end and later batches
+        # drain the rest (Delta applies rate limits to the initial
+        # snapshot the same way); a consumer that fell 10k commits
+        # behind catches up in bounded micro-batches instead of one
+        # table-sized batch. On restart
         # the engine replays the last batch (partitions call) before
         # planning, which re-syncs the cursor — restart batches are
         # paced immediately. availableNow/once falls back to Spark's

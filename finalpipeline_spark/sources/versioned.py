@@ -402,9 +402,12 @@ class VersionedTable:
                 occupant_aborted = False
             except Exception:
                 occupant_aborted = self._older_than_grace(path)
-            if occupant_aborted and (
-                fresh or time.time() < verify_deadline - _VERIFY_MARGIN_SECONDS
-            ):
+            # steal regardless of freshness: occupant_aborted already
+            # requires the occupant to be unparseable AND older than the
+            # recovery grace, so it is provably junk — in the stale case
+            # stealing it is what lets the committed manifest self-heal
+            # instead of raising the manual-restore error below
+            if occupant_aborted:
                 blocker = self._p(
                     _LOG_DIR,
                     (_MANIFEST_FMT % version) + ".aborted-" + uuid.uuid4().hex,
@@ -2162,10 +2165,22 @@ class VersionedTable:
         target = self.manifest(version)
         base = self.manifest(since_version)
         for v in range(since_version + 1, target["version"] + 1):
-            action = self._read_manifest_file(v)["action"]
-            if action != "append":
+            m = self._read_manifest_file(v)
+            if m["action"] == "rename_column":
+                # pre-rename manifests' entries lack the rename's
+                # column mapping — same refusal as read_changes_rows
                 raise ValueError(
-                    f"version {v} is '{action}': no incremental row delta "
+                    f"version {v} renames a column: no incremental row "
+                    "delta across a rename — reprocess from the snapshot"
+                )
+            if _same_file_refs(self._read_manifest_file(v - 1)["files"], m["files"]):
+                # metadata-only commit (constraint add/drop, column
+                # add/drop/widen, no-op compaction): identical file list
+                # and vector refs ⇒ provably zero row delta — skip it
+                continue
+            if m["action"] != "append":
+                raise ValueError(
+                    f"version {v} is '{m['action']}': no incremental row delta "
                     "across content mutation — reprocess from the snapshot"
                 )
         base_paths = {self._abs(f) for f in base["files"]}

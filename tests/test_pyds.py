@@ -376,3 +376,47 @@ def test_pacing_e2e_bounded_catchup(spark, tmp_path):
     sizes = [n for _, n in batches if n > 0]
     assert sum(sizes) == 30
     assert sizes == [10, 10, 10]
+
+
+def test_parse_cache_is_lru_not_fifo(tmp_path, monkeypatch):
+    """A cache hit must refresh recency: with a hot set one larger than
+    the cap, re-touching the oldest entry then inserting a new one must
+    evict the UNtouched entry (LRU), not the oldest-inserted (FIFO)."""
+    import json
+
+    from finalpipeline_spark.sources import pyds
+
+    monkeypatch.setattr(pyds, "_PARSE_CACHE", {})
+    monkeypatch.setattr(pyds, "_PARSE_CACHE_MAX", 2)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"m{i}.json"
+        p.write_text(json.dumps({"version": i}))
+        paths.append(str(p))
+    assert pyds._parse_manifest_cached(paths[0])["version"] == 0
+    assert pyds._parse_manifest_cached(paths[1])["version"] == 1
+    assert pyds._parse_manifest_cached(paths[0])["version"] == 0  # hit
+    assert pyds._parse_manifest_cached(paths[2])["version"] == 2
+    assert paths[0] in pyds._PARSE_CACHE  # survived: recently touched
+    assert paths[1] not in pyds._PARSE_CACHE  # evicted: least recent
+
+
+def test_arrow_cast_widens_but_refuses_narrowing(tmp_path):
+    """The Arrow-side schema cast mirrors widen_column: a file narrower
+    than the declared schema upcasts losslessly; a file WIDER than the
+    declared schema (a stream checkpoint pinned pre-widen) must raise
+    the restart-from-fresh-checkpoint error, never silently downcast."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from finalpipeline_spark.sources.pyds import _read_file_batches
+
+    narrow = str(tmp_path / "narrow.parquet")
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int32())}), narrow)
+    batches = list(_read_file_batches(narrow, [("id", "bigint")]))
+    assert batches and batches[0].schema.field("id").type == pa.int64()
+
+    wide = str(tmp_path / "wide.parquet")
+    pq.write_table(pa.table({"id": pa.array([1, 2**40], pa.int64())}), wide)
+    with pytest.raises(ValueError, match="fresh checkpoint"):
+        list(_read_file_batches(wide, [("id", "int")]))

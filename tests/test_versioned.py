@@ -1407,3 +1407,52 @@ def test_vacuum_dry_run_lists_without_deleting(spark, table):
     assert real == preview
     with pytest.raises(VersionNotFoundError):
         table.read(version=0)
+
+
+def test_read_changes_skips_metadata_only_commits(spark, table):
+    """File-level CDF must treat metadata-only commits (constraint
+    add/drop, widen, no-op compaction) as zero-delta instead of raising
+    'no incremental row delta' — their file refs are unchanged, so the
+    delta is provably empty (mirrors read_changes_rows/_same_file_refs)."""
+    table.commit_overwrite(_df(spark, 0, 5, "seed"))  # v0
+    table.commit_append(_df(spark, 5, 8, "a"))  # v1
+    table.add_constraint("id_nonneg", "id >= 0")  # v2: metadata-only
+    table.commit_append(_df(spark, 8, 10, "b"))  # v3
+    delta = table.read_changes(since_version=0)
+    assert sorted(r.id for r in delta.collect()) == list(range(5, 10))
+    # a range that ENDS on the metadata-only commit is simply the
+    # appends before it
+    assert table.read_changes(since_version=1, version=2).count() == 0
+    # renames still refuse: pre-rename manifests lack the column mapping
+    table.rename_column("tag", "label")
+    with pytest.raises(ValueError, match="renames a column"):
+        table.read_changes(since_version=0)
+
+
+def test_restore_quarantined_stale_steals_aged_junk(spark, table):
+    """Stale case self-heal: when the slot's occupant is unparseable
+    AND older than the recovery grace it is provably an abandoned
+    fragment — the restore must steal it and reinstate the committed
+    manifest rather than raise the manual-restore error."""
+    table.commit_overwrite(_df(spark, 0, 5, "seed"))
+    log = os.path.join(table.root, "_log")
+    slot = os.path.join(log, "v%012d.json" % 1)
+    quarantine = os.path.join(log, "v%012d.json.aborted-feedface" % 1)
+    valid = json.dumps(
+        {"version": 1, "parent": 0, "action": "append",
+         "schema": "id bigint", "files": []}
+    )
+    with open(quarantine, "w") as fh:
+        fh.write(valid)
+    _age(quarantine, seconds=30)  # stale: predates any live poll window
+    with open(slot, "w") as fh:  # unparseable junk occupant
+        fh.write('{"version": 1, "files": [')
+    _age(slot)  # aged far past the recovery grace: provably abandoned
+    table._restore_quarantined(
+        table._p("_log", os.path.basename(quarantine)),
+        table._p("_log", os.path.basename(slot)),
+        1,
+    )
+    with open(slot) as fh:
+        assert fh.read() == valid
+    assert not os.path.exists(quarantine)
