@@ -54,90 +54,90 @@ def register(
 # r4 checked the 28 never-checked + all r4 additions — after r4,
 # cumulative attestation is COMPLETE (all 187 queries have a driver row:
 # 183 green + 4 rows-only by design); r5 re-attested the r1 events
-# family + everything added/rewired in r5 (50/50 green).  Round 6
-# continues OLDEST-FIRST (VERDICT r5 item 2): the 7 queries whose only
-# driver row is r1 (deferred from the r5 window exactly as documented
-# there), then the full r2-attested relational/tpch/multimodal block,
-# plus three of the queries ADDED this round (first driver row).  The 4
-# rows-only queries (chembl_crossscore_udf, ref_approx_distinct,
-# doc_bpe_learn_merges, doc_bpe_encode) get NO slots — their first-row
-# boxes are ticked and a rows-only slot can never go red or green.
-# Everything outside the window stays covered by the local oracle-parity
-# suite (tests/test_oracle_parity.py — same compare, dtype-strict).
+# family + everything added/rewired in r5 (50/50 green); r6 re-attested
+# the 7 r1-only leftovers + the full r2 relational/tpch/multimodal
+# block + 3 new queries (50/50 green).  Round 7 continues OLDEST-FIRST
+# and the fit is exact: events_holt_smoothing (added late in r6, no
+# driver row yet) + mm_feature_extract (displaced from the r6 window,
+# last row r2) + ALL 48 oracle-checkable queries whose latest row is r3
+# = 50 slots.  After this window every query's latest driver row is r4
+# or newer.  The 4 rows-only queries (chembl_crossscore_udf,
+# ref_approx_distinct, doc_bpe_learn_merges, doc_bpe_encode) get NO
+# slots — their first-row boxes are ticked and a rows-only slot can
+# never go red or green.  Everything outside the window stays covered
+# by the local oracle-parity suite (tests/test_oracle_parity.py — same
+# compare, dtype-strict).
 # NOTE: the window is a single explicit list — module-based priority was
 # dropped because adding a query to a priority module silently shifted
 # the window.  After ANY registration change, re-print list(queries())
 # [:52] and re-curate this list.
 _PRIORITY_MODULES: tuple[str, ...] = ()
 _PRIORITY_QUERIES = (
-    # -- the 7 queries whose ONLY driver row is r1 (deferred from the
-    #    r5 window; oldest evidence in the log) --
-    "tpch_rollup_sales",
-    "tpch_cube_sales",
-    "doc_top_ngrams",
-    "orders_date_math",
-    "orders_full_outer_reconcile",
-    "lineitem_percentiles",
-    "tpch_q11_share",
-    # -- queries ADDED this round (first driver row) --
-    "doc_decontam_substring",
-    "events_autocorrelation",
-    "emb_ivf_kmeans_topk",
-    # -- the full r2-attested block (last driver row 4 rounds ago):
-    #    reference-parity relational staples ... --
-    "flagship_datamart_chain",
-    "ref_clean_ids",
-    "ref_filter_project",
-    "ref_left_join_lookup",
-    "ref_anti_join_pairs",
-    "ref_dim_draft",
-    "ref_star_enrich",
-    "ref_view_avg_sim",
-    "ref_view_avg_absdiff",
-    "ref_view_avg_absdiff_nonull",
-    "ref_union_all",
-    "ref_except_all",
-    "ref_intersect",
-    "ref_counts",
-    "ref_topk_per_group",
-    "ref_tie_flag_topk",
-    "ref_orderby_limit",
-    # -- ... multimodal binary-payload operators (mm_feature_extract
-    #    yields its slot to emb_ivf_kmeans_topk, new-this-round; it
-    #    heads the r7 oldest list) ... --
-    "mm_image_meta",
-    "mm_frame_sample",
-    "mm_resize",
-    # -- ... and the r2 TPC-H block --
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q21",
-    "tpch_q22",
-    "tpch_topk_join",
+    # -- never driver-checked (added late in r6) --
+    "events_holt_smoothing",
+    # -- last driver row r2 (displaced from the r6 window) --
+    "mm_feature_extract",
+    # -- the complete r3-attested block: documents/embeddings depth ... --
+    "doc_repetition_stats",
+    "doc_decontam_ngram_overlap",
+    "emb_ann_recall_eval",
+    "doc_dedup_lsh_recall",
+    "emb_kmeans_lloyd",
+    "emb_pq_encode",
+    "doc_lm_perplexity",
+    "emb_ivf_pq_topk",
+    # -- ... events time-series family ... --
+    "events_ewma_value",
+    "events_activity_streaks",
+    "events_time_weighted_avg",
+    "events_rollup_hierarchy",
+    "events_ohlc_bars",
+    "events_gapfill_locf",
+    "events_pivot_counts",
+    "events_late_classify",
+    # -- ... stats/graph/profile ... --
+    "lineitem_approx_quantiles",
+    "lineitem_regr_stats",
+    "nation_pagerank",
+    "nation_triangle_count",
+    "orders_profile",
+    "ref_ledger_new_files",
+    # -- ... search + quality ... --
+    "doc_inverted_index",
+    "doc_bm25_topk",
+    "doc_hybrid_search_rrf",
+    "doc_quality_classifier",
+    "emb_semantic_dedup",
+    # -- ... sketches ... --
+    "lineitem_hll_distinct",
+    "events_cms_heavy_hitters",
+    "orders_bloom_semi_join",
+    "lineitem_mergeable_quantiles",
+    "events_rolling_distinct_hll",
+    # -- ... remaining TPC-H ... --
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q20",
+    # -- ... training-data assembly ... --
+    "doc_pack_sequences",
+    "doc_sample_temperature",
+    "doc_dedup_exact_keep_best",
+    "doc_shard_interleave",
+    "doc_pii_redact",
+    "doc_chunk_overlap",
+    "doc_vocab_coverage",
+    "doc_mix_sources",
+    "doc_weighted_sample_fixed",
+    # -- ... and warehouse/incremental staples --
+    "orders_scd2_snapshot",
+    "doc_reconcile_checksums",
+    "doc_global_row_ids",
+    "orders_incremental_mv",
 )
 
-# After this window every query's LATEST driver row is r3 or newer
-# except mm_feature_extract (r2, displaced by the new
-# emb_ivf_kmeans_topk) and events_holt_smoothing (added late in r6,
-# registered outside the full window — no driver row yet) — the r7
-# rotation starts with those two, then the r3-attested block (doc
-# training/curation + events families, search/sketches), then r4's
-# additions.  All stay covered by the local parity suite.
+# Queries ADDED in r7 should take slots here by displacing entries from
+# the END of the r3 block above (warehouse staples first — they are the
+# most test-covered elsewhere); displaced names head the r8 window.
 _DEFER_QUERIES: tuple[str, ...] = ()
 
 
