@@ -185,23 +185,61 @@ def _dv_positions_for(dv_path: str | None, rel: str) -> set[int]:
 
 
 # Spark simple-type DDL → Arrow type, for typed-NULL backfill of columns
-# added by schema evolution after a file was written. Complex types are
-# absent on purpose: an evolved complex column would need a real Arrow
-# type tree, and erroring beats guessing.
+# added by schema evolution after a file was written. Complex types
+# (array/map/struct/decimal) are handled structurally by _arrow_type's
+# recursive parse of the simpleString form.
 _ARROW_TYPES = {
     "bigint": "int64", "int": "int32", "smallint": "int16",
     "tinyint": "int8", "double": "float64", "float": "float32",
     "string": "large_string", "boolean": "bool_", "date": "date32",
+    "binary": "large_binary",
 }
 
 
+def _split_top(s: str) -> list[str]:
+    """Split a DDL type-argument list on commas at bracket depth 0
+    (``a:int,b:array<int>`` → two parts, the nested comma kept)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
 def _arrow_type(ddl: str):
+    """Spark ``simpleString`` DDL → Arrow type, recursively — the full
+    type tree an evolved column needs for typed-NULL backfill. Kept
+    pyspark-free (executor-side import). Nested types mirror Spark's
+    own Arrow conversion (large_* variants for strings/binary/lists)."""
     import pyarrow as pa
 
+    ddl = ddl.strip()
     if ddl in _ARROW_TYPES:
         return getattr(pa, _ARROW_TYPES[ddl])()
     if ddl.startswith("timestamp"):
         return pa.timestamp("us")
+    if ddl.startswith("decimal(") and ddl.endswith(")"):
+        p, s = _split_top(ddl[len("decimal("):-1])
+        return pa.decimal128(int(p), int(s))
+    if ddl.startswith("array<") and ddl.endswith(">"):
+        # plain list_, not large_list: Spark's Python-data-source Arrow
+        # deserializer rejects LargeList (UNSUPPORTED_ARROWTYPE)
+        return pa.list_(_arrow_type(ddl[len("array<"):-1]))
+    if ddl.startswith("map<") and ddl.endswith(">"):
+        k, v = _split_top(ddl[len("map<"):-1])
+        return pa.map_(_arrow_type(k), _arrow_type(v))
+    if ddl.startswith("struct<") and ddl.endswith(">"):
+        fields = []
+        for part in _split_top(ddl[len("struct<"):-1]):
+            name, typ = part.split(":", 1)
+            fields.append(pa.field(name.strip(), _arrow_type(typ)))
+        return pa.struct(fields)
     raise ValueError(
         f"cannot backfill evolved column of type {ddl!r} — rewrite the "
         "table (optimize) to materialize it"

@@ -420,3 +420,49 @@ def test_arrow_cast_widens_but_refuses_narrowing(tmp_path):
     pq.write_table(pa.table({"id": pa.array([1, 2**40], pa.int64())}), wide)
     with pytest.raises(ValueError, match="fresh checkpoint"):
         list(_read_file_batches(wide, [("id", "int")]))
+
+
+def test_batch_read_backfills_evolved_complex_columns(spark, tmp_path):
+    """Typed-NULL backfill for files predating schema evolution now
+    covers COMPLEX columns: array/struct/map/binary added via
+    merge_schema read back as real NULLs through the Python source
+    (previously a loud cannot-backfill gate)."""
+    register_versioned_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit_overwrite(spark.range(0, 5).selectExpr("id"))
+    t.commit_append(
+        spark.range(5, 8).selectExpr(
+            "id",
+            "array(cast(id as double), 1.5d) as emb",
+            "named_struct('a', id, 'b', 'x') as meta",
+            "map('k', id) as mp",
+            "cast('bin' as binary) as payload",
+        ),
+        merge_schema=True,
+    )
+    df = spark.read.format("versioned").option("root", t.root).load()
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 8
+    assert rows[0].emb is None and rows[0].meta is None
+    assert rows[0].mp is None and rows[0].payload is None
+    assert rows[6].emb == [6.0, 1.5]
+    assert rows[6].meta.a == 6 and rows[6].meta.b == "x"
+    assert rows[6].mp == {"k": 6}
+    assert bytes(rows[6].payload) == b"bin"
+
+
+def test_arrow_type_parses_nested_ddl():
+    """The DDL→Arrow parser handles the full simpleString grammar."""
+    import pyarrow as pa
+
+    from finalpipeline_spark.sources.pyds import _arrow_type
+
+    assert _arrow_type("array<double>") == pa.list_(pa.float64())
+    assert _arrow_type("map<string,bigint>") == pa.map_(
+        pa.large_string(), pa.int64()
+    )
+    assert _arrow_type("decimal(12,2)") == pa.decimal128(12, 2)
+    t = _arrow_type("struct<a:int,b:array<struct<c:string>>>")
+    assert t.field("b").type.value_type.field("c").type == pa.large_string()
+    with pytest.raises(ValueError, match="cannot backfill"):
+        _arrow_type("interval")
