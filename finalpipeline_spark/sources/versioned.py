@@ -673,6 +673,58 @@ class VersionedTable:
             constraints=cons,
         )
 
+    def add_not_null(self, col: str, attempts: int = 10) -> CommitInfo:
+        """``ALTER TABLE ALTER COLUMN SET NOT NULL`` — recorded as the
+        CHECK constraint ``<col>_not_null`` (``IS NOT NULL`` is never
+        NULL-valued, so the ANSI NULL-passes CHECK semantics enforce it
+        exactly). Validation of the EXISTING snapshot is METADATA-ONLY
+        whenever every current file entry carries a null count for the
+        column (zero data I/O — the stats the commit protocol already
+        records); only tables with pre-null-stats files pay
+        add_constraint's full validation scan."""
+        return self.commit_with_retry(
+            lambda t: t._add_not_null_once(col), attempts
+        )
+
+    def _add_not_null_once(self, col: str) -> CommitInfo:
+        m = self.manifest()
+        schema = self._schema_of(m)
+        if col not in schema.fieldNames():
+            raise ValueError(f"no column '{col}' on {self.root}")
+        name, predicate = f"{col}_not_null", f"{col} IS NOT NULL"
+        cons = dict(m.get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint '{name}' already exists on {self.root}")
+        nulls = 0
+        derivable = True
+        for f in m["files"]:
+            if f.get("dv"):
+                derivable = False  # vectored rows might be the nulls
+                break
+            phys = (f.get("cmap") or {}).get(col, col)
+            nd = f.get("nulls")
+            if nd is None:
+                derivable = False
+                break
+            # physically absent column ⇒ every written row is NULL
+            nulls += nd[phys] if phys in nd else f["rows"]
+        if derivable:
+            if nulls:
+                raise ValueError(
+                    f"cannot add NOT NULL on '{col}': {nulls} existing "
+                    f"NULL row(s) in {self.root}"
+                )
+        elif m["files"]:
+            self._check_df(self.read(m["version"]), {name: predicate})
+        cons[name] = predicate
+        return self._commit(
+            "add_constraint",
+            list(m["files"]),
+            m["schema"],
+            base_version=m["version"],
+            constraints=cons,
+        )
+
     def add_column(
         self, name: str, ddl_type: str, attempts: int = 10
     ) -> CommitInfo:
@@ -944,11 +996,16 @@ class VersionedTable:
         df.write.mode("errorifexists").parquet(abs_dir)
         back = self.spark.read.parquet(abs_dir)
         cols = _stat_cols(back)
+        all_cols = back.columns  # null counts work for EVERY type
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in cols:
             aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        for c in all_cols:
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nc_{c}")
+            )
         stats = (
-            back.select(F.col("_metadata.file_path").alias("__file"), *cols)
+            back.select(F.col("_metadata.file_path").alias("__file"), *all_cols)
             .groupBy("__file")
             .agg(*aggs)
             .collect()  # one row per new data file — manifest-sized
@@ -964,6 +1021,7 @@ class VersionedTable:
                 c: [_json_safe(r[f"__min_{c}"]), _json_safe(r[f"__max_{c}"])]
                 for c in cols
             }
+            entry["nulls"] = {c: int(r[f"__nc_{c}"]) for c in all_cols}
             if full in blooms:
                 entry["bloom"] = blooms[full]
             files.append(entry)
@@ -2201,6 +2259,53 @@ class VersionedTable:
         vector'd positions are subtracted from their entry's count)."""
         return sum(self._entry_live_rows(f) for f in self.manifest(version)["files"])
 
+    def column_stats(
+        self, col: str, version: int | None = None
+    ) -> dict[str, Any]:
+        """Metadata-only ``{rows, null_count, min, max}`` for one
+        column — the Iceberg snapshot-summary shortcut for
+        ``SELECT count(*), count(col), min(col), max(col)``. O(manifest),
+        zero data I/O. Raises when the answer is not provable from the
+        manifest: any entry carries a deletion vector (the removed rows
+        could be the extremes or the nulls), predates null-count stats,
+        or has non-null rows but no min/max stats (unorderable type).
+        min/max compare as stored (_json_safe values: dates/timestamps
+        as ISO strings, which order correctly within one column)."""
+        m = self.manifest(version)
+        if col not in self._schema_of(m).fieldNames():
+            raise ValueError(f"no column '{col}' on {self.root}")
+        rows = null_count = 0
+        mn = mx = None
+        for f in m["files"]:
+            if f.get("dv"):
+                raise ValueError(
+                    f"column_stats('{col}') not derivable: deletion-"
+                    "vectored entries present — aggregate with a scan"
+                )
+            nd = f.get("nulls")
+            if nd is None:
+                raise ValueError(
+                    f"column_stats('{col}') not derivable: pre-null-"
+                    "stats entries present — rewrite (optimize) first"
+                )
+            phys = (f.get("cmap") or {}).get(col, col)
+            rows += f["rows"]
+            if phys not in nd:  # physically absent ⇒ all rows NULL
+                null_count += f["rows"]
+                continue
+            null_count += nd[phys]
+            if nd[phys] == f["rows"]:
+                continue  # no non-null values to bound
+            s = (f.get("stats") or {}).get(phys)
+            if s is None or s[0] is None:
+                raise ValueError(
+                    f"column_stats('{col}') not derivable: no min/max "
+                    "stats (unorderable column type?)"
+                )
+            mn = s[0] if mn is None else min(mn, s[0])
+            mx = s[1] if mx is None else max(mx, s[1])
+        return {"rows": rows, "null_count": null_count, "min": mn, "max": mx}
+
     def read_changes_rows(
         self, since_version: int, version: int | None = None
     ) -> DataFrame:
@@ -2351,6 +2456,35 @@ class VersionedTable:
         return self._scan_entries(hits, self._schema_of(m)).filter(
             (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
         )
+
+    def read_null_pruned(
+        self, col: str, is_null: bool = True, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read for ``col IS [NOT] NULL`` that skips files
+        whose manifest null counts prove no row can match: zero nulls
+        for an IS NULL probe, all-null (or the column physically absent
+        — added later via evolution, so every row backfills NULL) for
+        IS NOT NULL. Skips stay safe under deletion vectors — a DV only
+        removes rows, so 'no written row matches' still implies 'no
+        live row matches'. Files committed before null-count stats are
+        kept conservatively; the exact filter is always applied."""
+        m = self.manifest(version)
+        hits = []
+        for f in m["files"]:
+            phys = (f.get("cmap") or {}).get(col, col)
+            nd = f.get("nulls")
+            if nd is None:
+                keep = True  # pre-null-stats commit: can't prove anything
+            elif phys not in nd:
+                keep = is_null  # physically absent ⇒ reads back all-NULL
+            else:
+                keep = (nd[phys] > 0) if is_null else (nd[phys] < f["rows"])
+            if keep:
+                hits.append(f)
+        if not hits:
+            return self.read(version).filter(F.lit(False))
+        pred = F.col(col).isNull() if is_null else F.col(col).isNotNull()
+        return self._scan_entries(hits, self._schema_of(m)).filter(pred)
 
     def read_point_lookup(
         self, value: Any, version: int | None = None

@@ -1456,3 +1456,81 @@ def test_restore_quarantined_stale_steals_aged_junk(spark, table):
     with open(slot) as fh:
         assert fh.read() == valid
     assert not os.path.exists(quarantine)
+
+
+def _null_df(spark, lo, hi, null_every):
+    """tag is NULL on ids divisible by null_every (0 = never null)."""
+    cond = "NULL" if null_every == 1 else (
+        f"CASE WHEN id % {null_every} = 0 THEN NULL ELSE 'v' END"
+        if null_every else "'v'"
+    )
+    return spark.range(lo, hi).selectExpr("id", f"CAST({cond} AS STRING) as tag")
+
+
+def test_null_counts_recorded_in_manifest(spark, table):
+    table.commit_overwrite(_null_df(spark, 0, 100, 10).coalesce(1))
+    f = table.manifest()["files"][0]
+    assert f["nulls"] == {"id": 0, "tag": 10}
+
+
+def test_read_null_pruned_skips_files(spark, table):
+    table.commit_append(_null_df(spark, 0, 100, 0).coalesce(1))  # no nulls
+    table.commit_append(_null_df(spark, 100, 200, 10).coalesce(1))  # some
+    table.commit_append(_null_df(spark, 200, 300, 1).coalesce(1))  # all null
+    nulls = table.read_null_pruned("tag", is_null=True)
+    assert sorted(r.id for r in nulls.collect()) == (
+        [i for i in range(100, 200) if i % 10 == 0] + list(range(200, 300))
+    )
+    assert len(nulls.inputFiles()) == 2  # zero-null file skipped
+    notnull = table.read_null_pruned("tag", is_null=False)
+    assert notnull.count() == 100 + 90
+    assert len(notnull.inputFiles()) == 2  # all-null file skipped
+    # evolution: a column added later is provably NULL in older files
+    table.add_column("score", "double")
+    table.commit_append(
+        spark.range(300, 310).selectExpr(
+            "id", "'v' as tag", "cast(id as double) as score"
+        ).coalesce(1),
+        merge_schema=True,
+    )
+    got = table.read_null_pruned("score", is_null=False)
+    assert got.count() == 10
+    assert len(got.inputFiles()) == 1  # only the post-evolution file
+
+
+def test_add_not_null_metadata_only_and_enforced(spark, table):
+    table.commit_overwrite(_null_df(spark, 0, 50, 0))
+    table.add_not_null("tag")
+    assert table.constraints()["tag_not_null"] == "tag IS NOT NULL"
+    from finalpipeline_spark.sources.versioned import ConstraintViolationError
+    with pytest.raises(Exception, match="tag_not_null|NULL"):
+        table.commit_append(_null_df(spark, 50, 60, 5))
+    # rejected when existing rows are NULL — straight from metadata
+    t2 = VersionedTable(spark, table.root + "_2")
+    t2.commit_overwrite(_null_df(spark, 0, 50, 7))
+    with pytest.raises(ValueError, match="existing NULL"):
+        t2.add_not_null("tag")
+    with pytest.raises(ValueError, match="no column"):
+        t2.add_not_null("ghost")
+
+
+def test_column_stats_metadata_only(spark, table):
+    table.commit_append(_null_df(spark, 5, 100, 10).coalesce(2))
+    table.commit_append(_null_df(spark, 100, 150, 1).coalesce(1))
+    st = table.column_stats("id")
+    assert st == {"rows": 145, "null_count": 0, "min": 5, "max": 149}
+    st = table.column_stats("tag")
+    assert st["rows"] == 145
+    assert st["null_count"] == 9 + 50  # every 10th of 5..99, plus all-null
+    assert st["min"] == st["max"] == "v"
+    # a column added by evolution is all-NULL in pre-evolution files
+    table.add_column("score", "double")
+    assert table.column_stats("score") == {
+        "rows": 145, "null_count": 145, "min": None, "max": None
+    }
+    with pytest.raises(ValueError, match="no column"):
+        table.column_stats("ghost")
+    # deletion vectors make metadata aggregates unprovable
+    table.delete_where("id = 7", mode="mor")
+    with pytest.raises(ValueError, match="deletion-vectored"):
+        table.column_stats("id")
