@@ -484,3 +484,147 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     range) over a deterministic sample. See _silhouette_sql."""
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(SPARK_VIEW)
     return spark.sql(_silhouette_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# PCA top principal direction via exact-integer power iteration
+# --------------------------------------------------------------------------
+_PCA_K = 16  # leading dims decomposed
+_PCA_ITERS = 16
+_PCA_CSCALE = 1 << 30  # covariance fixed-point scale
+_PCA_VSCALE = 1 << 20  # iterate fixed-point scale
+
+
+def _pca_moments_sql(dialect: str) -> str:
+    """Exact moment row over the leading _PCA_K dims: n, s_i, and the
+    FULL upper triangle p_ij — the same associative single-row
+    aggregate shape as _cov_moments_sql, widened to the PCA block.
+    Distributed cost: one scan, map-side partials, a one-row shuffle —
+    the only data-sized work PCA needs."""
+    t = _emb_tbl(dialect)
+    q = [
+        f"cast(round({D.arr_index('embedding', str(i), dialect)} * {_COV_SCALE}) as bigint)"
+        for i in range(1, _PCA_K + 1)
+    ]
+    dec = "decimal(38,0)" if dialect == D.SPARK else "hugeint"
+    sums = [f"cast(count(*) as {dec}) AS n"]
+    sums += [
+        f"cast(sum(cast(q{i} as {dec})) as {dec}) AS s{i}"
+        for i in range(1, _PCA_K + 1)
+    ]
+    sums += [
+        f"cast(sum(cast(q{i} * q{j} as {dec})) as {dec}) AS p{i}_{j}"
+        for i in range(1, _PCA_K + 1)
+        for j in range(i, _PCA_K + 1)
+    ]
+    quant_cols = ", ".join(f"{expr} AS q{i}" for i, expr in enumerate(q, start=1))
+    return f"""
+        SELECT {", ".join(sums)}
+        FROM (SELECT {quant_cols} FROM {t}) quant
+    """
+
+
+def _pca_tdiv(t: str, v: str, m: str) -> str:
+    """SQL for sign(t) * (|t| * v // m): truncating division applied to
+    the magnitude, so DuckDB's truncate-toward-zero `//` and Python's
+    floor `//` (applied to non-negatives, where they agree) compute the
+    identical integer."""
+    return (
+        f"CASE WHEN {t} >= 0 THEN ({t} * {v}) // {m} "
+        f"ELSE -((-({t}) * {v}) // {m}) END"
+    )
+
+
+def _pca_oracle() -> str:
+    """Chained-CTE power iteration, hugeint-exact end-to-end.
+
+    cmat quantizes the covariance numerators (num_ij = n*p_ij - s_i*s_j,
+    exact) onto _PCA_CSCALE; each iteration computes nv = C*v in exact
+    integers, picks the max-|component| scale m and the sign of the
+    first component achieving it, and rescales back onto _PCA_VSCALE
+    with sign-magnitude truncating division. Every operation is integer
+    arithmetic on exactly the same values the Spark path's driver loop
+    computes, so results hash identically bit-for-bit."""
+    K, V = _PCA_K, _PCA_VSCALE
+    tri = []
+    for i in range(1, K + 1):
+        for j in range(i, K + 1):
+            tri.append(
+                f"SELECT {i} AS i, {j} AS j, "
+                f"n * p{i}_{j} - s{i} * s{j} AS num FROM moments"
+            )
+    num_union = " UNION ALL ".join(tri)
+    den = f"(SELECT n * n * {_COV_SCALE} * {_COV_SCALE} AS d FROM moments)"
+    cdiv = _pca_tdiv("t.num", str(_PCA_CSCALE), "d.d")
+    ctes = [
+        # MATERIALIZED: the 136 tri branches each reference moments; without
+        # it DuckDB inlines the CTE and re-scans the parquet per branch
+        f"moments AS MATERIALIZED ({_pca_moments_sql(D.DUCK)})",
+        f"tri AS MATERIALIZED ({num_union})",
+        f"cmat AS MATERIALIZED (SELECT i, j, {cdiv} AS cq FROM tri t, {den} d "
+        "UNION ALL "
+        f"SELECT j AS i, i AS j, {cdiv} AS cq FROM tri t, {den} d "
+        "WHERE t.i <> t.j)",
+        "v0 AS MATERIALIZED (SELECT i, cast(%d as hugeint) AS val FROM range(1, %d) r(i))"
+        % (V, K + 1),
+    ]
+    for t in range(_PCA_ITERS):
+        ctes.append(
+            f"nv{t} AS MATERIALIZED (SELECT c.i AS i, sum(c.cq * v.val) AS nv "
+            f"FROM cmat c JOIN v{t} v ON c.j = v.i GROUP BY c.i)"
+        )
+        ctes.append(
+            f"m{t} AS MATERIALIZED (SELECT max(abs(nv)) AS m, "
+            f"(SELECT CASE WHEN nv >= 0 THEN 1 ELSE -1 END FROM nv{t} "
+            f"WHERE abs(nv) = (SELECT max(abs(nv)) FROM nv{t}) "
+            f"ORDER BY i LIMIT 1) AS sgn FROM nv{t})"
+        )
+        vdiv = _pca_tdiv(f"(m.sgn * nv.nv)", str(V), "m.m")
+        ctes.append(
+            f"v{t + 1} AS MATERIALIZED (SELECT nv.i AS i, {vdiv} AS val FROM nv{t} nv, m{t} m)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT cast(i as int) AS dim_i, cast(val as bigint) AS loading "
+        f"FROM v{_PCA_ITERS} ORDER BY dim_i"
+    )
+
+
+@register("emb_pca_power", oracle=_pca_oracle(), tags=("extension",))
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the leading 16 embedding dims by
+    power iteration — PCA the way a 1000-executor cluster does it: ONE
+    distributed pass builds the exact integer moment row (map-side
+    partials, one-row shuffle; the same associative state as
+    emb_covariance_prefix), then the iteration runs on the K×K matrix
+    — constant-sized driver state, zero further data I/O. All
+    arithmetic is integer-exact (quantized covariance, sign-magnitude
+    truncating rescale), so the result is bit-stable under any
+    partitioning and hashes identically with the DuckDB oracle.
+    Returns the final iterate (dim_i, loading) at 2^20 fixed-point."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(SPARK_VIEW)
+    row = spark.sql(_pca_moments_sql(D.SPARK)).collect()[0]
+    K, V = _PCA_K, _PCA_VSCALE
+    n = int(row["n"])
+    s = [int(row[f"s{i}"]) for i in range(1, K + 1)]
+    den = n * n * _COV_SCALE * _COV_SCALE
+
+    def tdiv(t: int, v: int, m: int) -> int:
+        return (abs(t) * v // m) * (1 if t >= 0 else -1)
+
+    cq = [[0] * K for _ in range(K)]
+    for i in range(1, K + 1):
+        for j in range(i, K + 1):
+            num = n * int(row[f"p{i}_{j}"]) - s[i - 1] * s[j - 1]
+            cq[i - 1][j - 1] = cq[j - 1][i - 1] = tdiv(num, _PCA_CSCALE, den)
+    v = [V] * K
+    for _ in range(_PCA_ITERS):
+        nv = [sum(cq[i][j] * v[j] for j in range(K)) for i in range(K)]
+        m = max(abs(x) for x in nv)
+        sgn = next(
+            (1 if nv[i] >= 0 else -1) for i in range(K) if abs(nv[i]) == m
+        )
+        v = [tdiv(sgn * x, V, m) for x in nv]
+    return spark.createDataFrame(
+        [(i + 1, v[i]) for i in range(K)], "dim_i int, loading bigint"
+    )

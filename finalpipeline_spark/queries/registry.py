@@ -132,7 +132,9 @@ _PRIORITY_QUERIES = (
     "orders_scd2_snapshot",
     "doc_reconcile_checksums",
     "doc_global_row_ids",
-    "orders_incremental_mv",
+    # -- ADDED in r7 (first driver row; displaced orders_incremental_mv,
+    #    which is heavily pytest-covered and heads the r8 window) --
+    "emb_pca_power",
 )
 
 # Queries ADDED in r7 should take slots here by displacing entries from

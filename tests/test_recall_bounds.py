@@ -128,3 +128,43 @@ def test_simhash_banding_recall_is_exact_by_pigeonhole_at_sf01(spark):
     sims.unpersist()
     assert banded == brute
     assert brute, "degenerate ground truth: no near-dup pairs at sf0.1"
+
+
+def test_pca_power_matches_numpy_eigenvector(spark, sf_dir):
+    """emb_pca_power's exact-integer power iterate captures the top
+    of the spectrum of the same covariance block: Rayleigh quotient
+    against numpy's lambda_max exceeds the documented floor."""
+    import numpy as np
+
+    from finalpipeline_spark.queries.embeddings import (
+        _PCA_K,
+        _PCA_VSCALE,
+        emb_pca_power,
+    )
+    from finalpipeline_spark.tables import load_table
+
+    v = (
+        emb_pca_power(spark, sf_dir)
+        .orderBy("dim_i")
+        .toPandas()["loading"]
+        .to_numpy()
+        .astype(float)
+        / _PCA_VSCALE
+    )
+    X = np.array(
+        load_table(spark, sf_dir, "embeddings")
+        .selectExpr("slice(embedding, 1, %d) as e" % _PCA_K)
+        .toPandas()["e"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    w, _ = np.linalg.eigh(C)
+    lam1 = float(np.max(w))
+    # The synthetic embeddings are ISOTROPIC (lam1/lam2 ~ 1.02), so the
+    # eigenvector cosine converges arbitrarily slowly — the meaningful
+    # convergence metric is the Rayleigh quotient (captured variance
+    # fraction), which at 16 iterations measures >= 0.995 at sf0.001
+    # and >= 0.987 at sf0.01; floor 0.96 with margin.
+    rayleigh = float(v @ C @ v) / float(v @ v) / lam1
+    assert rayleigh > 0.96, rayleigh
