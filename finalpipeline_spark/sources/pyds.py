@@ -402,6 +402,8 @@ class VersionedDataSource(DataSource):
             self.options["root"],
             self._manifest(),
             [(f.name, f.dataType.simpleString()) for f in schema.fields],
+            prune=str(self.options.get("statsPruning", "false")).lower()
+            == "true",
         )
 
     def streamReader(self, schema) -> "VersionedStreamReader":
@@ -424,19 +426,34 @@ class VersionedDataSource(DataSource):
 
 
 class VersionedReader(DataSourceReader):
-    """Batch reader with manifest-stats file skipping: comparison
-    filters Spark pushes down prune whole files by per-file [min, max]
-    BEFORE any parquet footer is opened (the zone-map pattern at the
-    DataSource layer). Pruning over-selects only — every filter is
-    returned to Spark for exact re-evaluation, so results are
-    unaffected; only I/O shrinks."""
+    """Batch reader with OPT-IN manifest-stats file skipping
+    (``option("statsPruning", "true")``): pushed comparison and IS
+    [NOT] NULL filters prune whole files by per-file [min, max] / null
+    counts BEFORE any parquet footer is opened (the zone-map pattern at
+    the DataSource layer). Pruning over-selects only — every filter is
+    returned to Spark for exact re-evaluation.
+
+    OFF by default because it is only sound for the load→filter→act
+    pattern where the loaded DataFrame is planned ONCE: Spark's
+    PlanPythonDataSourceScan caches the planned scan per relation and
+    REUSES it for later filter-less queries on the same DataFrame
+    (measured: pushFilters/partitions are simply not called again), so
+    a partition list pruned for one query would silently become another
+    query's wrong answer. The always-sound pruned paths are the
+    explicit snapshot APIs (VersionedTable.read_pruned /
+    read_null_pruned / read_point_lookup), which plan fresh per call."""
 
     def __init__(
-        self, root: str, manifest: dict, fields: list[tuple[str, str]]
+        self,
+        root: str,
+        manifest: dict,
+        fields: list[tuple[str, str]],
+        prune: bool = False,
     ):
         self._root = root
         self._entries = list(manifest["files"])
         self._fields = fields
+        self._prune = prune
         self._ranges: list[tuple[str, str, object]] = []
 
     def pushFilters(self, filters):  # noqa: D102
@@ -444,6 +461,8 @@ class VersionedReader(DataSourceReader):
             EqualTo,
             GreaterThan,
             GreaterThanOrEqual,
+            IsNotNull,
+            IsNull,
             LessThan,
             LessThanOrEqual,
         )
@@ -454,19 +473,43 @@ class VersionedReader(DataSourceReader):
             GreaterThanOrEqual: ">=",
             LessThan: "<",
             LessThanOrEqual: "<=",
+            IsNull: "isnull",
+            IsNotNull: "isnotnull",
         }
-        for f in filters:
-            op = ops.get(type(f))
-            if op and len(f.attribute) == 1:
-                self._ranges.append((f.attribute[0], op, f.value))
+        # REPLACE, never append: the engine reuses one reader instance
+        # for every scan planned off the same loaded DataFrame, so
+        # accumulated state would leak one query's filters into the
+        # next (an UNFILTERED scan after filter("x = 1") silently
+        # pruned files for x = 1 — caught by exceptAll self-compare)
+        self._ranges = [
+            (f.attribute[0], op, getattr(f, "value", None))
+            for f in filters
+            if (op := ops.get(type(f))) and len(f.attribute) == 1
+        ]
         # every filter still needs exact evaluation by Spark — stats
         # pruning only skips files that provably contain no match
         return filters
 
-    def _may_match(self, entry: dict) -> bool:
-        for col, op, v in self._ranges:
+    def _may_match(self, entry: dict, ranges: list[tuple]) -> bool:
+        for col, op, v in ranges:
             # stats are keyed by the file's WRITE-time (physical) names
             phys = (entry.get("cmap") or {}).get(col, col)
+            if op in ("isnull", "isnotnull"):
+                # null-count skipping, mirroring read_null_pruned: safe
+                # under deletion vectors (they only remove rows); a
+                # physically absent column reads back all-NULL
+                nd = entry.get("nulls")
+                if nd is None:
+                    continue  # pre-null-stats commit: can't prove
+                if phys not in nd:
+                    if op == "isnotnull":
+                        return False
+                    continue
+                if op == "isnull" and nd[phys] == 0:
+                    return False
+                if op == "isnotnull" and nd[phys] == entry["rows"]:
+                    return False
+                continue
             mn, mx = entry.get("stats", {}).get(phys, (None, None))
             if mn is None or mx is None:
                 continue  # no stats → cannot prune on this column
@@ -482,10 +525,11 @@ class VersionedReader(DataSourceReader):
         return True
 
     def partitions(self) -> Sequence[InputPartition]:
+        ranges = self._ranges if self._prune else []
         return [
             _entry_partition(self._root, e)
             for e in self._entries
-            if self._may_match(e)
+            if self._may_match(e, ranges)
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:

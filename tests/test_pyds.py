@@ -109,6 +109,7 @@ def test_batch_filter_pushdown_prunes_files(spark, tmp_path):
     df = (
         spark.read.format("versioned")
         .option("root", vt.root)
+        .option("statsPruning", "true")
         .load()
         .filter("id >= 1000 and id < 1050")
     )
@@ -120,6 +121,7 @@ def test_batch_filter_pushdown_prunes_files(spark, tmp_path):
     empty = (
         spark.read.format("versioned")
         .option("root", vt.root)
+        .option("statsPruning", "true")
         .load()
         .filter("id = 999999")
     )
@@ -466,3 +468,75 @@ def test_arrow_type_parses_nested_ddl():
     assert t.field("b").type.value_type.field("c").type == pa.large_string()
     with pytest.raises(ValueError, match="cannot backfill"):
         _arrow_type("interval")
+
+
+def test_batch_null_filter_pushdown_prunes_files(spark, tmp_path):
+    """IS NULL / IS NOT NULL predicates prune files via the manifest
+    null counts, mirroring VersionedTable.read_null_pruned."""
+    register_versioned_source(spark)
+    vt = VersionedTable(spark, str(tmp_path / "vtn"))
+    vt.commit_append(
+        spark.range(0, 100).selectExpr("id", "'v' as tag").coalesce(1)
+    )  # zero nulls
+    vt.commit_append(
+        spark.range(100, 200).selectExpr(
+            "id", "CASE WHEN id % 10 = 0 THEN NULL ELSE 'v' END as tag"
+        ).coalesce(1)
+    )  # some nulls
+    vt.commit_append(
+        spark.range(200, 300).selectExpr(
+            "id", "CAST(NULL AS STRING) as tag"
+        ).coalesce(1)
+    )  # all null
+    def base():
+        return (
+            spark.read.format("versioned")
+            .option("root", vt.root)
+            .option("statsPruning", "true")
+            .load()
+        )
+
+    nulls = base().filter("tag is null")
+    assert nulls.count() == 10 + 100
+    assert nulls.rdd.getNumPartitions() == 2  # zero-null file pruned
+    notnull = base().filter("tag is not null")
+    assert notnull.count() == 100 + 90
+    assert notnull.rdd.getNumPartitions() == 2  # all-null file pruned
+    # a column added by evolution is provably NULL in every older file
+    vt.add_column("score", "double")
+    vt.commit_append(
+        spark.range(300, 310).selectExpr(
+            "id", "'v' as tag", "cast(id as double) as score"
+        ).coalesce(1),
+        merge_schema=True,
+    )
+    fresh = (
+        spark.read.format("versioned")
+        .option("root", vt.root)
+        .option("statsPruning", "true")
+        .load()
+    )
+    scored = fresh.filter("score is not null")
+    assert scored.count() == 10
+    assert scored.rdd.getNumPartitions() == 1  # only the new file scans
+
+
+def test_default_scan_is_sound_under_dataframe_reuse(spark, tmp_path):
+    """Planning-time pruning is OPT-IN because Spark caches the planned
+    scan per loaded DataFrame and reuses it for later filter-less
+    queries (pushFilters/partitions are not called again — measured).
+    By default every query on a reused DataFrame must stay correct."""
+    register_versioned_source(spark)
+    vt = VersionedTable(spark, str(tmp_path / "vtr"))
+    vt.commit_append(spark.range(0, 100).selectExpr("id", "'a' as tag").coalesce(1))
+    vt.commit_append(spark.range(100, 200).selectExpr("id", "'b' as tag").coalesce(1))
+    df = spark.read.format("versioned").option("root", vt.root).load()
+    assert df.count() == 200
+    assert df.filter("id >= 150").count() == 50  # plans with filters
+    assert df.count() == 200  # the poisoned-cache shape: must stay 200
+    assert df.filter("id < 50").count() == 50
+    assert df.count() == 200
+    # the exceptAll self-compare that first exposed the leak
+    native = vt.read()
+    assert df.exceptAll(native).count() == 0
+    assert native.exceptAll(df).count() == 0
