@@ -83,14 +83,39 @@ def _parse_manifest_cached(path: str) -> dict | None:
     return m
 
 
+def _manifest_paths(root: str, version: int) -> tuple[str, str]:
+    """(hot, archive) candidate paths for one version's manifest —
+    vacuum archives anchored manifests into _log/archive/ (direct name
+    probe, zero listing)."""
+    name = "v%012d.json" % version
+    log = os.path.join(root, _LOG_DIR)
+    return os.path.join(log, name), os.path.join(log, "archive", name)
+
+
 def _live_manifests(root: str) -> dict[int, dict]:
     log = os.path.join(root, _LOG_DIR)
     if not os.path.isdir(log):
         return {}
-    out: dict[int, dict] = {}
+    anchor = -1
+    tail: list[str] = []
     for name in os.listdir(log):
-        if not (name.startswith("v") and name.endswith(".json")):
-            continue
+        if name.startswith("checkpoint-") and name.endswith(".json"):
+            # log anchor: versions 0..V are committed (the CAS protocol
+            # keeps the log contiguous), possibly archived
+            anchor = max(anchor, int(name[len("checkpoint-"):-5]))
+        elif name.startswith("v") and name.endswith(".json"):
+            tail.append(name)
+    out: dict[int, dict] = {}
+    for v in range(anchor + 1):
+        for path in _manifest_paths(root, v):
+            m = _parse_manifest_cached(path)
+            if m is not None:
+                break
+        if m is not None and not m.get("expired"):
+            out[m["version"]] = m
+    for name in tail:
+        if int(name[1:-5]) <= anchor:
+            continue  # already resolved via the anchor walk
         m = _parse_manifest_cached(os.path.join(log, name))
         if m is not None and not m.get("expired"):
             out[m["version"]] = m
@@ -118,11 +143,11 @@ def _manifest_any(root: str, version: int) -> dict | None:
     manifests raise JSONDecodeError for the caller to surface."""
     if version < 0:
         return None
-    path = os.path.join(root, _LOG_DIR, "v%012d.json" % version)
-    if not os.path.exists(path):
-        return None
-    with open(path) as fh:
-        return json.load(fh)
+    for path in _manifest_paths(root, version):
+        if os.path.exists(path):
+            with open(path) as fh:
+                return json.load(fh)
+    return None
 
 
 class _FilePartition(InputPartition):
@@ -337,7 +362,8 @@ def _version_as_of_timestamp(root: str, live: dict[int, dict], ts: float) -> int
     for v in sorted(live):
         t = live[v].get("ts")
         if t is None:
-            t = os.path.getmtime(os.path.join(root, _LOG_DIR, "v%012d.json" % v))
+            hot, arch = _manifest_paths(root, v)
+            t = os.path.getmtime(hot if os.path.exists(hot) else arch)
         t = max(float(t), last + 1e-3)
         last = t
         if t <= ts:

@@ -77,6 +77,15 @@ _LOG_DIR = "_log"
 _DATA_DIR = "data"
 _DV_DIR = "_dv"
 _MANIFEST_FMT = "v%012d.json"
+# Log anchor (Delta _last_checkpoint shape): "checkpoint-V" asserts
+# versions 0..V are all committed — sound because the CAS commit
+# protocol keeps the log CONTIGUOUS (every commit claims parent+1), so
+# a committed V implies committed ancestors. Anchored manifests can be
+# ARCHIVED into _log/archive/ (vacuum does), keeping the hot _log
+# listing O(recent commits) instead of O(all commits ever); archived
+# manifests stay readable by direct name probe (zero listing).
+_ANCHOR_FMT = "checkpoint-%012d.json"
+_ARCHIVE_DIR = "archive"
 
 # A deletion-vector side is broadcast to the anti-join below this many
 # deleted rows (≈ tens of MB of (path, pos) pairs); beyond it, let the
@@ -208,12 +217,16 @@ class VersionedTable:
         bloom_bits: int = 8192,
         bloom_k: int = 3,
         recovery_grace_seconds: float = 60.0,
+        checkpoint_interval: int = 64,
     ):
         self.spark = spark
         self.root = root.rstrip("/")
         self.bloom_col = bloom_col
         self.bloom_bits = bloom_bits
         self.bloom_k = bloom_k
+        # every Nth commit drops a log anchor (best-effort, tiny file);
+        # 0 disables. See _ANCHOR_FMT.
+        self.checkpoint_interval = checkpoint_interval
         # An unparseable manifest is only treated as ABORTED (and
         # auto-retired) once its modification time is older than this
         # grace period. The commit protocol's exclusive-create and
@@ -253,6 +266,44 @@ class VersionedTable:
     def _manifest_path(self, version: int):
         return self._p(_LOG_DIR, _MANIFEST_FMT % version)
 
+    def _archive_path(self, version: int):
+        return self._p(_LOG_DIR, _ARCHIVE_DIR, _MANIFEST_FMT % version)
+
+    def _latest_anchor(self) -> int | None:
+        """Highest anchored version, from anchor file NAMES alone —
+        the name is written only after that version's commit was
+        verified, so a half-written anchor still asserts the truth."""
+        log = self._p(_LOG_DIR)
+        if not self._fs.exists(log):
+            return None
+        best = None
+        for st in self._fs.listStatus(log):
+            name = st.getPath().getName()
+            if name.startswith("checkpoint-") and name.endswith(".json"):
+                v = int(name[len("checkpoint-"):-5])
+                best = v if best is None else max(best, v)
+        return best
+
+    def write_anchor(self, version: int | None = None) -> int | None:
+        """Drop a log anchor at ``version`` (default: current latest).
+        Purely advisory metadata — no reader NEEDS it; it bounds the
+        per-query log listing and licenses vacuum's manifest archival.
+        Create-no-overwrite; a racing identical anchor is benign."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            return None
+        path = self._p(_LOG_DIR, _ANCHOR_FMT % version)
+        try:
+            out = self._fs.create(path, False)
+            try:
+                out.write(bytearray(json.dumps({"version": version}).encode()))
+            finally:
+                out.close()
+        except Exception:
+            return None  # already exists / racing writer: both fine
+        return version
+
     def _schema_of(self, m: dict[str, Any]):
         """Manifest schema string → StructType. Imposing this on every
         multi-file read gives a stable column set across schema
@@ -267,28 +318,44 @@ class VersionedTable:
     # -- log access --------------------------------------------------
     def versions(self) -> list[int]:
         """Committed versions, ascending. Unparseable tail manifests
-        (crash mid-write) are ignored — an aborted commit is invisible."""
+        (crash mid-write) are ignored — an aborted commit is invisible.
+
+        Anchor-accelerated: versions up to the latest log anchor are
+        counted WITHOUT opening their manifests (contiguity makes the
+        anchor a proof of committedness), so the per-call cost is
+        O(commits since the last anchor), not O(all commits ever) —
+        and stays bounded once vacuum archives anchored manifests."""
         log = self._p(_LOG_DIR)
         if not self._fs.exists(log):
             return []
-        out = []
+        anchor = -1
+        names = []
         for st in self._fs.listStatus(log):
             name = st.getPath().getName()
-            if name.startswith("v") and name.endswith(".json"):
-                try:
-                    m = self._read_manifest_file(int(name[1:-5]))
-                except (ValueError, json.JSONDecodeError):
-                    continue
-                except VersionNotFoundError:
-                    # The manifest vanished between listStatus and the
-                    # read: by protocol invariant that is an ABORTED
-                    # fragment being quarantined by a racing writer's
-                    # recovery — committed manifests are never deleted
-                    # (vacuum keeps expired ones as tombstones), so a
-                    # vanished entry was never a version. Skip it like
-                    # any other aborted commit.
-                    continue
-                out.append(m["version"])
+            if name.startswith("checkpoint-") and name.endswith(".json"):
+                anchor = max(anchor, int(name[len("checkpoint-"):-5]))
+            elif name.startswith("v") and name.endswith(".json"):
+                names.append(name)
+        out = set(range(anchor + 1))
+        for name in names:
+            try:
+                v = int(name[1:-5])
+                if v <= anchor:
+                    continue  # already proven committed by the anchor
+                m = self._read_manifest_file(v)
+            except (ValueError, json.JSONDecodeError):
+                continue
+            except VersionNotFoundError:
+                # The manifest vanished between listStatus and the
+                # read: by protocol invariant that is an ABORTED
+                # fragment being quarantined by a racing writer's
+                # recovery — committed manifests are never deleted
+                # (vacuum keeps expired ones as tombstones; archival
+                # moves them but the read probes the archive too), so
+                # a vanished entry was never a version. Skip it like
+                # any other aborted commit.
+                continue
+            out.add(m["version"])
         return sorted(out)
 
     def latest_version(self) -> int | None:
@@ -296,31 +363,36 @@ class VersionedTable:
         return vs[-1] if vs else None
 
     def _read_manifest_file(self, version: int) -> dict[str, Any]:
-        path = self._manifest_path(version)
-        if not self._fs.exists(path):
-            raise VersionNotFoundError(f"version {version} of {self.root}")
-        try:
-            raw = self._read_raw(path)
-        except Exception as exc:
-            # exists→open is a TOCTOU window: a racing writer's recovery
-            # can quarantine an aborted fragment between the probe and
-            # the open, and Hadoop surfaces that as a raw Java
-            # FileNotFoundException (py4j-wrapped) that no caller's
-            # VersionNotFoundError handling would see.  FNF at open
-            # time is DEFINITIVE: the path did not exist at that
-            # instant, and a manifest missing at any instant was never
-            # a committed version (committed manifests are never
-            # deleted) — normalize it.  The exists() re-probe alone is
-            # not enough: a new fragment can be planted at the same
-            # slot within the race window, making "still exists" true
-            # for a DIFFERENT file.  Non-FNF failures on a
-            # still-present path are real I/O errors and must surface.
-            if _is_file_not_found(exc) or not self._fs.exists(path):
-                raise VersionNotFoundError(
-                    f"version {version} of {self.root}"
-                ) from exc
-            raise
-        return json.loads(raw.decode("utf-8"))
+        # hot slot first, then the archive (vacuum moves anchored
+        # manifests there — direct name probe, zero listing); a reader
+        # racing the archival rename sees the hot miss and finds the
+        # archive copy on the very next probe
+        for path in (self._manifest_path(version), self._archive_path(version)):
+            if not self._fs.exists(path):
+                continue
+            try:
+                raw = self._read_raw(path)
+            except Exception as exc:
+                # exists→open is a TOCTOU window: a racing writer's
+                # recovery can quarantine an aborted fragment between
+                # the probe and the open, and Hadoop surfaces that as a
+                # raw Java FileNotFoundException (py4j-wrapped) that no
+                # caller's VersionNotFoundError handling would see.
+                # FNF at open time means the path did not exist at that
+                # instant — fall through to the next location (a racing
+                # archival) or the final VersionNotFoundError (an
+                # aborted fragment being quarantined; committed
+                # manifests are never deleted).  The exists() re-probe
+                # alone is not enough: a new fragment can be planted at
+                # the same slot within the race window, making "still
+                # exists" true for a DIFFERENT file.  Non-FNF failures
+                # on a still-present path are real I/O errors and must
+                # surface.
+                if _is_file_not_found(exc) or not self._fs.exists(path):
+                    continue
+                raise
+            return json.loads(raw.decode("utf-8"))
+        raise VersionNotFoundError(f"version {version} of {self.root}")
 
     def _older_than_grace(self, path) -> bool:
         """True if ``path``'s mtime is older than the recovery grace —
@@ -539,6 +611,14 @@ class VersionedTable:
         finally:
             out.close()
         self._verify_own_commit(path, payload, version)
+        if (
+            self.checkpoint_interval
+            and version > 0
+            and version % self.checkpoint_interval == 0
+        ):
+            # best-effort log anchor: this commit just proved 0..version
+            # are committed (contiguity), and anchors are advisory
+            self.write_anchor(version)
         return version
 
     def _verify_own_commit(self, path, payload: bytes, version: int) -> None:
@@ -2604,11 +2684,10 @@ class VersionedTable:
             m = self._read_manifest_file(v)
             t = m.get("ts")
             if t is None:
-                t = (
-                    self._fs.getFileStatus(self._manifest_path(v))
-                    .getModificationTime()
-                    / 1000.0
-                )
+                p = self._manifest_path(v)
+                if not self._fs.exists(p):
+                    p = self._archive_path(v)  # vacuum archived it
+                t = self._fs.getFileStatus(p).getModificationTime() / 1000.0
             t = max(float(t), last + 1e-3)
             adjusted.append((v, t))
             last = t
@@ -2759,13 +2838,60 @@ class VersionedTable:
             if not m.get("expired"):
                 m["expired"] = True
                 # tombstone rewrite: not part of the commit protocol, so
-                # plain overwrite is fine (content change is monotonic)
-                out = self._fs.create(self._manifest_path(v), True)
+                # plain overwrite is fine (content change is monotonic).
+                # Write wherever the manifest LIVES — recreating a hot
+                # copy of an archived manifest would shadow the archive
+                # with content that the next archival pass can't move
+                # over it.
+                path = self._manifest_path(v)
+                if not self._fs.exists(path) and self._fs.exists(
+                    self._archive_path(v)
+                ):
+                    path = self._archive_path(v)
+                out = self._fs.create(path, True)
                 try:
                     out.write(bytearray(json.dumps(m).encode("utf-8")))
                 finally:
                     out.close()
+        self._archive_anchored()
         return deleted
+
+    def _archive_anchored(self) -> int:
+        """Maintenance step of vacuum: drop a fresh log anchor, move
+        every anchored manifest from the hot ``_log/`` into
+        ``_log/archive/`` (readable by direct name probe — zero
+        listing), and retire superseded anchor files. Keeps the hot
+        log listing O(commits since last vacuum) forever. Safe against
+        concurrent readers: reads probe hot-then-archive, so the
+        rename's vanish window costs one extra probe; never touches
+        slots above the anchor, so the commit protocol's claim surface
+        is unaffected."""
+        anchor = self.write_anchor()
+        latest = self._latest_anchor() if anchor is None else anchor
+        if latest is None:
+            return 0
+        log = self._p(_LOG_DIR)
+        arch = self._p(_LOG_DIR, _ARCHIVE_DIR)
+        moved = 0
+        if not self._fs.exists(arch):
+            self._fs.mkdirs(arch)
+        for st in self._fs.listStatus(log):
+            name = st.getPath().getName()
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    v = int(name[1:-5])
+                except ValueError:
+                    continue
+                if v <= latest and not self._fs.exists(self._archive_path(v)):
+                    if self._fs.rename(st.getPath(), self._archive_path(v)):
+                        moved += 1
+            elif (
+                name.startswith("checkpoint-")
+                and name.endswith(".json")
+                and int(name[len("checkpoint-"):-5]) < latest
+            ):
+                self._fs.delete(st.getPath(), False)
+        return moved
 
 
 def _json_safe(v: Any) -> Any:
