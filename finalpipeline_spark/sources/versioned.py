@@ -2794,7 +2794,14 @@ class VersionedTable:
                         continue  # possibly an in-flight commit: retain
                     if name.startswith(("_", ".")):
                         if not dry_run:
-                            self._fs.delete(st.getPath(), False)
+                            try:
+                                self._fs.delete(st.getPath(), False)
+                            except Exception:
+                                # committer lint (_SUCCESS, _temporary)
+                                # that grew contents or vanished since
+                                # the listing — never worth failing the
+                                # whole vacuum over; retry next run
+                                pass
                     elif rel not in referenced:
                         if not dry_run:
                             self._fs.delete(st.getPath(), False)

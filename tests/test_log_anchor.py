@@ -144,3 +144,80 @@ def test_pyds_reads_across_archived_log(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 100
+
+
+def test_racing_writers_and_vacuum_archival(spark, tmp_path):
+    """Appenders racing a vacuum loop (anchor + archival every pass):
+    every commit lands exactly once, the log stays contiguous across
+    hot+archive, and no reader/recovery path errors — the 100 TB shape
+    where table maintenance runs beside live ingest."""
+    import threading
+
+    t = VersionedTable(
+        spark, str(tmp_path / "vtr2"), checkpoint_interval=3
+    )
+    t.commit_overwrite(_df(spark, 0, 5, "seed"))
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def appender(worker: int) -> None:
+        try:
+            w = VersionedTable(
+                spark, t.root, checkpoint_interval=3
+            )
+            def attempt(tt, w=worker, i=0):
+                m = tt.manifest()  # ONE snapshot per attempt (CAS base)
+                return tt._commit(
+                    "append",
+                    list(m["files"])
+                    + tt._write_data_files(
+                        _df(
+                            spark,
+                            1000 * (w + 1) + 10 * i,
+                            1000 * (w + 1) + 10 * i + 5,
+                            f"w{w}c{i}",
+                        )
+                    ),
+                    m["schema"],
+                    base_version=m["version"],
+                )
+
+            for i in range(6):
+                w.commit_with_retry(
+                    lambda tt, i=i: attempt(tt, i=i), attempts=30
+                )
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def vacuumer() -> None:
+        try:
+            while not stop.is_set():
+                # real-world grace: reclamation skips fresh files (the
+                # in-flight-commit protection the contract requires with
+                # live writers); ANCHORING + ARCHIVAL are grace-free and
+                # exercised on every pass
+                t.vacuum(retain_last=5, grace_seconds=3600)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=appender, args=(w,)) for w in range(3)]
+    vac = threading.Thread(target=vacuumer)
+    vac.start()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    stop.set()
+    vac.join()
+    assert errors == [], errors
+    assert t.latest_version() == 18  # 1 overwrite + 3 workers x 6
+    assert t.versions() == list(range(19))
+    # exactly-once content: every worker's 30 rows present
+    rows = t.read().count()
+    assert rows == 5 + 3 * 6 * 5
+    # the log is split across hot and archive but contiguous overall
+    hot = {n for n in _log_names(t.root) if n.startswith("v")}
+    arch = set(
+        os.listdir(os.path.join(t.root, "_log", "archive"))
+    ) if os.path.isdir(os.path.join(t.root, "_log", "archive")) else set()
+    assert {"v%012d.json" % v for v in range(19)} <= (hot | arch)
