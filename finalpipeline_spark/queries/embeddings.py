@@ -524,14 +524,15 @@ def _pca_moments_sql(dialect: str) -> str:
     """
 
 
-def _pca_tdiv(t: str, v: str, m: str) -> str:
+def _pca_tdiv(t: str, v: str, m: str, dialect: str = D.DUCK) -> str:
     """SQL for sign(t) * (|t| * v // m): truncating division applied to
-    the magnitude, so DuckDB's truncate-toward-zero `//` and Python's
-    floor `//` (applied to non-negatives, where they agree) compute the
-    identical integer."""
+    the magnitude, so DuckDB's truncate-toward-zero `//`, Spark's
+    truncating `div`, and Python's floor `//` (applied to
+    non-negatives, where all agree) compute the identical integer."""
+    op = "//" if dialect == D.DUCK else "div"
     return (
-        f"CASE WHEN {t} >= 0 THEN ({t} * {v}) // {m} "
-        f"ELSE -((-({t}) * {v}) // {m}) END"
+        f"CASE WHEN {t} >= 0 THEN ({t} * {v}) {op} {m} "
+        f"ELSE -((-({t}) * {v}) {op} {m}) END"
     )
 
 
@@ -628,3 +629,90 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, v[i]) for i in range(K)], "dim_i int, loading bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# PC1 projection histogram (embedding-drift primitive)
+# --------------------------------------------------------------------------
+_PCA_BUCKET = 1 << 38  # histogram bucket width in score units
+
+
+def _pca_scores_oracle() -> str:
+    """Extends the power-iteration chain: every vector's exact-integer
+    projection onto the final iterate, bucketed into a histogram —
+    (bucket, n, min_score, max_score), all int64-exact, the shape a
+    100 TB embedding-drift monitor aggregates per batch."""
+    K = _PCA_K
+    q = [
+        f"cast(round({D.arr_index('embedding', str(i), D.DUCK)} * {_COV_SCALE}) as bigint)"
+        for i in range(1, K + 1)
+    ]
+    dot = " + ".join(
+        f"q{i} * (SELECT val FROM v{_PCA_ITERS} WHERE i = {i})"
+        for i in range(1, K + 1)
+    )
+    bdiv = _pca_tdiv("s.score", "1", str(_PCA_BUCKET))
+    base = _pca_oracle()
+    # reuse the full WITH chain; swap the final SELECT for the
+    # projection pipeline
+    chain = base[: base.rindex("\nSELECT ")]
+    quant_cols = ", ".join(f"{e} AS q{i}" for i, e in enumerate(q, start=1))
+    return f"""{chain},
+        quant AS MATERIALIZED (SELECT vec_id, {quant_cols} FROM embeddings),
+        scores AS MATERIALIZED (SELECT vec_id, {dot} AS score FROM quant),
+        bucketed AS (SELECT cast({bdiv} as bigint) AS bucket, score FROM scores s)
+        SELECT bucket, cast(count(*) as bigint) AS n,
+               cast(min(score) as bigint) AS min_score,
+               cast(max(score) as bigint) AS max_score
+        FROM bucketed GROUP BY bucket ORDER BY bucket
+    """
+
+
+@register("emb_pca_scores", oracle=_pca_scores_oracle(), tags=("extension",))
+def emb_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of every embedding's projection onto the top principal
+    direction — the per-batch statistic an embedding-drift monitor
+    compares across ingestion windows. The direction comes from the
+    same exact-integer power iteration as emb_pca_power (constant
+    driver work); the projection pass is ONE scan with a 16-term
+    integer dot product per row (|q|<2^20, |v|<=2^20, 16 terms
+    => |score| < 2^45, exact) and a bucket-count shuffle bounded by the
+    bucket range, not the data. Bit-identical to the DuckDB oracle."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(SPARK_VIEW)
+    row = spark.sql(_pca_moments_sql(D.SPARK)).collect()[0]
+    K, V = _PCA_K, _PCA_VSCALE
+    n = int(row["n"])
+    s = [int(row[f"s{i}"]) for i in range(1, K + 1)]
+    den = n * n * _COV_SCALE * _COV_SCALE
+
+    def tdiv(t: int, v: int, m: int) -> int:
+        return (abs(t) * v // m) * (1 if t >= 0 else -1)
+
+    cq = [[0] * K for _ in range(K)]
+    for i in range(1, K + 1):
+        for j in range(i, K + 1):
+            num = n * int(row[f"p{i}_{j}"]) - s[i - 1] * s[j - 1]
+            cq[i - 1][j - 1] = cq[j - 1][i - 1] = tdiv(num, _PCA_CSCALE, den)
+    v = [V] * K
+    for _ in range(_PCA_ITERS):
+        nv = [sum(cq[i][j] * v[j] for j in range(K)) for i in range(K)]
+        m = max(abs(x) for x in nv)
+        sgn = next(
+            (1 if nv[i] >= 0 else -1) for i in range(K) if abs(nv[i]) == m
+        )
+        v = [tdiv(sgn * x, V, m) for x in nv]
+    dot = " + ".join(
+        f"cast(round({D.arr_index('embedding', str(i), D.SPARK)} * {_COV_SCALE}) as bigint)"
+        f" * {v[i - 1]}L"
+        for i in range(1, K + 1)
+    )
+    bdiv = _pca_tdiv("score", "1", str(_PCA_BUCKET), D.SPARK)
+    return spark.sql(f"""
+        SELECT bucket, cast(count(*) as bigint) AS n,
+               cast(min(score) as bigint) AS min_score,
+               cast(max(score) as bigint) AS max_score
+        FROM (
+            SELECT cast({bdiv} as bigint) AS bucket, score
+            FROM (SELECT {dot} AS score FROM {SPARK_VIEW})
+        ) GROUP BY bucket ORDER BY bucket
+    """)

@@ -131,10 +131,11 @@ _PRIORITY_QUERIES = (
     # -- ... and warehouse/incremental staples --
     "orders_scd2_snapshot",
     "doc_reconcile_checksums",
-    "doc_global_row_ids",
-    # -- ADDED in r7 (first driver row; displaced orders_incremental_mv,
-    #    which is heavily pytest-covered and heads the r8 window) --
+    # -- ADDED in r7 (first driver rows; displaced orders_incremental_mv
+    #    and doc_global_row_ids, both heavily pytest-covered — they head
+    #    the r8 window) --
     "emb_pca_power",
+    "emb_pca_scores",
 )
 
 # Queries ADDED in r7 should take slots here by displacing entries from
