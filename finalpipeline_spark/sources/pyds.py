@@ -443,6 +443,27 @@ class VersionedDataSource(DataSource):
                 if v < 1:
                     raise ValueError(f"{opt} must be >= 1, got {v}")
                 caps[key] = v
+        if "startingVersion" in self.options and "startingTimestamp" in self.options:
+            raise ValueError("pass startingVersion or startingTimestamp, not both")
+        if "startingVersion" in self.options:
+            sv = int(self.options["startingVersion"])
+            if sv < 0:
+                raise ValueError(f"startingVersion must be >= 0, got {sv}")
+            caps["starting_version"] = sv
+        elif "startingTimestamp" in self.options:
+            # Delta semantics: all changes committed AT OR AFTER the
+            # timestamp — the version right after the latest one at or
+            # before it (0 when the timestamp predates the table)
+            root = self.options["root"]
+            try:
+                at = _version_as_of_timestamp(
+                    root,
+                    _live_manifests(root),
+                    float(self.options["startingTimestamp"]),
+                )
+                caps["starting_version"] = at + 1
+            except ValueError:
+                caps["starting_version"] = 0
         return VersionedStreamReader(
             self.options["root"],
             [(f.name, f.dataType.simpleString()) for f in schema.fields],
@@ -582,10 +603,16 @@ class VersionedStreamReader(DataSourceStreamReader):
         cdf: bool = False,
         max_versions: int | None = None,
         max_files: int | None = None,
+        starting_version: int | None = None,
     ):
         self._root = root
         self._fields = fields
         self._cdf = cdf
+        # Delta startingVersion/startingTimestamp parity: begin the
+        # change stream AT this commit instead of with the initial
+        # snapshot — the resume-from-here shape for consumers that
+        # bootstrapped out of band (a deep clone, a batch backfill).
+        self._starting = starting_version
         # Trigger pacing (Delta's maxFilesPerTrigger shape): the Python
         # DataSource API has no ReadLimit parameter, so the reader
         # paces itself — latestOffset returns at most max_versions
@@ -621,6 +648,20 @@ class VersionedStreamReader(DataSourceStreamReader):
         # list must be subtracted in partitions(); the sentinel's, if
         # one exists from a pre-stream vacuum, must NOT be — first may
         # carry that tombstone's files by reference).
+        if self._starting is not None:
+            sv = self._starting
+            self._last_end = sv - 1
+            if sv == 0:
+                # changes from the very first commit: same sentinel as
+                # a fresh snapshot start (subtract nothing before v0)
+                return {"version": -1, "snapshot": True}
+            if _manifest_any(self._root, sv - 1) is None:
+                raise ValueError(
+                    f"startingVersion {sv} of {self._root}: version "
+                    f"{sv - 1} has no manifest to diff against — it was "
+                    "never committed (or the log predates this table)"
+                )
+            return {"version": sv - 1}
         live = _live_manifests(self._root)
         if not live:
             return {"version": -1, "snapshot": True}

@@ -540,3 +540,49 @@ def test_default_scan_is_sound_under_dataframe_reuse(spark, tmp_path):
     native = vt.read()
     assert df.exceptAll(native).count() == 0
     assert native.exceptAll(df).count() == 0
+
+
+def test_stream_starting_version_and_timestamp(spark, tmp_path):
+    """Delta startingVersion/startingTimestamp parity: the stream
+    begins AT the requested commit instead of the initial snapshot —
+    the resume shape for consumers bootstrapped out of band."""
+    import time as _t
+
+    register_versioned_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "vts"))
+    t.commit_overwrite(spark.range(0, 50).selectExpr("id"))
+    t.commit_append(spark.range(50, 80).selectExpr("id"))
+    _t.sleep(0.05)
+    mid = _t.time()
+    _t.sleep(0.05)
+    t.commit_append(spark.range(80, 100).selectExpr("id"))
+
+    def drain(opts):
+        out = str(tmp_path / f"out{len(list(opts))}{abs(hash(str(opts)))%997}")
+        ck = out + "_ck"
+        reader = spark.readStream.format("versioned").option("root", t.root)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        try:
+            return sorted(r.id for r in spark.read.parquet(out).collect())
+        except Exception:
+            return []
+
+    assert drain({"startingVersion": "2"}) == list(range(80, 100))
+    assert drain({"startingVersion": "1"}) == list(range(50, 100))
+    assert drain({"startingVersion": "0"}) == list(range(100))
+    assert drain({"startingTimestamp": str(mid)}) == list(range(80, 100))
+    # beyond head+1 has nothing to diff against
+    with pytest.raises(Exception, match="startingVersion|never committed"):
+        drain({"startingVersion": "9"})
+    with pytest.raises(Exception, match="not both"):
+        drain({"startingVersion": "1", "startingTimestamp": "123"})
