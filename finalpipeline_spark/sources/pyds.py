@@ -413,21 +413,53 @@ class VersionedDataSource(DataSource):
             return base[:-1] + ",_change_type:string,_commit_version:bigint>"
         return base
 
-    def reader(self, schema) -> "VersionedReader":
+    def reader(self, schema):
+        fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
         if self._cdf():
-            # The change feed is a STREAM-only surface: the batch reader
-            # has no per-commit diff machinery, so honoring the option
-            # here would return all-NULL _change_type/_commit_version
-            # columns (typed-null backfill) — silently wrong. Fail loud.
-            raise ValueError(
-                "changeFeed=true requires readStream (spark.readStream"
-                '.format("versioned")); for a batch row-level delta use '
-                "VersionedTable.read_changes_rows(since_version)"
-            )
+            # batch readChangeFeed (Delta parity): requires an explicit
+            # start — an unbounded batch CDF would be the whole history
+            root = self.options["root"]
+            if "startingVersion" in self.options:
+                s = int(self.options["startingVersion"])
+            elif "startingTimestamp" in self.options:
+                try:
+                    s = (
+                        _version_as_of_timestamp(
+                            root,
+                            _live_manifests(root),
+                            float(self.options["startingTimestamp"]),
+                        )
+                        + 1
+                    )
+                except ValueError:
+                    s = 0
+            else:
+                raise ValueError(
+                    "batch changeFeed requires startingVersion or "
+                    "startingTimestamp (Delta readChangeFeed contract)"
+                )
+            if "endingVersion" in self.options:
+                e = int(self.options["endingVersion"])
+            elif "endingTimestamp" in self.options:
+                e = _version_as_of_timestamp(
+                    root,
+                    _live_manifests(root),
+                    float(self.options["endingTimestamp"]),
+                )
+            else:
+                live = _live_manifests(root)
+                if not live:
+                    raise ValueError(f"{root} has no live versions")
+                e = max(live)
+            if s < 0 or e < s:
+                raise ValueError(
+                    f"invalid change-feed range: ({s}, {e}) of {root}"
+                )
+            return VersionedCDFBatchReader(root, fields, s, e)
         return VersionedReader(
             self.options["root"],
             self._manifest(),
-            [(f.name, f.dataType.simpleString()) for f in schema.fields],
+            fields,
             prune=str(self.options.get("statsPruning", "false")).lower()
             == "true",
         )
@@ -938,6 +970,56 @@ class VersionedStreamReader(DataSourceStreamReader):
 
     def stop(self) -> None:
         pass
+
+
+class VersionedCDFBatchReader(DataSourceReader):
+    """Batch ``readChangeFeed`` (Delta parity): every row inserted or
+    deleted in versions [startingVersion, endingVersion], tagged with
+    ``_change_type``/``_commit_version`` — the same per-commit
+    file/vector diff the streaming change feed plans, materialized as
+    one bounded batch. Reuses the stream reader's partition planner and
+    row tagger verbatim, so batch and stream feeds can never diverge.
+    Tombstoned (vacuumed) versions may serve as the DIFF BASE (their
+    manifests keep full file lists) but a vacuumed version INSIDE the
+    range refuses loudly — its data files may be gone."""
+
+    def __init__(
+        self, root: str, fields: list[tuple[str, str]], start: int, end: int
+    ):
+        self._root = root
+        self._inner = VersionedStreamReader(root, fields, cdf=True)
+        self._start = start
+        self._end = end
+
+    def partitions(self) -> Sequence[InputPartition]:
+        live = _live_manifests(self._root)
+        mans = dict(live)
+        for v in range(max(0, self._start - 1), self._end + 1):
+            if v in mans:
+                continue
+            m = _manifest_any(self._root, v)
+            if m is None:
+                raise ValueError(
+                    f"version {v} of {self._root} was never committed — "
+                    "cannot compute a change feed across it"
+                )
+            if v >= self._start:
+                raise ValueError(
+                    f"version {v} of {self._root} was vacuumed — its "
+                    "change feed is no longer reconstructible"
+                )
+            mans[v] = m  # tombstone as diff base only
+        offset = (
+            {"version": -1, "snapshot": True}
+            if self._start == 0
+            else {"version": self._start - 1}
+        )
+        return self._inner._cdf_partitions(
+            offset, self._start - 1, self._end, mans
+        )
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        return self._inner.read(partition)
 
 
 def register_versioned_source(spark) -> None:

@@ -586,3 +586,49 @@ def test_stream_starting_version_and_timestamp(spark, tmp_path):
         drain({"startingVersion": "9"})
     with pytest.raises(Exception, match="not both"):
         drain({"startingVersion": "1", "startingTimestamp": "123"})
+
+
+def test_batch_read_change_feed(spark, tmp_path):
+    """Batch readChangeFeed (Delta parity) agrees row-for-row with
+    VersionedTable.read_changes_rows across append + MoR delete + CoW
+    delete commits, honors ending bounds, and refuses an unstarted or
+    vacuumed range."""
+    register_versioned_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "vcdf"))
+    t.commit_overwrite(spark.range(0, 40).selectExpr("id", "id * 2 as v"))
+    t.commit_append(spark.range(40, 60).selectExpr("id", "id * 2 as v"))
+    t.delete_where("id < 5", mode="mor")
+    t.delete_where("id >= 55", mode="cow")
+
+    def feed(**opts):
+        r = (
+            spark.read.format("versioned")
+            .option("root", t.root)
+            .option("changeFeed", "true")
+        )
+        for k, v in opts.items():
+            r = r.option(k, str(v))
+        return r.load()
+
+    got = feed(startingVersion=1)
+    want = t.read_changes_rows(since_version=0)
+    assert sorted(got.columns) == sorted(want.columns)
+    key = lambda r: (r["_commit_version"], r["_change_type"], r["id"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    # bounded range: only the MoR delete commit
+    mor = feed(startingVersion=2, endingVersion=2)
+    assert sorted(r.id for r in mor.collect()) == list(range(5))
+    assert {r._change_type for r in mor.collect()} == {"delete"}
+    # full-history feed from the initial overwrite
+    full = feed(startingVersion=0)
+    inserts = [r for r in full.collect() if r._change_type == "insert"]
+    assert sum(1 for r in inserts if r._commit_version == 0) == 40
+    # an explicit start is required
+    with pytest.raises(Exception, match="startingVersion or startingTimestamp"):
+        (
+            spark.read.format("versioned")
+            .option("root", t.root)
+            .option("changeFeed", "true")
+            .load()
+            .count()
+        )
