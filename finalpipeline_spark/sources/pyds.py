@@ -161,10 +161,12 @@ class _FilePartition(InputPartition):
         dv_old: str | None = None,   # CDF dv-diff: the PREVIOUS vector
         dv_diff: bool = False,       # CDF: emit newly-vectored rows only
         cmap: dict | None = None,    # logical→physical names (renames)
+        ts: float | None = None,     # CDF: the commit's wall clock
     ):
         self.path = path
         self.change = change        # CDF mode: 'insert' | 'delete'
         self.version = version      # CDF mode: the commit that caused it
+        self.ts = ts
         self.rel = rel
         self.dv = dv
         self.dv_old = dv_old
@@ -410,7 +412,10 @@ class VersionedDataSource(DataSource):
         # version (the Delta readChangeFeed column contract).
         base = self._manifest()["schema"]
         if self._cdf():
-            return base[:-1] + ",_change_type:string,_commit_version:bigint>"
+            return base[:-1] + (
+                ",_change_type:string,_commit_version:bigint"
+                ",_commit_timestamp:timestamp>"
+            )
         return base
 
     def reader(self, schema):
@@ -626,7 +631,7 @@ class VersionedStreamReader(DataSourceStreamReader):
     """Versions are the offset axis: micro-batch (start, end] reads the
     files added by commits start+1 .. end."""
 
-    _META_COLS = ("_change_type", "_commit_version")
+    _META_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
 
     def __init__(
         self,
@@ -802,11 +807,11 @@ class VersionedStreamReader(DataSourceStreamReader):
             # merge-on-read delete (same file list, changed vector ref)
             # streams exactly the newly-vectored positions as deletes.
             parts += [
-                _entry_partition(self._root, cur_by[p], change="insert", version=v)
+                _entry_partition(self._root, cur_by[p], change="insert", version=v, ts=cur.get("ts"))
                 for p in sorted(set(cur_by) - set(prev_by))
             ]
             parts += [
-                _entry_partition(self._root, prev_by[p], change="delete", version=v)
+                _entry_partition(self._root, prev_by[p], change="delete", version=v, ts=cur.get("ts"))
                 for p in sorted(set(prev_by) - set(cur_by))
             ]
             for p in sorted(set(cur_by) & set(prev_by)):
@@ -843,6 +848,7 @@ class VersionedStreamReader(DataSourceStreamReader):
                         ),
                         dv_diff=True,
                         cmap=ne.get("cmap"),
+                        ts=cur.get("ts"),
                     )
                 )
             prev = cur
@@ -962,6 +968,15 @@ class VersionedStreamReader(DataSourceStreamReader):
             t = t.append_column(
                 "_commit_version",
                 pa.array([partition.version] * n, pa.int64()),
+            )
+            us = (
+                int(round(partition.ts * 1_000_000))
+                if partition.ts is not None
+                else None
+            )
+            t = t.append_column(
+                "_commit_timestamp",
+                pa.array([us] * n, pa.timestamp("us")),
             )
             yield from t.to_batches(max_chunksize=1 << 16)
 

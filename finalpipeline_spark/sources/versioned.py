@@ -171,7 +171,7 @@ def cdf_final_state(ch: DataFrame, keys: list[str]) -> DataFrame:
         c
         for c, t in ch.dtypes
         if c not in keys
-        and c not in ("_change_type", "_commit_version")
+        and c not in ("_change_type", "_commit_version", "_commit_timestamp")
         # maps are not orderable in Spark, at ANY nesting depth — an
         # array<map<...>> or a struct with a map field is just as
         # unorderable as a top-level map, so match anywhere in the type
@@ -186,7 +186,7 @@ def cdf_final_state(ch: DataFrame, keys: list[str]) -> DataFrame:
         ch.withColumn("__rn", F.row_number().over(w))
         .filter("__rn = 1")
         .withColumn("__delete", F.col("_change_type") == F.lit("delete"))
-        .drop("__rn", "_change_type", "_commit_version")
+        .drop("__rn", "_change_type", "_commit_version", "_commit_timestamp")
     )
 
 
@@ -2391,7 +2391,9 @@ class VersionedTable:
     ) -> DataFrame:
         """ROW-level change-data-feed: every row inserted or deleted in
         (since_version, version], tagged with ``_change_type``
-        ('insert' | 'delete') and ``_commit_version``.
+        ('insert' | 'delete'), ``_commit_version``, and
+        ``_commit_timestamp`` (the commit's recorded wall clock — the
+        Delta CDF meta-column triple).
 
         Unlike ``read_changes`` (file-level, append-only), this
         survives CoW ``delete``/``replace`` commits by reconstructing
@@ -2497,12 +2499,23 @@ class VersionedTable:
                 step = dv_dels if step is None else step.unionByName(dv_dels)
             if step is not None:
                 step = step.withColumn("_commit_version", F.lit(v))
+                # Delta CDF's third meta column: the commit's recorded
+                # wall clock (raw manifest ts, like Delta uses the raw
+                # commit-file time; NULL for pre-timestamp commits)
+                step = step.withColumn(
+                    "_commit_timestamp",
+                    F.timestamp_seconds(F.lit(m.get("ts")).cast("double")),
+                )
                 out = step if out is None else out.unionByName(step)
         if out is None:
             return (
                 self.read(tv)
                 .withColumn("_change_type", F.lit("insert"))
                 .withColumn("_commit_version", F.lit(tv))
+                .withColumn(
+                    "_commit_timestamp",
+                    F.lit(None).cast("timestamp"),
+                )
                 .filter(F.lit(False))
             )
         return out
@@ -2806,7 +2819,17 @@ class VersionedTable:
                         if not dry_run:
                             self._fs.delete(st.getPath(), False)
                         deleted.append(rel)
-                if not dry_run and not self._fs.listStatus(commit_st.getPath()):
+                # reap a fully-emptied commit dir — but ONLY an aged one:
+                # a racing writer's brand-new dir is EMPTY for the
+                # instant between its mkdirs and its first file, and
+                # deleting it there kills that write mid-commit (the
+                # committer's setupJob chmod fails on the vanished dir —
+                # found by the cross-process writers-vs-vacuum soak)
+                if (
+                    not dry_run
+                    and commit_st.getModificationTime() <= cutoff_ms
+                    and not self._fs.listStatus(commit_st.getPath())
+                ):
                     self._fs.delete(commit_st.getPath(), True)
         # reclaim deletion-vector files referenced only by expired
         # versions (each _dv/d<uuid> dir is one delete commit's vector;

@@ -133,7 +133,7 @@ def test_cdc_skips_metadata_only_commits(spark, table):
         spark.range(110, 120).selectExpr("id", "cast(2 as int) as grp")
     )
     ch = table.read_changes_rows(0)
-    assert set(ch.columns) == {"id", "grp", "_change_type", "_commit_version"}
+    assert set(ch.columns) == {"id", "grp", "_change_type", "_commit_version", "_commit_timestamp"}
     assert ch.count() == 20  # the two appends only
     final = cdf_final_state(ch, ["id"]).filter("NOT __delete")
     assert final.count() == 20

@@ -224,7 +224,9 @@ def test_stream_change_feed_mode_survives_cow_delete(spark, vt, tmp_path):
 
     drain()  # initial snapshot: everything arrives as inserts
     first = spark.read.parquet(out)
-    assert set(first.columns) == {"id", "bucket", "_change_type", "_commit_version"}
+    assert set(first.columns) == {
+        "id", "bucket", "_change_type", "_commit_version", "_commit_timestamp"
+    }
     assert first.filter("_change_type = 'insert'").count() == 130
     assert first.filter("_change_type = 'delete'").count() == 0
 
@@ -632,3 +634,34 @@ def test_batch_read_change_feed(spark, tmp_path):
             .load()
             .count()
         )
+
+
+def test_cdf_commit_timestamp_parity(spark, tmp_path):
+    """_commit_timestamp (Delta's third CDF meta column) carries the
+    commit's recorded wall clock, identically on the JVM
+    (read_changes_rows) and Python-source (batch changeFeed) paths."""
+    register_versioned_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "vct"))
+    t.commit_overwrite(spark.range(0, 10).selectExpr("id"))
+    t.commit_append(spark.range(10, 20).selectExpr("id"))
+    t.delete_where("id < 3", mode="mor")
+    jvm = t.read_changes_rows(since_version=0)
+    pyd = (
+        spark.read.format("versioned")
+        .option("root", t.root)
+        .option("changeFeed", "true")
+        .option("startingVersion", "1")
+        .load()
+    )
+    key = lambda r: (  # noqa: E731
+        r["_commit_version"],
+        r["_change_type"],
+        r["id"],
+        r["_commit_timestamp"],
+    )
+    assert sorted(map(key, jvm.collect())) == sorted(map(key, pyd.collect()))
+    # the recorded wall clock, second-resolution sanity
+    by_v = {r["_commit_version"]: r["_commit_timestamp"] for r in jvm.collect()}
+    for v, ts in by_v.items():
+        recorded = t._read_manifest_file(v)["ts"]
+        assert abs(ts.timestamp() - recorded) < 0.001, (v, ts, recorded)

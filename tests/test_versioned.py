@@ -749,7 +749,7 @@ def test_read_changes_rows_across_schema_evolution(spark, table, tmp_path):
     table.commit_append(widened, merge_schema=True)                     # v1
     table.delete_where("id < 5")                                        # v2
     ch = table.read_changes_rows(0)  # spans the evolution commit
-    assert ch.columns == ["id", "tag", "score", "_change_type", "_commit_version"]
+    assert ch.columns == ["id", "tag", "score", "_change_type", "_commit_version", "_commit_timestamp"]
     got = {
         (r["_commit_version"], r["_change_type"], r["id"], r["score"])
         for r in ch.collect()
@@ -789,16 +789,20 @@ def test_merge_rejects_evolved_source_without_flag(spark, table):
         table.merge(bad, keys=["id"], delete_col="is_del", merge_schema=True)
 
 
-def test_changefeed_option_rejected_on_batch_read(spark, table):
-    """changeFeed=true is a stream-only surface; a batch read would
-    return typed-NULL change columns — must fail loud instead."""
+def test_changefeed_batch_read_requires_explicit_start(spark, table):
+    """Batch changeFeed is supported (Delta readChangeFeed parity) but
+    an unbounded feed would be the whole table history — an explicit
+    startingVersion/startingTimestamp is required, and with one the
+    feed delivers tagged rows."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
     from finalpipeline_spark.sources.pyds import register_versioned_source
 
     register_versioned_source(spark)
     table.commit_overwrite(_df(spark, 0, 10, "a"))
-    with pytest.raises((ValueError, AnalysisException), match="readStream"):
+    with pytest.raises(
+        (ValueError, AnalysisException), match="startingVersion"
+    ):
         (
             spark.read.format("versioned")
             .option("root", table.root)
@@ -806,6 +810,15 @@ def test_changefeed_option_rejected_on_batch_read(spark, table):
             .load()
             .collect()
         )
+    feed = (
+        spark.read.format("versioned")
+        .option("root", table.root)
+        .option("changeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+    )
+    assert feed.count() == 10
+    assert {r._change_type for r in feed.collect()} == {"insert"}
 
 
 def test_cdf_final_state_deterministic_tiebreak(spark):
