@@ -105,3 +105,91 @@ def test_cross_process_racing_writers(spark, tmp_path):
         for i in range(b + 5, b + 40):
             assert got[i] == w
     assert table.count_rows() == len(want_ids)
+
+
+_VACUUMER = r"""
+import sys, time
+sys.path.insert(0, ".")
+root, seconds = sys.argv[1], float(sys.argv[2])
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("mp-vacuumer")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+from finalpipeline_spark.sources.versioned import VersionedTable
+
+vt = VersionedTable(spark, root)
+deadline = time.time() + seconds
+n = 0
+while time.time() < deadline:
+    # real-world grace (in-flight-commit protection); anchoring +
+    # archival run every pass regardless
+    vt.vacuum(retain_last=5, grace_seconds=3600)
+    n += 1
+print("VACUUM-OK", n)
+"""
+
+
+def test_cross_process_writers_vs_vacuum_archival(spark, tmp_path):
+    """The anchors+archival maintenance path racing INDEPENDENT driver
+    JVMs: writers commit through the file-level claim protocol while a
+    separate vacuum process anchors the log and renames anchored
+    manifests into the archive. Every commit must land exactly once
+    and every read path must keep working across the hot/archive
+    split."""
+    root = str(tmp_path / "vtva")
+    table = VersionedTable(spark, root)
+    table.commit_overwrite(
+        spark.range(0, 10).selectExpr("id", "cast(-1 as int) as grp")
+    )
+
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+    writers = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, root, str(w)],
+            cwd="/root/repo",
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for w in range(3)
+    ]
+    vac = subprocess.Popen(
+        [sys.executable, "-c", _VACUUMER, root, "45"],
+        cwd="/root/repo",
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    outs = [p.communicate(timeout=800)[0] for p in writers]
+    vout = vac.communicate(timeout=800)[0]
+    for w, (p, out) in enumerate(zip(writers, outs)):
+        assert p.returncode == 0, f"worker {w} failed:\n{out[-4000:]}"
+        assert f"WORKER-OK {w}" in out
+    assert vac.returncode == 0, f"vacuumer failed:\n{vout[-4000:]}"
+    assert "VACUUM-OK" in vout
+
+    vs = table.versions()
+    assert vs == list(range(len(vs)))
+    assert len(vs) == 1 + 3 * 4
+    got = {r["id"]: r["grp"] for r in table.read().collect()}
+    want_ids = set(range(10))
+    for w in range(3):
+        b = 10_000 * (w + 1)
+        want_ids |= set(range(b, b + 40))
+    assert set(got) == want_ids
+    for w in range(3):
+        b = 10_000 * (w + 1)
+        for i in range(b, b + 5):
+            assert got[i] == w + 100
+        for i in range(b + 5, b + 40):
+            assert got[i] == w
+    assert table.count_rows() == len(want_ids)
+    # the vacuum process actually archived part of the log
+    arch = os.path.join(root, "_log", "archive")
+    assert os.path.isdir(arch) and len(os.listdir(arch)) > 0
