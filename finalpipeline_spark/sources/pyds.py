@@ -96,29 +96,34 @@ def _live_manifests(root: str) -> dict[int, dict]:
     log = os.path.join(root, _LOG_DIR)
     if not os.path.isdir(log):
         return {}
-    anchor = -1
-    tail: list[str] = []
+    # The listing only bounds the version range (anchor files assert
+    # 0..V committed; v-names extend the tail); every version resolves
+    # by DIRECT NAME probe of hot-then-archive, parse-cached. This
+    # keeps results exact under NON-ATOMIC listings — a racing vacuum
+    # renames manifests into the archive while swapping anchor files,
+    # so one readdir can miss both (mirror of VersionedTable.versions).
+    hi = -1
     for name in os.listdir(log):
         if name.startswith("checkpoint-") and name.endswith(".json"):
-            # log anchor: versions 0..V are committed (the CAS protocol
-            # keeps the log contiguous), possibly archived
-            anchor = max(anchor, int(name[len("checkpoint-"):-5]))
+            hi = max(hi, int(name[len("checkpoint-"):-5]))
         elif name.startswith("v") and name.endswith(".json"):
-            tail.append(name)
+            hi = max(hi, int(name[1:-5]))
     out: dict[int, dict] = {}
-    for v in range(anchor + 1):
+    v = 0
+    while True:
+        m = None
         for path in _manifest_paths(root, v):
             m = _parse_manifest_cached(path)
             if m is not None:
                 break
-        if m is not None and not m.get("expired"):
+        if m is None:
+            if v <= hi:  # aborted fragment / manual hole: invisible
+                v += 1
+                continue
+            break  # forward probe past the listed max came up empty
+        if not m.get("expired"):
             out[m["version"]] = m
-    for name in tail:
-        if int(name[1:-5]) <= anchor:
-            continue  # already resolved via the anchor walk
-        m = _parse_manifest_cached(os.path.join(log, name))
-        if m is not None and not m.get("expired"):
-            out[m["version"]] = m
+        v += 1
     return out
 
 

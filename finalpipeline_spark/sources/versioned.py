@@ -336,27 +336,41 @@ class VersionedTable:
                 anchor = max(anchor, int(name[len("checkpoint-"):-5]))
             elif name.startswith("v") and name.endswith(".json"):
                 names.append(name)
-        out = set(range(anchor + 1))
+        # Contiguity (every commit claims parent+1 from 0) reduces the
+        # question to "what is the LATEST committed version": any
+        # committed version proves all its ancestors. That also makes
+        # the answer robust to NON-ATOMIC listings — a racing vacuum
+        # renames manifests into the archive while swapping anchor
+        # files, so one readdir can miss both the new anchor and an
+        # archived version (observed: latest_version() under-reported
+        # by one in the writers-vs-vacuum soak); a gap in the listing
+        # never means a gap in the log.
+        latest = anchor
         for name in names:
             try:
                 v = int(name[1:-5])
-                if v <= anchor:
-                    continue  # already proven committed by the anchor
-                m = self._read_manifest_file(v)
+                if v <= latest:
+                    continue  # implied by a later version / the anchor
+                self._read_manifest_file(v)
             except (ValueError, json.JSONDecodeError):
-                continue
+                continue  # an aborted fragment is invisible
             except VersionNotFoundError:
-                # The manifest vanished between listStatus and the
-                # read: by protocol invariant that is an ABORTED
-                # fragment being quarantined by a racing writer's
-                # recovery — committed manifests are never deleted
-                # (vacuum keeps expired ones as tombstones; archival
-                # moves them but the read probes the archive too), so
-                # a vanished entry was never a version. Skip it like
-                # any other aborted commit.
+                # vanished between listStatus and the read: an aborted
+                # fragment being quarantined by a racing recovery (the
+                # read itself already probes the archive)
                 continue
-            out.add(m["version"])
-        return sorted(out)
+            latest = v
+        # forward probe past the listed max — heals a racing archival
+        # of the newest manifest; normally one O(1) miss
+        v = latest + 1
+        while True:
+            try:
+                self._read_manifest_file(v)
+            except (VersionNotFoundError, json.JSONDecodeError):
+                break  # no manifest / a mid-write fragment: not committed
+            latest = v
+            v += 1
+        return list(range(latest + 1))
 
     def latest_version(self) -> int | None:
         vs = self.versions()
@@ -2912,7 +2926,11 @@ class VersionedTable:
                     v = int(name[1:-5])
                 except ValueError:
                     continue
-                if v <= latest and not self._fs.exists(self._archive_path(v)):
+                # keep the anchored LATEST manifest hot (v < latest, not
+                # <=): defense-in-depth for racing listings — the newest
+                # version stays visible to a plain readdir even when the
+                # anchor-file swap is caught mid-listing
+                if v < latest and not self._fs.exists(self._archive_path(v)):
                     if self._fs.rename(st.getPath(), self._archive_path(v)):
                         moved += 1
             elif (

@@ -48,14 +48,14 @@ def test_vacuum_archives_anchored_manifests(spark, table):
     before_versions = table.versions()
     v2 = sorted(r.id for r in table.read(version=2).collect())
     table.vacuum(retain_last=3, grace_seconds=0)
-    # hot log now holds ONLY the latest anchor (no v*.json at all —
-    # everything is anchored and archived)
+    # hot log now holds only the latest anchor plus the LATEST manifest
+    # (kept hot as defense-in-depth for racing directory listings)
     hot = [n for n in _log_names(table.root) if n != "archive"]
-    assert hot == ["checkpoint-%012d.json" % 6]
+    assert hot == ["checkpoint-%012d.json" % 6, "v%012d.json" % 6]
     arch = sorted(
         os.listdir(os.path.join(table.root, "_log", "archive"))
     )
-    assert arch == ["v%012d.json" % v for v in range(7)]
+    assert arch == ["v%012d.json" % v for v in range(6)]
     # everything still works off the archive
     assert table.versions() == before_versions
     assert table.read().count() == before_rows
@@ -86,11 +86,11 @@ def test_vacuum_archival_preserves_reads_exactly(spark, tmp_path):
     delta = sorted(r.id for r in t.read_changes(since_version=1).collect())
     assert delta == list(range(10, 25))
     # second vacuum expires old versions: the flip lands on the ARCHIVE
-    # copy (no hot resurrection)
+    # copy (no hot resurrection); only the latest manifest stays hot
     t.vacuum(retain_last=1, grace_seconds=0)
     assert [
         n for n in _log_names(t.root) if n.startswith("v")
-    ] == []
+    ] == ["v%012d.json" % 4]
     assert t.versions_live() == [4]
 
 
