@@ -72,70 +72,68 @@ def register(
 # the window.  After ANY registration change, re-print list(queries())
 # [:52] and re-curate this list.
 _PRIORITY_MODULES: tuple[str, ...] = ()
+# Round 8 window, OLDEST-EVIDENCE-FIRST: the two r3-displaced staples
+# head it, then the COMPLETE r4-attested oracle-backed block (40 of the
+# 42 r4-latest queries — doc_bpe_learn_merges/doc_bpe_encode are
+# rows-only by policy and get no slots), then this round's additions,
+# then the oldest r5-attested staples to fill to 50.  After this window
+# every query's latest driver row is r5 or newer.
 _PRIORITY_QUERIES = (
-    # -- never driver-checked (added late in r6) --
-    "events_holt_smoothing",
-    # -- last driver row r2 (displaced from the r6 window) --
-    "mm_feature_extract",
-    # -- the complete r3-attested block: documents/embeddings depth ... --
-    "doc_repetition_stats",
-    "doc_decontam_ngram_overlap",
-    "emb_ann_recall_eval",
-    "doc_dedup_lsh_recall",
-    "emb_kmeans_lloyd",
-    "emb_pq_encode",
-    "doc_lm_perplexity",
-    "emb_ivf_pq_topk",
-    # -- ... events time-series family ... --
-    "events_ewma_value",
-    "events_activity_streaks",
-    "events_time_weighted_avg",
-    "events_rollup_hierarchy",
-    "events_ohlc_bars",
-    "events_gapfill_locf",
-    "events_pivot_counts",
-    "events_late_classify",
-    # -- ... stats/graph/profile ... --
-    "lineitem_approx_quantiles",
-    "lineitem_regr_stats",
-    "nation_pagerank",
-    "nation_triangle_count",
-    "orders_profile",
-    "ref_ledger_new_files",
-    # -- ... search + quality ... --
-    "doc_inverted_index",
-    "doc_bm25_topk",
-    "doc_hybrid_search_rrf",
-    "doc_quality_classifier",
-    "emb_semantic_dedup",
-    # -- ... sketches ... --
-    "lineitem_hll_distinct",
-    "events_cms_heavy_hitters",
-    "orders_bloom_semi_join",
-    "lineitem_mergeable_quantiles",
-    "events_rolling_distinct_hll",
-    # -- ... remaining TPC-H ... --
-    "tpch_q2",
-    "tpch_q11",
-    "tpch_q20",
-    # -- ... training-data assembly ... --
-    "doc_pack_sequences",
-    "doc_sample_temperature",
-    "doc_dedup_exact_keep_best",
-    "doc_shard_interleave",
-    "doc_pii_redact",
-    "doc_chunk_overlap",
-    "doc_vocab_coverage",
-    "doc_mix_sources",
-    "doc_weighted_sample_fixed",
-    # -- ... and warehouse/incremental staples --
-    "orders_scd2_snapshot",
-    "doc_reconcile_checksums",
-    # -- ADDED in r7 (first driver rows; displaced orders_incremental_mv
-    #    and doc_global_row_ids, both heavily pytest-covered — they head
-    #    the r8 window) --
-    "emb_pca_power",
-    "emb_pca_scores",
+    # -- last driver row r3 (displaced from the r7 window by design) --
+    "orders_incremental_mv",
+    "doc_global_row_ids",
+    # -- the complete r4-attested oracle-backed block --
+    "chembl_tanimoto_lsh_recall",
+    "chembl_tanimoto_lsh_topk",
+    "customer_division_regions",
+    "doc_bigram_lm",
+    "doc_bpe_pair_counts",
+    "doc_dedup_containment",
+    "doc_drift_psi",
+    "doc_dup_rate_by_source",
+    "doc_lang_source_contingency",
+    "doc_quality_weighted_sample",
+    "doc_simpson_diversity",
+    "doc_tokenizer_fertility",
+    "doc_unpivot_lang_counts",
+    "emb_covariance_prefix",
+    "emb_matryoshka_eval",
+    "events_ab_test_zscore",
+    "events_changepoint",
+    "events_cms_join_size",
+    "events_concurrency_curve",
+    "events_dow_hour_heatmap",
+    "events_drift_ks",
+    "events_first_touch_attribution",
+    "events_forecast_backtest",
+    "events_last_touch_attribution",
+    "events_mad_outliers",
+    "events_markov_transitions",
+    "events_skew_profile",
+    "events_top_paths",
+    "fk_integrity_audit",
+    "hll_union_parts",
+    "lineitem_basket_lift",
+    "lineitem_benford_audit",
+    "lineitem_price_histogram",
+    "mm_audio_energy",
+    "mm_video_scene_cut",
+    "nation_shortest_paths",
+    "orders_backlog_sweep",
+    "orders_cohort_ltv",
+    "orders_spend_tiles",
+    "tpch_grouping_sets",
+    # -- ADDED in r8: the versioned lakehouse's PURE-SQL surface
+    #    (USING versioned views: change feed + VERSION AS OF) --
+    "versioned_sql_table_changes",
+    "versioned_sql_time_travel",
+    # -- oldest r5-attested staples fill the remaining slots --
+    "chembl_id_resolution",
+    "doc_bpe_token_count",
+    "doc_contamination_check",
+    "doc_dedup_exact",
+    "doc_dedup_ngram_jaccard",
+    "doc_edit_distance_pairs",
 )
 
 # Queries ADDED in r7 should take slots here by displacing entries from
@@ -157,6 +155,7 @@ def load_all() -> dict[str, QuerySpec]:
         events,
         extended,
         graph,
+        lakehouse,
         mining,
         multimodal,
         profiling,
@@ -180,6 +179,7 @@ def load_all() -> dict[str, QuerySpec]:
         "events": events,
         "extended": extended,
         "graph": graph,
+        "lakehouse": lakehouse,
         "mining": mining,
         "multimodal": multimodal,
         "profiling": profiling,

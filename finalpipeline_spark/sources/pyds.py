@@ -24,6 +24,25 @@ from this repo at all, just the registered format name:
   Whole-table rewrites (overwrite/rollback/optimize past the initial
   snapshot) fail either mode.
 
+**SQL-only surface** (Delta option parity, zero Python imports): once
+the format is registered, every capability is reachable through pure
+``spark.sql`` via ``CREATE TEMPORARY VIEW ... USING versioned``::
+
+    CREATE TEMPORARY VIEW t      USING versioned OPTIONS (root '/p/t')
+    -- VERSION AS OF 3 / TIMESTAMP AS OF <epoch>:
+    CREATE TEMPORARY VIEW t_v3   USING versioned OPTIONS (root '/p/t', version '3')
+    CREATE TEMPORARY VIEW t_asof USING versioned OPTIONS (root '/p/t', timestampAsOf '1723600000')
+    -- table_changes('/p/t', 0[, 5]) equivalent (Delta readChangeFeed):
+    CREATE TEMPORARY VIEW t_cdf  USING versioned OPTIONS (
+        root '/p/t', changeFeed 'true', startingVersion '0', endingVersion '5')
+
+Option names match Delta's ``readChangeFeed`` options verbatim
+(``startingVersion`` / ``startingTimestamp`` / ``endingVersion`` /
+``endingTimestamp``), and the CDF view carries Delta's meta-column
+triple.  ``table_changes(spark, root, start[, end])`` below is the
+one-call Python twin of Delta's SQL TVF.  tests/test_sql_surface.py
+drives the whole contract through pure ``spark.sql``.
+
 Executor-side constraint: DataSource objects are pickled to workers,
 so this module reads manifests and parquet with ``os``/``json``/
 ``pyarrow`` only — no SparkSession/JVM handles. Paths must be visible
@@ -34,6 +53,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -92,38 +112,141 @@ def _manifest_paths(root: str, version: int) -> tuple[str, str]:
     return os.path.join(log, name), os.path.join(log, "archive", name)
 
 
+def _resolve_manifest(root: str, v: int) -> dict | None:
+    """Manifest for version ``v`` by direct name probe (hot slot, then
+    the vacuum archive), parse-cached.  None = no readable manifest at
+    this instant (never committed, a mid-write fragment, or the
+    one-probe window of a racing archival rename)."""
+    for path in _manifest_paths(root, v):
+        m = _parse_manifest_cached(path)
+        if m is not None:
+            return m
+    return None
+
+
+def _listed_hi(log: str) -> int:
+    """Highest version asserted by log-dir NAMES (anchor files assert
+    0..V committed; v-names extend the tail).  Junk names that merely
+    look like manifests/anchors are skipped, mirroring the guarded
+    parse in VersionedTable.versions() — one stray ``verify.json``
+    must not break every read/stream poll."""
+    hi = -1
+    for name in os.listdir(log):
+        if name.startswith("checkpoint-") and name.endswith(".json"):
+            stem = name[len("checkpoint-"):-5]
+        elif name.startswith("v") and name.endswith(".json"):
+            stem = name[1:-5]
+        else:
+            continue
+        try:
+            hi = max(hi, int(stem))
+        except ValueError:
+            continue
+    return hi
+
+
+# Per-root resolved-log cache. The streaming engine polls latestOffset
+# 16+ times per trigger, and a naive walk re-probes every version ever
+# (1-2 os.stat each) on EVERY poll — O(all commits) per poll, the exact
+# cost log anchors were built to bound on the JVM side (a year of
+# minutely commits would be ~10M stats per trigger). Soundness of the
+# cache rests on protocol invariants (sources/versioned.py):
+#   * contiguity — a committed version proves all its ancestors, so the
+#     resolved prefix never changes membership; only the tail grows;
+#   * committed manifests are never deleted (archival renames them,
+#     name- and content-preserving), so a cached manifest stays correct
+#     when its file moves hot → _log/archive/;
+#   * the ONLY content mutation below the head is vacuum's terminal
+#     ``expired`` flip, and vacuum expires a PREFIX of the live list
+#     (live[:-retain_last]) — so ONE re-resolve of the LOWEST live
+#     version per call (the canary) detects any flip since the last
+#     call, and a tripped canary re-validates upward only until the
+#     first still-live version.
+# The canary also guards table replacement: if the lowest live version
+# resolves to DIFFERENT content (not merely a flip), the whole cache
+# entry is rebuilt from scratch — a root that was rmtree'd and
+# re-created must not serve the old table's tail.
+# Steady-state cost per call: one readdir + one canary stat + one
+# forward probe past the head — O(commits since last call).
+_LIVE_CACHE: dict[str, dict] = {}
+_LIVE_CACHE_MAX = 64
+_LIVE_LOCK = threading.Lock()
+
+
+def _invalidate_live_cache(root: str | None = None) -> None:
+    with _LIVE_LOCK:
+        if root is None:
+            _LIVE_CACHE.clear()
+        else:
+            _LIVE_CACHE.pop(root, None)
+
+
 def _live_manifests(root: str) -> dict[int, dict]:
     log = os.path.join(root, _LOG_DIR)
     if not os.path.isdir(log):
         return {}
-    # The listing only bounds the version range (anchor files assert
-    # 0..V committed; v-names extend the tail); every version resolves
-    # by DIRECT NAME probe of hot-then-archive, parse-cached. This
-    # keeps results exact under NON-ATOMIC listings — a racing vacuum
-    # renames manifests into the archive while swapping anchor files,
-    # so one readdir can miss both (mirror of VersionedTable.versions).
-    hi = -1
-    for name in os.listdir(log):
-        if name.startswith("checkpoint-") and name.endswith(".json"):
-            hi = max(hi, int(name[len("checkpoint-"):-5]))
-        elif name.startswith("v") and name.endswith(".json"):
-            hi = max(hi, int(name[1:-5]))
-    out: dict[int, dict] = {}
-    v = 0
-    while True:
-        m = None
-        for path in _manifest_paths(root, v):
-            m = _parse_manifest_cached(path)
-            if m is not None:
+    hi = _listed_hi(log)
+    with _LIVE_LOCK:
+        c = _LIVE_CACHE.pop(root, None)
+        fresh = {"latest": -1, "live": {}, "holes": set()}
+        if c is None:
+            c = fresh
+        live: dict[int, dict] = c["live"]
+        # -- canary: detect expired flips / table replacement ----------
+        while live:
+            v0 = min(live)
+            m = _resolve_manifest(root, v0)
+            if m is not None and not m.get("expired") and (
+                m is live[v0] or m == live[v0]
+            ):
+                break  # prefix intact (expiry is a prefix of live)
+            if m is None or (not m.get("expired") and m != live[v0]):
+                # vanished or replaced by different content: either the
+                # one-probe window of a racing archival or a re-created
+                # table — rebuild from scratch, exactly this call
+                c = fresh
+                live = c["live"]
                 break
-        if m is None:
-            if v <= hi:  # aborted fragment / manual hole: invisible
-                v += 1
-                continue
-            break  # forward probe past the listed max came up empty
-        if not m.get("expired"):
-            out[m["version"]] = m
-        v += 1
+            del live[v0]  # flipped expired: walk up to first still-live
+        if c["latest"] > hi and _resolve_manifest(root, c["latest"]) is None:
+            # the previously-resolved head vanished AND the listing
+            # regressed below it: committed manifests never vanish, so
+            # the table was re-created shorter — rebuild
+            c = fresh
+            live = c["live"]
+        # -- transient holes: re-probe (normally empty) ----------------
+        for g in sorted(c["holes"]):
+            m = _resolve_manifest(root, g)
+            if m is None:
+                continue  # still a fragment/quarantine race: retry later
+            c["holes"].discard(g)
+            if not m.get("expired"):
+                live[g] = m
+        # -- tail: forward probe from the resolved head -----------------
+        # Holes at or below the listed max are transient under
+        # contiguity (mid-write fragments, quarantine races, archival
+        # rename windows): skipped but remembered, so later calls
+        # re-probe them instead of freezing them invisible.
+        v = c["latest"] + 1
+        pending: list[int] = []
+        while True:
+            m = _resolve_manifest(root, v)
+            if m is None:
+                if v <= hi:
+                    pending.append(v)
+                    v += 1
+                    continue
+                break  # forward probe past the listed max came up empty
+            if not m.get("expired"):
+                live[v] = m
+            c["holes"].update(pending)  # proven holes: a later version exists
+            pending.clear()
+            c["latest"] = v
+            v += 1
+        out = dict(live)
+        if len(_LIVE_CACHE) >= _LIVE_CACHE_MAX:
+            _LIVE_CACHE.pop(next(iter(_LIVE_CACHE)))
+        _LIVE_CACHE[root] = c
     return out
 
 
@@ -149,9 +272,14 @@ def _manifest_any(root: str, version: int) -> dict | None:
     if version < 0:
         return None
     for path in _manifest_paths(root, version):
-        if os.path.exists(path):
+        # open directly — an exists()-then-open pair is a TOCTOU window
+        # under racing archival (the rename vanishes the hot copy
+        # between the probe and the open; the archive copy is next)
+        try:
             with open(path) as fh:
                 return json.load(fh)
+        except FileNotFoundError:
+            continue
     return None
 
 
@@ -360,19 +488,34 @@ def _read_file_batches(
     yield from table.to_batches(max_chunksize=1 << 16)
 
 
-def _version_as_of_timestamp(root: str, live: dict[int, dict], ts: float) -> int:
-    """Latest live version at or before epoch ``ts`` — mirror of
-    VersionedTable.version_as_of_timestamp (same skew-adjusted
-    monotonic resolution; mtime fallback for pre-timestamp tables)."""
+def _adjusted_times(root: str, live: dict[int, dict]) -> Iterator[tuple[int, float]]:
+    """(version, timestamp) ascending, with the same skew-adjusted
+    monotonic resolution as VersionedTable.version_as_of_timestamp
+    (clock skew between writers can record t[v+1] < t[v]; adjust each
+    to be strictly later than its parent so resolution is well-defined)
+    and the same mtime fallback for pre-timestamp manifests."""
     last = float("-inf")
-    winner = None
     for v in sorted(live):
         t = live[v].get("ts")
         if t is None:
             hot, arch = _manifest_paths(root, v)
-            t = os.path.getmtime(hot if os.path.exists(hot) else arch)
+            try:
+                # no exists() pre-probe: a racing archival rename between
+                # the probe and the stat would raise instead of falling
+                # through to the archive copy (TOCTOU)
+                t = os.path.getmtime(hot)
+            except OSError:
+                t = os.path.getmtime(arch)
         t = max(float(t), last + 1e-3)
         last = t
+        yield v, t
+
+
+def _version_as_of_timestamp(root: str, live: dict[int, dict], ts: float) -> int:
+    """Latest live version at or before epoch ``ts`` — mirror of
+    VersionedTable.version_as_of_timestamp."""
+    winner = None
+    for v, t in _adjusted_times(root, live):
         if t <= ts:
             winner = v
     if winner is None:
@@ -380,6 +523,21 @@ def _version_as_of_timestamp(root: str, live: dict[int, dict], ts: float) -> int
             f"no live version of {root} at or before epoch timestamp {ts}"
         )
     return winner
+
+
+def _first_version_at_or_after(root: str, live: dict[int, dict], ts: float) -> int:
+    """Earliest live version whose adjusted timestamp is >= ``ts`` —
+    the Delta ``startingTimestamp`` contract: all changes committed AT
+    or after the timestamp are included, so a consumer resuming from a
+    commit timestamp copied out of the history does NOT silently skip
+    that exact-equality commit.  Past the head → head+1 (the stream
+    waits for the next commit, matching the old version-as-of + 1
+    behavior there); before the first live version (or an empty table)
+    → that first version (0 for empty)."""
+    for v, t in _adjusted_times(root, live):
+        if t >= ts:
+            return v
+    return max(live) + 1 if live else 0
 
 
 class VersionedDataSource(DataSource):
@@ -432,17 +590,13 @@ class VersionedDataSource(DataSource):
             if "startingVersion" in self.options:
                 s = int(self.options["startingVersion"])
             elif "startingTimestamp" in self.options:
-                try:
-                    s = (
-                        _version_as_of_timestamp(
-                            root,
-                            _live_manifests(root),
-                            float(self.options["startingTimestamp"]),
-                        )
-                        + 1
-                    )
-                except ValueError:
-                    s = 0
+                # inclusive at exact equality (Delta: changes committed
+                # AT or after the timestamp)
+                s = _first_version_at_or_after(
+                    root,
+                    _live_manifests(root),
+                    float(self.options["startingTimestamp"]),
+                )
             else:
                 raise ValueError(
                     "batch changeFeed requires startingVersion or "
@@ -494,18 +648,16 @@ class VersionedDataSource(DataSource):
             caps["starting_version"] = sv
         elif "startingTimestamp" in self.options:
             # Delta semantics: all changes committed AT OR AFTER the
-            # timestamp — the version right after the latest one at or
-            # before it (0 when the timestamp predates the table)
+            # timestamp — INCLUSIVE at exact equality, so resuming from
+            # a timestamp copied out of the commit history replays that
+            # commit instead of silently skipping it (0 when the
+            # timestamp predates the table)
             root = self.options["root"]
-            try:
-                at = _version_as_of_timestamp(
-                    root,
-                    _live_manifests(root),
-                    float(self.options["startingTimestamp"]),
-                )
-                caps["starting_version"] = at + 1
-            except ValueError:
-                caps["starting_version"] = 0
+            caps["starting_version"] = _first_version_at_or_after(
+                root,
+                _live_manifests(root),
+                float(self.options["startingTimestamp"]),
+            )
         return VersionedStreamReader(
             self.options["root"],
             [(f.name, f.dataType.simpleString()) for f in schema.fields],
@@ -774,13 +926,15 @@ class VersionedStreamReader(DataSourceStreamReader):
             prev = _manifest_any(self._root, s)
         for v in range(s + 1, e + 1):
             cur = live[v]
-            if cur["action"] == "rename_column":
-                # this stream's pinned schema predates the rename —
-                # silently reading NULLs (new files) or ghosts (old
-                # files) is worse than failing
+            if cur["action"] in ("rename_column", "readd_column"):
+                # this stream's pinned schema predates the mapping
+                # change — silently reading NULLs (new files), ghosts
+                # (old files), or new-era values under an old-era
+                # re-added name is worse than failing
                 raise ValueError(
-                    f"version {v} renames a column — restart the stream "
-                    "from a fresh checkpoint to pick up the new schema"
+                    f"version {v} remaps a column ({cur['action']}) — "
+                    "restart the stream from a fresh checkpoint to pick "
+                    "up the new schema"
                 )
             if prev is not None and _same_file_refs(prev["files"], cur["files"]):
                 # metadata-only commit (constraint add/drop, column
@@ -875,10 +1029,11 @@ class VersionedStreamReader(DataSourceStreamReader):
                 )
             if self._cdf:
                 continue  # CDF mode validates per-action below
-            if live[v]["action"] == "rename_column":
+            if live[v]["action"] in ("rename_column", "readd_column"):
                 raise ValueError(
-                    f"version {v} renames a column — restart the stream "
-                    "from a fresh checkpoint to pick up the new schema"
+                    f"version {v} remaps a column ({live[v]['action']}) "
+                    "— restart the stream from a fresh checkpoint to "
+                    "pick up the new schema"
                 )
             if v > min(live) and live[v]["action"] != "append":
                 pm = _manifest_any(self._root, v - 1)
@@ -1040,6 +1195,26 @@ class VersionedCDFBatchReader(DataSourceReader):
 
     def read(self, partition: _FilePartition) -> Iterator:
         return self._inner.read(partition)
+
+
+def table_changes(spark, root: str, starting_version: int | float | str,
+                  ending_version: int | None = None):
+    """Delta's ``table_changes(table, start[, end])`` TVF shape as one
+    call: the batch change feed of ``root`` over
+    [starting_version, ending_version] (end defaults to latest), rows
+    tagged ``_change_type``/``_commit_version``/``_commit_timestamp``.
+    SQL-only consumers get the identical feed from a
+    ``CREATE TEMPORARY VIEW ... USING versioned OPTIONS (root ...,
+    changeFeed 'true', startingVersion ...)`` view (module docstring)."""
+    r = (
+        spark.read.format("versioned")
+        .option("root", root)
+        .option("changeFeed", "true")
+        .option("startingVersion", str(starting_version))
+    )
+    if ending_version is not None:
+        r = r.option("endingVersion", str(ending_version))
+    return r.load()
 
 
 def register_versioned_source(spark) -> None:

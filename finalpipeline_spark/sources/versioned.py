@@ -280,7 +280,10 @@ class VersionedTable:
         for st in self._fs.listStatus(log):
             name = st.getPath().getName()
             if name.startswith("checkpoint-") and name.endswith(".json"):
-                v = int(name[len("checkpoint-"):-5])
+                try:
+                    v = int(name[len("checkpoint-"):-5])
+                except ValueError:
+                    continue  # stray junk name, not an anchor
                 best = v if best is None else max(best, v)
         return best
 
@@ -293,6 +296,20 @@ class VersionedTable:
             version = self.latest_version()
         if version is None:
             return None
+        # An anchor asserts 0..version committed, and every listing now
+        # TRUSTS that assertion (contiguity): an anchor above the true
+        # head would make versions() report phantom versions forever and
+        # the next commit claim a slot past a permanent gap. Refuse any
+        # version without a committed manifest (expired tombstones still
+        # prove committedness; archived manifests resolve by name probe).
+        try:
+            self._read_manifest_file(version)
+        except (VersionNotFoundError, json.JSONDecodeError) as exc:
+            raise ValueError(
+                f"cannot anchor {self.root} at version {version}: no "
+                "committed manifest proves it (anchors assert 0..V "
+                "committed)"
+            ) from exc
         path = self._p(_LOG_DIR, _ANCHOR_FMT % version)
         try:
             out = self._fs.create(path, False)
@@ -333,7 +350,10 @@ class VersionedTable:
         for st in self._fs.listStatus(log):
             name = st.getPath().getName()
             if name.startswith("checkpoint-") and name.endswith(".json"):
-                anchor = max(anchor, int(name[len("checkpoint-"):-5]))
+                try:
+                    anchor = max(anchor, int(name[len("checkpoint-"):-5]))
+                except ValueError:
+                    continue  # stray junk name, not an anchor
             elif name.startswith("v") and name.endswith(".json"):
                 names.append(name)
         # Contiguity (every commit claims parent+1 from 0) reduces the
@@ -827,8 +847,22 @@ class VersionedTable:
         by reference, and every reader NULL-backfills the new column
         for pre-evolution files (the same impose-schema mechanics as
         merge_schema appends, without needing a data-carrying write).
-        The ghost-name guard applies: a previously-dropped name cannot
-        be re-added while pre-drop files may still be referenced."""
+
+        Re-adding a previously-DROPPED name is supported via the same
+        entry-level column mapping rename_column uses (the id-based
+        half of Delta's ``columnMapping``): scans match parquet columns
+        by name, so a bare re-add would resurrect pre-drop values still
+        physically present in old files. Instead the re-add stamps
+        every current entry with ``cmap[name] = <fresh physical name>``
+        — a name no file has ever contained — so those entries
+        NULL-backfill the logical column (old values stay dead), while
+        files written after the re-add carry the name physically (no
+        mapping) and read normally. Time travel to pre-drop versions
+        still sees the ORIGINAL values through those manifests' own
+        entries. Change feeds refuse ranges crossing a re-add, exactly
+        like a rename — a consumer pinned to the pre-drop schema would
+        otherwise silently read new-era values under the old-era
+        column."""
         return self.commit_with_retry(
             lambda t: t._add_column_once(name, ddl_type), attempts
         )
@@ -840,14 +874,36 @@ class VersionedTable:
         schema = self._schema_of(m)
         if name in schema.fieldNames():
             raise ValueError(f"column '{name}' already exists on {self.root}")
-        self._assert_no_readd([name], set(schema.fieldNames()))
         dt = _parse_datatype_string(ddl_type)  # loud on a bad DDL type
         widened = StructType(
             list(schema.fields) + [StructField(name, dt, True)]
         )
+        if name not in self._ghost_names(set(schema.fieldNames())):
+            return self._commit(
+                "add_column",
+                list(m["files"]),
+                widened.simpleString(),
+                base_version=m["version"],
+            )
+        # RE-ADD of a dropped name: map the logical name to a fresh
+        # physical name on every current entry. The physical name is
+        # absent from every parquet file ever written (uuid suffix), so
+        # both scan paths NULL-backfill it — identical mechanics to a
+        # file predating a plain add_column. Entry-level means time
+        # travel, clones, and mixed generations need zero reader
+        # changes; rewrites (optimize/CoW) purge the mapping as the
+        # column materializes physically.
+        ghost_phys = f"{name}__readd_{uuid.uuid4().hex[:12]}"
+        entries = []
+        for e in m["files"]:
+            cm = dict(e.get("cmap") or {})
+            cm[name] = ghost_phys
+            e2 = {k: v for k, v in e.items() if k != "cmap"}
+            e2["cmap"] = cm
+            entries.append(e2)
         return self._commit(
-            "add_column",
-            list(m["files"]),
+            "readd_column",
+            entries,
             widened.simpleString(),
             base_version=m["version"],
         )
@@ -1034,17 +1090,12 @@ class VersionedTable:
             base_version=m["version"],
         )
 
-    def _assert_no_readd(self, added: list[str], current: set[str]) -> None:
-        """Reject re-introducing a previously-dropped column name via
-        schema evolution: scans match parquet columns BY NAME, so a
-        re-added name would resurrect the old values still physically
-        present in pre-drop files. Conservative manifest-sized walk:
-        any added name seen in a schema since the last clean slate
-        (``overwrite``) raises — a fresh name is always safe, and a
-        clean slate provably dropped every old file from the
-        snapshot."""
-        if not added:
-            return
+    def _ghost_names(self, current: set[str]) -> set[str]:
+        """Column names that appeared in some schema since the last
+        clean slate (``overwrite``) but are not current — names whose
+        values may still be physically present in referenced files.
+        Conservative manifest-sized walk; a clean slate provably
+        dropped every old file from the snapshot."""
         manifests = []
         for v in self.versions():
             try:
@@ -1059,14 +1110,29 @@ class VersionedTable:
         for mm in manifests:
             if mm["version"] >= slate:
                 seen |= set(self._schema_of(mm).fieldNames())
-        ghosts = sorted(set(added) & (seen - current))
+        return seen - current
+
+    def _assert_no_readd(self, added: list[str], current: set[str]) -> None:
+        """Reject re-introducing a previously-dropped column name via
+        schema evolution (merge_schema appends / merges): scans match
+        parquet columns BY NAME, so a re-added name would resurrect the
+        old values still physically present in pre-drop files. The
+        explicit ``add_column`` path handles re-adds safely via a
+        fresh-physical-name column mapping — data-carrying evolution
+        commits cannot (their new files DO contain the name), so they
+        direct the caller there."""
+        if not added:
+            return
+        ghosts = sorted(set(added) & self._ghost_names(current))
         if ghosts:
             raise SchemaMismatchError(
                 f"columns {ghosts} were previously dropped from "
-                f"{self.root}; re-adding the same name would resurrect "
-                "old values from pre-drop files at read time — use a "
-                "new column name (or start a clean slate with "
-                "commit_overwrite)"
+                f"{self.root}; re-adding the same name via schema "
+                "evolution would resurrect old values from pre-drop "
+                "files at read time — use ALTER-style add_column() "
+                "first (it maps the name to a fresh physical column), "
+                "then write, or use a new column name (or start a "
+                "clean slate with commit_overwrite)"
             )
 
     def _write_data_files(
@@ -2318,12 +2384,15 @@ class VersionedTable:
         base = self.manifest(since_version)
         for v in range(since_version + 1, target["version"] + 1):
             m = self._read_manifest_file(v)
-            if m["action"] == "rename_column":
+            if m["action"] in ("rename_column", "readd_column"):
                 # pre-rename manifests' entries lack the rename's
-                # column mapping — same refusal as read_changes_rows
+                # column mapping — same refusal as read_changes_rows;
+                # a re-add would let a pre-drop-schema consumer read
+                # new-era values under the old-era column
                 raise ValueError(
-                    f"version {v} renames a column: no incremental row "
-                    "delta across a rename — reprocess from the snapshot"
+                    f"version {v} remaps a column ({m['action']}): no "
+                    "incremental row delta across a column mapping "
+                    "change — reprocess from the snapshot"
                 )
             if _same_file_refs(self._read_manifest_file(v - 1)["files"], m["files"]):
                 # metadata-only commit (constraint add/drop, column
@@ -2427,13 +2496,17 @@ class VersionedTable:
         for v in range(since_version + 1, tv + 1):
             m = self._read_manifest_file(v)
             prev = self._read_manifest_file(v - 1)
-            if m["action"] == "rename_column":
+            if m["action"] in ("rename_column", "readd_column"):
                 # pre-rename manifests' entries lack the rename's
                 # column mapping: imposing the target schema on them
-                # would silently NULL the renamed column — refuse
+                # would silently NULL the renamed column — refuse. A
+                # re-add is the same hazard mirrored: a consumer that
+                # processed the pre-drop column would read new-era
+                # values under the old-era name.
                 raise ValueError(
-                    f"version {v} renames a column: no row-level delta "
-                    "across a rename — reprocess from the snapshot"
+                    f"version {v} remaps a column ({m['action']}): no "
+                    "row-level delta across a column mapping change — "
+                    "reprocess from the snapshot"
                 )
             if _same_file_refs(prev["files"], m["files"]):
                 # metadata-only commit (constraint add/drop, column
@@ -2933,12 +3006,13 @@ class VersionedTable:
                 if v < latest and not self._fs.exists(self._archive_path(v)):
                     if self._fs.rename(st.getPath(), self._archive_path(v)):
                         moved += 1
-            elif (
-                name.startswith("checkpoint-")
-                and name.endswith(".json")
-                and int(name[len("checkpoint-"):-5]) < latest
-            ):
-                self._fs.delete(st.getPath(), False)
+            elif name.startswith("checkpoint-") and name.endswith(".json"):
+                try:
+                    av = int(name[len("checkpoint-"):-5])
+                except ValueError:
+                    continue  # junk name: not ours to reap
+                if av < latest:
+                    self._fs.delete(st.getPath(), False)
         return moved
 
 

@@ -189,10 +189,126 @@ def test_add_column_metadata_only(spark, table):
         table.add_column("grp", "int")
     with pytest.raises(Exception):
         table.add_column("bad", "not_a_type")
-    # the ghost-name guard covers explicit ADD too
+    # explicit ADD of a dropped name is the column-mapping re-add path
     table.drop_column("score")
-    with pytest.raises(SchemaMismatchError, match="resurrect"):
-        table.add_column("score", "double")
+    info = table.add_column("score", "double")
+    assert info.action == "readd_column"
+    assert table.read().filter("score IS NOT NULL").count() == 0
+
+
+# -- RE-ADD via column mapping ---------------------------------------------
+
+
+def test_readd_column_round_trip(spark, table):
+    """write → drop → re-add: old values must NOT resurrect (every
+    current entry maps the logical name to a fresh physical name no
+    file contains), new writes fill the column normally, and time
+    travel to pre-drop versions still reads the ORIGINAL values."""
+    before = {f["path"] for f in table.manifest()["files"]}
+    table.drop_column("v")                          # version 1
+    info = table.add_column("v", "bigint")          # version 2: re-add
+    assert info.action == "readd_column"
+    # metadata-only: same files by reference, only cmap stamped
+    assert {f["path"] for f in table.manifest()["files"]} == before
+    ghost = table.manifest()["files"][0]["cmap"]["v"]
+    assert ghost != "v" and all(
+        f["cmap"]["v"] == ghost for f in table.manifest()["files"]
+    )
+    got = table.read()
+    assert got.columns == ["id", "grp", "v"]
+    assert got.count() == 100
+    assert got.filter("v IS NOT NULL").count() == 0  # old values dead
+    # new writes carry the re-added column physically
+    table.commit_append(
+        spark.range(100, 110).selectExpr(
+            "id", "cast(0 as int) as grp", "id * 3 as v"
+        )
+    )
+    cur = table.read()
+    assert cur.filter("v IS NOT NULL").count() == 10
+    assert cur.filter("v = 300").count() == 1
+    assert cur.filter("id < 100 AND v IS NOT NULL").count() == 0
+    # time travel: pre-drop version still reads the original values
+    old = table.read(0)
+    assert old.filter("v = 84").count() == 1
+    assert old.filter("v IS NOT NULL").count() == 100
+    # Python DataSource path agrees (Arrow-side cmap NULL backfill)
+    from finalpipeline_spark.sources.pyds import register_versioned_source
+
+    register_versioned_source(spark)
+    via_pyds = (
+        spark.read.format("versioned").option("root", table.root).load()
+    )
+    assert via_pyds.filter("id < 100 AND v IS NOT NULL").count() == 0
+    assert via_pyds.filter("v = 300").count() == 1
+    assert (
+        spark.read.format("versioned")
+        .option("root", table.root)
+        .option("version", "0")
+        .load()
+        .filter("v = 84")
+        .count()
+        == 1
+    )
+
+
+def test_readd_column_chained_ddl(spark, table):
+    """Re-add composes with the rest of the DDL surface: rename after
+    re-add folds the ghost mapping; a second drop + re-add ghosts the
+    between-era values too; rewrites (optimize) materialize the column
+    and purge the mapping."""
+    table.drop_column("v")
+    table.add_column("v", "bigint")
+    table.commit_append(
+        spark.range(100, 105).selectExpr(
+            "id", "cast(0 as int) as grp", "id * 3 as v"
+        )
+    )
+    # rename after re-add: ghost mapping folds (score → ghost)
+    table.rename_column("v", "score")
+    got = table.read()
+    assert got.columns == ["id", "grp", "score"]
+    assert got.filter("id < 100 AND score IS NOT NULL").count() == 0
+    assert got.filter("score = 300").count() == 1
+    # second drop + re-add: era-2 values (the appended file, which
+    # physically contains 'v') must be dead too
+    table.drop_column("score")
+    table.add_column("v", "bigint")
+    assert table.read().filter("v IS NOT NULL").count() == 0
+    # a rewrite materializes the column physically and purges cmaps
+    table.optimize()
+    assert all(
+        "cmap" not in f for f in table.manifest()["files"]
+    )
+    assert table.read().filter("v IS NOT NULL").count() == 0
+
+
+def test_readd_column_refuses_change_feeds_like_rename(spark, table):
+    """CDC refusal semantics mirror rename: any change-feed range that
+    CROSSES the re-add refuses (a pre-drop consumer would read new-era
+    values under the old-era column); ranges before or after it work."""
+    v0 = table.latest_version()
+    table.commit_append(
+        spark.range(100, 110).selectExpr(
+            "id", "cast(0 as int) as grp", "id * 2 as v"
+        )
+    )  # version 1
+    table.drop_column("v")                      # version 2 (metadata-only)
+    readd = table.add_column("v", "bigint")     # version 3: re-add
+    table.commit_append(
+        spark.range(110, 120).selectExpr(
+            "id", "cast(0 as int) as grp", "id * 5 as v"
+        )
+    )  # version 4
+    with pytest.raises(ValueError, match="readd_column"):
+        table.read_changes(since_version=v0)
+    with pytest.raises(ValueError, match="readd_column"):
+        table.read_changes_rows(since_version=v0)
+    # before the re-add: fine (drop itself is metadata-only, skipped)
+    assert table.read_changes(v0, version=2).count() == 10
+    # after the re-add: fine, new schema
+    after = table.read_changes_rows(readd.version)
+    assert after.count() == 10 and "v" in after.columns
 
 
 # -- TYPE WIDENING --------------------------------------------------------

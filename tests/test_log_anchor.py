@@ -221,3 +221,47 @@ def test_racing_writers_and_vacuum_archival(spark, tmp_path):
         os.listdir(os.path.join(t.root, "_log", "archive"))
     ) if os.path.isdir(os.path.join(t.root, "_log", "archive")) else set()
     assert {"v%012d.json" % v for v in range(19)} <= (hot | arch)
+
+
+def test_junk_log_names_do_not_break_listings(spark, table):
+    """A stray file whose name merely looks like an anchor or manifest
+    (someone drops ``verify.json`` or ``checkpoint-backup.json`` into
+    _log/) must be skipped by every listing — not raise ValueError on
+    the int parse and take down every read."""
+    table.commit_overwrite(_df(spark, 0, 5, "v0"))
+    table.commit_append(_df(spark, 5, 10, "v1"))
+    log = os.path.join(table.root, "_log")
+    for junk in ("verify.json", "checkpoint-backup.json", "vnotes.json"):
+        with open(os.path.join(log, junk), "w") as fh:
+            fh.write("{}")
+    assert table.versions() == [0, 1]
+    assert table.latest_version() == 1
+    assert table.read().count() == 10
+    # vacuum's archival pass must also tolerate the junk names
+    table.commit_append(_df(spark, 10, 15, "v2"))
+    table.vacuum(retain_last=1, grace_seconds=0)
+    assert table.latest_version() == 2
+    assert table.read().count() == 15
+
+
+def test_write_anchor_rejects_uncommitted_version(spark, table):
+    """An anchor asserts 0..V committed and listings TRUST it
+    (contiguity): anchoring past the true head would make versions()
+    report phantom versions forever and the next commit claim a slot
+    past a permanent gap. write_anchor must refuse."""
+    table.commit_overwrite(_df(spark, 0, 5, "v0"))
+    table.commit_append(_df(spark, 5, 10, "v1"))
+    with pytest.raises(ValueError, match="cannot anchor"):
+        table.write_anchor(version=99)
+    # the refused anchor left no file and the log is intact
+    assert not any(
+        n.startswith("checkpoint-") for n in _log_names(table.root)
+    )
+    assert table.versions() == [0, 1]
+    # a committed version anchors fine — including an expired tombstone
+    # (expired versions are still committed; the anchor assertion holds)
+    assert table.write_anchor(version=1) == 1
+    table.commit_append(_df(spark, 10, 15, "v2"))
+    table.vacuum(retain_last=1, grace_seconds=0)  # expires 0 and 1
+    assert table.write_anchor(version=0) == 0
+    assert table.versions() == [0, 1, 2]

@@ -583,6 +583,11 @@ def test_stream_starting_version_and_timestamp(spark, tmp_path):
     assert drain({"startingVersion": "1"}) == list(range(50, 100))
     assert drain({"startingVersion": "0"}) == list(range(100))
     assert drain({"startingTimestamp": str(mid)}) == list(range(80, 100))
+    # INCLUSIVE at exact equality (Delta: changes committed AT or after
+    # the timestamp) — resuming from a commit ts copied out of the
+    # history must replay that commit, not skip it
+    exact = t.manifest(1)["ts"]
+    assert drain({"startingTimestamp": str(exact)}) == list(range(50, 100))
     # beyond head+1 has nothing to diff against
     with pytest.raises(Exception, match="startingVersion|never committed"):
         drain({"startingVersion": "9"})

@@ -1,0 +1,165 @@
+"""SQL-only surface of the versioned lakehouse layer.
+
+A SQL-only consumer (the reference's users live in SQL — views_p1.py)
+must be able to reach snapshot reads, VERSION AS OF / TIMESTAMP AS OF
+time travel, and the change feed through pure ``spark.sql`` — no
+Python imports from this repo beyond the one-time format registration.
+These tests drive the same assertions test_versioned makes through the
+Python API, but via ``CREATE TEMPORARY VIEW ... USING versioned``
+(option names are Delta's readChangeFeed options verbatim), plus the
+``table_changes`` helper (Delta's SQL TVF shape).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from finalpipeline_spark.sources.pyds import (
+    register_versioned_source,
+    table_changes,
+)
+from finalpipeline_spark.sources.versioned import VersionedTable
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    register_versioned_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit_overwrite(
+        spark.range(0, 50).selectExpr("id", "cast(id % 5 as int) as grp")
+    )
+    t.commit_append(
+        spark.range(50, 80).selectExpr("id", "cast(id % 5 as int) as grp")
+    )
+    return t
+
+
+def _mkview(spark, name, opts):
+    kv = ", ".join(f"{k} '{v}'" for k, v in opts.items())
+    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} USING versioned OPTIONS ({kv})")
+
+
+def test_sql_snapshot_and_version_as_of(spark, vt):
+    _mkview(spark, "t_sql", {"root": vt.root})
+    assert spark.sql("SELECT count(*) AS n FROM t_sql").first()["n"] == 80
+    _mkview(spark, "t_v0", {"root": vt.root, "version": "0"})
+    assert spark.sql("SELECT count(*) AS n FROM t_v0").first()["n"] == 50
+    assert (
+        spark.sql("SELECT max(id) AS m FROM t_v0").first()["m"] == 49
+    )
+    # aggregation pushdown sanity: grouping works through the view
+    rows = spark.sql(
+        "SELECT grp, count(*) AS n FROM t_sql GROUP BY grp ORDER BY grp"
+    ).collect()
+    assert [r["n"] for r in rows] == [16] * 5
+
+
+def test_sql_timestamp_as_of(spark, vt):
+    ts_v0 = vt.manifest(0)["ts"]
+    ts_v1 = vt.manifest(1)["ts"]
+    mid = (ts_v0 + ts_v1) / 2 if ts_v1 > ts_v0 + 2e-3 else ts_v0
+    _mkview(spark, "t_asof", {"root": vt.root, "timestampAsOf": repr(mid)})
+    assert spark.sql("SELECT count(*) AS n FROM t_asof").first()["n"] == 50
+    _mkview(
+        spark, "t_now", {"root": vt.root, "timestampAsOf": repr(time.time())}
+    )
+    assert spark.sql("SELECT count(*) AS n FROM t_now").first()["n"] == 80
+
+
+def test_sql_change_feed_matches_python_cdf(spark, vt):
+    vt.delete_where("id < 10", mode="cow")  # version 2: CoW delete
+    _mkview(
+        spark,
+        "t_cdf",
+        {"root": vt.root, "changeFeed": "true", "startingVersion": "1"},
+    )
+    # The SQL/batch feed is FILE-granularity (a CoW survivor churns as
+    # delete+insert of identical content — documented contract), while
+    # read_changes_rows is row-level; the two agree exactly on appends
+    # and on the NET effect of every commit.
+    got = {
+        (r[0], r[1]): r[2]
+        for r in spark.sql(
+            """
+            SELECT _commit_version, _change_type, count(*) AS n
+            FROM t_cdf GROUP BY 1, 2
+            """
+        ).collect()
+    }
+    want = {
+        (r[0], r[1]): r[2]
+        for r in vt.read_changes_rows(0)  # Python API: exclusive base
+        .groupBy("_commit_version", "_change_type")
+        .count()
+        .collect()
+    }
+    assert got[(1, "insert")] == want[(1, "insert")] == 30
+    net = lambda d, v: d.get((v, "insert"), 0) - d.get((v, "delete"), 0)  # noqa: E731
+    assert net(got, 2) == net(want, 2) == -10
+    # startingVersion 0 additionally delivers commit 0's initial rows
+    _mkview(
+        spark,
+        "t_cdf",
+        {"root": vt.root, "changeFeed": "true", "startingVersion": "0"},
+    )
+    v0 = spark.sql(
+        "SELECT _change_type, count(*) AS n FROM t_cdf "
+        "WHERE _commit_version = 0 GROUP BY 1"
+    ).collect()
+    assert [(r[0], r[1]) for r in v0] == [("insert", 50)]
+    # meta columns carry the Delta triple, including the commit ts
+    assert spark.sql(
+        "SELECT count(*) AS n FROM t_cdf WHERE _commit_timestamp IS NULL"
+    ).first()["n"] == 0
+    # ending bound through SQL
+    _mkview(
+        spark,
+        "t_cdf01",
+        {
+            "root": vt.root,
+            "changeFeed": "true",
+            "startingVersion": "0",
+            "endingVersion": "1",
+        },
+    )
+    assert (
+        spark.sql("SELECT count(*) AS n FROM t_cdf01").first()["n"] == 80
+    )
+    # net row effect of the full feed reconciles with the snapshot
+    net = spark.sql(
+        """
+        SELECT sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END) AS n
+        FROM t_cdf
+        """
+    ).first()["n"]
+    assert net == vt.read().count()
+
+
+def test_sql_change_feed_starting_timestamp(spark, vt):
+    exact = vt.manifest(1)["ts"]
+    _mkview(
+        spark,
+        "t_cdf_ts",
+        {
+            "root": vt.root,
+            "changeFeed": "true",
+            "startingTimestamp": repr(exact),
+        },
+    )
+    # inclusive at exact equality: commit 1's 30 inserts are included
+    rows = spark.sql(
+        "SELECT min(_commit_version) AS v, count(*) AS n FROM t_cdf_ts"
+    ).first()
+    assert (rows["v"], rows["n"]) == (1, 30)
+
+
+def test_table_changes_helper_matches_sql_view(spark, vt):
+    df = table_changes(spark, vt.root, 0, 1)
+    assert df.count() == 80
+    assert {"_change_type", "_commit_version", "_commit_timestamp"} <= set(
+        df.columns
+    )
+    full = table_changes(spark, vt.root, 0)
+    assert full.count() == 80

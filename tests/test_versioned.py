@@ -1438,7 +1438,7 @@ def test_read_changes_skips_metadata_only_commits(spark, table):
     assert table.read_changes(since_version=1, version=2).count() == 0
     # renames still refuse: pre-rename manifests lack the column mapping
     table.rename_column("tag", "label")
-    with pytest.raises(ValueError, match="renames a column"):
+    with pytest.raises(ValueError, match="rename"):
         table.read_changes(since_version=0)
 
 
