@@ -86,3 +86,116 @@ def test_search_prunes_to_probed_partitions(spark, sf_dir, tmp_path):
 
     entries = os.listdir(idx + "/postings")
     assert any(e.startswith("list_id=") for e in entries)
+
+
+# -- drift-triggered re-train ----------------------------------------------
+
+_B1 = (
+    "transform(sequence(0, 15), d -> cast("
+    " (case when d = cast(vec_id % 4 as int) then 1.0 else 0.0 end)"
+    " + (pmod(xxhash64(vec_id, d), 1000) / 1000.0 - 0.5) * 0.1"
+    " as double))"
+)
+# Drifted regime: subclusters at 50*e_{8+k} (the TRUE cosine geometry)
+# plus a uniform dims-0..3 component scaled to DOMINATE distance to the
+# founding centroids (which live in dims 0..3, so their view of the
+# drifted region is pure noise) — frozen centroids scatter each
+# subcluster across lists and recall decays: the real silent-drift
+# failure mode.
+# u (dims 0..3, range 10) is what the OLD centroids see — it scatters
+# the assignment; v (dims 12..15, range 15) is invisible to them but
+# dominates the true within-subcluster ranking, so the probed (u-)cells
+# are decorrelated from the true neighbors. A retrained quantizer
+# re-clusters on the u+v geometry and recovers.
+_B2 = (
+    "transform(sequence(0, 15), d -> cast("
+    " (case when d = 8 + cast(vec_id % 4 as int) then 50.0 else 0.0 end)"
+    " + (case when d < 4 then pmod(xxhash64(vec_id, d, 7), 1000) / 100.0"
+    "    else 0.0 end)"
+    " + (case when d >= 12 then pmod(xxhash64(vec_id, d, 13), 1000) / 1000.0 * 15.0"
+    "    else 0.0 end)"
+    " + (pmod(xxhash64(vec_id, d), 1000) / 1000.0 - 0.5) * 0.1"
+    " as double))"
+)
+
+
+def _synth(spark, lo, hi, expr):
+    return spark.range(lo, hi).selectExpr(
+        "id as vec_id", f"{expr.replace('vec_id', 'id')} as embedding"
+    )
+
+
+def _recall_at_5(spark, queries, idx):
+    """Mean recall@5 of the index vs UNRESTRICTED brute force over the
+    indexed corpus (the metric that polices the approximation)."""
+    from pyspark.sql import Window
+
+    _, post = A._paths(idx)
+    corpus = spark.read.parquet(post).select("vec_id", "embedding", "nrm")
+    q = A._with_nrm(queries.select("vec_id", "embedding")).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        q.crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            A._dot("q_emb", "embedding") / F.sqrt(F.col("q_nrm") * F.col("nrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    truth = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    got = A.search(spark, queries, idx, nprobe=2, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = truth.join(got, ["query_id", "neighbor_id"]).count()
+    return hits / truth.count()
+
+
+def test_drift_triggered_retrain_recovers_recall(spark, tmp_path):
+    idx = str(tmp_path / "ivf")
+    batch1 = _synth(spark, 0, 400, _B1)
+    assert A.ingest_batch(spark, batch1, idx) == 400
+    assert A.drift_ratio(spark, idx) == 1.0  # single batch: no signal
+
+    drifted = _synth(spark, 1000, 1800, _B2)
+    assert A.ingest_batch(spark, drifted, idx) == 800
+    ratio = A.drift_ratio(spark, idx)
+    assert ratio > 2.0  # the drifted batch lands far from every centroid
+
+    queries = drifted.filter(F.col("vec_id") % 40 == 0)  # 20 drifted queries
+    recall_before = _recall_at_5(spark, queries, idx)
+
+    # below threshold: no retrain
+    assert not A.maybe_retrain(spark, idx, factor=ratio + 1.0)
+    assert A._state(idx)["epoch"] == 0
+    # over threshold: retrain fires, epoch swaps atomically
+    assert A.maybe_retrain(spark, idx, factor=2.0, rounds=3)
+    st = A._state(idx)
+    assert st["epoch"] == 1
+    import os
+
+    # old epoch dirs stay readable for in-flight searches
+    assert os.path.isdir(idx + "/centroids") and os.path.isdir(idx + "/postings")
+    assert any(
+        e.startswith("list_id=") for e in os.listdir(idx + "/" + st["postings"])
+    )
+
+    recall_after = _recall_at_5(spark, queries, idx)
+    assert recall_after >= recall_before + 0.2, (recall_before, recall_after)
+    assert recall_after >= 0.8, recall_after
+
+    # the swap resets the drift baseline and keeps ingest idempotent
+    assert A.drift_ratio(spark, idx) == 1.0
+    assert A.ingest_batch(spark, drifted, idx) == 0
+    assert not A.maybe_retrain(spark, idx, factor=2.0)
+    # every vector indexed exactly once in the new epoch
+    post = spark.read.parquet(idx + "/" + st["postings"])
+    assert post.count() == 1200
+    assert post.select("vec_id").distinct().count() == 1200
