@@ -1014,3 +1014,333 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval — the Matryoshka servability metric. See _mrl_sql."""
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(E.SPARK_VIEW)
     return spark.sql(_mrl_sql(D.SPARK))
+
+
+# --------------------------------------------------------------------------
+# In-engine quality-probe training: exact least squares via normal equations
+# --------------------------------------------------------------------------
+_PROBE_W = 1 << 20  # weight fixed-point scale
+
+
+def _probe_feat_sql(dialect: str) -> str:
+    """Per-document integer feature row for the linear probe — three
+    text-shape signals (token count, mean word length, 'e'-frequency:
+    the classic cheap lang-id/quality features) plus the en/other
+    label. All features are exact small ints (<= ~130 at any SF), so
+    every downstream moment stays integer-exact. Pure per-row map: the
+    featurizer runs at full scan speed on 100 TB."""
+    t = _doc_tbl(dialect)
+    toks = D.tokens("text", dialect)
+    nsp = "length(replace(text, ' ', ''))"
+    ecnt = "(length(text) - length(replace(text, 'e', '')))"
+    # greatest(.., 1) denominators: an empty/non-alnum document must
+    # yield a zero feature, not an ANSI divide-by-zero (identically in
+    # both engines)
+    ntok = f"greatest({D.arr_size('toks', dialect)}, 1)"
+    return f"""
+        SELECT cast(1 as bigint) AS f1,
+               cast({D.arr_size('toks', dialect)} as bigint) AS f2,
+               cast({D.idiv(f'({nsp}) * 16', ntok, dialect)} as bigint) AS f3,
+               cast({D.idiv(f'{ecnt} * 100', 'greatest(n_chars, 1)', dialect)}
+                    as bigint) AS f4,
+               cast(CASE WHEN lang = 'en' THEN 1 ELSE 0 END as bigint) AS y
+        FROM (SELECT text, lang, n_chars, {toks} AS toks FROM {t}) raw
+    """
+
+
+def _probe_moments_sql(dialect: str) -> str:
+    """One exact moment row: the upper triangle of X^T X (10 entries
+    over [1, f2, f3, f4]) and X^T y (4 entries). Associative integer
+    sums — map-side partials, a one-row shuffle: the ONLY data-sized
+    pass training needs at any scale."""
+    dec = "decimal(38,0)" if dialect == D.SPARK else "hugeint"
+    sums = []
+    for i in range(1, 5):
+        for j in range(i, 5):
+            sums.append(
+                f"cast(sum(cast(f{i} * f{j} as {dec})) as {dec}) AS m{i}{j}"
+            )
+    for i in range(1, 5):
+        sums.append(f"cast(sum(cast(f{i} * y as {dec})) as {dec}) AS b{i}")
+    return f"SELECT {', '.join(sums)} FROM ({_probe_feat_sql(dialect)}) feat"
+
+
+def _det4_perms() -> list[tuple[int, tuple[int, ...]]]:
+    """(sign, column-permutation) pairs of the 4x4 Leibniz expansion —
+    the ONE enumeration both the SQL generator and the Spark driver's
+    Python-int evaluation derive from, so both engines add identical
+    terms."""
+    from itertools import permutations
+
+    out = []
+    for p in permutations(range(4)):
+        inv = sum(
+            1 for a in range(4) for b in range(a + 1, 4) if p[a] > p[b]
+        )
+        out.append((-1 if inv % 2 else 1, p))
+    return out
+
+
+def _det4_terms(m: list[list[str]]) -> str:
+    """24-term Leibniz expansion over SQL entry expressions."""
+    parts = []
+    for sgn, p in _det4_perms():
+        parts.append(
+            f"{'-' if sgn < 0 else '+'} "
+            + " * ".join(m[i][p[i]] for i in range(4))
+        )
+    return " ".join(parts)
+
+
+def _det4_int(m: list[list[int]]) -> int:
+    """The same Leibniz expansion evaluated with exact Python ints."""
+    total = 0
+    for sgn, p in _det4_perms():
+        prod = 1
+        for i in range(4):
+            prod *= m[i][p[i]]
+        total += sgn * prod
+    return total
+
+
+def _probe_dets() -> dict[str, str]:
+    """det(X^T X) and the four Cramer numerators as expressions over
+    the moment-row column names. Magnitude audit: every feature is
+    <= ~130 and documents number ~5e4 at sf0.1, so each moment entry is
+    < 1e9 and each Leibniz term < (1e9)^4 = 1e36; the 24-term sums and
+    the * 2^20 weight rescale stay well inside hugeint (~1.7e38). At
+    truly larger corpora, shrink the feature quantizers before the
+    moment pass (the weights are scale-free)."""
+    xtx = [
+        [f"m{min(i, j) + 1}{max(i, j) + 1}" for j in range(4)]
+        for i in range(4)
+    ]
+    out = {"da": _det4_terms(xtx)}
+    for k in range(4):
+        rep = [
+            [f"b{i + 1}" if j == k else xtx[i][j] for j in range(4)]
+            for i in range(4)
+        ]
+        out[f"d{k + 1}"] = _det4_terms(rep)
+    return out
+
+
+def _probe_confusion_sql(dialect: str, w: str) -> str:
+    """Scoring pass + stat rows given a one-row weights relation ``w``
+    (columns w1..w4 at _PROBE_W fixed point): z = w.x exactly, predict
+    1 iff z >= 1/2, emit the confusion counts and the weights as
+    (stat, value) rows."""
+    return f"""
+        scored AS (
+            SELECT y, CASE WHEN 2 * (w1 + w2 * f2 + w3 * f3 + w4 * f4)
+                           >= {_PROBE_W} THEN 1 ELSE 0 END AS pred
+            FROM feat CROSS JOIN {w}
+        ),
+        conf AS (
+            SELECT cast(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) as bigint) AS tp,
+                   cast(sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) as bigint) AS fp,
+                   cast(sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) as bigint) AS fn,
+                   cast(sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END) as bigint) AS tn
+            FROM scored
+        )
+        SELECT 'n' AS stat, tp + fp + fn + tn AS value FROM conf
+        UNION ALL SELECT 'tp', tp FROM conf
+        UNION ALL SELECT 'fp', fp FROM conf
+        UNION ALL SELECT 'fn', fn FROM conf
+        UNION ALL SELECT 'tn', tn FROM conf
+        UNION ALL SELECT 'w_bias',   cast(w1 as bigint) FROM {w}
+        UNION ALL SELECT 'w_ntok',   cast(w2 as bigint) FROM {w}
+        UNION ALL SELECT 'w_mwl16',  cast(w3 as bigint) FROM {w}
+        UNION ALL SELECT 'w_efreq',  cast(w4 as bigint) FROM {w}
+        ORDER BY stat
+    """
+
+
+def _probe_oracle() -> str:
+    """Full training chain in one static DuckDB query, hugeint-exact
+    end-to-end: featurize -> one moment row -> 4x4 Cramer solve (the
+    Leibniz dets above) -> sign-magnitude truncating rescale of each
+    weight onto 2^20 fixed point -> exact scoring pass. MATERIALIZED
+    everywhere a CTE is referenced more than once (DuckDB inlines CTEs
+    per reference)."""
+    from finalpipeline_spark.queries.embeddings import _pca_tdiv
+
+    dets = _probe_dets()
+    det_cols = ", ".join(f"{expr} AS {name}" for name, expr in dets.items())
+    wcols = ", ".join(
+        _pca_tdiv(
+            f"(CASE WHEN da >= 0 THEN d{k} ELSE -d{k} END)",
+            str(_PROBE_W),
+            "(CASE WHEN da >= 0 THEN da ELSE -da END)",
+            D.DUCK,
+        )
+        + f" AS w{k}"
+        for k in range(1, 5)
+    )
+    return f"""
+        WITH feat AS MATERIALIZED ({_probe_feat_sql(D.DUCK)}),
+        moments AS MATERIALIZED ({_probe_moments_sql(D.DUCK)}),
+        dets AS MATERIALIZED (SELECT {det_cols} FROM moments),
+        w AS MATERIALIZED (SELECT {wcols} FROM dets),
+        {_probe_confusion_sql(D.DUCK, "w")}
+    """
+
+
+@register("doc_quality_linear_probe", oracle=_probe_oracle(), tags=("extension",))
+def doc_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a quality/language probe in-engine — exact least squares
+    over three text-shape features — and evaluate it in-engine, the
+    fastText-style classifier loop a curation pipeline runs to learn
+    its own quality filter from labeled data.
+
+    The 100 TB shape: ONE distributed pass builds the exact-integer
+    normal-equation moment row (X^T X upper triangle + X^T y — 14
+    associative sums, map-side partials, one-row shuffle), the driver
+    solves the 4x4 system by Cramer's rule in constant time with exact
+    Python ints (the same Leibniz enumeration the oracle runs in
+    hugeint), and ONE more scan scores every document with the learned
+    fixed-point weights. No gradient loop, no per-iteration data pass,
+    nothing driver-sized but a 14-number row. Output: the learned
+    weights (2^20 fixed point) and the training confusion matrix, all
+    bigint-exact and bit-identical with the DuckDB oracle."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
+    row = spark.sql(_probe_moments_sql(D.SPARK)).collect()[0]
+    mom = {k: int(row[k]) for k in row.asDict()}
+
+    def tdiv(t: int, v: int, m: int) -> int:
+        return (abs(t) * v // m) * (1 if t >= 0 else -1)
+
+    # evaluate the SAME Leibniz expansion the oracle runs, with
+    # unbounded Python ints (entries resolve to the moment row)
+    xtx = [
+        [mom[f"m{min(i, j) + 1}{max(i, j) + 1}"] for j in range(4)]
+        for i in range(4)
+    ]
+    dets = {"da": _det4_int(xtx)}
+    for k in range(4):
+        rep = [
+            [mom[f"b{i + 1}"] if j == k else xtx[i][j] for j in range(4)]
+            for i in range(4)
+        ]
+        dets[f"d{k + 1}"] = _det4_int(rep)
+    da = dets["da"]
+    if da == 0:
+        raise ValueError("singular normal equations: add features or data")
+    sgn = 1 if da >= 0 else -1
+    w = [tdiv(sgn * dets[f"d{k}"], _PROBE_W, abs(da)) for k in range(1, 5)]
+    wsel = (
+        f"(SELECT cast({w[0]} as bigint) AS w1, cast({w[1]} as bigint) AS w2, "
+        f"cast({w[2]} as bigint) AS w3, cast({w[3]} as bigint) AS w4)"
+    )
+    return spark.sql(
+        f"WITH feat AS ({_probe_feat_sql(D.SPARK)}), "
+        + _probe_confusion_sql(D.SPARK, wsel)
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-document repeated-span profile (memorization-risk signal)
+# --------------------------------------------------------------------------
+_SPAN_K = 5           # tokens per span
+_SPAN_FP = 1 << 20    # coverage-fraction fixed point
+
+
+def _span_positions(dialect: str) -> str:
+    """Explode 1-based span start positions 1..n-(K-1), empty-safe:
+    Spark's ANSI sequence(1, 0) counts DOWN, so short docs must yield
+    an empty array, not [1, 0]."""
+    k1 = _SPAN_K - 1
+    if dialect == D.SPARK:
+        return (
+            f"LATERAL VIEW explode(CASE WHEN n >= {_SPAN_K} "
+            f"THEN sequence(1, cast(n - {k1} as int)) "
+            "ELSE array() END) pos_t AS p"
+        )
+    return ""  # DuckDB: unnest(range(...)) in the SELECT list instead
+
+
+def _span_sql(dialect: str) -> str:
+    """Per-source profile of text covered by {_SPAN_K}-token spans that
+    repeat across DISTINCT documents — the Lee-et-al. repeated-span
+    signal: spans shared verbatim between documents are boilerplate or
+    near-dup leakage the model will memorize.
+
+    Plan shape at 100 TB: tokenize once per doc (scan-time), explode to
+    (doc, start, span-string), ONE span-keyed shuffle finds spans with
+    >= 2 distinct docs (the LSH-band join shape — never all-pairs), a
+    semi-join back tags repeated occurrences, and covered positions
+    dedup per doc. Everything else is per-source partial aggregation.
+    All-integer output (coverage fraction at 2^20 fixed point): exact
+    at any partitioning."""
+    t = _doc_tbl(dialect)
+    toks = D.tokens("text", dialect)
+    k1 = _SPAN_K - 1
+    # Spark has no MATERIALIZED keyword (Catalyst handles CSE itself);
+    # DuckDB needs it wherever a CTE is referenced more than once.
+    mat = "MATERIALIZED " if dialect == D.DUCK else ""
+    span = D.arr_join(D.arr_slice("toks", "p", _SPAN_K, dialect), " ", dialect)
+    if dialect == D.SPARK:
+        occ = f"""
+            SELECT doc_id, p, {span} AS span
+            FROM tok {_span_positions(dialect)}
+        """
+        cov_pos = """
+            SELECT DISTINCT o.doc_id, pos
+            FROM occ o JOIN rep r ON o.span = r.span
+            LATERAL VIEW explode(sequence(o.p, o.p + %d)) cov_t AS pos
+        """ % k1
+    else:
+        occ = f"""
+            SELECT doc_id, unnest(range(1, greatest(n - {k1}, 0) + 1)) AS p,
+                   toks FROM tok
+        """
+        # DuckDB can't slice on the unnest alias in the same SELECT;
+        # materialize p first, slice in the next CTE
+        occ = (
+            f"occ0 AS {mat}({occ}), "
+            f"occ AS {mat}(SELECT doc_id, p, {span} AS span FROM occ0)"
+        )
+        cov_pos = f"""
+            SELECT DISTINCT o.doc_id, unnest(range(o.p, o.p + {_SPAN_K})) AS pos
+            FROM occ o JOIN rep r ON o.span = r.span
+        """
+    occ_cte = (
+        f"occ AS ({occ})" if dialect == D.SPARK else occ
+    )
+    return f"""
+        WITH tok AS {mat}(
+            SELECT doc_id, source, toks, {D.arr_size('toks', dialect)} AS n
+            FROM (SELECT doc_id, source, {toks} AS toks FROM {t}) raw
+        ),
+        {occ_cte},
+        rep AS {mat}(
+            SELECT span FROM occ GROUP BY span
+            HAVING count(DISTINCT doc_id) >= 2
+        ),
+        cov AS (SELECT doc_id, cast(count(*) as bigint) AS covered
+                FROM ({cov_pos}) cp GROUP BY doc_id),
+        per_doc AS (
+            SELECT tok.source, tok.n,
+                   coalesce(cov.covered, 0) AS covered
+            FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id
+        )
+        SELECT source,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(n) as bigint) AS tok_total,
+               cast(sum(covered) as bigint) AS covered_total,
+               cast({D.idiv(f'sum(covered) * {_SPAN_FP}', 'greatest(sum(n), 1)', dialect)}
+                    as bigint) AS covered_frac_fp
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+@register("doc_crossdoc_repeated_spans", oracle=_span_sql(D.DUCK), tags=("extension",))
+def doc_crossdoc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fraction of tokens inside 5-token spans that repeat
+    verbatim across distinct documents — the memorization-risk /
+    boilerplate signal used to rank sources for aggressive dedup. See
+    _span_sql for the scale shape."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_span_sql(D.SPARK))

@@ -124,16 +124,20 @@ _PRIORITY_QUERIES = (
     "orders_spend_tiles",
     "tpch_grouping_sets",
     # -- ADDED in r8: the versioned lakehouse's PURE-SQL surface
-    #    (USING versioned views: change feed + VERSION AS OF) --
+    #    (USING versioned views: change feed + VERSION AS OF), the
+    #    in-engine linear-probe trainer, and the cross-document
+    #    repeated-span profile --
     "versioned_sql_table_changes",
     "versioned_sql_time_travel",
-    # -- oldest r5-attested staples fill the remaining slots --
+    "doc_quality_linear_probe",
+    "doc_crossdoc_repeated_spans",
+    # -- oldest r5-attested staples fill the remaining slots
+    #    (doc_dedup_ngram_jaccard / doc_edit_distance_pairs displaced
+    #    by the two r8 additions above; both r5-green + judge-pytest) --
     "chembl_id_resolution",
     "doc_bpe_token_count",
     "doc_contamination_check",
     "doc_dedup_exact",
-    "doc_dedup_ngram_jaccard",
-    "doc_edit_distance_pairs",
 )
 
 # Queries ADDED in r7 should take slots here by displacing entries from
