@@ -35,6 +35,8 @@ the format is registered, every capability is reachable through pure
     -- table_changes('/p/t', 0[, 5]) equivalent (Delta readChangeFeed):
     CREATE TEMPORARY VIEW t_cdf  USING versioned OPTIONS (
         root '/p/t', changeFeed 'true', startingVersion '0', endingVersion '5')
+    -- DESCRIBE HISTORY equivalent (VersionedTable.history() columns):
+    CREATE TEMPORARY VIEW t_hist USING versioned OPTIONS (root '/p/t', history 'true')
 
 Option names match Delta's ``readChangeFeed`` options verbatim
 (``startingVersion`` / ``startingTimestamp`` / ``endingVersion`` /
@@ -64,6 +66,24 @@ from pyspark.sql.datasource import (
 )
 
 _LOG_DIR = "_log"
+
+# Feature-gate protocol (mirror of sources/versioned.py — keep in
+# sync): a manifest carrying ``reader: N`` above this build's support
+# must REFUSE, not misread — e.g. a pre-cmap change-feed consumer
+# would silently serve a re-added column's new-era values under the
+# old-era name. Absent field means 1. Raised as ValueError so the
+# Python DataSource surfaces it loudly through Spark.
+SUPPORTED_READER_VERSION = 2
+
+
+def _check_reader_version(m: dict | None, where: str) -> dict | None:
+    if m is not None and m.get("reader", 1) > SUPPORTED_READER_VERSION:
+        raise ValueError(
+            f"{where} requires reader protocol {m['reader']} (this "
+            f"build supports {SUPPORTED_READER_VERSION}) — upgrade "
+            "before reading this version"
+        )
+    return m
 
 
 # Parse cache for _live_manifests: the streaming engine polls
@@ -120,7 +140,7 @@ def _resolve_manifest(root: str, v: int) -> dict | None:
     for path in _manifest_paths(root, v):
         m = _parse_manifest_cached(path)
         if m is not None:
-            return m
+            return _check_reader_version(m, f"version {v} of {root}")
     return None
 
 
@@ -277,7 +297,9 @@ def _manifest_any(root: str, version: int) -> dict | None:
         # between the probe and the open; the archive copy is next)
         try:
             with open(path) as fh:
-                return json.load(fh)
+                return _check_reader_version(
+                    json.load(fh), f"version {version} of {root}"
+                )
         except FileNotFoundError:
             continue
     return None
@@ -568,7 +590,14 @@ class VersionedDataSource(DataSource):
     def _cdf(self) -> bool:
         return str(self.options.get("changeFeed", "false")).lower() == "true"
 
+    def _history(self) -> bool:
+        return str(self.options.get("history", "false")).lower() == "true"
+
     def schema(self) -> str:
+        if self._history():
+            # DESCRIBE HISTORY for SQL-only users: one row per live
+            # version, same columns as VersionedTable.history()
+            return _HISTORY_DDL
         # manifests record df.schema.simpleString(); Spark's parser
         # accepts the struct<...> form directly.  In change-feed mode
         # every row additionally carries its change type and commit
@@ -583,6 +612,10 @@ class VersionedDataSource(DataSource):
 
     def reader(self, schema):
         fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        if self._history():
+            if self._cdf():
+                raise ValueError("pass history or changeFeed, not both")
+            return VersionedHistoryReader(self.options["root"])
         if self._cdf():
             # batch readChangeFeed (Delta parity): requires an explicit
             # start — an unbounded batch CDF would be the whole history
@@ -1195,6 +1228,66 @@ class VersionedCDFBatchReader(DataSourceReader):
 
     def read(self, partition: _FilePartition) -> Iterator:
         return self._inner.read(partition)
+
+
+_HISTORY_DDL = (
+    "version bigint, parent bigint, action string, n_files bigint, "
+    "n_rows bigint, commit_ts double, n_added_files bigint, "
+    "n_removed_files bigint, n_dv_new_deleted bigint"
+)
+
+
+class VersionedHistoryReader(DataSourceReader):
+    """DESCRIBE HISTORY through pure SQL — ``CREATE TEMPORARY VIEW h
+    USING versioned OPTIONS (root ..., history 'true')``: one row per
+    live version with the same read-side operation metrics as
+    VersionedTable.history() (files added/removed and rows newly
+    deletion-vectored vs the parent manifest — manifest-sized, zero
+    data I/O). One partition: history is log-sized by construction."""
+
+    def __init__(self, root: str) -> None:
+        self._root = root
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [InputPartition(0)]
+
+    def read(self, partition) -> Iterator[tuple]:
+        live = _live_manifests(self._root)
+        for v in sorted(live):
+            m = live[v]
+            pm = (
+                _manifest_any(self._root, m["parent"])
+                if m["parent"] is not None
+                else None
+            )
+            if m["parent"] is not None and pm is None:
+                added = removed = dv_new = None  # parent unreadable
+            else:
+                prev = {f["path"]: f for f in (pm or {"files": []})["files"]}
+                cur = {f["path"]: f for f in m["files"]}
+                added = sum(1 for p in cur if p not in prev)
+                removed = sum(1 for p in prev if p not in cur)
+                dv_new = sum(
+                    (f.get("dv") or {}).get("deleted", 0)
+                    - (prev.get(p, {}).get("dv") or {}).get("deleted", 0)
+                    for p, f in cur.items()
+                )
+            n_rows = sum(
+                f["rows"] - (f.get("dv") or {}).get("deleted", 0)
+                for f in m["files"]
+            )
+            ts = m.get("ts")
+            yield (
+                m["version"],
+                m["parent"],
+                m["action"],
+                len(m["files"]),
+                n_rows,
+                float(ts) if ts is not None else None,
+                added,
+                removed,
+                dv_new,
+            )
 
 
 def table_changes(spark, root: str, starting_version: int | float | str,

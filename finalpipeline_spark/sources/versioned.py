@@ -142,6 +142,28 @@ class VersionNotFoundError(LookupError):
     """Requested version does not exist (never written, or vacuumed)."""
 
 
+class ProtocolVersionError(RuntimeError):
+    """The manifest requires a newer reader/writer than this code —
+    refuse loudly instead of silently misreading a feature this
+    version does not understand (Delta's protocol-action contract,
+    applied per manifest: older readers keep working on pre-feature
+    versions of the same table)."""
+
+
+# The feature-gate protocol (mirrored in sources/pyds.py — keep both in
+# sync): a manifest that uses a capability older readers would
+# MISREAD (not merely ignore) carries ``reader: N``; one that older
+# WRITERS would corrupt (e.g. by not enforcing its invariants on new
+# commits) carries ``writer: N``. Absent fields mean 1. Readers refuse
+# any manifest above SUPPORTED_READER_VERSION wherever they parse it;
+# _commit refuses to extend a table whose parent demands a newer
+# writer. readd_column is reader-2: a pre-cmap-era change-feed consumer
+# would silently serve new-era values under the old-era column name.
+SUPPORTED_READER_VERSION = 2
+SUPPORTED_WRITER_VERSION = 1
+_READER_REQUIREMENTS = {"readd_column": 2}
+
+
 @dataclass(frozen=True)
 class CommitInfo:
     version: int
@@ -425,7 +447,15 @@ class VersionedTable:
                 if _is_file_not_found(exc) or not self._fs.exists(path):
                     continue
                 raise
-            return json.loads(raw.decode("utf-8"))
+            m = json.loads(raw.decode("utf-8"))
+            if m.get("reader", 1) > SUPPORTED_READER_VERSION:
+                raise ProtocolVersionError(
+                    f"version {version} of {self.root} requires reader "
+                    f"protocol {m['reader']} (this build supports "
+                    f"{SUPPORTED_READER_VERSION}) — upgrade before "
+                    "reading this version"
+                )
+            return m
         raise VersionNotFoundError(f"version {version} of {self.root}")
 
     def _older_than_grace(self, path) -> bool:
@@ -1269,12 +1299,26 @@ class VersionedTable:
         }
         if meta:
             manifest["meta"] = meta
+        req = _READER_REQUIREMENTS.get(action)
+        if req:
+            manifest["reader"] = req
+        pm = self._read_manifest_file(parent) if parent is not None else None
+        if pm is not None and pm.get("writer", 1) > SUPPORTED_WRITER_VERSION:
+            # a table whose head demands a newer writer would have its
+            # invariants corrupted by this build's commits — refuse
+            # BEFORE claiming a version (the read-side guard already
+            # refused if the head also demands a newer reader)
+            raise ProtocolVersionError(
+                f"{self.root} requires writer protocol {pm['writer']} "
+                f"(this build supports {SUPPORTED_WRITER_VERSION}) — "
+                "upgrade before committing to this table"
+            )
         # CHECK constraints are table properties: carried forward from
         # the parent manifest by every commit (including overwrite —
         # replacing the data does not drop the rules), replaced only by
         # the add/drop constraint commits that pass them explicitly.
-        if constraints is None and parent is not None:
-            constraints = self._read_manifest_file(parent).get("constraints")
+        if constraints is None and pm is not None:
+            constraints = pm.get("constraints")
         if constraints:
             manifest["constraints"] = dict(constraints)
         self._write_manifest(manifest)

@@ -163,3 +163,31 @@ def test_table_changes_helper_matches_sql_view(spark, vt):
     )
     full = table_changes(spark, vt.root, 0)
     assert full.count() == 80
+
+
+def test_sql_history_matches_python_history(spark, vt):
+    """DESCRIBE HISTORY through pure SQL: the `history 'true'` view
+    returns exactly VersionedTable.history() — columns, metrics, and
+    commit timestamps — so SQL-only users can audit the log."""
+    vt.delete_where("id >= 70", mode="mor")  # DV commit: nontrivial metrics
+    _mkview(spark, "t_hist", {"root": vt.root, "history": "true"})
+    got = {
+        r["version"]: r.asDict()
+        for r in spark.sql("SELECT * FROM t_hist").collect()
+    }
+    want = {r["version"]: r.asDict() for r in vt.history().collect()}
+    assert got == want
+    assert len(want) == 3
+    assert spark.sql(
+        "SELECT action FROM t_hist WHERE version = 1"
+    ).first()["action"] == "append"
+
+
+def test_sql_history_rejects_cdf_combo(spark, vt):
+    _mkview(
+        spark,
+        "t_bad",
+        {"root": vt.root, "history": "true", "changeFeed": "true"},
+    )
+    with pytest.raises(Exception, match="history or changeFeed"):
+        spark.sql("SELECT * FROM t_bad").collect()
