@@ -1344,3 +1344,82 @@ def doc_crossdoc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     _span_sql for the scale shape."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
     return spark.sql(_span_sql(D.SPARK))
+
+
+def _span_dedup_sql(dialect: str) -> str:
+    """The repeated-span DEDUP TRANSFORM (not just the metric): for
+    every {_SPAN_K}-token span appearing in >= 2 distinct documents,
+    the lowest doc_id KEEPS its occurrences and every other document
+    CUTS the span's token positions — the Lee-et-al. "deduplicating
+    training data" rewrite, reported as before/after token counts per
+    source. Deterministic by construction (min-doc keeper, position-set
+    union), all-integer output.
+
+    Plan shape: identical to _span_sql's (one span-keyed shuffle, never
+    all-pairs) plus a 1-row-per-span keeper argmin folded into the same
+    aggregation; the cut-position dedup is per-doc. At 100 TB the
+    rewrite itself (re-emitting text minus cut positions) is a per-row
+    map over exactly these cut sets."""
+    t = _doc_tbl(dialect)
+    toks = D.tokens("text", dialect)
+    k1 = _SPAN_K - 1
+    mat = "MATERIALIZED " if dialect == D.DUCK else ""
+    span = D.arr_join(D.arr_slice("toks", "p", _SPAN_K, dialect), " ", dialect)
+    if dialect == D.SPARK:
+        occ_cte = f"""occ AS (
+            SELECT doc_id, p, {span} AS span
+            FROM tok {_span_positions(dialect)}
+        )"""
+        cut_pos = f"""
+            SELECT DISTINCT o.doc_id, pos
+            FROM occ o JOIN keeper k
+              ON o.span = k.span AND o.doc_id != k.keep_doc
+            LATERAL VIEW explode(sequence(o.p, o.p + {k1})) cut_t AS pos
+        """
+    else:
+        occ_cte = (
+            f"occ0 AS {mat}(SELECT doc_id, "
+            f"unnest(range(1, greatest(n - {k1}, 0) + 1)) AS p, toks FROM tok), "
+            f"occ AS {mat}(SELECT doc_id, p, {span} AS span FROM occ0)"
+        )
+        cut_pos = f"""
+            SELECT DISTINCT o.doc_id, unnest(range(o.p, o.p + {_SPAN_K})) AS pos
+            FROM occ o JOIN keeper k
+              ON o.span = k.span AND o.doc_id != k.keep_doc
+        """
+    return f"""
+        WITH tok AS {mat}(
+            SELECT doc_id, source, toks, {D.arr_size('toks', dialect)} AS n
+            FROM (SELECT doc_id, source, {toks} AS toks FROM {t}) raw
+        ),
+        {occ_cte},
+        keeper AS {mat}(
+            SELECT span, min(doc_id) AS keep_doc FROM occ GROUP BY span
+            HAVING count(DISTINCT doc_id) >= 2
+        ),
+        cut AS (SELECT doc_id, cast(count(*) as bigint) AS n_cut
+                FROM ({cut_pos}) cp GROUP BY doc_id),
+        per_doc AS (
+            SELECT tok.source, tok.n, coalesce(cut.n_cut, 0) AS n_cut
+            FROM tok LEFT JOIN cut ON tok.doc_id = cut.doc_id
+        )
+        SELECT source,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(n) as bigint) AS tok_before,
+               cast(sum(n - n_cut) as bigint) AS tok_after,
+               cast({D.idiv(f'sum(n_cut) * {_SPAN_FP}', 'greatest(sum(n), 1)', dialect)}
+                    as bigint) AS cut_frac_fp
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
+    """
+
+
+@register("doc_span_dedup_rewrite", oracle=_span_dedup_sql(D.DUCK), tags=("extension",))
+def doc_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span dedup as a TRANSFORM: lowest-doc keeps each
+    cross-document repeated span, everyone else cuts it — per-source
+    before/after token counts (the corpus-shrink report a dedup run
+    emits). See _span_dedup_sql."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
+    return spark.sql(_span_dedup_sql(D.SPARK))

@@ -716,3 +716,73 @@ def emb_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM (SELECT {dot} AS score FROM {SPARK_VIEW})
         ) GROUP BY bucket ORDER BY bucket
     """)
+
+
+# --------------------------------------------------------------------------
+# Contrastive hard-negative mining
+# --------------------------------------------------------------------------
+def _hard_neg_sql(dialect: str, d_rel: str | None = None) -> str:
+    """Per anchor (the emb_cosine_topk query subset): the top-1
+    SAME-label neighbor (the positive) and the top-1 DIFFERENT-label
+    neighbor (the hard negative — close in embedding space, different
+    semantics: exactly the pair a contrastive trainer wants), plus the
+    margin between them. One ranked pass partitioned by
+    (anchor, label-match flag) yields both in a single window.
+
+    Scale shape: this exact form is the brute-force baseline (broadcast
+    anchors × one corpus scan — the emb_cosine_topk shape); at 100 TB
+    the candidate set comes from the IVF/LSH index (plans/
+    incremental_ann, queries/semantic) and this query is the RESCORING
+    of those candidates — same SQL, index-bounded input. The margin is
+    a difference of two identically-built doubles, so both engines emit
+    bit-equal values."""
+    d = d_rel or "d"
+    dot = D.dot("q.embedding", "e.embedding", DIM, dialect)
+    cos = f"({dot} / sqrt(q.nrm * e.nrm))"
+    with_d = "" if d_rel else f"d AS ({_normed_sql(dialect)}),\n        "
+    return f"""
+        WITH {with_d}scored AS (
+            SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+                   e.vec_id AS cand_id, e.label AS cand_label,
+                   {cos} AS cosine
+            FROM (SELECT * FROM {d} WHERE vec_id % 50 = 0) q
+            JOIN {d} e ON q.vec_id != e.vec_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY anchor_id,
+                             (CASE WHEN cand_label = anchor_label
+                                   THEN 1 ELSE 0 END)
+                ORDER BY cosine DESC, cand_id) AS rn
+            FROM scored
+        )
+        SELECT p.anchor_id,
+               p.cand_id AS positive_id,
+               p.cosine AS positive_cos,
+               n.cand_id AS hard_negative_id,
+               n.cosine AS hard_negative_cos,
+               (p.cosine - n.cosine) AS margin
+        FROM (SELECT * FROM ranked
+              WHERE rn = 1 AND cand_label = anchor_label) p
+        JOIN (SELECT * FROM ranked
+              WHERE rn = 1 AND cand_label != anchor_label) n
+          ON p.anchor_id = n.anchor_id
+    """
+
+
+@register("emb_hard_negatives", oracle=_hard_neg_sql(D.DUCK), tags=("extension",))
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining: per anchor, the nearest same-label
+    vector (positive) and the nearest different-label vector (hard
+    negative) with their margin — the data-prep step for contrastive /
+    metric-learning fine-tuning. See _hard_neg_sql for the scale shape
+    (at 100 TB this rescoreds IVF/LSH candidates, not the full corpus)."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(SPARK_VIEW)
+    d = scoped_cache(
+        spark.sql(_normed_sql(D.SPARK)).repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        "emb_hard_negatives",
+    )
+    d.createOrReplaceTempView("__fps_emb_normed_hn")
+    return spark.sql(_hard_neg_sql(D.SPARK, d_rel="__fps_emb_normed_hn"))

@@ -131,13 +131,14 @@ _PRIORITY_QUERIES = (
     "versioned_sql_time_travel",
     "doc_quality_linear_probe",
     "doc_crossdoc_repeated_spans",
+    "emb_hard_negatives",
+    "doc_span_dedup_rewrite",
     # -- oldest r5-attested staples fill the remaining slots
-    #    (doc_dedup_ngram_jaccard / doc_edit_distance_pairs displaced
-    #    by the two r8 additions above; both r5-green + judge-pytest) --
+    #    (doc_dedup_ngram_jaccard / doc_edit_distance_pairs /
+    #    doc_contamination_check / doc_dedup_exact displaced by the
+    #    four r8 query additions; all r5-green + judge-pytest) --
     "chembl_id_resolution",
     "doc_bpe_token_count",
-    "doc_contamination_check",
-    "doc_dedup_exact",
 )
 
 # Queries ADDED in r7 should take slots here by displacing entries from
