@@ -143,3 +143,79 @@ def versioned_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "versioned_identity_generated",
+    oracle=f"""
+        WITH base AS (
+            SELECT count(*) AS n,
+                   cast(sum(cast(round(o_totalprice * 100) AS bigint))
+                        AS bigint) AS cents
+            FROM orders
+        )
+        SELECT 'cents_total' AS stat, cents AS value FROM base
+        UNION ALL SELECT 'n_rows', cast(n AS bigint) FROM base
+        UNION ALL SELECT 'rid_distinct', cast(n AS bigint) FROM base
+        UNION ALL SELECT 'rid_above_start', cast(n AS bigint) FROM base
+        UNION ALL SELECT 'rid_step_aligned', cast(n AS bigint) FROM base
+        UNION ALL SELECT 'gen_consistent', cast(n AS bigint) FROM base
+        UNION ALL SELECT 'batch2_above_batch1', 1
+        ORDER BY stat
+    """,
+    tags=("extension",),
+)
+def versioned_identity_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver attestation of IDENTITY + GENERATED columns: stage two
+    era commits of orders into a table whose ``rid`` the ENGINE assigns
+    (start 1000, step 3) and whose ``cents`` is GENERATED ALWAYS AS
+    round(o_totalprice*100). Identity VALUES are engine-assigned
+    (block-allocated, gaps allowed) so the oracle checks their
+    PROVABLE invariants instead: every row got a distinct rid, all at
+    or above start, all step-aligned, the second commit's ids strictly
+    above the first's, and the generated column equal to its expression
+    on every row — each reported as a count the DuckDB oracle derives
+    straight from the parquet slice. Exact-integer throughout."""
+    from finalpipeline_spark.sources.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="fps_identgen_") + "/orders_id"
+    t = VersionedTable(spark, root)
+    t.commit_overwrite(orders.limit(0))
+    t.add_identity_column("rid", start=1000, step=3)
+    t.add_generated_column(
+        "cents", "bigint", "cast(round(o_totalprice * 100) as bigint)"
+    )
+    b1 = orders.filter(F.col("o_orderdate") < _ERA_2)
+    b2 = orders.filter(F.col("o_orderdate") >= _ERA_2)
+    t.commit_append(b1)
+    v1_max = t.read().agg(F.max("rid")).first()[0]
+    t.commit_append(b2)
+    snap = t.read()
+    row = snap.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("rid").alias("nd"),
+        F.sum((F.col("rid") >= 1000).cast("bigint")).alias("above"),
+        F.sum((((F.col("rid") - 1000) % 3) == 0).cast("bigint")).alias("aligned"),
+        F.sum(
+            F.col("cents").eqNullSafe(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).cast("bigint")
+        ).alias("gen_ok"),
+        F.sum("cents").alias("cents_total"),
+        F.min(F.when(F.col("o_orderdate") >= _ERA_2, F.col("rid"))).alias(
+            "b2_min"
+        ),
+    ).first()
+    rows = [
+        ("batch2_above_batch1", 1 if row["b2_min"] > v1_max else 0),
+        ("cents_total", int(row["cents_total"])),
+        ("gen_consistent", int(row["gen_ok"])),
+        ("n_rows", int(row["n"])),
+        ("rid_above_start", int(row["above"])),
+        ("rid_distinct", int(row["nd"])),
+        ("rid_step_aligned", int(row["aligned"])),
+    ]
+    return spark.createDataFrame(rows, "stat string, value bigint")

@@ -133,12 +133,13 @@ _PRIORITY_QUERIES = (
     "doc_crossdoc_repeated_spans",
     "emb_hard_negatives",
     "doc_span_dedup_rewrite",
-    # -- oldest r5-attested staples fill the remaining slots
+    "versioned_identity_generated",
+    # -- oldest r5-attested staple fills the remaining slot
     #    (doc_dedup_ngram_jaccard / doc_edit_distance_pairs /
-    #    doc_contamination_check / doc_dedup_exact displaced by the
-    #    four r8 query additions; all r5-green + judge-pytest) --
+    #    doc_contamination_check / doc_dedup_exact /
+    #    doc_bpe_token_count displaced by the five r8 query
+    #    additions; all r5-green + judge-pytest) --
     "chembl_id_resolution",
-    "doc_bpe_token_count",
 )
 
 # Queries ADDED in r7 should take slots here by displacing entries from

@@ -817,6 +817,209 @@ class VersionedTable:
             constraints=cons,
         )
 
+    def generated(self, version: int | None = None) -> dict[str, str]:
+        """The table's generated-column rules (column → SQL expression)
+        at ``version`` (default latest); empty for an empty table."""
+        try:
+            return dict(self.manifest(version).get("generated") or {})
+        except VersionNotFoundError:
+            return {}
+
+    def add_generated_column(
+        self, name: str, ddl_type: str, expr: str, attempts: int = 10
+    ) -> CommitInfo:
+        """Delta's ``GENERATED ALWAYS AS (expr)``: widen the schema
+        with ``name`` and record its generation rule. From then on
+        every data-carrying write either OMITS the column (the engine
+        computes it) or provides values the engine VERIFIES equal to
+        the expression — an inconsistent write refuses, so the
+        invariant ``name <=> expr`` holds for every row ever committed.
+
+        Declared BEFORE data, like Delta (generation expressions are
+        table-creation properties there): on a table that already has
+        files, old rows would read NULL and silently break the
+        invariant, so this raises — stage the schema with an empty
+        overwrite first. The rule is a table property: carried by every
+        commit (including overwrite), dropped with the column."""
+        return self.commit_with_retry(
+            lambda t: t._add_generated_once(name, ddl_type, expr), attempts
+        )
+
+    def _add_generated_once(self, name, ddl_type, expr) -> CommitInfo:
+        from pyspark.sql.types import (
+            StructField,
+            StructType,
+            _parse_datatype_string,
+        )
+
+        m = self.manifest()
+        if m["files"]:
+            raise ValueError(
+                f"{self.root} already has data: generated columns must "
+                "be declared before rows exist (existing rows would "
+                "read NULL and break the generation invariant) — "
+                "declare on the empty table, or use add_column for a "
+                "plain nullable column"
+            )
+        schema = self._schema_of(m)
+        if name in schema.fieldNames():
+            raise ValueError(f"column '{name}' already exists on {self.root}")
+        dt = _parse_datatype_string(ddl_type)  # loud on a bad DDL type
+        # loud on a bad expression / unknown source columns: analyze it
+        # against the current schema without touching data
+        self.spark.createDataFrame([], schema).select(
+            F.expr(expr).cast(dt).alias(name)
+        )
+        widened = StructType(
+            list(schema.fields) + [StructField(name, dt, True)]
+        )
+        gen = dict(m.get("generated") or {})
+        gen[name] = expr
+        return self._commit(
+            "add_generated_column",
+            list(m["files"]),
+            widened.simpleString(),
+            base_version=m["version"],
+            generated=gen,
+        )
+
+    def identity(self, version: int | None = None) -> dict[str, dict]:
+        """The table's identity-column specs (column → {start, step})
+        at ``version`` (default latest)."""
+        try:
+            return dict(self.manifest(version).get("identity") or {})
+        except VersionNotFoundError:
+            return {}
+
+    def add_identity_column(
+        self, name: str, start: int = 1, step: int = 1, attempts: int = 10
+    ) -> CommitInfo:
+        """Delta's ``GENERATED ALWAYS AS IDENTITY (START WITH s
+        INCREMENT BY st)``: a bigint column the ENGINE assigns on every
+        ingest — writers must omit it (ALWAYS semantics; providing it
+        refuses). Values are unique and move strictly in ``step``'s
+        direction but may have GAPS (Delta's contract too): each
+        assigning commit derives its watermark from the per-file
+        [min, max] stats the manifest already records (zero extra
+        state, zero extra I/O — max over current entries, or ``start``
+        for the first rows) and hands out watermark + step * k with a
+        block-allocating k, so no global sort or shuffle ever happens.
+        CAS commits make concurrent appends re-derive, so two commits
+        never share a watermark. Declared before data, like generated
+        columns."""
+        if step == 0:
+            raise ValueError("identity step cannot be 0")
+        return self.commit_with_retry(
+            lambda t: t._add_identity_once(name, start, step), attempts
+        )
+
+    def _add_identity_once(self, name: str, start: int, step: int) -> CommitInfo:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        m = self.manifest()
+        if m["files"]:
+            raise ValueError(
+                f"{self.root} already has data: identity columns must "
+                "be declared before rows exist"
+            )
+        schema = self._schema_of(m)
+        if name in schema.fieldNames():
+            raise ValueError(f"column '{name}' already exists on {self.root}")
+        ident = dict(m.get("identity") or {})
+        ident[name] = {"start": int(start), "step": int(step)}
+        widened = StructType(
+            list(schema.fields) + [StructField(name, LongType(), True)]
+        )
+        return self._commit(
+            "add_identity_column",
+            list(m["files"]),
+            widened.simpleString(),
+            base_version=m["version"],
+            identity=ident,
+        )
+
+    def _identity_watermark(self, m: dict[str, Any], col: str, spec: dict) -> int:
+        """Next value to hand out: one past the table's current extreme
+        in ``step``'s direction, straight from the manifest stats
+        (every file postdates the declaration, so every entry carries
+        them)."""
+        step = spec["step"]
+        extreme: int | None = None
+        for e in m["files"]:
+            phys = (e.get("cmap") or {}).get(col, col)
+            s = (e.get("stats") or {}).get(phys)
+            if s is None or s[0] is None:
+                continue  # all-NULL file cannot happen post-declaration
+            v = int(s[1] if step > 0 else s[0])
+            if extreme is None or (v > extreme if step > 0 else v < extreme):
+                extreme = v
+        return spec["start"] if extreme is None else extreme + step
+
+    def _apply_identity(self, df: DataFrame) -> DataFrame:
+        """Assign identity values to an ingest batch. Providing the
+        column refuses (ALWAYS semantics). The assignment expression is
+        nondeterministic (block-allocating ids per partition), so the
+        batch is locally checkpointed ONCE — every later pass over it
+        (constraint check, generated-column verify, the write itself)
+        must see the same frozen values."""
+        ident = self.identity()
+        if not ident:
+            return df
+        m = self.manifest()
+        for col, spec in ident.items():
+            if col in df.columns:
+                raise ValueError(
+                    f"column '{col}' is GENERATED ALWAYS AS IDENTITY on "
+                    f"{self.root} — omit it; the engine assigns values"
+                )
+            wm = self._identity_watermark(m, col, spec)
+            df = df.withColumn(
+                col,
+                (
+                    F.lit(wm)
+                    + F.lit(spec["step"]) * F.monotonically_increasing_id()
+                ).cast("bigint"),
+            )
+        return df.localCheckpoint(eager=True)
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Fill in OMITTED generated columns (cast to their declared
+        type) so writers can simply not supply them — provided columns
+        are left alone here and verified in _write_data_files."""
+        gen = self.generated()
+        if not gen:
+            return df
+        by_name = {f.name: f for f in self._schema_of(self.manifest()).fields}
+        for col, expr in gen.items():
+            if col not in df.columns and col in by_name:
+                df = df.withColumn(
+                    col, F.expr(expr).cast(by_name[col].dataType)
+                )
+        return df
+
+    def _verify_generated(self, df: DataFrame, gen: dict[str, str]) -> None:
+        """One aggregate pass: every provided generated column must
+        null-safely equal its expression on every written row."""
+        present = {c: e for c, e in gen.items() if c in df.columns}
+        if not present:
+            return
+        aggs = [
+            F.sum(
+                (~F.col(c).eqNullSafe(F.expr(e))).cast("long")
+            ).alias(f"__gen_{i}")
+            for i, (c, e) in enumerate(present.items())
+        ]
+        row = df.agg(*aggs).first()
+        for i, (c, e) in enumerate(present.items()):
+            n_bad = row[f"__gen_{i}"]
+            if n_bad:
+                raise ConstraintViolationError(
+                    f"generated column '{c}' (GENERATED ALWAYS AS {e}) "
+                    f"does not match its expression on {n_bad} written "
+                    f"row(s) in {self.root} — omit the column to have "
+                    "the engine compute it"
+                )
+
     def add_not_null(self, col: str, attempts: int = 10) -> CommitInfo:
         """``ALTER TABLE ALTER COLUMN SET NOT NULL`` — recorded as the
         CHECK constraint ``<col>_not_null`` (``IS NOT NULL`` is never
@@ -979,12 +1182,26 @@ class VersionedTable:
                 f"column '{name}' is referenced by CHECK constraint(s) "
                 f"{used} — drop them first"
             )
+        gen = dict(m.get("generated") or {})
+        gen_used = sorted(
+            g for g, e in gen.items() if g != name and pat.search(e)
+        )
+        if gen_used:
+            raise ValueError(
+                f"column '{name}' is a source of generated column(s) "
+                f"{gen_used} — drop them first"
+            )
+        gen.pop(name, None)  # dropping a generated column drops its rule
+        ident = dict(m.get("identity") or {})
+        ident.pop(name, None)  # dropping an identity column drops its spec
         narrowed = StructType([f for f in schema.fields if f.name != name])
         return self._commit(
             "drop_column",
             list(m["files"]),
             narrowed.simpleString(),
             base_version=m["version"],
+            generated=gen,
+            identity=ident,
         )
 
     # lossless widenings (Delta type-widening parity): target set per
@@ -1095,6 +1312,26 @@ class VersionedTable:
                 f"{used} — drop them first, rename, then re-add against "
                 "the new name"
             )
+        gen = m.get("generated") or {}
+        gen_hit = sorted(
+            g for g, e in gen.items() if g == old or pat.search(e)
+        )
+        if gen_hit:
+            # a generation expression references columns BY NAME: a
+            # rename of the generated column or any of its sources
+            # would silently break the rule
+            raise ValueError(
+                f"column '{old}' is a generated column or a source of "
+                f"generated column(s) {gen_hit} — drop the rule(s) "
+                "first (drop_column), rename, then re-declare"
+            )
+        if old in (m.get("identity") or {}):
+            # the watermark derivation reads this column's stats by its
+            # manifest name; a rename would orphan the spec
+            raise ValueError(
+                f"column '{old}' is GENERATED ALWAYS AS IDENTITY — "
+                "identity columns cannot be renamed"
+            )
         renamed = StructType(
             [
                 StructField(new, f.dataType, f.nullable)
@@ -1181,6 +1418,9 @@ class VersionedTable:
             cons = self.constraints()
             if cons:
                 self._check_df(df, cons)
+            gen = self.generated()
+            if gen:
+                self._verify_generated(df, gen)
         commit_dir = f"{_DATA_DIR}/c{uuid.uuid4().hex}"
         abs_dir = f"{self.root}/{commit_dir}"
         df.write.mode("errorifexists").parquet(abs_dir)
@@ -1266,6 +1506,8 @@ class VersionedTable:
         meta: dict[str, Any] | None = None,
         base_version: int | None | object = _NO_CAS,
         constraints: dict[str, str] | None = None,
+        generated: dict[str, str] | None = None,
+        identity: dict[str, dict] | None = None,
     ) -> CommitInfo:
         """``base_version`` is the compare-and-swap guard: the version
         the caller's file list was COMPUTED from (None = empty table).
@@ -1321,6 +1563,17 @@ class VersionedTable:
             constraints = pm.get("constraints")
         if constraints:
             manifest["constraints"] = dict(constraints)
+        # generation rules are table properties exactly like CHECK
+        # constraints: carried forward by every commit, replaced only
+        # by the commits that pass them explicitly
+        if generated is None and pm is not None:
+            generated = pm.get("generated")
+        if generated:
+            manifest["generated"] = dict(generated)
+        if identity is None and pm is not None:
+            identity = pm.get("identity")
+        if identity:
+            manifest["identity"] = dict(identity)
         self._write_manifest(manifest)
         return CommitInfo(
             version=version,
@@ -1366,7 +1619,11 @@ class VersionedTable:
         self, df: DataFrame, meta: dict[str, Any] | None = None
     ) -> CommitInfo:
         """New version containing exactly ``df``'s rows. ``meta`` is
-        recorded in the manifest (e.g. upstream-snapshot lineage)."""
+        recorded in the manifest (e.g. upstream-snapshot lineage).
+        Generation rules survive the overwrite (table properties, like
+        CHECK constraints) and omitted generated columns are computed."""
+        if self.latest_version() is not None:
+            df = self._apply_generated(self._apply_identity(df))
         return self._commit(
             "overwrite", self._write_data_files(df), df.schema.simpleString(), meta
         )
@@ -1394,6 +1651,11 @@ class VersionedTable:
         different type always raises: silent type widening changes
         existing rows' meaning."""
         prev_exists = self.latest_version() is not None
+        if prev_exists:
+            # assign identity values, then fill in omitted generated
+            # columns (which may reference them) BEFORE the schema
+            # check — writers simply don't supply either
+            df = self._apply_generated(self._apply_identity(df))
         schema_ddl = df.schema.simpleString()
         prev: dict[str, Any] = {"files": [], "version": None}
         if prev_exists:
@@ -1597,7 +1859,35 @@ class VersionedTable:
         unknown = sorted(set(assignments) - set(schema.fieldNames()))
         if unknown:
             raise ValueError(f"unknown columns in assignments: {unknown}")
+        gen_hit = sorted(set(assignments) & set(m.get("generated") or {}))
+        if gen_hit:
+            # Delta parity: generated columns cannot be SET directly —
+            # they are recomputed from their expressions after the
+            # other assignments apply
+            raise ValueError(
+                f"columns {gen_hit} are GENERATED ALWAYS AS — they are "
+                "recomputed automatically; update their source columns "
+                "instead"
+            )
+        id_hit = sorted(set(assignments) & set(m.get("identity") or {}))
+        if id_hit:
+            raise ValueError(
+                f"columns {id_hit} are GENERATED ALWAYS AS IDENTITY — "
+                "their values are engine-assigned and immutable"
+            )
         return schema
+
+    def _regen_cols(self, m: dict[str, Any], df: DataFrame) -> DataFrame:
+        """Recompute every generated column from its expression (the
+        post-assignment step of UPDATE/MERGE rewrites — identity on
+        rows whose sources did not change, since the invariant held)."""
+        by_name = {f.name: f for f in self._schema_of(m).fields}
+        for col, expr in (m.get("generated") or {}).items():
+            if col in by_name:
+                df = df.withColumn(
+                    col, F.expr(expr).cast(by_name[col].dataType)
+                )
+        return df
 
     def _update_where_once(
         self, predicate: str, assignments: dict[str, str]
@@ -1626,7 +1916,9 @@ class VersionedTable:
                 else F.col(c)
                 for c in schema.fieldNames()
             ]
-            updated = self._scan_entries(rewrite, schema).select(*cols)
+            updated = self._regen_cols(
+                m, self._scan_entries(rewrite, schema).select(*cols)
+            )
             new_files = self._write_data_files(updated)
         return self._commit(
             "replace", keep + new_files, m["schema"], base_version=m["version"]
@@ -1660,13 +1952,16 @@ class VersionedTable:
         # raises here, BEFORE any vector exists that could kill the old
         # rows. The two hits passes re-scan immutable committed files,
         # so their row sets are identical by construction.
-        updated = hits.select(
-            *[
-                F.expr(assignments[c]).cast(by_name[c].dataType).alias(c)
-                if c in assignments
-                else F.col(c)
-                for c in schema.fieldNames()
-            ]
+        updated = self._regen_cols(
+            m,
+            hits.select(
+                *[
+                    F.expr(assignments[c]).cast(by_name[c].dataType).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in schema.fieldNames()
+                ]
+            ),
         )
         new_files = self._write_data_files(updated)
         affected = [e for e in m["files"] if e["path"] in per_file]
@@ -1792,6 +2087,22 @@ class VersionedTable:
     ) -> CommitInfo:
         if delete_col and delete_col in keys:
             raise ValueError("delete_col cannot be a merge key")
+        if self.identity():
+            # whole-row replacement would hand matched rows FRESH ids
+            # (silent re-identification) and the clause path would
+            # NULL-backfill inserts — both wrong. Refuse until merge
+            # learns to retain target ids for matches and assign only
+            # for inserts; append/update/delete cover the DML surface.
+            raise ValueError(
+                f"merge into {self.root} is not supported with identity "
+                "columns: matched rows would be re-identified — use "
+                "commit_append / update_where / delete_where"
+            )
+        if when_matched_update is None:
+            # whole-row merge: compute omitted generated columns on the
+            # source (the clause path writes partial updates instead,
+            # and _write_data_files verifies their consistency)
+            source = self._apply_generated(source)
         if when_matched_condition and not when_matched_update:
             raise ValueError(
                 "when_matched_condition requires when_matched_update"

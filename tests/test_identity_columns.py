@@ -1,0 +1,87 @@
+"""GENERATED ALWAYS AS IDENTITY columns: engine-assigned, unique,
+monotone-in-step with gaps allowed (Delta's contract), watermark
+derived from the manifest's per-file stats (zero extra state), ALWAYS
+semantics (providing the column refuses), immutable under UPDATE,
+declared before data.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from finalpipeline_spark.sources.versioned import VersionedTable
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit_overwrite(spark.range(0).selectExpr("id as k"))
+    t.add_identity_column("rid", start=100, step=5)
+    return t
+
+
+def _rids(vt):
+    return [r["rid"] for r in vt.read().collect()]
+
+
+def test_assignment_unique_monotone_with_gaps(spark, vt):
+    vt.commit_append(spark.range(0, 20).selectExpr("id as k"))
+    first = _rids(vt)
+    assert len(first) == 20 and len(set(first)) == 20
+    assert min(first) >= 100
+    assert all((v - 100) % 5 == 0 for v in first)
+    # second batch strictly above the first (stats-derived watermark)
+    vt.commit_append(spark.range(20, 30).selectExpr("id as k"))
+    both = _rids(vt)
+    assert len(set(both)) == 30
+    assert min(set(both) - set(first)) > max(first)
+
+
+def test_always_semantics_and_immutability(spark, vt):
+    vt.commit_append(spark.range(0, 5).selectExpr("id as k"))
+    with pytest.raises(ValueError, match="IDENTITY"):
+        vt.commit_append(
+            spark.range(5, 8).selectExpr("id as k", "id as rid")
+        )
+    with pytest.raises(ValueError, match="IDENTITY"):
+        vt.update_where("k = 1", {"rid": "999"})
+    with pytest.raises(ValueError, match="cannot be renamed"):
+        vt.rename_column("rid", "row_id")
+    with pytest.raises(ValueError, match="identity columns"):
+        vt.merge(spark.range(0, 2).selectExpr("id as k"), keys=["k"])
+    # non-identity updates carry the ids through both rewrite modes
+    before = dict((r["k"], r["rid"]) for r in vt.read().collect())
+    vt.update_where("k = 1", {"k": "k + 100"}, mode="cow")
+    vt.update_where("k = 2", {"k": "k + 100"}, mode="mor")
+    after = dict((r["k"], r["rid"]) for r in vt.read().collect())
+    assert after[101] == before[1] and after[102] == before[2]
+
+
+def test_sequence_survives_overwrite_and_declared_before_data(spark, vt, tmp_path):
+    vt.commit_append(spark.range(0, 10).selectExpr("id as k"))
+    hi = max(_rids(vt))
+    vt.commit_overwrite(spark.range(0, 3).selectExpr("id as k"))
+    fresh = _rids(vt)
+    assert len(fresh) == 3
+    assert min(fresh) > hi  # the sequence never restarts
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    t2.commit_overwrite(spark.range(0, 2).selectExpr("id as k"))
+    with pytest.raises(ValueError, match="before rows exist"):
+        t2.add_identity_column("rid")
+    with pytest.raises(ValueError, match="step"):
+        vt.add_identity_column("rid2", step=0)
+
+
+def test_identity_feeds_generated_and_time_travel(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t3"))
+    t.commit_overwrite(spark.range(0).selectExpr("id as k"))
+    t.add_identity_column("rid", start=1, step=1)
+    t.add_generated_column("rid_mod", "bigint", "rid % 7")
+    t.commit_append(spark.range(0, 12).selectExpr("id as k"))
+    rows = t.read().collect()
+    assert all(r["rid_mod"] == r["rid"] % 7 for r in rows)
+    v = t.latest_version()
+    t.commit_append(spark.range(12, 15).selectExpr("id as k"))
+    assert t.read(version=v).count() == 12  # time travel intact
+    ids = [r["rid"] for r in t.read().collect()]
+    assert len(set(ids)) == 15

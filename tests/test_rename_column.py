@@ -93,9 +93,23 @@ def test_rename_guards_and_ghost(spark, table):
     table.drop_constraint("v_pos")
     table.rename_column("v", "score")
     # the old name is a ghost: pre-rename files still physically
-    # contain it, so re-adding would resurrect old values
+    # contain it, so DATA-CARRYING schema evolution still refuses the
+    # re-add (its new files would collide with the old physical name)
     with pytest.raises(SchemaMismatchError, match="resurrect"):
-        table.add_column("v", "bigint")
+        table.commit_append(
+            spark.range(100, 105).selectExpr(
+                "id", "cast(0 as int) as grp", "id * 2 as score", "id as v"
+            ),
+            merge_schema=True,
+        )
+    # ...but the explicit ALTER-style add_column re-adds SAFELY via a
+    # fresh-physical-name mapping (r8): the re-added column reads NULL
+    # (old values stay dead) while the renamed column keeps serving
+    # them from the same physical bytes
+    table.add_column("v", "bigint")
+    got = table.read()
+    assert got.filter("v IS NOT NULL").count() == 0
+    assert got.filter("score = 84").count() == 1
 
 
 def test_rename_stats_pruning_and_optimize_purge(spark, table):
