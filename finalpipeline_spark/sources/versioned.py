@@ -982,6 +982,46 @@ class VersionedTable:
             )
         return df.localCheckpoint(eager=True)
 
+    def _apply_identity_merge(
+        self, source: DataFrame, live: DataFrame, keys: list[str],
+        m: dict[str, Any],
+    ) -> DataFrame:
+        """Identity assignment for whole-row MERGE: a source row
+        matching an existing key RETAINS the target row's identity
+        values (whole-row replacement must not re-identify the row);
+        unmatched rows get fresh watermark-derived ids. Deterministic
+        under duplicate-key targets (min per key). One local checkpoint
+        freezes the nondeterministic fresh-id branch across the
+        validation and write passes."""
+        ident = self.identity()
+        if not ident:
+            return source
+        for col in ident:
+            if col in source.columns:
+                raise ValueError(
+                    f"column '{col}' is GENERATED ALWAYS AS IDENTITY on "
+                    f"{self.root} — omit it; matched rows retain their "
+                    "ids, new rows get fresh ones"
+                )
+        tgt = live.groupBy(*keys).agg(
+            *[F.min(c).alias(f"__tgt_{c}") for c in ident]
+        )
+        out = source.join(tgt, keys, "left")
+        for col, spec in ident.items():
+            wm = self._identity_watermark(m, col, spec)
+            out = out.withColumn(
+                col,
+                F.coalesce(
+                    F.col(f"__tgt_{col}"),
+                    (
+                        F.lit(wm)
+                        + F.lit(spec["step"])
+                        * F.monotonically_increasing_id()
+                    ).cast("bigint"),
+                ),
+            ).drop(f"__tgt_{col}")
+        return out.localCheckpoint(eager=True)
+
     def _apply_generated(self, df: DataFrame) -> DataFrame:
         """Fill in OMITTED generated columns (cast to their declared
         type) so writers can simply not supply them — provided columns
@@ -2087,22 +2127,6 @@ class VersionedTable:
     ) -> CommitInfo:
         if delete_col and delete_col in keys:
             raise ValueError("delete_col cannot be a merge key")
-        if self.identity():
-            # whole-row replacement would hand matched rows FRESH ids
-            # (silent re-identification) and the clause path would
-            # NULL-backfill inserts — both wrong. Refuse until merge
-            # learns to retain target ids for matches and assign only
-            # for inserts; append/update/delete cover the DML surface.
-            raise ValueError(
-                f"merge into {self.root} is not supported with identity "
-                "columns: matched rows would be re-identified — use "
-                "commit_append / update_where / delete_where"
-            )
-        if when_matched_update is None:
-            # whole-row merge: compute omitted generated columns on the
-            # source (the clause path writes partial updates instead,
-            # and _write_data_files verifies their consistency)
-            source = self._apply_generated(source)
         if when_matched_condition and not when_matched_update:
             raise ValueError(
                 "when_matched_condition requires when_matched_update"
@@ -2158,6 +2182,18 @@ class VersionedTable:
         live = self._apply_dv(
             self._lineage_scan(m["files"], base_schema), m["files"]
         )
+        if when_matched_update is None:
+            # whole-row semantics: matched source rows REPLACE target
+            # rows, so identity values must be retained from the target
+            # (fresh ids only for genuinely new keys — silent
+            # re-identification would break every downstream reference),
+            # then omitted generated columns computed (their expressions
+            # may reference the identity). The SET-clause path retains
+            # ids naturally (updates rebuild target rows) and its
+            # inserts get fresh ids in _merge_clause_files.
+            source = self._apply_generated(
+                self._apply_identity_merge(source, live, keys, m)
+            )
         src_keys = source.select(*keys).distinct()
         hit_rels = {
             r["__file"]
@@ -2321,7 +2357,27 @@ class VersionedTable:
                 for c in cols
             ]
         )
+        assigned = False
+        for col, spec in self.identity().items():
+            if col in adds.columns:
+                continue  # whole-row path: source already enriched
+            # SET-clause inserts: NULL-backfilled identity would break
+            # uniqueness silently — assign fresh watermark-derived ids
+            # (matched rows retained theirs through the t.<col> carry)
+            wm = self._identity_watermark(self.manifest(), col, spec)
+            ins = ins.withColumn(
+                col,
+                (
+                    F.lit(wm)
+                    + F.lit(spec["step"]) * F.monotonically_increasing_id()
+                ).cast("bigint"),
+            )
+            assigned = True
         rows_out = ins if rows_out is None else rows_out.unionByName(ins)
+        if assigned:
+            # freeze the nondeterministic assignment across the
+            # validation + write passes
+            rows_out = rows_out.localCheckpoint(eager=True)
         return self._write_data_files(rows_out)
 
     def replicate_from(

@@ -47,14 +47,50 @@ def test_always_semantics_and_immutability(spark, vt):
         vt.update_where("k = 1", {"rid": "999"})
     with pytest.raises(ValueError, match="cannot be renamed"):
         vt.rename_column("rid", "row_id")
-    with pytest.raises(ValueError, match="identity columns"):
-        vt.merge(spark.range(0, 2).selectExpr("id as k"), keys=["k"])
+    with pytest.raises(ValueError, match="IDENTITY"):
+        vt.merge(
+            spark.range(0, 2).selectExpr("id as k", "id as rid"), keys=["k"]
+        )
     # non-identity updates carry the ids through both rewrite modes
     before = dict((r["k"], r["rid"]) for r in vt.read().collect())
     vt.update_where("k = 1", {"k": "k + 100"}, mode="cow")
     vt.update_where("k = 2", {"k": "k + 100"}, mode="mor")
     after = dict((r["k"], r["rid"]) for r in vt.read().collect())
     assert after[101] == before[1] and after[102] == before[2]
+
+
+def test_merge_retains_matched_ids_assigns_fresh(spark, vt):
+    """Whole-row MERGE must not re-identify matched rows: they retain
+    the target's identity values; only genuinely new keys get fresh
+    ids, strictly above the table max."""
+    vt.commit_append(
+        spark.range(0, 6).selectExpr("id as k")
+    )
+    before = {r["k"]: r["rid"] for r in vt.read().collect()}
+    hi = max(before.values())
+    vt.merge(spark.range(3, 9).selectExpr("id as k"), keys=["k"])
+    after = {r["k"]: r["rid"] for r in vt.read().collect()}
+    assert len(after) == 9
+    for k in (3, 4, 5):
+        assert after[k] == before[k]  # matched: retained
+    fresh = [after[k] for k in (6, 7, 8)]
+    assert all(v > hi for v in fresh)  # inserts: fresh, above the max
+    assert len(set(after.values())) == 9  # still unique
+    assert all((v - 100) % 5 == 0 for v in after.values())
+    # SET-clause merge: updates keep ids, clause inserts get fresh ids
+    vt.add_column("val", "bigint")
+    src = spark.range(8, 11).selectExpr("id as k", "id * 10 as bump")
+    vt.merge(
+        src, keys=["k"],
+        when_matched_update={"val": "s.bump"},
+        insert_unmatched=True,
+    )
+    rows = {r["k"]: r for r in vt.read().collect()}
+    assert rows[8]["rid"] == after[8]  # updated row kept its id
+    assert rows[8]["val"] == 80
+    final_ids = [r["rid"] for r in rows.values()]
+    assert len(set(final_ids)) == 11  # clause inserts unique too
+    assert all((v - 100) % 5 == 0 for v in final_ids)
 
 
 def test_sequence_survives_overwrite_and_declared_before_data(spark, vt, tmp_path):
