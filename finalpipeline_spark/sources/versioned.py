@@ -955,17 +955,25 @@ class VersionedTable:
                 extreme = v
         return spec["start"] if extreme is None else extreme + step
 
-    def _apply_identity(self, df: DataFrame) -> DataFrame:
+    def _apply_identity(self, df: DataFrame, m: dict[str, Any]) -> DataFrame:
         """Assign identity values to an ingest batch. Providing the
         column refuses (ALWAYS semantics). The assignment expression is
         nondeterministic (block-allocating ids per partition), so the
         batch is locally checkpointed ONCE — every later pass over it
         (constraint check, generated-column verify, the write itself)
-        must see the same frozen values."""
-        ident = self.identity()
+        must see the same frozen values.
+
+        ``m`` is the SAME manifest snapshot the caller will use as its
+        CAS ``base_version``: deriving the watermark from a separate
+        ``self.manifest()`` read here would open a TOCTOU window — a
+        racer committing between the two reads would let the CAS pass
+        with a stale watermark, and two commits would hand out
+        overlapping identity values. One snapshot in, one CAS against
+        it: a racer always trips ConcurrentCommitError and the retry
+        re-derives."""
+        ident = dict(m.get("identity") or {})
         if not ident:
             return df
-        m = self.manifest()
         for col, spec in ident.items():
             if col in df.columns:
                 raise ValueError(
@@ -992,8 +1000,10 @@ class VersionedTable:
         unmatched rows get fresh watermark-derived ids. Deterministic
         under duplicate-key targets (min per key). One local checkpoint
         freezes the nondeterministic fresh-id branch across the
-        validation and write passes."""
-        ident = self.identity()
+        validation and write passes. ``m`` is the caller's CAS-base
+        manifest snapshot (see _apply_identity — watermark and CAS must
+        come from the same read)."""
+        ident = dict(m.get("identity") or {})
         if not ident:
             return source
         for col in ident:
@@ -1022,14 +1032,16 @@ class VersionedTable:
             ).drop(f"__tgt_{col}")
         return out.localCheckpoint(eager=True)
 
-    def _apply_generated(self, df: DataFrame) -> DataFrame:
+    def _apply_generated(self, df: DataFrame, m: dict[str, Any]) -> DataFrame:
         """Fill in OMITTED generated columns (cast to their declared
         type) so writers can simply not supply them — provided columns
-        are left alone here and verified in _write_data_files."""
-        gen = self.generated()
+        are left alone here and verified in _write_data_files. ``m`` is
+        the caller's CAS-base manifest snapshot (one read per commit
+        attempt — see _apply_identity)."""
+        gen = dict(m.get("generated") or {})
         if not gen:
             return df
-        by_name = {f.name: f for f in self._schema_of(self.manifest()).fields}
+        by_name = {f.name: f for f in self._schema_of(m).fields}
         for col, expr in gen.items():
             if col not in df.columns and col in by_name:
                 df = df.withColumn(
@@ -1548,6 +1560,7 @@ class VersionedTable:
         constraints: dict[str, str] | None = None,
         generated: dict[str, str] | None = None,
         identity: dict[str, dict] | None = None,
+        reader: int | None = None,
     ) -> CommitInfo:
         """``base_version`` is the compare-and-swap guard: the version
         the caller's file list was COMPUTED from (None = empty table).
@@ -1581,10 +1594,22 @@ class VersionedTable:
         }
         if meta:
             manifest["meta"] = meta
-        req = _READER_REQUIREMENTS.get(action)
-        if req:
-            manifest["reader"] = req
         pm = self._read_manifest_file(parent) if parent is not None else None
+        # The reader requirement is STICKY table-wide (Delta's protocol
+        # action semantics): once any commit demands reader N, every
+        # descendant manifest carries max(N, its own action's need) —
+        # otherwise a pre-cmap reader that refused the readd commit
+        # would happily read the NEXT append (whose file list still
+        # contains the cmap'd entries) and resurrect dropped pre-drop
+        # values. ``reader`` lets cross-table commits (shallow clone)
+        # import the source's requirement.
+        req = max(
+            _READER_REQUIREMENTS.get(action, 1),
+            pm.get("reader", 1) if pm else 1,
+            reader or 1,
+        )
+        if req > 1:
+            manifest["reader"] = req
         if pm is not None and pm.get("writer", 1) > SUPPORTED_WRITER_VERSION:
             # a table whose head demands a newer writer would have its
             # invariants corrupted by this build's commits — refuse
@@ -1663,7 +1688,8 @@ class VersionedTable:
         Generation rules survive the overwrite (table properties, like
         CHECK constraints) and omitted generated columns are computed."""
         if self.latest_version() is not None:
-            df = self._apply_generated(self._apply_identity(df))
+            m = self.manifest()
+            df = self._apply_generated(self._apply_identity(df, m), m)
         return self._commit(
             "overwrite", self._write_data_files(df), df.schema.simpleString(), meta
         )
@@ -1691,15 +1717,20 @@ class VersionedTable:
         different type always raises: silent type widening changes
         existing rows' meaning."""
         prev_exists = self.latest_version() is not None
+        prev: dict[str, Any] = {"files": [], "version": None}
         if prev_exists:
+            # ONE manifest read per attempt: the identity watermark, the
+            # schema check, and the CAS base_version below all derive
+            # from this same snapshot — a racer committing after it
+            # trips the CAS instead of silently reusing a stale
+            # watermark (the TOCTOU two separate reads would open).
+            prev = self.manifest()
             # assign identity values, then fill in omitted generated
             # columns (which may reference them) BEFORE the schema
             # check — writers simply don't supply either
-            df = self._apply_generated(self._apply_identity(df))
+            df = self._apply_generated(self._apply_identity(df, prev), prev)
         schema_ddl = df.schema.simpleString()
-        prev: dict[str, Any] = {"files": [], "version": None}
         if prev_exists:
-            prev = self.manifest()
             prev_schema = self._schema_of(prev)
             old = {f.name: f.dataType for f in prev_schema.fields}
             new = {f.name: f.dataType for f in df.schema.fields}
@@ -2192,7 +2223,7 @@ class VersionedTable:
             # ids naturally (updates rebuild target rows) and its
             # inserts get fresh ids in _merge_clause_files.
             source = self._apply_generated(
-                self._apply_identity_merge(source, live, keys, m)
+                self._apply_identity_merge(source, live, keys, m), m
             )
         src_keys = source.select(*keys).distinct()
         hit_rels = {
@@ -2240,7 +2271,7 @@ class VersionedTable:
             new_files = self._merge_clause_files(
                 source, keys, delete_col, schema, rewrite, live,
                 when_matched_update, when_matched_condition,
-                insert_unmatched, not_matched_by_source_delete,
+                insert_unmatched, not_matched_by_source_delete, m,
             )
         return self._commit(
             "replace",
@@ -2262,6 +2293,7 @@ class VersionedTable:
         when_matched_condition: str | None,
         insert_unmatched: bool,
         not_matched_by_source_delete: str | None,
+        m: dict[str, Any],
     ) -> list[dict[str, Any]]:
         """Rewrite-side row derivation for the conditional-clause MERGE
         path: ONE left join of the rewrite files against the source
@@ -2358,13 +2390,14 @@ class VersionedTable:
             ]
         )
         assigned = False
-        for col, spec in self.identity().items():
+        for col, spec in dict(m.get("identity") or {}).items():
             if col in adds.columns:
                 continue  # whole-row path: source already enriched
             # SET-clause inserts: NULL-backfilled identity would break
             # uniqueness silently — assign fresh watermark-derived ids
-            # (matched rows retained theirs through the t.<col> carry)
-            wm = self._identity_watermark(self.manifest(), col, spec)
+            # (matched rows retained theirs through the t.<col> carry);
+            # watermark from the CALLER's CAS-base manifest snapshot
+            wm = self._identity_watermark(m, col, spec)
             ins = ins.withColumn(
                 col,
                 (
@@ -2451,6 +2484,12 @@ class VersionedTable:
                 ~F.expr(predicate)
             )
             new_files += self._write_data_files(survivors, enforce=False)
+        # replacement rows behave like an append: the engine assigns
+        # identity values (fresh ids — ALWAYS semantics forbid reuse)
+        # and computes omitted generated columns, from the SAME
+        # snapshot the CAS below guards (silently writing the columns
+        # as NULL would break uniqueness/generation invariants)
+        df = self._apply_generated(self._apply_identity(df, m), m)
         new_files += self._write_data_files(df)
         return self._commit(
             "replace", keep + new_files, m["schema"], meta,
@@ -2609,6 +2648,11 @@ class VersionedTable:
             },
             base_version=dest.latest_version(),
             constraints=m.get("constraints"),  # table properties clone too
+            # a SHALLOW clone points at the source's (possibly cmap'd)
+            # files by reference, so it inherits the source's reader
+            # requirement; a DEEP clone rewrote every file (cmaps
+            # purged) and owes nothing
+            reader=None if deep else m.get("reader"),
         )
         return dest
 

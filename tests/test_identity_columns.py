@@ -121,3 +121,87 @@ def test_identity_feeds_generated_and_time_travel(spark, tmp_path):
     assert t.read(version=v).count() == 12  # time travel intact
     ids = [r["rid"] for r in t.read().collect()]
     assert len(set(ids)) == 15
+
+
+def test_watermark_race_trips_cas_not_duplicate_ids(spark, vt):
+    """TOCTOU regression: the watermark and the CAS base_version must
+    come from the SAME manifest read. A racer committing between the
+    victim's snapshot and its commit must trip ConcurrentCommitError —
+    never let the CAS pass with a stale watermark (which would hand two
+    commits overlapping identity values)."""
+    from finalpipeline_spark.sources.versioned import ConcurrentCommitError
+
+    vt.commit_append(spark.range(0, 5).selectExpr("id as k"))
+    racer = VersionedTable(spark, vt.root)
+    orig = vt._identity_watermark
+    fired = {}
+
+    def hijack(m, col, spec):
+        # fire exactly AT the watermark derivation — the narrowest
+        # possible window between deriving the watermark and reading
+        # the CAS base (the exact interleaving that used to slip by
+        # when the two came from separate manifest() reads)
+        if not fired:
+            fired["x"] = True
+            racer.commit_append(spark.range(100, 110).selectExpr("id as k"))
+        return orig(m, col, spec)
+
+    vt._identity_watermark = hijack
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            vt.commit_append(spark.range(5, 10).selectExpr("id as k"))
+    finally:
+        vt._identity_watermark = orig
+    # the racer's commit landed; the victim retries from a fresh
+    # snapshot and every id stays unique
+    vt.commit_append(spark.range(5, 10).selectExpr("id as k"))
+    rids = _rids(vt)
+    assert len(rids) == 20 and len(set(rids)) == 20
+
+
+def test_watermark_race_in_merge_trips_cas(spark, vt):
+    """Same TOCTOU guard on the MERGE path: its watermark derives from
+    the manifest snapshot its CAS guards."""
+    from finalpipeline_spark.sources.versioned import ConcurrentCommitError
+
+    vt.commit_append(spark.range(0, 5).selectExpr("id as k"))
+    racer = VersionedTable(spark, vt.root)
+    orig = vt._identity_watermark
+    fired = {}
+
+    def hijack(m, col, spec):
+        if not fired:
+            fired["x"] = True
+            racer.commit_append(spark.range(50, 55).selectExpr("id as k"))
+        return orig(m, col, spec)
+
+    vt._identity_watermark = hijack
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            vt._merge_once(spark.range(3, 8).selectExpr("id as k"), keys=["k"])
+    finally:
+        vt._identity_watermark = orig
+    vt.merge(spark.range(3, 8).selectExpr("id as k"), keys=["k"])
+    rids = _rids(vt)
+    assert len(rids) == 13 and len(set(rids)) == 13
+
+
+def test_replace_where_assigns_identity_and_generated(spark, tmp_path):
+    """replaceWhere's replacement rows behave like an append: engine
+    assigns fresh identity values (never NULL, never reused) and
+    computes omitted generated columns."""
+    t = VersionedTable(spark, str(tmp_path / "rw"))
+    t.commit_overwrite(spark.range(0).selectExpr("id as k"))
+    t.add_identity_column("rid", start=1, step=1)
+    t.add_generated_column("k2", "bigint", "k * 2")
+    t.commit_append(spark.range(0, 10).selectExpr("id as k"))
+    hi = max(r["rid"] for r in t.read().collect())
+    t.replace_where("k >= 5", spark.range(20, 25).selectExpr("id as k"))
+    rows = t.read().collect()
+    assert len(rows) == 10
+    rids = [r["rid"] for r in rows]
+    assert all(v is not None for v in rids)
+    assert len(set(rids)) == 10
+    assert all(r["k2"] == r["k"] * 2 for r in rows)
+    new = [r["rid"] for r in rows if r["k"] >= 20]
+    assert all(v > hi for v in new)  # fresh ids, never reused

@@ -104,3 +104,53 @@ def test_readd_commit_carries_reader_requirement(spark, vt):
         .count()
         == 30
     )
+
+
+def test_reader_requirement_sticky_table_wide(spark, vt):
+    """Delta's protocol action is table-wide: once a commit demands
+    reader N, every DESCENDANT manifest carries it — a pre-cmap reader
+    that refused the readd commit must refuse the next append too (its
+    file list still holds the cmap'd entries it would misread)."""
+    vt.add_column("tag", "string")
+    vt.drop_column("tag")
+    vt.add_column("tag", "string")  # re-add: cmap feature, reader 2
+    assert vt.manifest()["reader"] == 2
+    vt.commit_append(
+        spark.range(30, 35).selectExpr("id", "cast(null as string) as tag")
+    )
+    assert vt.manifest()["reader"] == 2  # carried forward
+    vt.delete_where("id >= 33")
+    assert vt.manifest()["reader"] == 2
+    vt.optimize()
+    assert vt.manifest()["reader"] == 2
+    # a build that only speaks reader 1 refuses the APPEND manifest,
+    # not just the readd commit itself
+    import finalpipeline_spark.sources.versioned as V
+
+    readd_v = None
+    for v in vt.versions():
+        if vt.manifest(v).get("action") == "readd_column":
+            readd_v = v
+    old = V.SUPPORTED_READER_VERSION
+    V.SUPPORTED_READER_VERSION = 1
+    try:
+        with pytest.raises(ProtocolVersionError, match="reader protocol 2"):
+            vt.manifest()  # the head (an append) still demands reader 2
+        # pre-readd versions remain readable to the old build
+        assert vt.manifest(readd_v - 1) is not None
+    finally:
+        V.SUPPORTED_READER_VERSION = old
+
+
+def test_shallow_clone_imports_reader_requirement(spark, vt, tmp_path):
+    """A shallow clone references the source's cmap'd files by pointer,
+    so it must import the source's reader requirement; a deep clone
+    rewrote every file (cmaps purged) and starts clean."""
+    vt.add_column("tag", "string")
+    vt.drop_column("tag")
+    vt.add_column("tag", "string")  # reader-2 head
+    shallow = vt.clone_to(str(tmp_path / "shallow"))
+    assert shallow.manifest()["reader"] == 2
+    deep = vt.clone_to(str(tmp_path / "deep"), deep=True)
+    assert "reader" not in deep.manifest()
+    assert deep.read().count() == vt.read().count()
