@@ -105,19 +105,39 @@ def _swap_state(index_path: str, state: dict) -> None:
     os.replace(tmp, os.path.join(index_path, _STATE))
 
 
-def _paths(index_path: str) -> tuple[str, str]:
-    s = _state(index_path)
+def _paths(index_path: str, s: dict | None = None) -> tuple[str, str]:
+    s = s if s is not None else _state(index_path)
     return (
         f"{index_path}/{s['centroids']}",
         f"{index_path}/{s['postings']}",
     )
 
 
+def _next_seq(spark: SparkSession, index_path: str, epoch: int) -> int:
+    """Monotone per-epoch batch sequence number: the count of stats
+    rows already recorded for the epoch. Wall-clock timestamps are NOT
+    the ordering key — clock skew between driver processes could
+    reorder them and make drift_ratio compare the wrong batches."""
+    if not dir_exists(spark, index_path + "/ingest_stats"):
+        return 0
+    return (
+        spark.read.parquet(index_path + "/ingest_stats")
+        .filter(F.col("epoch") == epoch)
+        .count()
+    )
+
+
 def _record_ingest(spark: SparkSession, index_path: str, epoch: int,
                    n: int, sum_dist: float) -> None:
     stats = spark.createDataFrame(
-        [(epoch, float(time.time()), n, float(sum_dist))],
-        "epoch int, ingested_at double, n bigint, sum_dist double",
+        [(
+            epoch,
+            _next_seq(spark, index_path, epoch),
+            float(time.time()),  # advisory only — ordering uses seq
+            n,
+            float(sum_dist),
+        )],
+        "epoch int, seq bigint, ingested_at double, n bigint, sum_dist double",
     )
     stats.coalesce(1).write.mode("append").parquet(index_path + "/ingest_stats")
 
@@ -127,13 +147,24 @@ def ingest_batch(spark: SparkSession, new_vecs: DataFrame, index_path: str) -> i
     number of vectors actually added (re-delivered vec_ids are skipped
     — idempotent like every ingest in this engine). Records the batch's
     mean quantization distance in ``ingest_stats`` (the drift signal
-    ``drift_ratio``/``maybe_retrain`` act on)."""
+    ``drift_ratio``/``maybe_retrain`` act on).
+
+    Concurrency: the epoch pointer is read ONCE and both the data
+    paths and the recorded epoch derive from that same snapshot — a
+    racing ``retrain`` swap can never make this ingest record stats
+    under a mismatched epoch/paths pair. An ingest that lands in the
+    OLD epoch while a retrain is in flight is recovered by the
+    retrain's post-swap catch-up pass (see ``retrain``); an ingest
+    that straddles the swap itself is the documented single-writer
+    boundary (run ingest and retrain from one maintenance driver, the
+    normal shape for index maintenance)."""
     vecs = _with_nrm(
         new_vecs.select("vec_id", "embedding").dropDuplicates(["vec_id"])
     )
 
-    cent_path, post_path = _paths(index_path)
-    epoch = _state(index_path)["epoch"]
+    state = _state(index_path)
+    cent_path, post_path = _paths(index_path, state)
+    epoch = state["epoch"]
     if not dir_exists(spark, cent_path):
         # Founding batch: deterministic seed centroids (K lowest ids).
         seeds = (
@@ -164,9 +195,19 @@ def ingest_batch(spark: SparkSession, new_vecs: DataFrame, index_path: str) -> i
     ).first()
     n_new = int(row["n"])
     if n_new:
+        assigned = assigned.localCheckpoint(eager=True)
         assigned.drop("dist").write.mode("append").partitionBy(
             "list_id"
         ).parquet(post_path)
+        pq = state.get("pq")
+        if pq:
+            # PQ layer enabled: encode the batch with the SAME epoch's
+            # codebooks and append to its codes table (partitioned by
+            # list_id like the postings, so ADC scans prune identically)
+            cb = spark.read.parquet(f"{index_path}/{pq['codebooks']}")
+            _pq_encode(assigned, cb, pq["m"]).write.mode("append").partitionBy(
+                "list_id"
+            ).parquet(f"{index_path}/{pq['codes']}")
         _record_ingest(spark, index_path, epoch, n_new, row["sd"] or 0.0)
     return n_new
 
@@ -184,7 +225,10 @@ def drift_ratio(spark: SparkSession, index_path: str) -> float:
         spark.read.parquet(index_path + "/ingest_stats")
         .filter(F.col("epoch") == epoch)
         .filter(F.col("n") > 0)
-        .orderBy("ingested_at")
+        # the monotone per-epoch sequence number, NOT wall-clock time:
+        # clock skew between driver processes could reorder timestamps
+        # and compare the wrong batches
+        .orderBy("seq")
         .collect()  # bounded: one row per ingested batch
     )
     if len(rows) < 2:
@@ -282,9 +326,16 @@ def retrain(
     every posting, and that rewrite is the point of the retrain. The
     swap is one pointer-file rename: searches racing it read a
     consistent old or new epoch, never a mix, and re-ingest of any
-    batch remains idempotent because vec_ids carry over."""
-    cent_path, post_path = _paths(index_path)
+    batch remains idempotent because vec_ids carry over.
+
+    A batch ingested into the OLD epoch between this function's corpus
+    snapshot and its pointer swap is NOT lost: after the swap a
+    catch-up pass re-reads the old epoch's postings, anti-joins the
+    new epoch's, and re-ingests anything missing under the new
+    centroids (and codebooks). Only an ingest straddling the swap
+    itself needs the documented single-writer maintenance driver."""
     state = _state(index_path)
+    cent_path, post_path = _paths(index_path, state)
     vecs = spark.read.parquet(post_path).select("vec_id", "embedding", "nrm")
     train = (
         vecs.sample(fraction=sample_fraction, seed=7)
@@ -310,6 +361,28 @@ def retrain(
         final.drop("dist").write.partitionBy("list_id").parquet(
             f"{index_path}/{new_post}"
         )
+        new_state = {"epoch": epoch, "centroids": new_cent, "postings": new_post}
+        pq = state.get("pq")
+        if pq:
+            # the PQ layer rides the SAME atomic swap: retrain the
+            # per-subspace codebooks on the reassigned corpus (the old
+            # codebooks quantize drifted data terribly — exactly the
+            # signal that fired this retrain), then re-encode every
+            # vector into the new epoch's codes table
+            new_cb_name = f"pq_codebooks_e{epoch}"
+            new_codes_name = f"pq_codes_e{epoch}"
+            cb = _pq_train_codebooks(
+                final.select("vec_id", "embedding"), pq["m"], pq["k"],
+                rounds=rounds,
+            )
+            cb.coalesce(1).write.parquet(f"{index_path}/{new_cb_name}")
+            cb_read = spark.read.parquet(f"{index_path}/{new_cb_name}")
+            _pq_encode(final, cb_read, pq["m"]).write.partitionBy(
+                "list_id"
+            ).parquet(f"{index_path}/{new_codes_name}")
+            new_state["pq"] = {
+                **pq, "codebooks": new_cb_name, "codes": new_codes_name,
+            }
         # the retrained quantization distance seeds the new epoch's
         # drift baseline, so drift_ratio is meaningful immediately
         row = final.agg(
@@ -318,13 +391,29 @@ def retrain(
         final.unpersist()
     finally:
         train.unpersist()
-    _swap_state(
-        index_path,
-        {"epoch": epoch, "centroids": new_cent, "postings": new_post},
-    )
+    _swap_state(index_path, new_state)
     if int(row["n"]):
         _record_ingest(spark, index_path, epoch, int(row["n"]), row["sd"] or 0.0)
-    return {"epoch": epoch, "n_vectors": int(row["n"])}
+    # Catch-up: a batch ingested into the OLD epoch after this
+    # retrain's corpus snapshot is absent from the rewrite — re-ingest
+    # anything in the old postings the new epoch lacks (a vec_id-keyed
+    # anti-join; empty in the single-writer case, bounded by the
+    # straggler batch otherwise).
+    stragglers = (
+        spark.read.parquet(post_path)
+        .select("vec_id", "embedding")
+        .join(
+            spark.read.parquet(f"{index_path}/{new_post}").select("vec_id"),
+            "vec_id",
+            "left_anti",
+        )
+    )
+    n_caught = ingest_batch(spark, stragglers, index_path)
+    return {
+        "epoch": epoch,
+        "n_vectors": int(row["n"]) + n_caught,
+        "n_caught_up": n_caught,
+    }
 
 
 def maybe_retrain(
@@ -395,6 +484,276 @@ def search(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rn")
+    )
+
+
+# -- PQ layer: per-epoch codebooks + ADC search ------------------------------
+#
+# Product quantization under the IVF index (the IVF-PQ shape, Jégou et
+# al.): each vector is split into m contiguous subvectors, each encoded
+# as the id of its nearest entry in that subspace's k-entry codebook —
+# m small ints per vector instead of dim floats. The codebooks and the
+# codes table are EPOCH STATE exactly like the coarse centroids: a
+# drift retrain re-trains them on the reassigned corpus and the whole
+# trio (centroids, postings, codebooks+codes) swaps in one atomic
+# pointer rename — stale codebooks quantize drifted data terribly, so
+# leaving them static while the centroids move would silently cap ADC
+# recall (the gap this closes vs the query-side literals in
+# queries/curation.py emb_pq_encode/emb_ivf_pq_topk).
+
+
+def _pq_subvecs(df: DataFrame, m: int) -> DataFrame:
+    """(vec_id [, list_id], s, sv, svnrm) — one row per subvector; a
+    row-local explode, no shuffle."""
+    keep = [c for c in ("vec_id", "list_id") if c in df.columns]
+    sub = (
+        df.select(
+            *keep,
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+            "embedding",
+        )
+        .withColumn(
+            "sv",
+            F.expr(
+                f"slice(embedding, s * (size(embedding) div {m}) + 1,"
+                f" size(embedding) div {m})"
+            ),
+        )
+        .drop("embedding")
+    )
+    return sub.withColumn("svnrm", _dot("sv", "sv"))
+
+
+def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest-codebook-entry per (vec_id, s): broadcast the m*k-row
+    codebook, join on the subspace, keep the argmin."""
+    scored = sub.join(
+        F.broadcast(
+            cb.select(
+                "s", "code", F.col("cv").alias("c_cv"), F.col("cnrm").alias("c_cnrm")
+            )
+        ),
+        "s",
+    ).withColumn(
+        "dist", F.col("svnrm") - 2 * _dot("sv", "c_cv") + F.col("c_cnrm")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("dist", "code")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "c_cv", "c_cnrm")
+    )
+
+
+def _pq_train_codebooks(
+    vecs: DataFrame, m: int, k: int, rounds: int = 2
+) -> DataFrame:
+    """Per-subspace k-means codebooks (s, code, cv, cnrm): deterministic
+    init (the k lowest vec_ids' subvectors per subspace), then Lloyd
+    rounds — every round is one broadcast assign plus an (m*k) x subdim
+    partial-sum shuffle, bounded by the codebook not the corpus."""
+    sub = _pq_subvecs(vecs, m).persist()
+    try:
+        w = Window.partitionBy("s").orderBy("vec_id")
+        cb = (
+            sub.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(
+                "s",
+                F.col("rn").cast("int").alias("code"),
+                F.col("sv").alias("cv"),
+                F.col("svnrm").alias("cnrm"),
+            )
+        )
+        for _ in range(max(0, rounds)):
+            asg = _pq_assign(sub, cb)
+            ex = asg.select(
+                "s", "code", F.posexplode("sv").alias("dim_i", "comp")
+            )
+            means = ex.groupBy("s", "code", "dim_i").agg(
+                F.avg(F.col("comp").cast("double")).alias("mcomp")
+            )
+            fresh = (
+                means.groupBy("s", "code")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim_i", "mcomp"))
+                    ).alias("pairs")
+                )
+                .select(
+                    "s",
+                    "code",
+                    F.expr("transform(pairs, x -> x.mcomp)").alias("cv"),
+                )
+            )
+            cb = (
+                cb.select("s", "code", F.col("cv").alias("old_cv"))
+                .join(fresh, ["s", "code"], "left")
+                .select(
+                    "s", "code", F.coalesce("cv", "old_cv").alias("cv")
+                )
+                .withColumn("cnrm", _dot("cv", "cv"))
+                .localCheckpoint(eager=True)
+            )
+        return cb
+    finally:
+        sub.unpersist()
+
+
+def _pq_encode(assigned: DataFrame, cb: DataFrame, m: int) -> DataFrame:
+    """(list_id, vec_id, codes array<int>) for a batch that already
+    carries its list assignment — the codes table rides the same
+    list_id partitioning as the postings so ADC scans prune
+    identically."""
+    asg = _pq_assign(_pq_subvecs(assigned, m), cb)
+    return (
+        asg.groupBy("vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "code"))).alias("pairs")
+        )
+        .select(
+            "vec_id", F.expr("transform(pairs, x -> x.code)").alias("codes")
+        )
+        .join(assigned.select("vec_id", "list_id"), "vec_id")
+        .select("list_id", "vec_id", "codes")
+    )
+
+
+def enable_pq(
+    spark: SparkSession,
+    index_path: str,
+    m: int = 4,
+    k: int = 8,
+    rounds: int = 2,
+) -> dict:
+    """Add the PQ layer to an existing index: train per-subspace
+    codebooks on the current epoch's corpus, encode every indexed
+    vector, and publish both through the same atomic pointer swap the
+    epoch machinery uses. Subsequent ingests encode their batches with
+    the live codebooks; retrains re-train and re-encode."""
+    state = _state(index_path)
+    _, post_path = _paths(index_path, state)
+    epoch = state["epoch"]
+    vecs = spark.read.parquet(post_path).select(
+        "list_id", "vec_id", "embedding"
+    )
+    cb_name = f"pq_codebooks_e{epoch}"
+    codes_name = f"pq_codes_e{epoch}"
+    cb = _pq_train_codebooks(
+        vecs.select("vec_id", "embedding"), m, k, rounds=rounds
+    )
+    cb.coalesce(1).write.parquet(f"{index_path}/{cb_name}")
+    cb_read = spark.read.parquet(f"{index_path}/{cb_name}")
+    _pq_encode(vecs, cb_read, m).write.partitionBy("list_id").parquet(
+        f"{index_path}/{codes_name}"
+    )
+    new_state = {
+        **state,
+        "pq": {"m": m, "k": k, "codebooks": cb_name, "codes": codes_name},
+    }
+    _swap_state(index_path, new_state)
+    return new_state["pq"]
+
+
+def search_adc(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_path: str,
+    nprobe: int = 2,
+    k: int = 5,
+    rescore: int = 4,
+) -> DataFrame:
+    """IVF-PQ search with asymmetric distance computation: probe each
+    query's ``nprobe`` lists, rank candidates by table-lookup PQ
+    distance over the CODES (m ints per vector — the only per-vector
+    data the first pass touches), keep ``rescore * k`` per query, then
+    exact-rescore just those against the postings.
+
+    Scale shape: the distance tables are |queries| x m x k rows
+    (broadcastable); the codes scan prunes to the probed list_id
+    partitions and reads m ints per vector instead of dim floats —
+    the memory-bandwidth win that makes PQ worth its recall cost at
+    100 TB; the exact pass touches only rescore*k rows per query."""
+    state = _state(index_path)
+    pq = state.get("pq")
+    if not pq:
+        raise ValueError(
+            f"index at {index_path} has no PQ layer — call enable_pq first"
+        )
+    cent_path, post_path = _paths(index_path, state)
+    centroids = spark.read.parquet(cent_path)
+    cb = spark.read.parquet(f"{index_path}/{pq['codebooks']}")
+    q = _with_nrm(queries.select("vec_id", "embedding")).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    probe = (
+        q.crossJoin(
+            F.broadcast(
+                centroids.select("list_id", "centroid", F.col("nrm").alias("cnrm"))
+            )
+        )
+        .withColumn("qcdot", _dot("q_emb", "centroid"))
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("qcdot"), F.col("list_id")
+                )
+            ),
+        )
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "list_id")
+    )
+    # per-query distance tables: partial distance of each query
+    # subvector to every codebook entry
+    qsub = _pq_subvecs(
+        q.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("q_emb").alias("embedding"),
+        ),
+        pq["m"],
+    )
+    dtab = (
+        qsub.join(F.broadcast(cb), "s")
+        .withColumn(
+            "pd", F.col("svnrm") - 2 * _dot("sv", "cv") + F.col("cnrm")
+        )
+        .select(F.col("vec_id").alias("query_id"), "s", "code", "pd")
+    )
+    codes = spark.read.parquet(f"{index_path}/{pq['codes']}")
+    cand = (
+        probe.join(codes, "list_id")  # prunes to probed partitions
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "list_id", "vec_id",
+            F.posexplode("codes").alias("s", "code"),
+        )
+        .join(dtab, ["query_id", "s", "code"])
+        .groupBy("query_id", "list_id", "vec_id")
+        .agg(F.sum("pd").alias("adist"))
+    )
+    wc = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    shortlist = (
+        cand.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= rescore * k)
+        .select("query_id", "list_id", "vec_id")
+    )
+    postings = spark.read.parquet(post_path)
+    exact = (
+        shortlist.join(postings, ["list_id", "vec_id"])
+        .join(q, "query_id")
+        .withColumn(
+            "cosine",
+            _dot("q_emb", "embedding") / F.sqrt(F.col("q_nrm") * F.col("nrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rn")
     )

@@ -199,3 +199,148 @@ def test_drift_triggered_retrain_recovers_recall(spark, tmp_path):
     post = spark.read.parquet(idx + "/" + st["postings"])
     assert post.count() == 1200
     assert post.select("vec_id").distinct().count() == 1200
+
+
+def _recall_adc_at_5(spark, queries, idx, rescore=4):
+    """Mean recall@5 of ADC (PQ) search vs unrestricted brute force."""
+    from pyspark.sql import Window
+
+    _, post = A._paths(idx)
+    corpus = spark.read.parquet(post).select("vec_id", "embedding", "nrm")
+    q = A._with_nrm(queries.select("vec_id", "embedding")).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        q.crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            A._dot("q_emb", "embedding") / F.sqrt(F.col("q_nrm") * F.col("nrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    truth = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    got = A.search_adc(spark, queries, idx, nprobe=2, k=5, rescore=rescore).select(
+        "query_id", "neighbor_id"
+    )
+    hits = truth.join(got, ["query_id", "neighbor_id"]).count()
+    return hits / truth.count()
+
+
+def test_pq_layer_retrains_with_epoch(spark, tmp_path):
+    """VERDICT r8 item: PQ codebooks are EPOCH STATE — a drifted batch
+    degrades ADC recall under the founding codebooks; retrain re-trains
+    codebooks + codes inside the same atomic swap and recovers it."""
+    import os
+
+    idx = str(tmp_path / "ivfpq")
+    batch1 = _synth(spark, 0, 400, _B1)
+    assert A.ingest_batch(spark, batch1, idx) == 400
+    pq = A.enable_pq(spark, idx, m=4, k=16, rounds=2)
+    assert pq["codebooks"] == "pq_codebooks_e0"
+    # codes ride the same list_id partitioning as the postings
+    assert any(
+        e.startswith("list_id=")
+        for e in os.listdir(idx + "/" + pq["codes"])
+    )
+    # ingests after enable_pq encode with the live codebooks
+    drifted = _synth(spark, 1000, 1800, _B2)
+    assert A.ingest_batch(spark, drifted, idx) == 800
+    codes = spark.read.parquet(idx + "/pq_codes_e0")
+    assert codes.count() == 1200  # every indexed vector encoded
+
+    queries = drifted.filter(F.col("vec_id") % 40 == 0)
+    recall_before = _recall_adc_at_5(spark, queries, idx, rescore=8)
+
+    out = A.retrain(spark, idx, rounds=3)
+    st = A._state(idx)
+    assert st["epoch"] == 1
+    assert st["pq"]["codebooks"] == "pq_codebooks_e1"
+    assert st["pq"]["codes"] == "pq_codes_e1"
+    # re-encoded corpus is complete in the new epoch
+    assert spark.read.parquet(idx + "/pq_codes_e1").count() == 1200
+    assert (
+        spark.read.parquet(idx + "/pq_codes_e1")
+        .select("vec_id").distinct().count() == 1200
+    )
+    assert out["n_caught_up"] == 0
+
+    recall_after = _recall_adc_at_5(spark, queries, idx, rescore=8)
+    assert recall_after >= recall_before + 0.2, (recall_before, recall_after)
+    assert recall_after >= 0.8, recall_after
+    # ADC agrees with exact IVF search given a generous rescore window
+    exact = A.search(spark, queries, idx, nprobe=2, k=5)
+    adc = A.search_adc(spark, queries, idx, nprobe=2, k=5, rescore=16)
+    agree = exact.select("query_id", "neighbor_id").join(
+        adc.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    assert agree / exact.count() >= 0.9
+
+
+def test_retrain_catches_up_straggler_ingest(spark, tmp_path):
+    """ADVICE r8: a batch ingested into the OLD epoch between retrain's
+    corpus snapshot and its pointer swap must not be lost — the
+    post-swap catch-up re-ingests it under the new centroids."""
+    idx = str(tmp_path / "ivfcu")
+    assert A.ingest_batch(spark, _synth(spark, 0, 400, _B1), idx) == 400
+
+    orig_swap = A._swap_state
+    fired = {}
+
+    def swap_with_straggler(index_path, state):
+        # straggler lands in the OLD epoch (pointer not yet swapped)
+        if not fired:
+            fired["x"] = True
+            n = A.ingest_batch(
+                spark, _synth(spark, 5000, 5100, _B1), index_path
+            )
+            assert n == 100
+        orig_swap(index_path, state)
+
+    A._swap_state = swap_with_straggler
+    try:
+        out = A.retrain(spark, idx, rounds=1)
+    finally:
+        A._swap_state = orig_swap
+    assert out["n_caught_up"] == 100
+    st = A._state(idx)
+    post = spark.read.parquet(idx + "/" + st["postings"])
+    assert post.count() == 500  # nothing lost
+    assert post.select("vec_id").distinct().count() == 500
+    # re-delivery of the straggler batch is still a no-op
+    assert A.ingest_batch(spark, _synth(spark, 5000, 5100, _B1), idx) == 0
+
+
+def test_ingest_stats_ordered_by_seq_not_wallclock(spark, tmp_path):
+    """ADVICE r8: drift_ratio orders batches by the monotone per-epoch
+    seq, so wall-clock skew between driver processes cannot make it
+    compare the wrong batches."""
+    idx = str(tmp_path / "ivfseq")
+    assert A.ingest_batch(spark, _synth(spark, 0, 400, _B1), idx) == 400
+    assert A.ingest_batch(spark, _synth(spark, 1000, 1400, _B2), idx) == 400
+    stats = spark.read.parquet(idx + "/ingest_stats").orderBy("seq").collect()
+    assert [r["seq"] for r in stats] == [0, 1]
+    ratio = A.drift_ratio(spark, idx)
+    assert ratio > 2.0
+    # skew the WALL CLOCK of the founding row far into the future; the
+    # seq ordering must keep the ratio identical
+    import pyspark.sql.functions as SF
+
+    df = spark.read.parquet(idx + "/ingest_stats")
+    skewed = df.withColumn(
+        "ingested_at",
+        SF.when(SF.col("seq") == 0, SF.col("ingested_at") + 1e6).otherwise(
+            SF.col("ingested_at")
+        ),
+    )
+    skewed.write.mode("overwrite").parquet(idx + "/ingest_stats_tmp")
+    spark.read.parquet(idx + "/ingest_stats_tmp").write.mode(
+        "overwrite"
+    ).parquet(idx + "/ingest_stats")
+    assert abs(A.drift_ratio(spark, idx) - ratio) < 1e-9
