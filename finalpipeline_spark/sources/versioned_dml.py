@@ -1,0 +1,1071 @@
+"""DML layer of the versioned table: append/overwrite commits,
+row-level delete/update (CoW and merge-on-read deletion vectors),
+MERGE with Delta's clause surface, replace-where, optimize/z-order,
+rollback, and clones.
+
+One of three method-providing mixins composed into
+:class:`finalpipeline_spark.sources.versioned.VersionedTable` (the
+others: versioned_log, versioned_schema). Organizational split only —
+methods run on the composed table object.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from finalpipeline_spark.sources.versioned_base import (
+    _DATA_DIR,
+    _DV_BROADCAST_ROWS,
+    _DV_DIR,
+    _DV_SCHEMA,
+    _LOG_DIR,
+    _NO_CAS,
+    CommitInfo,
+    ConcurrentCommitError,
+    ConstraintViolationError,
+    SchemaMismatchError,
+    VersionNotFoundError,
+    _json_safe,
+    _same_file_refs,
+    _stat_cols,
+    cdf_final_state,
+)
+
+
+class DmlMixin:
+    """Composed into VersionedTable — never instantiated directly."""
+
+    def _write_data_files(
+        self, df: DataFrame, enforce: bool = True
+    ) -> list[dict[str, Any]]:
+        """Write ``df`` into a fresh commit directory and return file
+        entries (relative path, rows, min/max stats). The stats pass
+        re-reads only the new files (column-pruned, combines map-side).
+
+        ``enforce=True`` first validates the written rows against the
+        table's CHECK constraints (one extra aggregate pass — the
+        price of enforcement, skipped for rewrites of rows that are
+        already in the table: CoW delete/replace survivors and
+        optimize, whose content is provably unchanged)."""
+        if enforce:
+            cons = self.constraints()
+            if cons:
+                self._check_df(df, cons)
+            gen = self.generated()
+            if gen:
+                self._verify_generated(df, gen)
+        commit_dir = f"{_DATA_DIR}/c{uuid.uuid4().hex}"
+        abs_dir = f"{self.root}/{commit_dir}"
+        df.write.mode("errorifexists").parquet(abs_dir)
+        back = self.spark.read.parquet(abs_dir)
+        cols = _stat_cols(back)
+        all_cols = back.columns  # null counts work for EVERY type
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        for c in all_cols:
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nc_{c}")
+            )
+        stats = (
+            back.select(F.col("_metadata.file_path").alias("__file"), *all_cols)
+            .groupBy("__file")
+            .agg(*aggs)
+            .collect()  # one row per new data file — manifest-sized
+        )
+        blooms = self._per_file_blooms(back) if self.bloom_col in back.columns else {}
+        files = []
+        for r in stats:
+            full = r["__file"]
+            idx = full.find(commit_dir)
+            rel = full[idx:] if idx >= 0 else full
+            entry: dict[str, Any] = {"path": rel, "rows": r["__rows"]}
+            entry["stats"] = {
+                c: [_json_safe(r[f"__min_{c}"]), _json_safe(r[f"__max_{c}"])]
+                for c in cols
+            }
+            entry["nulls"] = {c: int(r[f"__nc_{c}"]) for c in all_cols}
+            if full in blooms:
+                entry["bloom"] = blooms[full]
+            files.append(entry)
+        return files
+
+    def _per_file_blooms(self, back: DataFrame) -> dict[str, list[int]]:
+        """One bloom word-array per new data file over ``bloom_col``.
+        The aggregation dedups (file, position) pairs map-side, so the
+        collect is bounded by n_new_files × bloom_bits — commit-sized
+        planning state, never row-sized."""
+        from finalpipeline_spark.operators.bloom import _position_expr
+
+        pos = F.array(
+            *[
+                F.expr(_position_expr(self.bloom_col, j, self.bloom_bits))
+                for j in range(self.bloom_k)
+            ]
+        )
+        rows = (
+            back.select(
+                F.col("_metadata.file_path").alias("__file"),
+                F.explode(pos).alias("pos"),
+            )
+            .distinct()
+            .collect()
+        )
+        words: dict[str, list[int]] = {}
+        n_words = (self.bloom_bits + 63) // 64
+        for r in rows:
+            w = words.setdefault(r["__file"], [0] * n_words)
+            w[r["pos"] >> 6] |= 1 << (r["pos"] & 63)
+        return words
+
+    def _bloom_might_contain(self, words: list[int], value: Any) -> bool:
+        """Driver-side membership test mirroring operators/bloom's SQL
+        scheme bit-for-bit: position = (md5('<seed>:<str(value)>') hex
+        prefix as int31) % bits."""
+        import hashlib
+
+        for j in range(self.bloom_k):
+            h = hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:8]
+            p = (int(h, 16) % 2_147_483_648) % self.bloom_bits
+            if not (words[p >> 6] >> (p & 63)) & 1:
+                return False
+        return True
+
+
+    # -- write API -----------------------------------------------------
+    def commit_overwrite(
+        self, df: DataFrame, meta: dict[str, Any] | None = None
+    ) -> CommitInfo:
+        """New version containing exactly ``df``'s rows. ``meta`` is
+        recorded in the manifest (e.g. upstream-snapshot lineage).
+        Generation rules survive the overwrite (table properties, like
+        CHECK constraints) and omitted generated columns are computed."""
+        if self.latest_version() is not None:
+            m = self.manifest()
+            df = self._apply_generated(self._apply_identity(df, m), m)
+        return self._commit(
+            "overwrite", self._write_data_files(df), df.schema.simpleString(), meta
+        )
+
+    def commit_append(
+        self,
+        df: DataFrame,
+        meta: dict[str, Any] | None = None,
+        merge_schema: bool = False,
+    ) -> CommitInfo:
+        """New version = previous file list + ``df``'s new files. The
+        old files carry over BY REFERENCE — an append never rewrites.
+        ``meta`` is recorded in the manifest (e.g. a streaming sink's
+        (checkpoint, epoch) identity for replay idempotence).
+
+        Schema evolution (Delta's mergeSchema): by default an append
+        whose column set differs from the table's raises
+        SchemaMismatchError — silently recording the new schema would
+        make reads depend on which file a reader opened first. With
+        ``merge_schema=True``, ADDITIVE evolution is committed: the
+        manifest schema becomes old fields + genuinely new fields (in
+        that order), readers impose it on every file, and pre-evolution
+        files backfill NULL for the added columns at read time (no
+        rewrite — a metadata-only migration). A same-name field with a
+        different type always raises: silent type widening changes
+        existing rows' meaning."""
+        prev_exists = self.latest_version() is not None
+        prev: dict[str, Any] = {"files": [], "version": None}
+        if prev_exists:
+            # ONE manifest read per attempt: the identity watermark, the
+            # schema check, and the CAS base_version below all derive
+            # from this same snapshot — a racer committing after it
+            # trips the CAS instead of silently reusing a stale
+            # watermark (the TOCTOU two separate reads would open).
+            prev = self.manifest()
+            # assign identity values, then fill in omitted generated
+            # columns (which may reference them) BEFORE the schema
+            # check — writers simply don't supply either
+            df = self._apply_generated(self._apply_identity(df, prev), prev)
+        schema_ddl = df.schema.simpleString()
+        if prev_exists:
+            prev_schema = self._schema_of(prev)
+            old = {f.name: f.dataType for f in prev_schema.fields}
+            new = {f.name: f.dataType for f in df.schema.fields}
+            conflicts = sorted(n for n in new if n in old and new[n] != old[n])
+            if conflicts:
+                raise SchemaMismatchError(
+                    f"type change on {conflicts} is not supported "
+                    "(additive evolution only)"
+                )
+            added = [n for n in new if n not in old]
+            dropped = [n for n in old if n not in new]
+            if (added or dropped) and not merge_schema:
+                raise SchemaMismatchError(
+                    f"append schema differs from table schema "
+                    f"(new columns {added}, absent columns {dropped}); "
+                    "pass merge_schema=True for additive evolution"
+                )
+            if added:
+                self._assert_no_readd(added, set(old))
+            from pyspark.sql.types import StructType
+
+            merged = StructType(
+                list(prev_schema.fields)
+                + [f for f in df.schema.fields if f.name not in old]
+            )
+            schema_ddl = merged.simpleString()
+        new_files = self._write_data_files(df)
+        return self._commit(
+            "append",
+            list(prev["files"]) + new_files,
+            schema_ddl,
+            meta,
+            base_version=prev["version"],
+        )
+
+
+    def delete_where(
+        self, predicate: str, attempts: int = 10, mode: str = "cow"
+    ) -> CommitInfo:
+        """Row delete, two physical strategies (Delta parity):
+
+        * ``mode="cow"`` (copy-on-write, default): rewrite only files
+          containing matching rows; all other files carry over by
+          reference. Best when deletes are clustered (whole partitions)
+          or the table is about to be read many times.
+        * ``mode="mor"`` (merge-on-read, Delta deletion vectors): no
+          data file is touched — the matching rows' (file, position)
+          pairs land in a tiny ``_dv/`` parquet and the affected
+          entries reference it; readers anti-join the positions back
+          out. Best for scattered deletes (GDPR row erasure across a
+          100 TB table writes kilobytes instead of rewriting every hit
+          file). A later rewrite of the file (CoW delete/replace/merge,
+          OPTIMIZE) applies and drops the vector.
+
+        Retries the whole derive+commit on a lost CAS race
+        (``attempts=1`` restores raise-on-conflict)."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        fn = (
+            (lambda t: t._delete_where_once(predicate))
+            if mode == "cow"
+            else (lambda t: t._delete_where_mor_once(predicate))
+        )
+        return self.commit_with_retry(fn, attempts)
+
+    def _delete_where_once(self, predicate: str) -> CommitInfo:
+        m = self.manifest()
+        schema = self._schema_of(m)
+        live = self._apply_dv(self._lineage_scan(m["files"], schema), m["files"])
+        hit_rels = {
+            r["__file"]
+            for r in live.filter(F.expr(predicate))
+            .select("__file")
+            .distinct()
+            .collect()  # bounded by file count, not rows
+        }
+        keep = [e for e in m["files"] if e["path"] not in hit_rels]
+        rewrite = [e for e in m["files"] if e["path"] in hit_rels]
+        new_files: list[dict[str, Any]] = []
+        if rewrite:
+            # the rewrite applies any existing deletion vector first, so
+            # DV'd rows stay dead and the new files carry no vector
+            survivors = self._scan_entries(rewrite, schema).filter(
+                ~F.expr(predicate)
+            )
+            new_files = self._write_data_files(survivors, enforce=False)
+        return self._commit(
+            "delete", keep + new_files, m["schema"], base_version=m["version"]
+        )
+
+    def _delete_where_mor_once(self, predicate: str) -> CommitInfo:
+        m = self.manifest()
+        schema = self._schema_of(m)
+        bad = {"__file", "__pos"} & set(schema.fieldNames())
+        if bad:
+            raise ValueError(
+                f"merge-on-read delete reserves column names {sorted(bad)}"
+            )
+        live = self._apply_dv(self._lineage_scan(m["files"], schema), m["files"])
+        hits = live.filter(F.expr(predicate)).select("__file", "__pos")
+        # Consolidate: the new vector file carries old ∪ new positions
+        # for every AFFECTED file, so each entry references exactly one
+        # vector; entries untouched by this delete keep their old one.
+        per_file = {
+            r["__file"]: r["n"]
+            for r in hits.groupBy("__file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded by file count
+        }
+        if not per_file:
+            return self._commit(
+                "delete", list(m["files"]), m["schema"], base_version=m["version"]
+            )
+        affected = [e for e in m["files"] if e["path"] in per_file]
+        carried = self._dv_positions(affected)
+        dv_rel = f"{_DV_DIR}/d{uuid.uuid4().hex}"
+        # position lists are deleted-rows-sized — one output file
+        hits.unionByName(carried).coalesce(1).write.mode("errorifexists").parquet(
+            f"{self.root}/{dv_rel}"
+        )
+        new_entries = []
+        for e in m["files"]:
+            if e["path"] not in per_file:
+                new_entries.append(e)
+                continue
+            deleted = per_file[e["path"]] + (e.get("dv") or {}).get("deleted", 0)
+            if deleted >= e["rows"]:
+                # fully dead file: drop the entry outright (vacuum
+                # reclaims the data file once its versions expire)
+                continue
+            kept = {k: v for k, v in e.items() if k != "dv"}
+            kept["dv"] = {"path": dv_rel, "deleted": deleted}
+            if e.get("base", self.root) != self.root:
+                # carried (cloned) data file: the vector is OURS, not
+                # the source's — pin its base to this root
+                kept["dv"]["base"] = self.root
+            new_entries.append(kept)
+        return self._commit(
+            "delete", new_entries, m["schema"], base_version=m["version"]
+        )
+
+    def update_where(
+        self,
+        predicate: str,
+        assignments: dict[str, str],
+        attempts: int = 10,
+        mode: str = "cow",
+    ) -> CommitInfo:
+        """Delta-style UPDATE: ``SET col = expr`` for rows matching
+        ``predicate``, one atomic commit.  Two physical strategies:
+
+        * ``mode="cow"`` (copy-on-write, default): only files
+          containing matching rows are rewritten (non-matching rows in
+          a hit file are carried through the rewrite verbatim;
+          untouched files carry over by reference), so an update
+          touching 0.1% of files costs 0.1% of a rewrite.  Best when
+          updates are clustered or the table is read-hot.
+        * ``mode="mor"`` (merge-on-read): no hit file is rewritten —
+          the matched rows' positions land in a deletion vector (the
+          old values die in place) and ONLY the updated rows are
+          appended as new files.  A scattered update of 10k rows
+          across a 100 TB table writes 10k rows + a kilobyte vector
+          instead of rewriting every hit file; a later CoW pass or
+          OPTIMIZE folds the vectors away.
+
+        Each assignment expression is cast to the column's existing
+        type — UPDATE never changes the schema — and the updated rows
+        pass CHECK-constraint validation before the commit (an update
+        CAN violate, unlike a delete).  Retries the whole
+        derive+commit on a lost CAS race (``attempts=1`` restores
+        raise-on-conflict)."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        fn = (
+            (lambda t: t._update_where_once(predicate, assignments))
+            if mode == "cow"
+            else (lambda t: t._update_where_mor_once(predicate, assignments))
+        )
+        return self.commit_with_retry(fn, attempts)
+
+
+    def _update_where_once(
+        self, predicate: str, assignments: dict[str, str]
+    ) -> CommitInfo:
+        m = self.manifest()
+        schema = self._update_schema(m, assignments)
+        by_name = {f.name: f for f in schema.fields}
+        live = self._apply_dv(self._lineage_scan(m["files"], schema), m["files"])
+        hit_rels = {
+            r["__file"]
+            for r in live.filter(F.expr(predicate))
+            .select("__file")
+            .distinct()
+            .collect()  # bounded by file count, not rows
+        }
+        keep = [e for e in m["files"] if e["path"] not in hit_rels]
+        rewrite = [e for e in m["files"] if e["path"] in hit_rels]
+        new_files: list[dict[str, Any]] = []
+        if rewrite:
+            pred = F.expr(predicate)
+            cols = [
+                F.when(pred, F.expr(assignments[c]).cast(by_name[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in schema.fieldNames()
+            ]
+            updated = self._regen_cols(
+                m, self._scan_entries(rewrite, schema).select(*cols)
+            )
+            new_files = self._write_data_files(updated)
+        return self._commit(
+            "replace", keep + new_files, m["schema"], base_version=m["version"]
+        )
+
+    def _update_where_mor_once(
+        self, predicate: str, assignments: dict[str, str]
+    ) -> CommitInfo:
+        m = self.manifest()
+        schema = self._update_schema(m, assignments)
+        by_name = {f.name: f for f in schema.fields}
+        bad = {"__file", "__pos"} & set(schema.fieldNames())
+        if bad:
+            raise ValueError(
+                f"merge-on-read update reserves column names {sorted(bad)}"
+            )
+        live = self._apply_dv(self._lineage_scan(m["files"], schema), m["files"])
+        hits = live.filter(F.expr(predicate))
+        per_file = {
+            r["__file"]: r["n"]
+            for r in hits.groupBy("__file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded by file count
+        }
+        if not per_file:
+            return self._commit(
+                "replace", list(m["files"]), m["schema"], base_version=m["version"]
+            )
+        # Updated rows first: every hit row matched the predicate, so
+        # the assignments apply unconditionally — and a CHECK violation
+        # raises here, BEFORE any vector exists that could kill the old
+        # rows. The two hits passes re-scan immutable committed files,
+        # so their row sets are identical by construction.
+        updated = self._regen_cols(
+            m,
+            hits.select(
+                *[
+                    F.expr(assignments[c]).cast(by_name[c].dataType).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in schema.fieldNames()
+                ]
+            ),
+        )
+        new_files = self._write_data_files(updated)
+        affected = [e for e in m["files"] if e["path"] in per_file]
+        carried = self._dv_positions(affected)
+        dv_rel = f"{_DV_DIR}/d{uuid.uuid4().hex}"
+        # consolidated old ∪ new positions for every affected file —
+        # deleted-rows-sized, one output file
+        hits.select("__file", "__pos").unionByName(carried).coalesce(1).write.mode(
+            "errorifexists"
+        ).parquet(f"{self.root}/{dv_rel}")
+        new_entries = []
+        for e in m["files"]:
+            if e["path"] not in per_file:
+                new_entries.append(e)
+                continue
+            deleted = per_file[e["path"]] + (e.get("dv") or {}).get("deleted", 0)
+            if deleted >= e["rows"]:
+                # every physical row dead: the entry drops outright
+                # (its rows live on, updated, in the appended files)
+                continue
+            kept = {k: v for k, v in e.items() if k != "dv"}
+            kept["dv"] = {"path": dv_rel, "deleted": deleted}
+            if e.get("base", self.root) != self.root:
+                kept["dv"]["base"] = self.root
+            new_entries.append(kept)
+        return self._commit(
+            "replace",
+            new_entries + new_files,
+            m["schema"],
+            base_version=m["version"],
+        )
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        delete_col: str | None = None,
+        meta: dict[str, Any] | None = None,
+        merge_schema: bool = False,
+        attempts: int = 10,
+        when_matched_update: dict[str, str] | None = None,
+        when_matched_condition: str | None = None,
+        insert_unmatched: bool = True,
+        not_matched_by_source_delete: str | None = None,
+    ) -> CommitInfo:
+        """Delta-style MERGE: one atomic commit that upserts ``source``
+        rows into the table by ``keys`` (whole-row replacement for
+        matched keys, insert for new keys) and, when ``delete_col``
+        names a boolean column, deletes matched keys flagged true.
+
+        Copy-on-write with FILE pruning on the join: only files that
+        actually contain a matched key are rewritten — found by one
+        key-join carrying ``_metadata.file_path`` (result bounded by
+        the file count) — and every untouched file carries over by
+        reference, so a merge touching 0.1% of keys costs the rewrite
+        of the files those keys live in, not the table. The commit is
+        a single manifest create: readers never observe the
+        delete-without-insert intermediate of a delete+append pair.
+        ``source`` must be key-unique (enforced — a double-matched key
+        would make the outcome order-dependent).
+
+        This is the consumer half of CDC: feed it the per-key FINAL
+        state of a change feed (see ``replicate_from``) and the target
+        converges to the producer's snapshot.
+
+        ``merge_schema=True`` extends additive schema evolution to
+        MERGE (Delta's ``withSchemaEvolution()``): source columns the
+        table lacks are appended to the table schema, with existing
+        files NULL-backfilling at read, so replication keeps following
+        a producer that evolved mid-stream. Without the flag an
+        evolved source is rejected loudly — silently projecting the
+        new columns away would diverge the replica.
+
+        Delta's conditional clauses, all optional and composable:
+
+        * ``when_matched_update={col: sql_expr}`` — matched target
+          rows get SET expressions applied instead of whole-row
+          replacement (``UPDATE SET`` semantics). Expressions may
+          reference the target row as ``t.<col>`` and the source row
+          as ``s.<col>`` (key columns are unqualified). The source
+          only needs its keys plus referenced columns — a partial
+          source is legal in this mode; inserts NULL-backfill the
+          rest.
+        * ``when_matched_condition="sql"`` — further gates the update
+          (``WHEN MATCHED AND <cond> THEN UPDATE``); matched rows
+          failing it carry through UNCHANGED. Requires
+          ``when_matched_update``.
+        * ``insert_unmatched=False`` — source rows with no target
+          match are ignored (``WHEN NOT MATCHED`` clause omitted).
+        * ``not_matched_by_source_delete="sql"`` — target rows with
+          NO source match AND matching the predicate are deleted
+          (Delta's ``whenNotMatchedBySourceDelete``) — the sync shape
+          that retires rows absent from the latest feed.
+
+        Retries the whole derive+commit on a lost CAS race
+        (``attempts=1`` restores raise-on-conflict)."""
+        return self.commit_with_retry(
+            lambda t: t._merge_once(
+                source,
+                keys,
+                delete_col,
+                meta,
+                merge_schema,
+                when_matched_update,
+                when_matched_condition,
+                insert_unmatched,
+                not_matched_by_source_delete,
+            ),
+            attempts,
+        )
+
+    def _merge_once(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        delete_col: str | None = None,
+        meta: dict[str, Any] | None = None,
+        merge_schema: bool = False,
+        when_matched_update: dict[str, str] | None = None,
+        when_matched_condition: str | None = None,
+        insert_unmatched: bool = True,
+        not_matched_by_source_delete: str | None = None,
+    ) -> CommitInfo:
+        if delete_col and delete_col in keys:
+            raise ValueError("delete_col cannot be a merge key")
+        if when_matched_condition and not when_matched_update:
+            raise ValueError(
+                "when_matched_condition requires when_matched_update"
+            )
+        if when_matched_update:
+            bad = sorted(set(when_matched_update) & set(keys))
+            if bad:
+                raise ValueError(f"cannot SET merge keys {bad}")
+        m = self.manifest()
+        schema = self._schema_of(m)
+        old = {f.name: f.dataType for f in schema.fields}
+        src = {
+            f.name: f for f in source.schema.fields if f.name != delete_col
+        }
+        conflicts = sorted(
+            n for n, f in src.items() if n in old and f.dataType != old[n]
+        )
+        if conflicts:
+            raise SchemaMismatchError(
+                f"type change on {conflicts} is not supported "
+                "(additive evolution only)"
+            )
+        extra = [f for n, f in src.items() if n not in old]
+        if extra and when_matched_update is not None:
+            # SET mode: extra source columns are expression INPUTS
+            # (s.<col>), not schema evolution — inserts project the
+            # table schema and ignore them
+            pass
+        elif extra:
+            if not merge_schema:
+                raise SchemaMismatchError(
+                    f"merge source has columns the table lacks "
+                    f"({[f.name for f in extra]}); pass merge_schema=True "
+                    "for additive evolution"
+                )
+            self._assert_no_readd([f.name for f in extra], set(old))
+            from pyspark.sql.types import StructType
+
+            schema = StructType(list(schema.fields) + extra)
+        cols = [f.name for f in schema.fields]
+        dup = (
+            source.groupBy(*keys).count().filter("count > 1").limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge source is not unique on {keys}: e.g. "
+                f"{tuple(dup[0][k] for k in keys)}"
+            )
+        # lineage scan so existing deletion vectors are honored both in
+        # hit discovery and in the survivor rewrite (a DV'd row must
+        # neither mark its file as hit nor resurrect in the rewrite)
+        base_schema = self._schema_of(m)
+        live = self._apply_dv(
+            self._lineage_scan(m["files"], base_schema), m["files"]
+        )
+        if when_matched_update is None:
+            # whole-row semantics: matched source rows REPLACE target
+            # rows, so identity values must be retained from the target
+            # (fresh ids only for genuinely new keys — silent
+            # re-identification would break every downstream reference),
+            # then omitted generated columns computed (their expressions
+            # may reference the identity). The SET-clause path retains
+            # ids naturally (updates rebuild target rows) and its
+            # inserts get fresh ids in _merge_clause_files.
+            source = self._apply_generated(
+                self._apply_identity_merge(source, live, keys, m), m
+            )
+        src_keys = source.select(*keys).distinct()
+        hit_rels = {
+            r["__file"]
+            for r in live.select("__file", *keys)
+            .join(src_keys, keys, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()  # bounded by file count, not rows
+        }
+        if not_matched_by_source_delete:
+            # files holding doomed source-less rows must be rewritten too
+            hit_rels |= {
+                r["__file"]
+                for r in live.select("__file", *base_schema.fieldNames())
+                .join(src_keys, keys, "left_anti")
+                .filter(F.expr(not_matched_by_source_delete))
+                .select("__file")
+                .distinct()
+                .collect()  # bounded by file count
+            }
+        keep = [e for e in m["files"] if e["path"] not in hit_rels]
+        rewrite = [e for e in m["files"] if e["path"] in hit_rels]
+        if when_matched_update is None and not_matched_by_source_delete is None:
+            # whole-row upsert, the original path
+            upserts = (
+                source.filter(~F.col(delete_col)) if delete_col else source
+            ).select(*cols)
+            if not insert_unmatched:
+                upserts = upserts.join(
+                    live.select(*keys).distinct(), keys, "left_semi"
+                )
+            new_files: list[dict[str, Any]] = []
+            if rewrite:
+                survivors = (
+                    self._scan_entries(rewrite, schema)
+                    .join(src_keys, keys, "left_anti")
+                )
+                new_files += self._write_data_files(
+                    survivors.unionByName(upserts)
+                )
+            else:
+                new_files += self._write_data_files(upserts)
+        else:
+            new_files = self._merge_clause_files(
+                source, keys, delete_col, schema, rewrite, live,
+                when_matched_update, when_matched_condition,
+                insert_unmatched, not_matched_by_source_delete, m,
+            )
+        return self._commit(
+            "replace",
+            keep + new_files,
+            schema.simpleString(),
+            meta,
+            base_version=m["version"],
+        )
+
+    def _merge_clause_files(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        delete_col: str | None,
+        schema,
+        rewrite: list[dict[str, Any]],
+        live: DataFrame,
+        when_matched_update: dict[str, str] | None,
+        when_matched_condition: str | None,
+        insert_unmatched: bool,
+        not_matched_by_source_delete: str | None,
+        m: dict[str, Any],
+    ) -> list[dict[str, Any]]:
+        """Rewrite-side row derivation for the conditional-clause MERGE
+        path: ONE left join of the rewrite files against the source
+        decides every target row's fate (flagged delete / conditional
+        SET update / unchanged carry / source-less retire), and
+        unmatched source rows append NULL-backfilled inserts. Cost
+        shape matches the whole-row path: a key join over the rewrite
+        files plus one pass over the key-unique source."""
+        cols = [f.name for f in schema.fields]
+        by_name = {f.name: f for f in schema.fields}
+        if when_matched_update:
+            unknown = sorted(set(when_matched_update) - set(cols))
+            if unknown:
+                raise ValueError(f"unknown columns in SET: {unknown}")
+        reserved = {"__m", "__doomed"} & (set(cols) | set(source.columns))
+        if reserved:
+            raise ValueError(
+                f"merge reserves the column name(s) {sorted(reserved)}"
+            )
+        no_adds = when_matched_update is not None and not insert_unmatched
+        if not rewrite and no_adds:
+            return []  # nothing rewritten, nothing inserted
+        src_flag = source.withColumn("__m", F.lit(True)).alias("s")
+        rows_out = None
+        if rewrite:
+            tgt = self._scan_entries(rewrite, schema)
+            # the retire predicate speaks bare TARGET names: evaluate it
+            # BEFORE the join, where they are unambiguous
+            tgt = tgt.withColumn(
+                "__doomed",
+                F.expr(not_matched_by_source_delete)
+                if not_matched_by_source_delete
+                else F.lit(False),
+            ).alias("t")
+            j = tgt.join(src_flag, keys, "left")
+            matched = F.col("__m").isNotNull()
+            flagged = (
+                matched & F.coalesce(F.col(f"s.{delete_col}"), F.lit(False))
+                if delete_col
+                else F.lit(False)
+            )
+            cond = (
+                F.expr(when_matched_condition)
+                if when_matched_condition
+                else F.lit(True)
+            )
+            doomed = (~matched) & F.col("__doomed")
+            if when_matched_update:
+                do_update = matched & ~flagged & cond
+                out_cols = [
+                    F.col(c)
+                    if c in keys
+                    else (
+                        F.when(
+                            do_update,
+                            F.expr(when_matched_update[c]).cast(
+                                by_name[c].dataType
+                            ),
+                        )
+                        .otherwise(F.col(f"t.{c}"))
+                        .alias(c)
+                        if c in when_matched_update
+                        else F.col(f"t.{c}").alias(c)
+                    )
+                    for c in cols
+                ]
+                keep_row = ~flagged & ~doomed
+            else:
+                # whole-row replacement: matched rows drop here and
+                # re-enter from the source side below
+                out_cols = [
+                    F.col(c) if c in keys else F.col(f"t.{c}").alias(c)
+                    for c in cols
+                ]
+                keep_row = ~matched & ~doomed
+            rows_out = j.filter(keep_row).select(*out_cols)
+        # source-side additions
+        adds = source.filter(~F.col(delete_col)) if delete_col else source
+        if when_matched_update is not None:
+            # matched rows were updated in place: only NEW keys insert
+            adds = (
+                adds.join(live.select(*keys).distinct(), keys, "left_anti")
+                if insert_unmatched
+                else adds.limit(0)
+            )
+        elif not insert_unmatched:
+            adds = adds.join(live.select(*keys).distinct(), keys, "left_semi")
+        ins = adds.select(
+            *[
+                F.col(c)
+                if c in adds.columns
+                else F.lit(None).cast(by_name[c].dataType).alias(c)
+                for c in cols
+            ]
+        )
+        assigned = False
+        for col, spec in dict(m.get("identity") or {}).items():
+            if col in adds.columns:
+                continue  # whole-row path: source already enriched
+            # SET-clause inserts: NULL-backfilled identity would break
+            # uniqueness silently — assign fresh watermark-derived ids
+            # (matched rows retained theirs through the t.<col> carry);
+            # watermark from the CALLER's CAS-base manifest snapshot
+            wm = self._identity_watermark(m, col, spec)
+            ins = ins.withColumn(
+                col,
+                (
+                    F.lit(wm)
+                    + F.lit(spec["step"]) * F.monotonically_increasing_id()
+                ).cast("bigint"),
+            )
+            assigned = True
+        rows_out = ins if rows_out is None else rows_out.unionByName(ins)
+        if assigned:
+            # freeze the nondeterministic assignment across the
+            # validation + write passes
+            rows_out = rows_out.localCheckpoint(eager=True)
+        return self._write_data_files(rows_out)
+
+    def replicate_from(
+        self,
+        producer: "VersionedTable",
+        keys: list[str],
+        since_version: int,
+        version: int | None = None,
+    ) -> CommitInfo:
+        """CDC replication: fold the producer's row-level change feed
+        over ``(since_version, version]`` into this table with ONE
+        merge commit. The per-key final state is resolved first (last
+        commit wins; within a commit an insert beats the delete of the
+        same key — the CoW survivor churn), so replays and multi-step
+        ranges collapse to a single upsert/delete set bounded by the
+        changed keys, and the target provably converges to the
+        producer's snapshot at ``version``."""
+        ch = producer.read_changes_rows(since_version, version)
+        final = cdf_final_state(ch, keys)
+        return self.merge(
+            final,
+            keys,
+            delete_col="__delete",
+            meta={"replicated_from": producer.root, "source_version":
+                  producer.manifest(version)["version"]},
+            # follow the producer through additive schema evolution
+            merge_schema=True,
+        )
+
+    def replace_where(
+        self,
+        predicate: str,
+        df: DataFrame,
+        meta: dict[str, Any] | None = None,
+        attempts: int = 10,
+    ) -> CommitInfo:
+        """Delta-style ``replaceWhere``: atomically delete the rows
+        matching ``predicate`` AND insert ``df``'s rows, as ONE commit.
+
+        Copy-on-write like ``delete_where`` (only files containing
+        matching rows are rewritten; the rest carry over by reference)
+        plus the replacement's new files, all landing in a single
+        manifest — so no reader can ever observe the deleted-but-not-
+        yet-replaced intermediate state that a delete+append pair would
+        expose between its two versions.  The maintenance shape for
+        partition-scoped rewrites (e.g. repacking a shard).  Retries
+        the whole derive+commit on a lost CAS race (``attempts=1``
+        restores raise-on-conflict)."""
+        return self.commit_with_retry(
+            lambda t: t._replace_where_once(predicate, df, meta), attempts
+        )
+
+    def _replace_where_once(
+        self, predicate: str, df: DataFrame, meta: dict[str, Any] | None = None
+    ) -> CommitInfo:
+        m = self.manifest()
+        schema = self._schema_of(m)
+        live = self._apply_dv(self._lineage_scan(m["files"], schema), m["files"])
+        hit_rels = {
+            r["__file"]
+            for r in live.filter(F.expr(predicate))
+            .select("__file")
+            .distinct()
+            .collect()  # bounded by file count, not rows
+        }
+        keep = [e for e in m["files"] if e["path"] not in hit_rels]
+        rewrite = [e for e in m["files"] if e["path"] in hit_rels]
+        new_files: list[dict[str, Any]] = []
+        if rewrite:
+            survivors = self._scan_entries(rewrite, schema).filter(
+                ~F.expr(predicate)
+            )
+            new_files += self._write_data_files(survivors, enforce=False)
+        # replacement rows behave like an append: the engine assigns
+        # identity values (fresh ids — ALWAYS semantics forbid reuse)
+        # and computes omitted generated columns, from the SAME
+        # snapshot the CAS below guards (silently writing the columns
+        # as NULL would break uniqueness/generation invariants)
+        df = self._apply_generated(self._apply_identity(df, m), m)
+        new_files += self._write_data_files(df)
+        return self._commit(
+            "replace", keep + new_files, m["schema"], meta,
+            base_version=m["version"],
+        )
+
+    def optimize(
+        self,
+        target_rows_per_file: int = 1_000_000,
+        cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        mode: str = "full",
+        attempts: int = 10,
+    ) -> CommitInfo:
+        """OPTIMIZE: rewrite small files into ~target-sized files
+        (bin-packing), optionally range-clustered on ``cluster_by``
+        (single-column locality) or Morton-clustered on ``zorder_by``
+        (multi-column locality — every z-ordered column's per-file
+        range tightens, so ``read_pruned`` skips on any of them) so
+        manifest stats turn into skipped I/O. Content is unchanged —
+        only the file layout — and history is preserved: old versions
+        still read their original files until vacuumed.
+
+        * ``mode="full"``: rewrite the whole snapshot — the clustering
+          pass (a global sort/z-order needs every row to tighten every
+          file's range).
+        * ``mode="compact"`` (Delta's OPTIMIZE bin-packing): rewrite
+          ONLY entries that are under-sized (live rows <
+          ``target_rows_per_file``) or carry a deletion vector (the
+          rewrite folds the vector away); well-sized clean files carry
+          over BY REFERENCE. This is the steady-state maintenance
+          shape at 100 TB — cost ∝ small-file backlog, not table size
+          — so a streaming-ingested table stays scannable without ever
+          paying a snapshot rewrite. Clustering flags apply to the
+          compacted subset only.
+
+        Either mode is one atomic commit, so concurrent readers never
+        see a half-compacted table; retries on a lost CAS race."""
+        if cluster_by and zorder_by:
+            raise ValueError("pass cluster_by or zorder_by, not both")
+        if mode not in ("full", "compact"):
+            raise ValueError(f"mode must be 'full' or 'compact', got {mode!r}")
+        return self.commit_with_retry(
+            lambda t: t._optimize_once(
+                target_rows_per_file, cluster_by, zorder_by, mode
+            ),
+            attempts,
+        )
+
+    def _optimize_once(
+        self,
+        target_rows_per_file: int,
+        cluster_by: list[str] | None,
+        zorder_by: list[str] | None,
+        mode: str,
+    ) -> CommitInfo:
+        m = self.manifest()
+        schema = self._schema_of(m)
+        if not m["files"]:
+            raise VersionNotFoundError(f"version {m['version']} is empty")
+        if mode == "compact":
+            rewrite = [
+                e
+                for e in m["files"]
+                if e.get("dv") or self._entry_live_rows(e) < target_rows_per_file
+            ]
+            rw = {e["path"] for e in rewrite}
+            keep = [e for e in m["files"] if e["path"] not in rw]
+            if len(rewrite) < 2 and not any(e.get("dv") for e in rewrite):
+                # nothing to gain: no bin to pack, no vector to fold —
+                # metadata-only commit keeps the call atomic/idempotent
+                return self._commit(
+                    "optimize", list(m["files"]), m["schema"],
+                    base_version=m["version"],
+                )
+            current = self._scan_entries(rewrite, schema)
+        else:
+            rewrite, keep = list(m["files"]), []
+            current = self._scan_entries(rewrite, schema)
+        total_rows = sum(self._entry_live_rows(f) for f in rewrite)
+        n_out = max(1, -(-total_rows // target_rows_per_file))
+        if zorder_by:
+            from finalpipeline_spark.operators.zorder import zorder_cluster
+
+            packed = zorder_cluster(current, zorder_by, n_out)
+        elif cluster_by:
+            packed = current.repartitionByRange(n_out, *[F.col(c) for c in cluster_by])
+        else:
+            packed = current.coalesce(n_out)
+        return self._commit(
+            "optimize",
+            keep + self._write_data_files(packed, enforce=False),
+            m["schema"],
+            base_version=m["version"],
+        )
+
+    def rollback(self, version: int) -> CommitInfo:
+        """Commit a NEW version whose content equals ``version``'s.
+        History is append-only; nothing is deleted or rewritten."""
+        base = self.latest_version()
+        m = self.manifest(version)
+        return self._commit(
+            "rollback", list(m["files"]), m["schema"], base_version=base
+        )
+
+    def clone_to(
+        self, dest_root: str, version: int | None = None, deep: bool = False
+    ) -> "VersionedTable":
+        """CLONE (Delta semantics), two strengths:
+
+        * ``deep=False`` — SHALLOW: a new table at ``dest_root`` whose
+          v0 manifest references this table's data files BY POINTER
+          (each entry carries ``base`` = this root) — a zero-copy fork
+          carrying stats and blooms. The clone's own writes (appends,
+          CoW deletes, optimize) land under its own root; the source
+          is never touched. Caveat (same as Delta): vacuuming the
+          SOURCE can delete files a shallow clone still references —
+          shallow clones are forks for experimentation, not backups.
+        * ``deep=True`` — DEEP: the snapshot's LIVE rows are rewritten
+          into the destination as one distributed Spark job (deletion
+          vectors applied and dropped, stats/blooms regenerated), so
+          the clone owns every byte: vacuum or delete the source and
+          the clone is unaffected. Executor-parallel by construction —
+          never a driver-side file-copy loop — which is the shape that
+          survives a 100 TB source.
+
+        Either way the clone carries the source's CHECK constraints
+        and records its lineage (``cloned_from``/``source_version``)
+        in the manifest."""
+        from finalpipeline_spark.sources.versioned import VersionedTable
+
+        m = self.manifest(version)
+        dest = VersionedTable(
+            self.spark,
+            dest_root,
+            bloom_col=self.bloom_col,
+            bloom_bits=self.bloom_bits,
+            bloom_k=self.bloom_k,
+        )
+        if deep and m["files"]:
+            # rows already satisfied the source's constraints — skip
+            # the re-validation pass on the rewrite
+            cloned = dest._write_data_files(
+                self._scan_entries(m["files"], self._schema_of(m)), enforce=False
+            )
+        elif deep:
+            cloned = []
+        else:
+            cloned = [{**f, "base": f.get("base", self.root)} for f in m["files"]]
+        dest._commit(
+            "clone",
+            cloned,
+            m["schema"],
+            meta={
+                "cloned_from": self.root,
+                "source_version": m["version"],
+                "deep": deep,
+            },
+            base_version=dest.latest_version(),
+            constraints=m.get("constraints"),  # table properties clone too
+            # a SHALLOW clone points at the source's (possibly cmap'd)
+            # files by reference, so it inherits the source's reader
+            # requirement; a DEEP clone rewrote every file (cmaps
+            # purged) and owes nothing
+            reader=None if deep else m.get("reader"),
+        )
+        return dest
+

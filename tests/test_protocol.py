@@ -125,7 +125,9 @@ def test_reader_requirement_sticky_table_wide(spark, vt):
     assert vt.manifest()["reader"] == 2
     # a build that only speaks reader 1 refuses the APPEND manifest,
     # not just the readd commit itself
-    import finalpipeline_spark.sources.versioned as V
+    # the constant's one patchable owner is versioned_base (the
+    # protocol mixins resolve it dynamically through that module)
+    import finalpipeline_spark.sources.versioned_base as V
 
     readd_v = None
     for v in vt.versions():
