@@ -1085,21 +1085,43 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: edges and labels are doc_id-keyed shuffles; each
     round is one join + one groupBy. Lineage is truncated per round
     via operators/checkpointing (without it the plan doubles per
-    round). At 100 TB-with-deep-chains — where diameter-bounded
-    rounds fail — the alternating large-star/small-star variant is
-    IMPLEMENTED as operators/components.connected_components
-    (O(log² n) rounds on any shape, proven equal to this query on the
-    real LSH pair graph by tests/test_components.py); label
-    propagation stays the shipped form here because LSH dup clusters
-    are near-cliques (2-3 rounds, fewer shuffles per round). The
+    round). Deep chains — where diameter-bounded rounds fail — AUTO-
+    SWITCH: if the label sum hasn't fixpointed after
+    ``_LP_GUARD_ROUNDS`` (LSH dup clusters are near-cliques, 2-3
+    rounds; needing more is itself the diameter signal), the query
+    hands the SAME edge set to the alternating large-star/small-star
+    operator (operators/components.connected_components, O(log² n)
+    rounds on any shape — Kiveris et al., SoCC'14), so the shipped
+    query can never silently stop short of the true components. The
     DuckDB oracle is the same closure as a recursive CTE.
 
     Output: every clustered doc with its component id (= min doc_id in
     the component) and the canonical-keeper flag.
     """
+    pairs = doc_dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    return cluster_documents(pairs)
+
+
+# Label-propagation round budget before doc_dedup_clusters switches to
+# the O(log² n) star operator: near-clique LSH graphs fixpoint in 2-3
+# rounds, so 12 label-sum plateaus only on a genuinely deep graph —
+# where propagation would need O(diameter) rounds and the star operator
+# wins anyway. (A 50-round cap used to be the only backstop; a 5000-link
+# duplication chain would have hit it and silently returned partial
+# clusters.)
+_LP_GUARD_ROUNDS = 12
+
+
+def cluster_documents(pairs: DataFrame) -> DataFrame:
+    """Connected components of a (doc_id_a, doc_id_b) near-dup pair set
+    → (doc_id, cluster_id, is_canonical). Min-label propagation with
+    the per-round exact label-sum convergence test, auto-switching to
+    operators/components.connected_components past ``_LP_GUARD_ROUNDS``
+    (see doc_dedup_clusters). Exposed separately so the deep-chain
+    fallback is testable through the query's own code path with an
+    injected pathological graph."""
     from finalpipeline_spark.operators.checkpointing import truncate_lineage
 
-    pairs = doc_dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
     fwd = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
     rev = pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
     edges = truncate_lineage(fwd.union(rev), eager=True)
@@ -1116,7 +1138,8 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = truncate_lineage(labels, eager=True)
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(50):
+    converged = False
+    for _ in range(_LP_GUARD_ROUNDS):
         nbr_min = (
             edges.join(
                 labels.select(
@@ -1139,8 +1162,21 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # diameter guard tripped: this graph is chain-shaped, where
+        # label propagation needs O(diameter) rounds — finish with the
+        # O(log² n) star operator on the same edges instead of looping
+        # (or worse, silently returning pre-fixpoint labels)
+        from finalpipeline_spark.operators.components import (
+            connected_components,
+        )
+
+        labels = connected_components(edges, src="src", dst="dst").select(
+            F.col("node").alias("doc_id"), F.col("component").alias("label")
+        )
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

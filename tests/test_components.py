@@ -99,3 +99,53 @@ def test_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_rounds=1)
+
+
+def test_query_path_auto_switches_on_deep_chain(spark):
+    """The SHIPPED query path (documents.cluster_documents — what
+    doc_dedup_clusters runs on its LSH pairs) must converge on a
+    duplication CHAIN far deeper than the label-propagation guard:
+    the guard trips after _LP_GUARD_ROUNDS label-sum plateaus fail to
+    arrive and the query finishes with the star operator instead of
+    silently returning pre-fixpoint labels (the old 50-round cap's
+    failure mode)."""
+    from finalpipeline_spark.queries.documents import (
+        _LP_GUARD_ROUNDS,
+        cluster_documents,
+    )
+
+    n = 600  # diameter 600 >> guard budget
+    assert n > 4 * _LP_GUARD_ROUNDS
+    pairs = spark.range(n - 1).selectExpr(
+        "id as doc_id_a", "id + 1 as doc_id_b"
+    )
+    got = cluster_documents(pairs).collect()
+    assert len(got) == n
+    assert all(r.cluster_id == 0 for r in got)  # one component, min id 0
+    assert sorted(r.doc_id for r in got) == list(range(n))
+    assert [r.doc_id for r in got if r.is_canonical] == [0]
+
+
+def test_query_path_matches_star_operator_on_lsh_graph(spark, sf_dir):
+    """Guard regression: on the REAL LSH pair graph the propagation
+    path (guard not tripped) must still equal the star operator —
+    i.e. the auto-switch refactor changed no converged result."""
+    from finalpipeline_spark.operators.components import connected_components
+    from finalpipeline_spark.queries.documents import (
+        cluster_documents,
+        doc_dedup_minhash_lsh,
+    )
+
+    pairs = doc_dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b"
+    )
+    via_query = {
+        (r.doc_id, r.cluster_id) for r in cluster_documents(pairs).collect()
+    }
+    via_star = {
+        (r.node, r.component)
+        for r in connected_components(
+            pairs, src="doc_id_a", dst="doc_id_b"
+        ).collect()
+    }
+    assert via_query == via_star
