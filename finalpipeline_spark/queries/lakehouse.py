@@ -219,3 +219,92 @@ def versioned_identity_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("rid_step_aligned", int(row["aligned"])),
     ]
     return spark.createDataFrame(rows, "stat string, value bigint")
+
+
+@register(
+    "versioned_sql_dml_roundtrip",
+    oracle="""
+        SELECT c_mktsegment,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(cast(round(
+                   (c_acctbal + CASE WHEN c_custkey % 2 = 0
+                                     THEN 1000 ELSE 0 END) * 100
+               ) AS bigint)) AS bigint) AS sum_cents
+        FROM customer
+        WHERE c_mktsegment <> 'BUILDING'
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    tags=("extension",),
+)
+def versioned_sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 SQL WRITE surface, attested end-to-end in one flow (the
+    reference persona writes SQL text — ref views_p1.py — and could
+    previously only READ through it):
+
+    1. **Native ``INSERT INTO <USING versioned view>``** — routed
+       through the Python DataSource writer (sources/pyds_write.py):
+       executor tasks stream Arrow batches into fresh data files, the
+       driver hook CAS-claims the next version with the os-primitive
+       twin of the JVM commit protocol.
+    2. **``versioned_sql`` MERGE** — matched UPDATE + NOT MATCHED
+       INSERT * parsed from SQL text and run through the Spark-side
+       MERGE (one CoW commit, file-pruned join).
+    3. **``versioned_sql`` DELETE** — predicate delete, CoW.
+
+    Data plan: base = customers with custkey % 3 != 0 (Python-API
+    seed); native SQL INSERT adds the odd multiples of 3; the MERGE
+    source is every even customer with acctbal+1000 (evens present
+    get the UPDATE, even multiples of 3 absent get the INSERT), so
+    after the merge ALL customers are present, evens at +1000; the
+    DELETE then drops segment BUILDING. The DuckDB oracle reconstructs
+    exactly that final state from the raw parquet — equality proves
+    all three write paths landed exactly-once with the right rows.
+    Double math (bal + 1000) * 100 uses the same expression tree in
+    both engines (bit-identical IEEE), summed as exact bigint cents."""
+    from finalpipeline_spark.sources.pyds import register_versioned_source
+    from finalpipeline_spark.sources.sql_dml import versioned_sql
+    from finalpipeline_spark.sources.versioned import VersionedTable
+
+    register_versioned_source(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="fps_sqldml_") + "/cust_vt"
+    t = VersionedTable(spark, root)
+    t.commit_overwrite(cust.filter("c_custkey % 3 != 0"))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW __fps_dml USING versioned "
+        f"OPTIONS (root '{root}')"
+    )
+    cust.createOrReplaceTempView("__fps_dml_cust")
+    # 1. native V2 write path (engine-less hooks, CAS claim)
+    spark.sql(
+        "INSERT INTO __fps_dml SELECT c_custkey, c_acctbal, c_mktsegment "
+        "FROM __fps_dml_cust WHERE c_custkey % 3 = 0 AND c_custkey % 2 = 1"
+    )
+    # 2. full-fidelity MERGE from SQL text (Spark-side semantics)
+    spark.sql(
+        "SELECT c_custkey, c_acctbal + 1000 AS c_acctbal, c_mktsegment "
+        "FROM __fps_dml_cust WHERE c_custkey % 2 = 0"
+    ).createOrReplaceTempView("__fps_dml_src")
+    versioned_sql(
+        spark,
+        """MERGE INTO __fps_dml AS t USING __fps_dml_src AS s
+           ON t.c_custkey = s.c_custkey
+           WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
+           WHEN NOT MATCHED THEN INSERT *""",
+    )
+    # 3. predicate DELETE from SQL text
+    versioned_sql(spark, "DELETE FROM __fps_dml WHERE c_mktsegment = 'BUILDING'")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(cast(round(c_acctbal * 100) AS bigint)) AS bigint)
+                   AS sum_cents
+        FROM __fps_dml
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )

@@ -72,74 +72,70 @@ def register(
 # the window.  After ANY registration change, re-print list(queries())
 # [:52] and re-curate this list.
 _PRIORITY_MODULES: tuple[str, ...] = ()
-# Round 8 window, OLDEST-EVIDENCE-FIRST: the two r3-displaced staples
-# head it, then the COMPLETE r4-attested oracle-backed block (40 of the
-# 42 r4-latest queries — doc_bpe_learn_merges/doc_bpe_encode are
-# rows-only by policy and get no slots), then this round's additions,
-# then the oldest r5-attested staples to fill to 50.  After this window
-# every query's latest driver row is r5 or newer.
+# Round 9 window, OLDEST-EVIDENCE-FIRST: after r8 the oldest evidence
+# is the 49-query block whose latest green driver row is r5 (recomputed
+# from CORRECTNESS_r01..r08 — the r9 VERDICT's own recount agrees:
+# exactly these 49). They take the first 49 slots; the 50th goes to
+# this round's one new query (versioned_sql_dml_roundtrip — the SQL
+# WRITE surface attestation: never driver-checked, i.e. the true
+# oldest evidence of all). 49 + 1 = 50 exactly, so nothing is
+# displaced and after this window no registered query's latest green
+# row is older than r6. Everything outside the window stays covered by
+# the local oracle-parity suite (tests/test_oracle_parity.py — same
+# compare, dtype-strict).
 _PRIORITY_QUERIES = (
-    # -- last driver row r3 (displaced from the r7 window by design) --
-    "orders_incremental_mv",
-    "doc_global_row_ids",
-    # -- the complete r4-attested oracle-backed block --
-    "chembl_tanimoto_lsh_recall",
-    "chembl_tanimoto_lsh_topk",
-    "customer_division_regions",
-    "doc_bigram_lm",
-    "doc_bpe_pair_counts",
-    "doc_dedup_containment",
-    "doc_drift_psi",
-    "doc_dup_rate_by_source",
-    "doc_lang_source_contingency",
-    "doc_quality_weighted_sample",
-    "doc_simpson_diversity",
-    "doc_tokenizer_fertility",
-    "doc_unpivot_lang_counts",
-    "emb_covariance_prefix",
-    "emb_matryoshka_eval",
-    "events_ab_test_zscore",
-    "events_changepoint",
-    "events_cms_join_size",
-    "events_concurrency_curve",
-    "events_dow_hour_heatmap",
-    "events_drift_ks",
-    "events_first_touch_attribution",
-    "events_forecast_backtest",
-    "events_last_touch_attribution",
-    "events_mad_outliers",
-    "events_markov_transitions",
-    "events_skew_profile",
-    "events_top_paths",
-    "fk_integrity_audit",
-    "hll_union_parts",
-    "lineitem_basket_lift",
-    "lineitem_benford_audit",
-    "lineitem_price_histogram",
-    "mm_audio_energy",
-    "mm_video_scene_cut",
-    "nation_shortest_paths",
-    "orders_backlog_sweep",
-    "orders_cohort_ltv",
-    "orders_spend_tiles",
-    "tpch_grouping_sets",
-    # -- ADDED in r8: the versioned lakehouse's PURE-SQL surface
-    #    (USING versioned views: change feed + VERSION AS OF), the
-    #    in-engine linear-probe trainer, and the cross-document
-    #    repeated-span profile --
-    "versioned_sql_table_changes",
-    "versioned_sql_time_travel",
-    "doc_quality_linear_probe",
-    "doc_crossdoc_repeated_spans",
-    "emb_hard_negatives",
-    "doc_span_dedup_rewrite",
-    "versioned_identity_generated",
-    # -- oldest r5-attested staple fills the remaining slot
-    #    (doc_dedup_ngram_jaccard / doc_edit_distance_pairs /
-    #    doc_contamination_check / doc_dedup_exact /
-    #    doc_bpe_token_count displaced by the five r8 query
-    #    additions; all r5-green + judge-pytest) --
-    "chembl_id_resolution",
+    # -- never driver-checked: this round's addition ---------------------
+    "versioned_sql_dml_roundtrip",
+    # -- the complete block whose latest green driver row is r5 ----------
+    "chembl_tanimoto_topk",
+    "doc_bpe_token_count",
+    "doc_contamination_check",
+    "doc_corpus_curation",
+    "doc_dedup_clusters",
+    "doc_dedup_exact",
+    "doc_dedup_minhash_lsh",
+    "doc_dedup_ngram_jaccard",
+    "doc_edit_distance_pairs",
+    "doc_entropy_by_source",
+    "doc_fingerprint",
+    "doc_langid",
+    "doc_quality_score",
+    "doc_sample_per_lang",
+    "doc_simhash",
+    "doc_simhash_near_dup",
+    "doc_tfidf_topterms",
+    "doc_token_stats",
+    "doc_train_test_split",
+    "emb_cosine_topk",
+    "emb_ivf_centroids",
+    "emb_ivf_topk",
+    "emb_lsh_buckets",
+    "emb_near_dup_pairs",
+    "emb_scalar_quantize_int8",
+    "emb_silhouette",
+    "events_anomaly_zscore",
+    "events_asof_signup",
+    "events_cohort_retention",
+    "events_conversion_funnel",
+    "events_funnel_latency",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "events_range_self_join",
+    "events_rank_functions",
+    "events_salted_agg",
+    "events_seasonal_decompose",
+    "events_sessionize",
+    "events_sliding_window",
+    "events_top_users_per_type",
+    "events_udaf_median",
+    "events_user_deltas",
+    "events_window_frames",
+    "lineitem_abc_analysis",
+    "lineitem_weighted_median",
+    "orders_gini_revenue",
+    "orders_median_gap",
+    "orders_rfm_segments",
+    "part_skyline",
 )
 
 # Queries ADDED in r7 should take slots here by displacing entries from

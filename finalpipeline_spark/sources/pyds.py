@@ -45,6 +45,16 @@ triple.  ``table_changes(spark, root, start[, end])`` below is the
 one-call Python twin of Delta's SQL TVF.  tests/test_sql_surface.py
 drives the whole contract through pure ``spark.sql``.
 
+**SQL WRITES** (round 9): the same views accept ``INSERT INTO`` /
+``INSERT OVERWRITE``, and ``df.write.format("versioned")`` appends,
+overwrites, or bootstraps a new table — the write half lives in
+sources/pyds_write.py (exactly-once under racing writers via the CAS
+claim protocol; tables with engine-enforced invariants — constraints/
+generated/identity — refuse loudly and point at ``versioned_sql()``,
+sources/sql_dml.py, which runs the full Spark-side semantics from the
+same SQL text, including MERGE/UPDATE/DELETE). tests/test_sql_write.py
+drives both.
+
 Executor-side constraint: DataSource objects are pickled to workers,
 so this module reads manifests and parquet with ``os``/``json``/
 ``pyarrow`` only — no SparkSession/JVM handles. Paths must be visible
@@ -660,6 +670,20 @@ class VersionedDataSource(DataSource):
             prune=str(self.options.get("statsPruning", "false")).lower()
             == "true",
         )
+
+    def writer(self, schema, overwrite: bool):
+        """Batch WRITE path: ``INSERT INTO|OVERWRITE <USING versioned
+        view>`` and ``df.write.format("versioned").mode(...)`` — see
+        sources/pyds_write.py for the protocol (executor tasks stream
+        Arrow batches into fresh data files; the driver hook claims the
+        next version with the os-primitive twin of the JVM commit
+        protocol, CAS-retried). Imported lazily: pyds_write reuses this
+        module's manifest resolution."""
+        from finalpipeline_spark.sources.pyds_write import (
+            VersionedDataSourceWriter,
+        )
+
+        return VersionedDataSourceWriter(dict(self.options), schema, overwrite)
 
     def streamReader(self, schema) -> "VersionedStreamReader":
         caps = {}

@@ -1,0 +1,463 @@
+"""Write half of the ``versioned`` Python DataSource: SQL DML for the
+SQL-only persona.
+
+The reference's consumer persona is pure SQL (reference
+``views_p1.py:3-43`` builds its entire mart with SQL strings), and the
+r8 ``USING versioned`` surface was read-only — snapshot, time travel,
+CDF, history. This module closes the write half: once
+``register_versioned_source(spark)`` has run, a SQL-only user can
+
+* ``INSERT INTO <view>``/``INSERT OVERWRITE <view>`` where the view is
+  ``CREATE TEMPORARY VIEW v USING versioned OPTIONS (root '/p/t')`` —
+  Spark routes the insert through this writer (V2 write path); and
+* ``df.write.format("versioned").option("root", p).mode("append"
+  |"overwrite").save()`` — including BOOTSTRAP of a brand-new table
+  from nothing but the format name.
+
+Execution shape (the Delta write protocol, restated for the Python
+DataSource API):
+
+1. Each executor task streams its Arrow batches straight into ONE new
+   parquet file under the commit's fresh ``data/c<uuid>/`` directory,
+   folding per-file min/max/null-count stats as it goes (zero extra
+   read pass — the JVM path re-reads new files for stats; here the
+   bytes are already in hand). Memory is bounded by one RecordBatch.
+2. The driver-side ``commit()`` assembles the manifest entries and
+   claims the next version with the SAME exclusive-create +
+   read-back-verify + aborted-fragment-recovery protocol as
+   ``VersionedTable._write_manifest`` (sources/versioned_log.py),
+   re-expressed over ``os`` primitives because the Python DataSource's
+   planning/commit hooks run in a Python worker with NO JVM: a lost
+   race re-derives from the fresh head and retries (optimistic CAS),
+   so concurrent INSERTs each land exactly once.
+
+Interop: ``os.open(O_CREAT|O_EXCL)`` is an atomic claim locally and
+the read-back verification absorbs the same ms-scale windows the
+Hadoop-side protocol documents, so SQL writers and JVM
+``VersionedTable`` writers can race each other on local/NFS roots (an
+object store would swap in a conditional-put, Delta's S3 LogStore
+caveat — same as the read side).
+
+Enforcement boundary, loud by design: tables carrying CHECK
+constraints, GENERATED, or IDENTITY columns REFUSE this path at plan
+time. Their invariants are enforced by Spark expressions
+(``versioned_schema.py``), and the executor/commit hooks here have no
+engine to evaluate them — silently writing unvalidated rows (or
+approximating the expressions with a different engine) could corrupt
+the very guarantees those features exist to keep. The refusal names
+the full-fidelity alternative: ``versioned_sql()``
+(sources/sql_dml.py), which parses the same SQL text and runs the
+Spark-side API in the user's session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any, Iterator, List, Optional
+
+from pyspark.sql.datasource import DataSourceArrowWriter, WriterCommitMessage
+
+from finalpipeline_spark.sources.pyds import (
+    _LOG_DIR,
+    _live_manifests,
+    _manifest_paths,
+)
+
+_DATA_DIR = "data"
+_MANIFEST_FMT = "v%012d.json"
+# Mirrors of versioned_base's protocol budgets (keep in sync): see the
+# JVM-side docstrings for the reasoning; values must match so the two
+# writer populations reason identically about each other's poll
+# windows.
+_VERIFY_POLL_SECONDS = 1.0
+_VERIFY_MARGIN_SECONDS = 0.5
+_GRACE_SECONDS = 60.0
+SUPPORTED_WRITER_VERSION = 1
+
+# Columns worth min/max stats — mirror of versioned_base._stat_cols'
+# eligible set, keyed on Spark simpleString type names.
+_STAT_TYPES = {
+    "int", "bigint", "smallint", "tinyint", "float", "double",
+    "string", "date", "timestamp", "boolean",
+}
+
+
+class ConcurrentSqlWriteError(RuntimeError):
+    """Another writer claimed this version first; the commit loop
+    re-reads the head and retries — surfacing only after the retry
+    budget is spent."""
+
+
+def _json_safe(v: Any) -> Any:
+    """Mirror of versioned_base._json_safe, plus tz normalization:
+    Spark ships Arrow timestamps tz-aware (session tz), while the JVM
+    stats path collects them naive — convert to naive UTC so the two
+    writer populations record comparable stat strings."""
+    import datetime
+
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
+
+
+def _read_manifest(path: str) -> dict | None:
+    try:
+        with open(path, "rb") as fh:
+            return json.loads(fh.read().decode("utf-8"))
+    except (FileNotFoundError, json.JSONDecodeError, UnicodeDecodeError):
+        return None
+
+
+def _head(root: str) -> tuple[int | None, dict | None]:
+    """(version, manifest) of the latest LIVE commit (vacuum never
+    expires the head, so live-max == committed-max), or (None, None)
+    for a table that does not exist yet."""
+    live = _live_manifests(root)
+    if not live:
+        return None, None
+    v = max(live)
+    return v, live[v]
+
+
+def _older_than_grace(path: str, grace: float) -> bool:
+    try:
+        return os.path.getmtime(path) < time.time() - grace
+    except OSError:
+        return False  # vanished mid-probe: not ours to recover
+
+
+def _verify_own(path: str, payload: bytes, version: int, root: str) -> None:
+    """Read-back self-verification — mirror of
+    LogProtocolMixin._verify_own_commit: success is only reported once
+    this writer sees its OWN bytes in the slot; a foreign valid
+    manifest is a definitive loss; missing/unparseable polls briefly
+    (we may sit in a racing recovery's quarantine about to be
+    restored)."""
+    deadline = time.time() + _VERIFY_POLL_SECONDS
+    while True:
+        try:
+            with open(path, "rb") as fh:
+                now = fh.read()
+        except OSError:
+            now = None
+        if now == payload:
+            return
+        if now is not None:
+            try:
+                json.loads(now.decode("utf-8"))
+                raise ConcurrentSqlWriteError(
+                    f"version {version} of {root}: this writer's manifest "
+                    "was recovered away mid-write and the slot was "
+                    "committed by another writer — retry"
+                )
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                pass  # unparseable occupant: indeterminate, keep polling
+        if time.time() > deadline:
+            raise ConcurrentSqlWriteError(
+                f"version {version} of {root}: this writer's manifest "
+                "vanished from its slot mid-write — retry"
+            )
+        time.sleep(0.02)
+
+
+def _restore_quarantined(quarantine: str, path: str, version: int, root: str) -> None:
+    """We quarantined a VALID manifest (a racer committed between our
+    probe and our rename). Mirror of
+    LogProtocolMixin._restore_quarantined with os primitives:
+    ``os.link`` gives a true no-clobber restore (EEXIST if the slot was
+    re-occupied). Fresh quarantines (their writer is still inside its
+    verify poll) may be left as aborted junk after waiting out that
+    poll — the writer has certainly raised and retried; stale ones must
+    restore or fail loudly (their writer may have reported success long
+    ago)."""
+    try:
+        mtime = os.path.getmtime(quarantine)
+    except OSError:
+        return  # vanished: another actor resolved it
+    verify_deadline = mtime + _VERIFY_POLL_SECONDS
+    fresh = time.time() < verify_deadline - _VERIFY_MARGIN_SECONDS
+    try:
+        os.link(quarantine, path)
+        os.unlink(quarantine)
+        return
+    except OSError:
+        pass
+    if fresh:
+        wait = verify_deadline + _VERIFY_MARGIN_SECONDS - time.time()
+        if wait > 0:
+            time.sleep(wait)
+        return
+    raise RuntimeError(
+        f"failed to restore concurrently committed manifest for version "
+        f"{version} of {root}; it is preserved at {quarantine} — restore "
+        "it manually"
+    )
+
+
+def _claim(root: str, version: int, payload: bytes, grace: float) -> None:
+    """Claim ``version`` with an exclusive create (atomic locally),
+    recovering a stale aborted fragment exactly like
+    LogProtocolMixin._write_manifest: quarantine-rename as the
+    exclusive recovery claim, verify-after-claim, restore if we stole
+    a racer's valid commit."""
+    log = os.path.join(root, _LOG_DIR)
+    os.makedirs(log, exist_ok=True)
+    path = os.path.join(log, _MANIFEST_FMT % version)
+
+    def _excl_create() -> int | None:
+        try:
+            return os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return None
+
+    fd = _excl_create()
+    if fd is None:
+        occupant = _read_manifest(path)
+        if occupant is not None or not _older_than_grace(path, grace):
+            # committed concurrently, or a LIVE writer mid-write
+            raise ConcurrentSqlWriteError(
+                f"version {version} of {root} was committed concurrently"
+            )
+        quarantine = path + ".aborted-" + uuid.uuid4().hex
+        try:
+            os.rename(path, quarantine)
+        except OSError:
+            raise ConcurrentSqlWriteError(
+                f"version {version} of {root}: aborted-manifest recovery "
+                "lost a race"
+            ) from None
+        if _read_manifest(quarantine) is not None:
+            # stole a racer's valid commit between probe and rename
+            _restore_quarantined(quarantine, path, version, root)
+            raise ConcurrentSqlWriteError(
+                f"version {version} of {root} was committed concurrently "
+                "(recovered mid-flight by another writer)"
+            )
+        fd = _excl_create()
+        if fd is None:
+            raise ConcurrentSqlWriteError(
+                f"version {version} of {root} was committed concurrently "
+                "(after aborted-manifest recovery)"
+            )
+    try:
+        os.write(fd, payload)
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    _verify_own(path, payload, version, root)
+
+
+def _refuse_engine_features(m: dict, root: str) -> None:
+    """The SQL write path has no Spark engine at enforcement time —
+    refuse tables whose write-side invariants need one."""
+    needs = [
+        k for k in ("constraints", "generated", "identity") if m.get(k)
+    ]
+    if needs:
+        raise ValueError(
+            f"{root} declares {'/'.join(needs)} — the SQL INSERT path "
+            "cannot enforce engine-evaluated write invariants; use "
+            "versioned_sql() (finalpipeline_spark.sources.sql_dml) or "
+            "the VersionedTable API, which enforce them with Spark"
+        )
+
+
+def commit_os(
+    root: str,
+    action: str,
+    entries: list[dict[str, Any]],
+    schema_ddl: str,
+    meta: dict[str, Any] | None = None,
+    attempts: int = 10,
+    grace: float = _GRACE_SECONDS,
+) -> dict[str, Any]:
+    """Commit ``entries`` as the next version of ``root`` under
+    optimistic concurrency: every attempt re-reads the head (so an
+    append re-bases onto the freshest file list — the CAS is implicit
+    in claim-next-slot-from-fresh-head) and re-checks the gates. The
+    returned manifest is the committed one."""
+    last: Exception | None = None
+    for attempt in range(attempts):
+        head_v, head_m = _head(root)
+        if head_m is not None:
+            if head_m.get("writer", 1) > SUPPORTED_WRITER_VERSION:
+                raise ValueError(
+                    f"{root} requires writer protocol {head_m['writer']} "
+                    f"(this build supports {SUPPORTED_WRITER_VERSION}) — "
+                    "upgrade before committing to this table"
+                )
+            _refuse_engine_features(head_m, root)
+            if action == "append" and head_m["schema"] != schema_ddl:
+                raise ValueError(
+                    f"schema mismatch inserting into {root}: the table is "
+                    f"{head_m['schema']} but the write plans {schema_ddl} "
+                    "— recreate the view if the table evolved, or use the "
+                    "VersionedTable API for schema evolution"
+                )
+        version = 0 if head_v is None else head_v + 1
+        manifest: dict[str, Any] = {
+            "version": version,
+            "parent": head_v,
+            "action": action,
+            "schema": schema_ddl if action == "overwrite" or head_m is None
+            else head_m["schema"],
+            "ts": round(time.time(), 3),
+            "files": (
+                list(head_m["files"]) if action == "append" and head_m else []
+            ) + entries,
+        }
+        if head_m is not None:
+            # reader requirement is sticky table-wide (see versioned_log)
+            req = head_m.get("reader", 1)
+            if req > 1:
+                manifest["reader"] = req
+            # defensive carry — unreachable while the refusal gate
+            # above is absolute, kept so a future relaxation cannot
+            # silently drop table properties
+            for k in ("constraints", "generated", "identity"):
+                if head_m.get(k):
+                    manifest[k] = dict(head_m[k])
+        if meta:
+            manifest["meta"] = meta
+        payload = json.dumps(manifest).encode("utf-8")
+        try:
+            _claim(root, version, payload, grace)
+            return manifest
+        except ConcurrentSqlWriteError as exc:
+            last = exc
+            time.sleep(0.05 * (2**attempt) * random.random())
+    raise last  # type: ignore[misc]
+
+
+@dataclass
+class FileCommitMessage(WriterCommitMessage):
+    entry: Optional[dict] = None
+
+
+class VersionedDataSourceWriter(DataSourceArrowWriter):
+    """One task = one new data file, streamed batch-by-batch (memory
+    bounded by a RecordBatch); the driver commit is one manifest CAS.
+    At 1000 executors this is the same fan-in shape as Delta's
+    OptimisticTransaction: data I/O fully parallel, coordination one
+    tiny JSON claim."""
+
+    def __init__(self, options: dict, schema, overwrite: bool) -> None:
+        frozen = {
+            k for k in ("version", "timestampAsOf", "changeFeed", "history")
+            if k in options
+        }
+        if frozen:
+            raise ValueError(
+                f"cannot write through a {'/'.join(sorted(frozen))} view — "
+                "snapshots and feeds are read-only; write to a plain "
+                "OPTIONS (root ...) view"
+            )
+        if "root" not in options:
+            raise ValueError("format('versioned') writes require option 'root'")
+        self._root = options["root"].rstrip("/")
+        self._overwrite = overwrite
+        self._fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        self._ddl = schema.simpleString()
+        self._commit_dir = f"{_DATA_DIR}/c{uuid.uuid4().hex}"
+        # fail-fast at PLAN time (commit re-checks authoritatively:
+        # these can change between plan and commit)
+        _, head_m = _head(self._root)
+        if head_m is not None:
+            if head_m.get("writer", 1) > SUPPORTED_WRITER_VERSION:
+                raise ValueError(
+                    f"{self._root} requires writer protocol "
+                    f"{head_m['writer']} (this build supports "
+                    f"{SUPPORTED_WRITER_VERSION})"
+                )
+            _refuse_engine_features(head_m, self._root)
+            if not overwrite and head_m["schema"] != self._ddl:
+                raise ValueError(
+                    f"schema mismatch inserting into {self._root}: the "
+                    f"table is {head_m['schema']} but the write plans "
+                    f"{self._ddl}"
+                )
+
+    # -- executor side -------------------------------------------------
+    def write(self, iterator: Iterator) -> FileCommitMessage:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        tid = ctx.partitionId() if ctx is not None else 0
+        rel = f"{self._commit_dir}/part-{tid:05d}-{uuid.uuid4().hex}.parquet"
+        abs_path = os.path.join(self._root, rel)
+        stat_cols = [n for n, t in self._fields if t in _STAT_TYPES]
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        nulls: dict[str, int] = {n: 0 for n, _ in self._fields}
+        rows = 0
+        writer = None
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if writer is None:
+                    os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+                    writer = pq.ParquetWriter(abs_path, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+                for i, (name, _t) in enumerate(self._fields):
+                    col = batch.column(i)
+                    nulls[name] += col.null_count
+                    if name not in stat_cols or col.null_count == len(col):
+                        continue
+                    mm = pc.min_max(col)
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    if name not in mins or lo < mins[name]:
+                        mins[name] = lo
+                    if name not in maxs or hi > maxs[name]:
+                        maxs[name] = hi
+        finally:
+            if writer is not None:
+                writer.close()
+        if rows == 0:
+            return FileCommitMessage(None)  # empty split: no file
+        entry: dict[str, Any] = {
+            "path": rel,
+            "rows": rows,
+            "stats": {
+                c: [_json_safe(mins.get(c)), _json_safe(maxs.get(c))]
+                for c in stat_cols
+            },
+            "nulls": nulls,
+        }
+        return FileCommitMessage(entry)
+
+    # -- driver side (plan worker: os/json only, no JVM) ----------------
+    def commit(self, messages: List[Optional[WriterCommitMessage]]) -> None:
+        entries = [
+            m.entry
+            for m in messages
+            if isinstance(m, FileCommitMessage) and m.entry is not None
+        ]
+        try:
+            commit_os(
+                self._root,
+                "overwrite" if self._overwrite else "append",
+                entries,
+                self._ddl,
+            )
+        except Exception:
+            shutil.rmtree(
+                os.path.join(self._root, self._commit_dir), ignore_errors=True
+            )
+            raise
+
+    def abort(self, messages: List[Optional[WriterCommitMessage]]) -> None:
+        shutil.rmtree(
+            os.path.join(self._root, self._commit_dir), ignore_errors=True
+        )

@@ -1,0 +1,454 @@
+"""``versioned_sql()``: full-fidelity SQL DML over versioned tables.
+
+The native V2 write path (sources/pyds_write.py) gives the SQL-only
+persona ``INSERT INTO <view>`` with zero Python imports, but it runs
+in engine-less hooks and therefore refuses tables with CHECK
+constraints, GENERATED, or IDENTITY columns. This module is the other
+half of the contract: one call, ``versioned_sql(spark, "<DML text>")``,
+parses the statement and drives the **Spark-side** ``VersionedTable``
+API in the caller's session — so every engine-enforced invariant
+(constraint validation, generated-column compute/verify, identity
+allocation, MERGE clause semantics, CAS retries) applies exactly as if
+the user had written the Python calls. The reference persona writes
+SQL strings (reference views_p1.py:3-43); this keeps them in SQL
+strings for writes Spark cannot route through a Python DataSource
+(MERGE/UPDATE/DELETE need SupportsRowLevelOperations, which the Python
+DataSource API does not expose).
+
+Grammar (strict on purpose — anything outside it fails loudly with the
+supported shape in the message; silent misparse of DML is corruption):
+
+* ``INSERT INTO|OVERWRITE <target> [(col, ...)] <query>``
+  — query = SELECT/VALUES/WITH/TABLE text, parsed by Spark itself.
+  Columns align BY POSITION to the column list (or the full table
+  schema without one) and cast to the table's types; missing columns
+  NULL-backfill except GENERATED (engine computes) and IDENTITY
+  (engine assigns — identity tables must use the column-list form
+  omitting the identity column, Delta's own requirement for ALWAYS).
+* ``UPDATE <target> SET col = expr [, ...] [WHERE <pred>]``
+* ``DELETE FROM <target> [WHERE <pred>]``
+* ``MERGE INTO <target> AS t USING <source> AS s ON <equi-keys>
+  [WHEN MATCHED [AND <cond>] THEN UPDATE SET c = e, ...
+   | WHEN MATCHED [AND <cond>] THEN DELETE]
+  [WHEN NOT MATCHED THEN INSERT *]
+  [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]``
+  — aliases MUST literally be ``t`` (target) and ``s`` (source):
+  clause expressions are handed to VersionedTable.merge verbatim,
+  whose documented reference frame is t./s. (versioned_dml.py). ON
+  must be a conjunction of ``t.k = s.k`` equalities (MERGE is keyed);
+  a statement with BOTH a matched-UPDATE and a matched-DELETE clause
+  is refused (one matched action per statement).
+
+Targets: ``versioned.`/abs/path``` (Delta's ``delta.`/path``` shape)
+or any registered view/table name whose analyzed plan resolves to a
+``USING versioned`` relation — the root is pulled from the relation's
+own options, so views keep working after the table evolves.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finalpipeline_spark.sources.versioned import CommitInfo, VersionedTable
+
+_WS = r"\s+"
+
+
+def _mask_literals(sql: str) -> str:
+    """Same-length copy of ``sql`` with the CONTENTS of '...'-strings,
+    "..."-strings and `...`-quoted identifiers replaced by spaces, so
+    keyword/regex scans can never match inside a literal. Quote
+    characters themselves survive (offsets must line up with the
+    original; doubled-quote escapes land in the masked region)."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if j + 1 < n and sql[j + 1] == ch:  # doubled escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = " "
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
+def _split_top(s: str, masked: str, sep: str = ",") -> list[str]:
+    """Split ``s`` on ``sep`` at paren/bracket depth 0, using the
+    literal-masked twin for depth tracking."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(masked):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts]
+
+
+def _resolve_root(spark: SparkSession, ref: str) -> str:
+    """Table reference → versioned root. ``versioned.`/path``` is
+    direct; a bare name resolves through the analyzed plan of the
+    registered view (SubqueryAlias/View wrappers unwrapped, then the
+    relation's own 'root' option — works for temp views created with
+    ``USING versioned``)."""
+    ref = ref.strip()
+    m = re.fullmatch(r"versioned\s*\.\s*`([^`]+)`", ref, re.I)
+    if m:
+        return m.group(1).rstrip("/")
+    if not re.fullmatch(r"[A-Za-z_][\w.]*|`[^`]+`", ref):
+        raise ValueError(
+            f"unsupported table reference {ref!r} — use a view name or "
+            "versioned.`/abs/path`"
+        )
+    plan = spark.table(ref)._jdf.queryExecution().analyzed()
+    for _ in range(8):
+        name = plan.getClass().getSimpleName()
+        if name in ("SubqueryAlias", "View", "Project"):
+            plan = plan.child()
+            continue
+        break
+    try:
+        opts = dict(plan.options())
+    except Exception:
+        opts = {}
+    root = opts.get("root")
+    if not root:
+        raise ValueError(
+            f"{ref!r} does not resolve to a USING versioned relation "
+            "(no 'root' option on its plan) — create it with CREATE "
+            "TEMPORARY VIEW ... USING versioned OPTIONS (root '...'), or "
+            "reference the table as versioned.`/abs/path`"
+        )
+    frozen = {
+        k for k in ("version", "timestampAsOf", "changeFeed", "history")
+        if k in opts
+    }
+    if frozen:
+        raise ValueError(
+            f"{ref!r} is a {'/'.join(sorted(frozen))} view — snapshots "
+            "and feeds are read-only"
+        )
+    return root.rstrip("/")
+
+
+# target-reference token: versioned.`...` | `...` | dotted name
+_REF = r"versioned\s*\.\s*`[^`]+`|`[^`]+`|[A-Za-z_][\w.]*"
+
+
+def _align_insert(
+    spark: SparkSession, vt: VersionedTable, df: DataFrame,
+    col_list: list[str] | None,
+) -> DataFrame:
+    """Positional alignment + cast of an INSERT source onto the table
+    schema (ANSI INSERT semantics). Missing columns NULL-backfill;
+    GENERATED and IDENTITY columns are never backfilled — the engine
+    computes/assigns them in commit_append (supplying an identity
+    column explicitly is refused there, Delta ALWAYS semantics)."""
+    m = vt.manifest()
+    schema = vt._schema_of(m)
+    gen = set((m.get("generated") or {}))
+    ident = set((m.get("identity") or {}))
+    table_cols = [f.name for f in schema.fields]
+    targets = col_list if col_list is not None else [
+        c for c in table_cols if c not in ident
+    ]
+    unknown = [c for c in targets if c not in table_cols]
+    if unknown:
+        raise ValueError(f"INSERT column(s) {unknown} not in table schema {table_cols}")
+    if len(df.columns) != len(targets):
+        raise ValueError(
+            f"INSERT supplies {len(df.columns)} column(s) but the target "
+            f"list has {len(targets)}: {targets}"
+        )
+    by_name = {f.name: f.dataType for f in schema.fields}
+    aligned = df.toDF(*targets)
+    out = [F.col(c).cast(by_name[c]).alias(c) for c in targets]
+    for c in table_cols:
+        if c in targets or c in gen or c in ident:
+            continue
+        out.append(F.lit(None).cast(by_name[c]).alias(c))
+    return aligned.select(*out)
+
+
+def _parse_merge(stmt: str, masked: str) -> dict[str, Any]:
+    """MERGE text → kwargs for VersionedTable.merge (see module
+    docstring for the accepted grammar)."""
+    shape_err = ValueError(
+        "unsupported MERGE shape — expected: MERGE INTO <target> AS t "
+        "USING <source|(subquery)> AS s ON <t.k = s.k [AND ...]> "
+        "[WHEN ...] (aliases must literally be t and s; clause "
+        "expressions are evaluated in that frame)"
+    )
+    head = re.match(
+        rf"MERGE{_WS}INTO{_WS}({_REF})(?:{_WS}AS)?{_WS}t{_WS}USING\s*",
+        masked, re.I | re.S,
+    )
+    if not head:
+        raise shape_err
+    target = stmt[head.start(1):head.end(1)]
+    src_start = head.end()
+    if masked[src_start] == "(":
+        depth, j = 0, src_start
+        while j < len(masked):
+            if masked[j] == "(":
+                depth += 1
+            elif masked[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            raise shape_err
+        src_end = j + 1
+    else:
+        rm = re.match(_REF, masked[src_start:])
+        if not rm:
+            raise shape_err
+        src_end = src_start + rm.end()
+    source = stmt[src_start:src_end]
+    tm = re.match(rf"(?:{_WS}AS)?{_WS}s{_WS}ON{_WS}", masked[src_end:], re.I)
+    if not tm:
+        raise shape_err
+    rest_off = src_end + tm.end()
+    # ON condition runs until the first WHEN (or end)
+    when_iter = list(re.finditer(rf"{_WS}WHEN{_WS}", masked[rest_off:], re.I))
+    on_end = rest_off + (when_iter[0].start() if when_iter else len(stmt) - rest_off)
+    on_text = stmt[rest_off:on_end].strip()
+    on_masked = masked[rest_off:on_end].strip()
+    # split ON on AND using masked offsets
+    keys = []
+    pos = 0
+    for mt in list(re.finditer(rf"{_WS}AND{_WS}", on_masked, re.I)) + [None]:
+        seg = on_text[pos: mt.start() if mt else len(on_text)].strip()
+        pos = mt.end() if mt else pos
+        em = re.fullmatch(
+            r"t\s*\.\s*(\w+)\s*=\s*s\s*\.\s*(\w+)|s\s*\.\s*(\w+)\s*=\s*t\s*\.\s*(\w+)",
+            seg,
+        )
+        if not em:
+            raise ValueError(
+                f"MERGE ON must be a conjunction of t.k = s.k equalities "
+                f"(keyed merge); got {seg!r}"
+            )
+        k1 = em.group(1) or em.group(4)
+        k2 = em.group(2) or em.group(3)
+        if k1 != k2:
+            raise ValueError(
+                f"MERGE keys must pair the same column on both sides; "
+                f"got t.{k1} = s.{k2}"
+            )
+        keys.append(k1)
+    kwargs: dict[str, Any] = {
+        "target": target, "source": source, "keys": keys,
+        "insert_unmatched": False, "when_matched_update": None,
+        "when_matched_condition": None, "matched_delete": None,
+        "not_matched_by_source_delete": None,
+    }
+    # clause scan over the masked tail
+    tail, tail_masked = stmt[on_end:], masked[on_end:]
+    clause_starts = [mt.start() for mt in re.finditer(rf"WHEN{_WS}", tail_masked, re.I)]
+    clause_starts.append(len(tail))
+    for a, b in zip(clause_starts, clause_starts[1:]):
+        clause, cm = tail[a:b].strip(), tail_masked[a:b].strip()
+        if re.fullmatch(
+            rf"WHEN{_WS}NOT{_WS}MATCHED{_WS}THEN{_WS}INSERT\s*\*", cm, re.I
+        ):
+            kwargs["insert_unmatched"] = True
+            continue
+        mm = re.match(
+            rf"WHEN{_WS}NOT{_WS}MATCHED{_WS}BY{_WS}SOURCE"
+            rf"(?:{_WS}AND{_WS}(.*?))?{_WS}THEN{_WS}DELETE$", cm, re.I | re.S,
+        )
+        if mm:
+            cond = clause[mm.start(1):mm.end(1)] if mm.group(1) else "true"
+            kwargs["not_matched_by_source_delete"] = cond
+            continue
+        mm = re.match(
+            rf"WHEN{_WS}MATCHED(?:{_WS}AND{_WS}(.*?))?{_WS}THEN{_WS}"
+            rf"(UPDATE{_WS}SET{_WS}|DELETE$)", cm, re.I | re.S,
+        )
+        if mm:
+            cond = clause[mm.start(1):mm.end(1)] if mm.group(1) else None
+            if mm.group(2).upper().startswith("DELETE"):
+                if kwargs["when_matched_update"] is not None:
+                    raise ValueError(
+                        "one matched action per MERGE statement (UPDATE "
+                        "or DELETE, not both)"
+                    )
+                kwargs["matched_delete"] = cond or "true"
+                continue
+            if kwargs["matched_delete"] is not None:
+                raise ValueError(
+                    "one matched action per MERGE statement (UPDATE or "
+                    "DELETE, not both)"
+                )
+            sets_text = clause[mm.end(2):]
+            sets_masked = cm[mm.end(2):]
+            assigns = {}
+            for part, pm in zip(
+                _split_top(sets_text, sets_masked),
+                _split_top(sets_masked, sets_masked),
+            ):
+                am = re.match(r"\s*(?:t\s*\.\s*)?(\w+)\s*=", pm)
+                if not am:
+                    raise ValueError(f"unsupported SET assignment {part!r}")
+                assigns[am.group(1)] = part[am.end():].strip()
+            kwargs["when_matched_update"] = assigns
+            kwargs["when_matched_condition"] = cond
+            continue
+        raise ValueError(
+            f"unsupported MERGE clause {clause!r} — supported: WHEN "
+            "MATCHED [AND c] THEN UPDATE SET ... | DELETE, WHEN NOT "
+            "MATCHED THEN INSERT *, WHEN NOT MATCHED BY SOURCE [AND c] "
+            "THEN DELETE"
+        )
+    return kwargs
+
+
+def versioned_sql(
+    spark: SparkSession,
+    sql: str,
+    attempts: int = 10,
+    mode: str = "cow",
+) -> CommitInfo | DataFrame:
+    """Execute one DML statement against a versioned table with full
+    Spark-side enforcement; non-DML text passes through ``spark.sql``
+    unchanged (so a SQL-only caller can route everything here).
+    ``mode`` selects the physical delete/update strategy ("cow"/"mor",
+    see versioned_dml)."""
+    stmt = sql.strip().rstrip(";")
+    masked = _mask_literals(stmt)
+    kw = re.match(r"(INSERT|UPDATE|DELETE|MERGE)\b", masked, re.I)
+    if not kw:
+        return spark.sql(stmt)
+    verb = kw.group(1).upper()
+
+    if verb == "INSERT":
+        m = re.match(
+            rf"INSERT{_WS}(INTO|OVERWRITE)(?:{_WS}TABLE)?{_WS}({_REF})"
+            rf"\s*(\([^)]*\))?\s*(.+)$",
+            masked, re.I | re.S,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported INSERT shape — expected: INSERT INTO|"
+                "OVERWRITE <target> [(col, ...)] SELECT|VALUES ..."
+            )
+        target = stmt[m.start(2):m.end(2)]
+        col_list = None
+        if m.group(3):
+            cols_text = stmt[m.start(3) + 1:m.end(3) - 1]
+            col_list = [c.strip().strip("`") for c in cols_text.split(",")]
+        query = stmt[m.start(4):]
+        root = _resolve_root(spark, target)
+        vt = VersionedTable(spark, root)
+        df = spark.sql(query)
+        df = _align_insert(spark, vt, df, col_list)
+        if m.group(1).upper() == "OVERWRITE":
+            return vt.commit_overwrite(df)
+        return vt.commit_with_retry(
+            lambda t: t.commit_append(df), attempts
+        )
+
+    if verb == "UPDATE":
+        m = re.match(
+            rf"UPDATE{_WS}({_REF}){_WS}SET{_WS}(.*?)(?:{_WS}WHERE{_WS}(.*))?$",
+            masked, re.I | re.S,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported UPDATE shape — expected: UPDATE <target> "
+                "SET col = expr [, ...] [WHERE pred]"
+            )
+        target = stmt[m.start(1):m.end(1)]
+        sets_text = stmt[m.start(2):m.end(2)]
+        sets_masked = masked[m.start(2):m.end(2)]
+        pred = stmt[m.start(3):m.end(3)] if m.group(3) else "true"
+        assigns = {}
+        for part, pm in zip(
+            _split_top(sets_text, sets_masked),
+            _split_top(sets_masked, sets_masked),
+        ):
+            am = re.match(r"\s*(\w+|`[^`]+`)\s*=", pm)
+            if not am:
+                raise ValueError(f"unsupported SET assignment {part!r}")
+            assigns[part[am.start(1):am.end(1)].strip("`")] = part[am.end():].strip()
+        vt = VersionedTable(spark, _resolve_root(spark, target))
+        return vt.update_where(pred, assigns, attempts=attempts, mode=mode)
+
+    if verb == "DELETE":
+        m = re.match(
+            rf"DELETE{_WS}FROM{_WS}({_REF})(?:{_WS}WHERE{_WS}(.*))?$",
+            masked, re.I | re.S,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported DELETE shape — expected: DELETE FROM "
+                "<target> [WHERE pred]"
+            )
+        target = stmt[m.start(1):m.end(1)]
+        pred = stmt[m.start(2):m.end(2)] if m.group(2) else "true"
+        vt = VersionedTable(spark, _resolve_root(spark, target))
+        return vt.delete_where(pred, attempts=attempts, mode=mode)
+
+    # MERGE
+    pk = _parse_merge(stmt, masked)
+    vt = VersionedTable(spark, _resolve_root(spark, pk["target"]))
+    src_ref = pk["source"]
+    source = (
+        spark.sql(f"SELECT * FROM {src_ref} AS s")
+        if src_ref.startswith("(")
+        else spark.table(src_ref)
+    )
+    delete_col = None
+    when_matched_update = pk["when_matched_update"]
+    if pk["matched_delete"] is not None:
+        # merge()'s delete channel is a boolean SOURCE column; the
+        # matched-DELETE condition may reference s.<col> only (it
+        # must be evaluable on the source row)
+        delete_col = "__sql_matched_delete"
+        cond = re.sub(r"\bs\s*\.\s*", "", pk["matched_delete"])
+        source = source.withColumn(delete_col, F.expr(cond).cast("boolean"))
+        if when_matched_update is None:
+            # SQL semantics: matched rows NOT taken by the DELETE
+            # condition carry through UNCHANGED — express that as a
+            # no-op update on one non-key column (merge()'s whole-row
+            # mode would otherwise replace them with source rows)
+            m = vt.manifest()
+            nonkey = [
+                f.name
+                for f in vt._schema_of(m).fields
+                if f.name not in pk["keys"]
+            ]
+            if not nonkey:
+                raise ValueError(
+                    "WHEN MATCHED THEN DELETE needs at least one non-key "
+                    "column on the target"
+                )
+            when_matched_update = {nonkey[0]: f"t.{nonkey[0]}"}
+    return vt.merge(
+        source,
+        pk["keys"],
+        delete_col=delete_col,
+        attempts=attempts,
+        when_matched_update=when_matched_update,
+        when_matched_condition=pk["when_matched_condition"],
+        insert_unmatched=pk["insert_unmatched"],
+        not_matched_by_source_delete=pk["not_matched_by_source_delete"],
+    )

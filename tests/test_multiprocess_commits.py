@@ -193,3 +193,73 @@ def test_cross_process_writers_vs_vacuum_archival(spark, tmp_path):
     # the vacuum process actually archived part of the log
     arch = os.path.join(root, "_log", "archive")
     assert os.path.isdir(arch) and len(os.listdir(arch)) > 0
+
+_IDENTITY_WORKER = r"""
+import sys
+sys.path.insert(0, ".")
+root, wid = sys.argv[1], int(sys.argv[2])
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName(f"mp-ident-{wid}")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+from finalpipeline_spark.sources.versioned import VersionedTable
+
+vt = VersionedTable(spark, root)
+base = 1_000 * (wid + 1)
+for step in range(3):
+    lo = base + 20 * step
+    vt.commit_with_retry(
+        lambda t, lo=lo: t.commit_append(
+            spark.range(lo, lo + 20).selectExpr("id as n")
+        ),
+        attempts=60,
+    )
+print("IDENT-OK", wid)
+"""
+
+
+def test_cross_process_identity_allocation(spark, tmp_path):
+    """Identity allocation under TRUE cross-JVM contention — the proof
+    the r8 TOCTOU fix was designed for (versioned_schema._apply_identity:
+    watermark and CAS base from ONE manifest snapshot). Three driver
+    processes append concurrently into one GENERATED ALWAYS AS IDENTITY
+    table relying only on the built-in commit retry; every row must get
+    a globally distinct, step-aligned id — an overlapping watermark
+    would surface here as a duplicate rid."""
+    root = str(tmp_path / "vti")
+    table = VersionedTable(spark, root)
+    table.commit_overwrite(spark.range(0).selectExpr("id as n"))
+    table.add_identity_column("rid", start=100, step=3)
+
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _IDENTITY_WORKER, root, str(w)],
+            cwd="/root/repo",
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for w in range(3)
+    ]
+    outs = [p.communicate(timeout=800)[0] for p in procs]
+    for w, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {w} failed:\n{out[-4000:]}"
+        assert f"IDENT-OK {w}" in out
+
+    vs = table.versions()
+    assert vs == list(range(len(vs)))
+    assert len(vs) == 2 + 3 * 3  # seed + declare + 3 workers x 3 appends
+    rows = table.read().collect()
+    assert len(rows) == 3 * 3 * 20
+    rids = [r["rid"] for r in rows]
+    assert all(v is not None for v in rids)
+    # globally distinct across processes — the uniqueness guarantee
+    assert len(set(rids)) == len(rids)
+    # step alignment: every id is start + k*step
+    assert all(v >= 100 and (v - 100) % 3 == 0 for v in rids)

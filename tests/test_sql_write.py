@@ -1,0 +1,274 @@
+"""SQL WRITE surface of the versioned lakehouse layer.
+
+Two complementary paths (see sources/pyds_write.py, sources/sql_dml.py):
+
+* **Native V2 writes** — ``INSERT INTO|OVERWRITE <USING versioned
+  view>`` and ``df.write.format("versioned")`` route through the
+  Python DataSource writer: executor tasks stream Arrow batches into
+  fresh parquet files (stats folded in-line), the driver hook claims
+  the next version with the os-primitive twin of the JVM commit
+  protocol. Exactly-once under racing writers via CAS retry.
+* **``versioned_sql()``** — full-fidelity DML text (INSERT/UPDATE/
+  DELETE/MERGE) driven through the Spark-side VersionedTable API, for
+  everything the engine-less native hooks refuse (constraints,
+  generated, identity) or Spark cannot route (row-level ops).
+
+Oracle cross-check: every mutation is verified by reading the table
+BACK through the independent JVM reader (VersionedTable.read) — the
+two implementations must agree on the committed state.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from finalpipeline_spark.sources.pyds import register_versioned_source
+from finalpipeline_spark.sources.sql_dml import versioned_sql
+from finalpipeline_spark.sources.versioned import (
+    ConstraintViolationError,
+    VersionedTable,
+)
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    register_versioned_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(
+        spark.range(0, 10).selectExpr("id", "cast(id % 3 as int) as grp")
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW sqlw USING versioned "
+        f"OPTIONS (root '{t.root}')"
+    )
+    yield t
+    spark.catalog.dropTempView("sqlw")
+
+
+def _ids(spark, vt):
+    return sorted(r.id for r in vt.read().collect())
+
+
+# -- native V2 path ----------------------------------------------------
+def test_insert_into_view_pure_sql(spark, vt):
+    spark.sql("INSERT INTO sqlw VALUES (100, 1), (101, 2)")
+    assert _ids(spark, vt) == list(range(10)) + [100, 101]
+    m = vt.manifest()
+    assert m["action"] == "append" and m["version"] == 1
+    # the SQL-written file carries the same stats shape the JVM writer
+    # records: min/max for both columns plus null counts
+    seed_paths = {e["path"] for e in vt.manifest(0)["files"]}
+    new = [e for e in m["files"] if e["path"] not in seed_paths]
+    assert len(new) >= 1 and sum(e["rows"] for e in new) == 2
+    joined = [e["stats"]["id"] for e in new]
+    assert min(lo for lo, _ in joined) == 100
+    assert max(hi for _, hi in joined) == 101
+    assert all(e["nulls"] == {"id": 0, "grp": 0} for e in new)
+    # and the view reads its own write back (fresh plan per query)
+    assert spark.sql("SELECT count(*) c FROM sqlw").first().c == 12
+
+
+def test_insert_overwrite_view(spark, vt):
+    spark.sql("INSERT OVERWRITE sqlw VALUES (7, 0)")
+    assert _ids(spark, vt) == [7]
+    assert vt.manifest()["action"] == "overwrite"
+
+
+def test_df_write_bootstraps_and_appends(spark, tmp_path):
+    register_versioned_source(spark)
+    root = str(tmp_path / "boot")
+    df = spark.range(0, 5).selectExpr("id", "cast(id as double) as v")
+    df.write.format("versioned").option("root", root).mode("append").save()
+    t = VersionedTable(spark, root)
+    assert t.latest_version() == 0 and t.count_rows() == 5
+    df.write.format("versioned").option("root", root).mode("append").save()
+    assert t.latest_version() == 1 and t.count_rows() == 10
+    spark.range(9, 12).selectExpr("id", "cast(id as double) as v").write.format(
+        "versioned"
+    ).option("root", root).mode("overwrite").save()
+    assert t.count_rows() == 3 and t.manifest()["action"] == "overwrite"
+    # time travel still sees the pre-overwrite snapshot
+    assert t.read(version=1).count() == 10
+
+
+def test_insert_schema_mismatch_refused(spark, vt):
+    with pytest.raises(Exception, match="[Ss]chema|columns"):
+        spark.range(3).write.format("versioned").option("root", vt.root).mode(
+            "append"
+        ).save()
+
+
+def test_snapshot_views_are_read_only(spark, vt):
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW sqlw_v0 USING versioned "
+        f"OPTIONS (root '{vt.root}', version '0')"
+    )
+    with pytest.raises(Exception, match="read-only"):
+        spark.sql("INSERT INTO sqlw_v0 VALUES (1, 1)")
+    spark.catalog.dropTempView("sqlw_v0")
+
+
+def test_native_path_refuses_engine_features(spark, vt):
+    vt.add_constraint("pos", "id >= 0")
+    with pytest.raises(Exception, match="versioned_sql"):
+        spark.sql("INSERT INTO sqlw VALUES (200, 1)")
+    # the refusal left no trace: same version, no orphan rows
+    assert vt.manifest()["version"] == 1 and vt.count_rows() == 10
+
+
+def test_racing_sql_inserts_land_exactly_once(spark, vt):
+    """Concurrent INSERTs through the SQL path must each commit exactly
+    once (CAS retry on version collisions), racing a JVM-side writer."""
+    errs = []
+
+    def sql_writer(lo):
+        try:
+            spark.sql(f"INSERT INTO sqlw VALUES ({lo}, 0), ({lo + 1}, 1)")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def jvm_writer():
+        try:
+            vt.commit_with_retry(
+                lambda t: t.commit_append(
+                    spark.range(500, 503).selectExpr(
+                        "id", "cast(id % 3 as int) as grp"
+                    )
+                )
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=sql_writer, args=(lo,))
+        for lo in (100, 200, 300)
+    ] + [threading.Thread(target=jvm_writer)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    expect = (
+        list(range(10))
+        + [100, 101, 200, 201, 300, 301]
+        + [500, 501, 502]
+    )
+    assert _ids(spark, vt) == expect
+    # seed (v0) + four racing commits, contiguous, no gaps
+    assert vt.versions() == list(range(5))
+
+
+# -- versioned_sql (full-fidelity DML text) ----------------------------
+def test_sql_insert_with_constraints_enforced(spark, vt):
+    vt.add_constraint("pos", "id >= 0")
+    info = versioned_sql(
+        spark, f"INSERT INTO versioned.`{vt.root}` VALUES (42, 1)"
+    )
+    assert info.action == "append"
+    assert 42 in _ids(spark, vt)
+    with pytest.raises(ConstraintViolationError):
+        versioned_sql(spark, "INSERT INTO sqlw VALUES (-5, 1)")
+
+
+def test_sql_insert_identity_column_list(spark, tmp_path):
+    register_versioned_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "ident"))
+    t.commit_overwrite(spark.range(0).selectExpr("id as n"))
+    t.add_identity_column("rid", start=10, step=2)
+    t.commit_append(spark.range(0, 3).selectExpr("id as n"))
+    versioned_sql(spark, f"INSERT INTO versioned.`{t.root}` (n) VALUES (7), (8)")
+    rows = {r.n: r.rid for r in t.read().collect()}
+    new_rids = sorted(rid for n, rid in rows.items() if n in (7, 8))
+    assert len(new_rids) == 2 and all(
+        rid >= 10 and (rid - 10) % 2 == 0 for rid in new_rids
+    )
+    # supplying the identity column is refused (ALWAYS semantics)
+    with pytest.raises(Exception, match="IDENTITY|identity"):
+        versioned_sql(
+            spark,
+            f"INSERT INTO versioned.`{t.root}` (n, rid) VALUES (9, 99)",
+        )
+
+
+def test_sql_update_and_delete(spark, vt):
+    versioned_sql(spark, "UPDATE sqlw SET grp = grp + 10 WHERE id >= 8")
+    got = {r.id: r.grp for r in vt.read().collect()}
+    assert got[9] == 9 % 3 + 10 and got[0] == 0
+    versioned_sql(spark, "DELETE FROM sqlw WHERE id < 2")
+    assert _ids(spark, vt) == list(range(2, 10))
+
+
+def test_sql_merge_upsert(spark, vt):
+    src = spark.createDataFrame(
+        [(5, 77), (100, 1)], "id bigint, grp int"
+    )
+    src.createOrReplaceTempView("merge_src")
+    versioned_sql(
+        spark,
+        """MERGE INTO sqlw AS t USING merge_src AS s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET grp = s.grp
+           WHEN NOT MATCHED THEN INSERT *""",
+    )
+    got = {r.id: r.grp for r in vt.read().collect()}
+    assert got[5] == 77 and got[100] == 1 and len(got) == 11
+    spark.catalog.dropTempView("merge_src")
+
+
+def test_sql_merge_matched_delete_conditional(spark, vt):
+    src = spark.createDataFrame(
+        [(3, True), (4, False)], "id bigint, doom boolean"
+    )
+    src.createOrReplaceTempView("merge_del")
+    versioned_sql(
+        spark,
+        """MERGE INTO sqlw AS t USING merge_del AS s ON t.id = s.id
+           WHEN MATCHED AND s.doom THEN DELETE""",
+    )
+    ids = _ids(spark, vt)
+    assert 3 not in ids and 4 in ids and len(ids) == 9
+    # row 4 carried through UNCHANGED (no whole-row replacement)
+    assert {r.grp for r in vt.read().filter("id = 4").collect()} == {4 % 3}
+    spark.catalog.dropTempView("merge_del")
+
+
+def test_sql_merge_not_matched_by_source_delete(spark, vt):
+    src = spark.createDataFrame([(i,) for i in range(5)], "id bigint")
+    src.createOrReplaceTempView("merge_keep")
+    versioned_sql(
+        spark,
+        """MERGE INTO sqlw AS t USING merge_keep AS s ON t.id = s.id
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+    )
+    assert _ids(spark, vt) == list(range(5))
+    spark.catalog.dropTempView("merge_keep")
+
+
+def test_sql_merge_subquery_source(spark, vt):
+    versioned_sql(
+        spark,
+        """MERGE INTO sqlw AS t
+           USING (SELECT id * 1000 AS id, 0 AS grp FROM range(2)) AS s
+           ON t.id = s.id
+           WHEN NOT MATCHED THEN INSERT *""",
+    )
+    ids = _ids(spark, vt)
+    assert 1000 in ids and 0 in ids and len(ids) == 11  # id 0 matched
+
+
+def test_sql_select_passthrough_and_bad_shapes(spark, vt):
+    assert versioned_sql(spark, "SELECT 1 AS x").first().x == 1
+    with pytest.raises(ValueError, match="INSERT"):
+        versioned_sql(spark, "INSERT sqlw VALUES (1, 2)")
+    with pytest.raises(ValueError, match="MERGE ON"):
+        versioned_sql(
+            spark,
+            "MERGE INTO sqlw AS t USING sqlw AS s ON t.id > s.id "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+
+
+def test_empty_insert_is_a_noop_append(spark, vt):
+    spark.sql("INSERT INTO sqlw SELECT id, 0 FROM range(10) WHERE id < 0")
+    assert vt.count_rows() == 10 and vt.manifest()["action"] == "append"
