@@ -685,6 +685,19 @@ class VersionedDataSource(DataSource):
 
         return VersionedDataSourceWriter(dict(self.options), schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):
+        """Streaming WRITE path: ``df.writeStream.format("versioned")``
+        — append output mode, exactly-once via (sinkId, batchId) commit
+        identity recorded in manifest meta (see pyds_write's
+        VersionedStreamDataSourceWriter)."""
+        from finalpipeline_spark.sources.pyds_write import (
+            VersionedStreamDataSourceWriter,
+        )
+
+        return VersionedStreamDataSourceWriter(
+            dict(self.options), schema, overwrite
+        )
+
     def streamReader(self, schema) -> "VersionedStreamReader":
         caps = {}
         for opt, key in (

@@ -61,13 +61,13 @@ import uuid
 from dataclasses import dataclass
 from typing import Any, Iterator, List, Optional
 
-from pyspark.sql.datasource import DataSourceArrowWriter, WriterCommitMessage
-
-from finalpipeline_spark.sources.pyds import (
-    _LOG_DIR,
-    _live_manifests,
-    _manifest_paths,
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
 )
+
+from finalpipeline_spark.sources.pyds import _LOG_DIR, _live_manifests
 
 _DATA_DIR = "data"
 _MANIFEST_FMT = "v%012d.json"
@@ -342,6 +342,68 @@ class FileCommitMessage(WriterCommitMessage):
     entry: Optional[dict] = None
 
 
+def _write_partition(
+    root: str,
+    commit_dir: str,
+    fields: list[tuple[str, str]],
+    iterator: Iterator,
+) -> FileCommitMessage:
+    """One task's Arrow batches → ONE new parquet file under
+    ``commit_dir`` with per-file min/max/null stats folded in-line
+    (memory bounded by a RecordBatch; zero extra stats pass). Shared by
+    the batch and streaming writers — their only difference is the
+    driver-side commit policy."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    tid = ctx.partitionId() if ctx is not None else 0
+    rel = f"{commit_dir}/part-{tid:05d}-{uuid.uuid4().hex}.parquet"
+    abs_path = os.path.join(root, rel)
+    stat_cols = [n for n, t in fields if t in _STAT_TYPES]
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {n: 0 for n, _ in fields}
+    rows = 0
+    writer = None
+    try:
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+                writer = pq.ParquetWriter(abs_path, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+            for i, (name, _t) in enumerate(fields):
+                col = batch.column(i)
+                nulls[name] += col.null_count
+                if name not in stat_cols or col.null_count == len(col):
+                    continue
+                mm = pc.min_max(col)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                if name not in mins or lo < mins[name]:
+                    mins[name] = lo
+                if name not in maxs or hi > maxs[name]:
+                    maxs[name] = hi
+    finally:
+        if writer is not None:
+            writer.close()
+    if rows == 0:
+        return FileCommitMessage(None)  # empty split: no file
+    entry: dict[str, Any] = {
+        "path": rel,
+        "rows": rows,
+        "stats": {
+            c: [_json_safe(mins.get(c)), _json_safe(maxs.get(c))]
+            for c in stat_cols
+        },
+        "nulls": nulls,
+    }
+    return FileCommitMessage(entry)
+
+
 class VersionedDataSourceWriter(DataSourceArrowWriter):
     """One task = one new data file, streamed batch-by-batch (memory
     bounded by a RecordBatch); the driver commit is one manifest CAS.
@@ -387,55 +449,9 @@ class VersionedDataSourceWriter(DataSourceArrowWriter):
 
     # -- executor side -------------------------------------------------
     def write(self, iterator: Iterator) -> FileCommitMessage:
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        tid = ctx.partitionId() if ctx is not None else 0
-        rel = f"{self._commit_dir}/part-{tid:05d}-{uuid.uuid4().hex}.parquet"
-        abs_path = os.path.join(self._root, rel)
-        stat_cols = [n for n, t in self._fields if t in _STAT_TYPES]
-        mins: dict[str, Any] = {}
-        maxs: dict[str, Any] = {}
-        nulls: dict[str, int] = {n: 0 for n, _ in self._fields}
-        rows = 0
-        writer = None
-        try:
-            for batch in iterator:
-                if batch.num_rows == 0:
-                    continue
-                if writer is None:
-                    os.makedirs(os.path.dirname(abs_path), exist_ok=True)
-                    writer = pq.ParquetWriter(abs_path, batch.schema)
-                writer.write_batch(batch)
-                rows += batch.num_rows
-                for i, (name, _t) in enumerate(self._fields):
-                    col = batch.column(i)
-                    nulls[name] += col.null_count
-                    if name not in stat_cols or col.null_count == len(col):
-                        continue
-                    mm = pc.min_max(col)
-                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
-                    if name not in mins or lo < mins[name]:
-                        mins[name] = lo
-                    if name not in maxs or hi > maxs[name]:
-                        maxs[name] = hi
-        finally:
-            if writer is not None:
-                writer.close()
-        if rows == 0:
-            return FileCommitMessage(None)  # empty split: no file
-        entry: dict[str, Any] = {
-            "path": rel,
-            "rows": rows,
-            "stats": {
-                c: [_json_safe(mins.get(c)), _json_safe(maxs.get(c))]
-                for c in stat_cols
-            },
-            "nulls": nulls,
-        }
-        return FileCommitMessage(entry)
+        return _write_partition(
+            self._root, self._commit_dir, self._fields, iterator
+        )
 
     # -- driver side (plan worker: os/json only, no JVM) ----------------
     def commit(self, messages: List[Optional[WriterCommitMessage]]) -> None:
@@ -461,3 +477,123 @@ class VersionedDataSourceWriter(DataSourceArrowWriter):
         shutil.rmtree(
             os.path.join(self._root, self._commit_dir), ignore_errors=True
         )
+
+
+def _committed_epochs(root: str) -> set[str]:
+    """Every ``meta.sink_epoch`` across the WHOLE log — including
+    expired/archived manifests, because commit identity must survive
+    vacuum or a replayed epoch would double-append (mirror of
+    VersionedTable.committed_meta). Contiguity makes 0..head the exact
+    version set; the scan is manifest-count bounded (one small JSON
+    per version), the same cost the JVM sink pays per epoch."""
+    from finalpipeline_spark.sources.pyds import _listed_hi, _manifest_any
+
+    log = os.path.join(root, _LOG_DIR)
+    if not os.path.isdir(log):
+        return set()
+    head = _listed_hi(log)
+    while _manifest_any(root, head + 1) is not None:
+        head += 1  # racing archival of the newest manifest
+    out: set[str] = set()
+    for v in range(head + 1):
+        m = _manifest_any(root, v)
+        if m is None:
+            continue  # unparseable fragment at a pre-head slot
+        key = (m.get("meta") or {}).get("sink_epoch")
+        if key is not None:
+            out.add(key)
+    return out
+
+
+class VersionedStreamDataSourceWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("versioned").option("root", ...)`` — the
+    streaming sink as a first-class format, Delta's streaming-write
+    shape on the Python DataSource API.
+
+    Exactly-once effect from at-least-once delivery via COMMIT
+    IDENTITY, same protocol as streaming/sinks.stream_append_versioned:
+    every micro-batch commit records ``sink_epoch = "<sinkId>#<batchId>"``
+    in its manifest meta, and a re-delivered batch (crash between the
+    table commit and the engine's checkpoint commit) is recognized and
+    skipped — its freshly staged files are removed, no manifest is
+    written. Two DIFFERENT streaming queries appending to one table
+    must set distinct ``option("sinkId", ...)`` values (Delta's
+    txnAppId contract); the default suits the common one-stream case.
+
+    All micro-batches of one query run share one ``data/c<uuid>/`` sink
+    directory (file names are task+uuid unique); vacuum reclaims
+    per-FILE, so an aborted batch's orphans age out under the normal
+    grace without touching live neighbors."""
+
+    def __init__(self, options: dict, schema, overwrite: bool) -> None:
+        if overwrite:
+            raise ValueError(
+                "format('versioned') streaming writes support append "
+                "output mode only (complete/update would rewrite the "
+                "table every trigger)"
+            )
+        if "root" not in options:
+            raise ValueError("format('versioned') writes require option 'root'")
+        self._root = options["root"].rstrip("/")
+        self._sink_id = options.get("sinkId", "versioned-stream")
+        self._fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        self._ddl = schema.simpleString()
+        self._commit_dir = f"{_DATA_DIR}/c{uuid.uuid4().hex}"
+        _, head_m = _head(self._root)
+        if head_m is not None:
+            if head_m.get("writer", 1) > SUPPORTED_WRITER_VERSION:
+                raise ValueError(
+                    f"{self._root} requires writer protocol "
+                    f"{head_m['writer']} (this build supports "
+                    f"{SUPPORTED_WRITER_VERSION})"
+                )
+            _refuse_engine_features(head_m, self._root)
+            if head_m["schema"] != self._ddl:
+                raise ValueError(
+                    f"schema mismatch streaming into {self._root}: the "
+                    f"table is {head_m['schema']} but the stream plans "
+                    f"{self._ddl}"
+                )
+
+    def write(self, iterator: Iterator) -> FileCommitMessage:
+        return _write_partition(
+            self._root, self._commit_dir, self._fields, iterator
+        )
+
+    def _drop_staged(self, messages) -> None:
+        """Remove exactly THIS batch's staged files (the sink dir is
+        shared across batches — earlier epochs' files are live)."""
+        for m in messages:
+            if isinstance(m, FileCommitMessage) and m.entry is not None:
+                try:
+                    os.unlink(os.path.join(self._root, m.entry["path"]))
+                except OSError:
+                    pass  # already gone; vacuum reaps stragglers
+
+    def commit(self, messages, batchId: int) -> None:
+        key = f"{self._sink_id}#{batchId}"
+        if key in _committed_epochs(self._root):
+            # replayed epoch: the table commit already happened on the
+            # previous delivery — drop the re-staged files and report
+            # success so the engine can finally checkpoint the batch
+            self._drop_staged(messages)
+            return
+        entries = [
+            m.entry
+            for m in messages
+            if isinstance(m, FileCommitMessage) and m.entry is not None
+        ]
+        try:
+            commit_os(
+                self._root,
+                "append",
+                entries,
+                self._ddl,
+                meta={"sink_epoch": key},
+            )
+        except Exception:
+            self._drop_staged(messages)
+            raise
+
+    def abort(self, messages, batchId: int) -> None:
+        self._drop_staged(messages)

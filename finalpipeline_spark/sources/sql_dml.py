@@ -39,6 +39,19 @@ supported shape in the message; silent misparse of DML is corruption):
   a statement with BOTH a matched-UPDATE and a matched-DELETE clause
   is refused (one matched action per statement).
 
+Maintenance statements (Delta SQL parity, same target forms):
+
+* ``OPTIMIZE <target> [ZORDER BY (col, ...)]`` → bin-packing rewrite /
+  Morton clustering (versioned_dml.optimize), returns nothing useful
+  beyond the CommitInfo.
+* ``VACUUM <target> [RETAIN <n> VERSIONS] [GRACE <n> SECONDS] [DRY RUN]`` → reclaim files
+  referenced only by expired versions; returns the reclaimed (or, on
+  DRY RUN, reclaimable) paths as a one-column DataFrame. Retention is
+  version-count based here; the grace-seconds file-age guard still
+  protects in-flight commits.
+* ``DESCRIBE HISTORY <target>`` → the commit history DataFrame
+  (version, parent, action, operation metrics).
+
 Targets: ``versioned.`/abs/path``` (Delta's ``delta.`/path``` shape)
 or any registered view/table name whose analyzed plan resolves to a
 ``USING versioned`` relation — the root is pulled from the relation's
@@ -334,10 +347,73 @@ def versioned_sql(
     see versioned_dml)."""
     stmt = sql.strip().rstrip(";")
     masked = _mask_literals(stmt)
-    kw = re.match(r"(INSERT|UPDATE|DELETE|MERGE)\b", masked, re.I)
+    kw = re.match(
+        r"(INSERT|UPDATE|DELETE|MERGE|OPTIMIZE|VACUUM|DESCRIBE)\b",
+        masked, re.I,
+    )
     if not kw:
         return spark.sql(stmt)
     verb = kw.group(1).upper()
+
+    if verb == "OPTIMIZE":
+        # OPTIMIZE <target> [ZORDER BY (col, ...)] — Delta's SQL shape
+        m = re.match(
+            rf"OPTIMIZE{_WS}({_REF})"
+            rf"(?:{_WS}ZORDER{_WS}BY\s*\(([^)]*)\))?\s*$",
+            masked, re.I,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported OPTIMIZE shape — expected: OPTIMIZE "
+                "<target> [ZORDER BY (col, ...)]"
+            )
+        target = stmt[m.start(1):m.end(1)]
+        zcols = (
+            [c.strip().strip("`") for c in stmt[m.start(2):m.end(2)].split(",")]
+            if m.group(2)
+            else None
+        )
+        vt = VersionedTable(spark, _resolve_root(spark, target))
+        return vt.optimize(zorder_by=zcols, attempts=attempts)
+
+    if verb == "VACUUM":
+        # VACUUM <target> [RETAIN <n> VERSIONS] [DRY RUN] — versions,
+        # not hours: retention here is version-count based (the
+        # grace-seconds file-age guard keeps Delta's in-flight safety)
+        m = re.match(
+            rf"VACUUM{_WS}({_REF})"
+            rf"(?:{_WS}RETAIN{_WS}(\d+){_WS}VERSIONS)?"
+            rf"(?:{_WS}GRACE{_WS}(\d+){_WS}SECONDS)?"
+            rf"(?:{_WS}DRY{_WS}RUN)?\s*$",
+            masked, re.I,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported VACUUM shape — expected: VACUUM <target> "
+                "[RETAIN <n> VERSIONS] [GRACE <n> SECONDS] [DRY RUN]"
+            )
+        target = stmt[m.start(1):m.end(1)]
+        retain = int(m.group(2)) if m.group(2) else 1
+        dry = bool(re.search(rf"{_WS}DRY{_WS}RUN\s*$", masked, re.I))
+        vt = VersionedTable(spark, _resolve_root(spark, target))
+        kwargs = {"retain_last": retain, "dry_run": dry}
+        if m.group(3) is not None:
+            # GRACE overrides the 7-day in-flight retention age (the
+            # Delta RETAIN-hours knob, in seconds) — 0 only when the
+            # caller can prove no concurrent writers
+            kwargs["grace_seconds"] = float(m.group(3))
+        reclaimed = vt.vacuum(**kwargs)
+        return spark.createDataFrame(
+            [(p,) for p in reclaimed], "path string"
+        )
+
+    if verb == "DESCRIBE":
+        m = re.match(rf"DESCRIBE{_WS}HISTORY{_WS}({_REF})\s*$", masked, re.I)
+        if not m:
+            return spark.sql(stmt)  # plain DESCRIBE: Spark's own
+        target = stmt[m.start(1):m.end(1)]
+        vt = VersionedTable(spark, _resolve_root(spark, target))
+        return vt.history()
 
     if verb == "INSERT":
         m = re.match(

@@ -272,3 +272,156 @@ def test_sql_select_passthrough_and_bad_shapes(spark, vt):
 def test_empty_insert_is_a_noop_append(spark, vt):
     spark.sql("INSERT INTO sqlw SELECT id, 0 FROM range(10) WHERE id < 0")
     assert vt.count_rows() == 10 and vt.manifest()["action"] == "append"
+
+
+# -- streaming writes (writeStream.format("versioned")) ----------------
+def test_writestream_versioned_format(spark, tmp_path):
+    """The streaming sink as a first-class format: a file stream lands
+    in a versioned table via df.writeStream.format('versioned'), one
+    commit per micro-batch, each carrying its (sinkId, batchId) commit
+    identity; restarting the SAME query over the same checkpoint adds
+    nothing (engine-level recovery), and new source data keeps
+    appending through the same checkpoint."""
+    register_versioned_source(spark)
+    src = str(tmp_path / "src")
+    spark.range(0, 6).selectExpr("id", "id * 2 as v").write.parquet(
+        src + "/b0"
+    )
+    root = str(tmp_path / "stream_vt")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id bigint, v bigint")
+            .parquet(src + "/*")
+            .writeStream.format("versioned")
+            .option("root", root)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    t = VersionedTable(spark, root)
+    assert t.count_rows() == 6
+    assert "sink_epoch" in (t.manifest().get("meta") or {})
+    v_first = t.latest_version()
+    run_once()  # restart, no new data: nothing re-appends
+    assert t.latest_version() == v_first and t.count_rows() == 6
+    spark.range(6, 10).selectExpr("id", "id * 2 as v").write.parquet(
+        src + "/b1"
+    )
+    run_once()
+    assert t.count_rows() == 10
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got == {i: 2 * i for i in range(10)}
+
+
+def test_stream_writer_epoch_replay_is_noop(spark, tmp_path):
+    """Direct replay drive of the stream writer's commit hook: the
+    crash window between table commit and engine checkpoint re-delivers
+    a batch with fresh staged files — the second commit() must drop
+    them and write NO new version."""
+    import os as _os
+
+    from pyspark.sql.types import StructType
+
+    from finalpipeline_spark.sources.pyds_write import (
+        FileCommitMessage,
+        VersionedStreamDataSourceWriter,
+        _write_partition,
+    )
+
+    root = str(tmp_path / "replay_vt")
+    vt = VersionedTable(spark, root)
+    vt.commit_overwrite(spark.range(0, 3).selectExpr("id as n"))
+    schema = StructType.fromDDL("n bigint")
+    w = VersionedStreamDataSourceWriter({"root": root}, schema, False)
+
+    import pyarrow as pa
+
+    def staged():
+        batch = pa.record_batch([pa.array([7, 8], pa.int64())], names=["n"])
+        return [_write_partition(root, w._commit_dir, w._fields, iter([batch]))]
+
+    w.commit(staged(), batchId=0)
+    assert vt.count_rows() == 5 and vt.latest_version() == 1
+    replay = staged()  # re-delivered epoch stages fresh files
+    w.commit(replay, batchId=0)
+    assert vt.count_rows() == 5 and vt.latest_version() == 1
+    # the replayed batch's staged file was cleaned up, not leaked
+    assert not _os.path.exists(
+        _os.path.join(root, replay[0].entry["path"])
+    )
+    w.commit(staged(), batchId=1)  # the NEXT epoch commits normally
+    assert vt.count_rows() == 7 and vt.latest_version() == 2
+
+
+def test_stream_writer_refuses_complete_mode_and_engine_features(
+    spark, tmp_path
+):
+    from pyspark.sql.types import StructType
+
+    from finalpipeline_spark.sources.pyds_write import (
+        VersionedStreamDataSourceWriter,
+    )
+
+    schema = StructType.fromDDL("n bigint")
+    with pytest.raises(ValueError, match="append output mode"):
+        VersionedStreamDataSourceWriter(
+            {"root": str(tmp_path / "x")}, schema, True
+        )
+    t = VersionedTable(spark, str(tmp_path / "cons"))
+    t.commit_overwrite(spark.range(3).selectExpr("id as n"))
+    t.add_constraint("pos", "n >= 0")
+    with pytest.raises(ValueError, match="versioned_sql"):
+        VersionedStreamDataSourceWriter({"root": t.root}, schema, False)
+
+
+# -- maintenance statements through versioned_sql -----------------------
+def test_sql_optimize_vacuum_describe_history(spark, vt):
+    spark.sql("INSERT INTO sqlw VALUES (100, 1)")
+    spark.sql("INSERT INTO sqlw VALUES (101, 2)")
+    hist = versioned_sql(spark, "DESCRIBE HISTORY sqlw")
+    assert [r.action for r in hist.orderBy("version").collect()] == [
+        "overwrite", "append", "append",
+    ]
+    n_files_before = vt.manifest()["files"]
+    info = versioned_sql(spark, "OPTIMIZE sqlw")
+    assert info.action == "optimize"
+    assert len(vt.manifest()["files"]) <= len(n_files_before)
+    assert sorted(r.id for r in vt.read().collect()) == list(range(10)) + [100, 101]
+    # dry run reports reclaimable paths without touching them
+    dry = versioned_sql(
+        spark,
+        f"VACUUM versioned.`{vt.root}` RETAIN 1 VERSIONS "
+        "GRACE 0 SECONDS DRY RUN",
+    )
+    assert dry.count() > 0
+    assert vt.read(version=0).count() == 10  # nothing deleted yet
+    real = versioned_sql(
+        spark, "VACUUM sqlw RETAIN 1 VERSIONS GRACE 0 SECONDS"
+    )
+    assert sorted(r.path for r in real.collect()) == sorted(
+        r.path for r in dry.collect()
+    )
+    assert vt.count_rows() == 12  # head intact
+
+
+def test_sql_written_files_prune_by_stats(spark, vt):
+    """The stats the SQL writer folds in-line must be USABLE, not just
+    present: a read_pruned over the SQL-written table skips the files
+    whose [min, max] excludes the predicate."""
+    for lo in (1000, 2000, 3000):
+        spark.sql(f"INSERT INTO sqlw VALUES ({lo}, 0), ({lo + 1}, 1)")
+    m = vt.manifest()
+    may_hit = [
+        e
+        for e in m["files"]
+        if e["stats"]["id"][0] is None
+        or (e["stats"]["id"][1] >= 2000 and e["stats"]["id"][0] <= 2001)
+    ]
+    assert 0 < len(may_hit) < len(m["files"])  # stats actually exclude
+    got = vt.read_pruned("id", 2000, 2001)
+    assert sorted(r.id for r in got.collect()) == [2000, 2001]
