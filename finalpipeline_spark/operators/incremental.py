@@ -37,10 +37,17 @@ def write_idempotent_partitions(
     Replaces the reference's one-parquet-file-per-target manual layout
     (tanimoto.py:192-195) with a partitioned table write.
     """
-    (
-        df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    )
-    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    conf = df.sparkSession.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        # restore: leaking dynamic mode session-wide changes the
+        # meaning of every later INSERT OVERWRITE (e.g. the versioned
+        # SQL write path plans OverwritePartitionsDynamic, which a
+        # Python DataSource cannot implement — surfaced by the suite)
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def merge_upsert(

@@ -78,13 +78,20 @@ def forget_asset(
         removed = sub.join(tomb, key_col, "semi").count()
         if removed == 0:
             return 0
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            sub.join(tomb, key_col, "left_anti")
-            .write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(path)
-        )
+        try:
+            (
+                sub.join(tomb, key_col, "left_anti")
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+        finally:
+            # restore — a leaked session-wide dynamic mode changes the
+            # meaning of every later INSERT OVERWRITE (see
+            # operators/incremental.overwrite_partitions)
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         return removed
 
     removed = df.join(tomb, key_col, "semi").count()

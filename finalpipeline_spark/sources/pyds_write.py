@@ -31,6 +31,12 @@ DataSource API):
    race re-derives from the fresh head and retries (optimistic CAS),
    so concurrent INSERTs each land exactly once.
 
+``INSERT OVERWRITE`` requires Spark's default
+``spark.sql.sources.partitionOverwriteMode=static``: under ``dynamic``
+the analyzer plans ``OverwritePartitionsDynamic``, an interface the
+Python DataSource API does not expose (the repo's own dynamic-mode
+writers scope the conf flip with save/restore for this reason).
+
 Interop: ``os.open(O_CREAT|O_EXCL)`` is an atomic claim locally and
 the read-back verification absorbs the same ms-scale windows the
 Hadoop-side protocol documents, so SQL writers and JVM
@@ -56,6 +62,7 @@ import json
 import os
 import random
 import shutil
+import threading
 import time
 import uuid
 from dataclasses import dataclass
@@ -270,6 +277,83 @@ def _refuse_engine_features(m: dict, root: str) -> None:
         )
 
 
+def _ddl_fields(ddl: str) -> list[tuple[str, str]]:
+    """``struct<a:int,b:array<int>>`` → [(name, type)] — depth-aware
+    top-level split (pyds._split_top), pyspark-free like everything in
+    the commit hooks."""
+    from finalpipeline_spark.sources.pyds import _split_top
+
+    if not (ddl.startswith("struct<") and ddl.endswith(">")):
+        raise ValueError(f"not a struct DDL: {ddl!r}")
+    inner = ddl[len("struct<"):-1]
+    if not inner:
+        return []
+    out = []
+    for part in _split_top(inner):
+        name, typ = part.split(":", 1)
+        out.append((name, typ))
+    return out
+
+
+def _ghost_names_os(root: str, current: set[str]) -> set[str]:
+    """Mirror of SchemaEvolutionMixin._ghost_names: names that appeared
+    in some schema since the last clean slate (overwrite) but are not
+    current — their values may still sit in referenced files, so
+    re-adding them by plain schema merge would resurrect dropped
+    data. Manifest-sized walk."""
+    from finalpipeline_spark.sources.pyds import _listed_hi, _manifest_any
+
+    log = os.path.join(root, _LOG_DIR)
+    if not os.path.isdir(log):
+        return set()
+    head = _listed_hi(log)
+    while _manifest_any(root, head + 1) is not None:
+        head += 1
+    manifests = [
+        m for v in range(head + 1) if (m := _manifest_any(root, v)) is not None
+    ]
+    slate = max(
+        (m["version"] for m in manifests if m["action"] == "overwrite"),
+        default=-1,
+    )
+    seen: set[str] = set()
+    for m in manifests:
+        if m["version"] >= slate:
+            seen |= {n for n, _ in _ddl_fields(m["schema"])}
+    return seen - current
+
+
+def _merge_schemas(root: str, table_ddl: str, write_ddl: str) -> str:
+    """Additive schema evolution for the native write path (Delta's
+    mergeSchema): table fields + genuinely-new write fields, in that
+    order. Same-name type changes and RE-ADDS of previously-dropped
+    names refuse (the latter needs the JVM API's column-mapping
+    machinery — a plain merge would resurrect pre-drop values)."""
+    old = _ddl_fields(table_ddl)
+    new = _ddl_fields(write_ddl)
+    old_by = dict(old)
+    conflicts = sorted(n for n, t in new if n in old_by and old_by[n] != t)
+    if conflicts:
+        raise ValueError(
+            f"type change on {conflicts} inserting into {root} is not "
+            "supported (additive evolution only)"
+        )
+    added = [(n, t) for n, t in new if n not in old_by]
+    if added:
+        ghosts = _ghost_names_os(root, {n for n, _ in old}) & {
+            n for n, _ in added
+        }
+        if ghosts:
+            raise ValueError(
+                f"column(s) {sorted(ghosts)} were previously dropped from "
+                f"{root}: re-adding by schema merge would resurrect their "
+                "old values — use VersionedTable.add_column (column-"
+                "mapping re-add) instead"
+            )
+    merged = old + added
+    return "struct<" + ",".join(f"{n}:{t}" for n, t in merged) + ">"
+
+
 def commit_os(
     root: str,
     action: str,
@@ -278,6 +362,7 @@ def commit_os(
     meta: dict[str, Any] | None = None,
     attempts: int = 10,
     grace: float = _GRACE_SECONDS,
+    merge_schema: bool = False,
 ) -> dict[str, Any]:
     """Commit ``entries`` as the next version of ``root`` under
     optimistic concurrency: every attempt re-reads the head (so an
@@ -287,6 +372,7 @@ def commit_os(
     last: Exception | None = None
     for attempt in range(attempts):
         head_v, head_m = _head(root)
+        effective_schema = schema_ddl
         if head_m is not None:
             if head_m.get("writer", 1) > SUPPORTED_WRITER_VERSION:
                 raise ValueError(
@@ -295,20 +381,27 @@ def commit_os(
                     "upgrade before committing to this table"
                 )
             _refuse_engine_features(head_m, root)
-            if action == "append" and head_m["schema"] != schema_ddl:
-                raise ValueError(
-                    f"schema mismatch inserting into {root}: the table is "
-                    f"{head_m['schema']} but the write plans {schema_ddl} "
-                    "— recreate the view if the table evolved, or use the "
-                    "VersionedTable API for schema evolution"
-                )
+            if action == "append":
+                if head_m["schema"] == schema_ddl:
+                    effective_schema = head_m["schema"]
+                elif merge_schema:
+                    effective_schema = _merge_schemas(
+                        root, head_m["schema"], schema_ddl
+                    )
+                else:
+                    raise ValueError(
+                        f"schema mismatch inserting into {root}: the table "
+                        f"is {head_m['schema']} but the write plans "
+                        f"{schema_ddl} — recreate the view if the table "
+                        "evolved, pass option('mergeSchema', 'true') for "
+                        "additive evolution, or use the VersionedTable API"
+                    )
         version = 0 if head_v is None else head_v + 1
         manifest: dict[str, Any] = {
             "version": version,
             "parent": head_v,
             "action": action,
-            "schema": schema_ddl if action == "overwrite" or head_m is None
-            else head_m["schema"],
+            "schema": effective_schema,
             "ts": round(time.time(), 3),
             "files": (
                 list(head_m["files"]) if action == "append" and head_m else []
@@ -412,8 +505,12 @@ class VersionedDataSourceWriter(DataSourceArrowWriter):
     tiny JSON claim."""
 
     def __init__(self, options: dict, schema, overwrite: bool) -> None:
+        # Spark hands options through a CaseInsensitiveDict whose plain-
+        # dict form lowercases keys — normalize so camelCase option
+        # names (mergeSchema, timestampAsOf) match however they arrive
+        options = {k.lower(): v for k, v in options.items()}
         frozen = {
-            k for k in ("version", "timestampAsOf", "changeFeed", "history")
+            k for k in ("version", "timestampasof", "changefeed", "history")
             if k in options
         }
         if frozen:
@@ -426,6 +523,9 @@ class VersionedDataSourceWriter(DataSourceArrowWriter):
             raise ValueError("format('versioned') writes require option 'root'")
         self._root = options["root"].rstrip("/")
         self._overwrite = overwrite
+        self._merge_schema = (
+            str(options.get("mergeschema", "false")).lower() == "true"
+        )
         self._fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
         self._ddl = schema.simpleString()
         self._commit_dir = f"{_DATA_DIR}/c{uuid.uuid4().hex}"
@@ -441,11 +541,17 @@ class VersionedDataSourceWriter(DataSourceArrowWriter):
                 )
             _refuse_engine_features(head_m, self._root)
             if not overwrite and head_m["schema"] != self._ddl:
-                raise ValueError(
-                    f"schema mismatch inserting into {self._root}: the "
-                    f"table is {head_m['schema']} but the write plans "
-                    f"{self._ddl}"
-                )
+                if self._merge_schema:
+                    # raises now on type conflicts / ghost re-adds —
+                    # fail before any executor writes a byte
+                    _merge_schemas(self._root, head_m["schema"], self._ddl)
+                else:
+                    raise ValueError(
+                        f"schema mismatch inserting into {self._root}: the "
+                        f"table is {head_m['schema']} but the write plans "
+                        f"{self._ddl} — pass option('mergeSchema', 'true') "
+                        "for additive evolution"
+                    )
 
     # -- executor side -------------------------------------------------
     def write(self, iterator: Iterator) -> FileCommitMessage:
@@ -466,6 +572,7 @@ class VersionedDataSourceWriter(DataSourceArrowWriter):
                 "overwrite" if self._overwrite else "append",
                 entries,
                 self._ddl,
+                merge_schema=self._merge_schema,
             )
         except Exception:
             shutil.rmtree(
@@ -479,13 +586,28 @@ class VersionedDataSourceWriter(DataSourceArrowWriter):
         )
 
 
+# Per-root committed-epoch cache: a long-running stream would otherwise
+# re-open EVERY manifest ever on EVERY micro-batch commit — O(commits)
+# per trigger, the exact poll-cost class the r8 resolved-log cache fixed
+# on the read side. Soundness: committed manifests are immutable (vacuum
+# only flips `expired`; metas persist; archival renames are name- and
+# content-preserving), so the epoch set over versions 0..upto never
+# changes — only the tail 0..head extends it. Table REPLACEMENT (rmtree
+# + re-create at the same root) is detected by pinning version 0's
+# commit timestamp: a changed v0 rebuilds from scratch, so a fresh table
+# can never skip epochs that only the dead table committed.
+_EPOCH_CACHE: dict[str, dict] = {}
+_EPOCH_CACHE_MAX = 64
+_EPOCH_LOCK = threading.Lock()
+
+
 def _committed_epochs(root: str) -> set[str]:
     """Every ``meta.sink_epoch`` across the WHOLE log — including
     expired/archived manifests, because commit identity must survive
     vacuum or a replayed epoch would double-append (mirror of
     VersionedTable.committed_meta). Contiguity makes 0..head the exact
-    version set; the scan is manifest-count bounded (one small JSON
-    per version), the same cost the JVM sink pays per epoch."""
+    version set; incremental via the per-root cache above: steady-state
+    cost per call is one readdir + the commits since the last call."""
     from finalpipeline_spark.sources.pyds import _listed_hi, _manifest_any
 
     log = os.path.join(root, _LOG_DIR)
@@ -494,14 +616,27 @@ def _committed_epochs(root: str) -> set[str]:
     head = _listed_hi(log)
     while _manifest_any(root, head + 1) is not None:
         head += 1  # racing archival of the newest manifest
-    out: set[str] = set()
-    for v in range(head + 1):
-        m = _manifest_any(root, v)
-        if m is None:
-            continue  # unparseable fragment at a pre-head slot
-        key = (m.get("meta") or {}).get("sink_epoch")
-        if key is not None:
-            out.add(key)
+    with _EPOCH_LOCK:
+        c = _EPOCH_CACHE.pop(root, None)
+        m0 = _manifest_any(root, 0)
+        v0_ts = m0.get("ts") if m0 is not None else None
+        if c is None or c["v0_ts"] != v0_ts:
+            c = {"upto": -1, "epochs": set(), "v0_ts": v0_ts}
+        for v in range(c["upto"] + 1, head + 1):
+            m = _manifest_any(root, v)
+            if m is None:
+                # transient hole (quarantine/archival race window) —
+                # stop here so the next call re-probes it; contiguity
+                # says a committed manifest will appear
+                break
+            key = (m.get("meta") or {}).get("sink_epoch")
+            if key is not None:
+                c["epochs"].add(key)
+            c["upto"] = v
+        out = set(c["epochs"])
+        if len(_EPOCH_CACHE) >= _EPOCH_CACHE_MAX:
+            _EPOCH_CACHE.pop(next(iter(_EPOCH_CACHE)))
+        _EPOCH_CACHE[root] = c
     return out
 
 
@@ -532,10 +667,11 @@ class VersionedStreamDataSourceWriter(DataSourceStreamArrowWriter):
                 "output mode only (complete/update would rewrite the "
                 "table every trigger)"
             )
+        options = {k.lower(): v for k, v in options.items()}
         if "root" not in options:
             raise ValueError("format('versioned') writes require option 'root'")
         self._root = options["root"].rstrip("/")
-        self._sink_id = options.get("sinkId", "versioned-stream")
+        self._sink_id = options.get("sinkid", "versioned-stream")
         self._fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
         self._ddl = schema.simpleString()
         self._commit_dir = f"{_DATA_DIR}/c{uuid.uuid4().hex}"

@@ -425,3 +425,87 @@ def test_sql_written_files_prune_by_stats(spark, vt):
     assert 0 < len(may_hit) < len(m["files"])  # stats actually exclude
     got = vt.read_pruned("id", 2000, 2001)
     assert sorted(r.id for r in got.collect()) == [2000, 2001]
+
+
+# -- additive schema evolution on the native path ------------------------
+def test_df_write_merge_schema_evolution(spark, tmp_path):
+    """option('mergeSchema','true') extends the table schema additively
+    (Delta parity): old files NULL-backfill the new column at read;
+    without the option the mismatch refuses; type conflicts and
+    re-adds of previously-dropped names always refuse."""
+    register_versioned_source(spark)
+    root = str(tmp_path / "ev")
+    spark.range(0, 4).selectExpr("id").write.format("versioned").option(
+        "root", root
+    ).mode("append").save()
+    t = VersionedTable(spark, root)
+    evolved = spark.range(4, 6).selectExpr("id", "id * 10 as extra")
+    with pytest.raises(Exception, match="mergeSchema"):
+        evolved.write.format("versioned").option("root", root).mode(
+            "append"
+        ).save()
+    evolved.write.format("versioned").option("root", root).option(
+        "mergeSchema", "true"
+    ).mode("append").save()
+    got = {r.id: r.extra for r in t.read().collect()}
+    assert got == {0: None, 1: None, 2: None, 3: None, 4: 40, 5: 50}
+    assert t.manifest()["schema"] == "struct<id:bigint,extra:bigint>"
+    # type conflict refuses even with the option
+    bad = spark.range(6, 7).selectExpr("id", "cast(id as string) as extra")
+    with pytest.raises(Exception, match="type change"):
+        bad.write.format("versioned").option("root", root).option(
+            "mergeSchema", "true"
+        ).mode("append").save()
+    # re-add of a dropped name refuses (would resurrect old values)
+    t.drop_column("extra")
+    with pytest.raises(Exception, match="previously dropped"):
+        evolved.write.format("versioned").option("root", root).option(
+            "mergeSchema", "true"
+        ).mode("append").save()
+
+
+def test_committed_epoch_scan_is_incremental(spark, tmp_path, monkeypatch):
+    """The stream writer's replay lookup must not re-open every
+    manifest on every micro-batch (the read-side r8 poll-cost class):
+    after the first scan, a new call probes only the tail."""
+    import finalpipeline_spark.sources.pyds as pyds
+    from finalpipeline_spark.sources import pyds_write
+
+    root = str(tmp_path / "epochs")
+    vt = VersionedTable(spark, root)
+    vt.commit_overwrite(spark.range(2).selectExpr("id as n"))
+    for e in range(4):
+        vt.commit_append(
+            spark.range(2).selectExpr("id as n"),
+            meta={"sink_epoch": f"s#{e}"},
+        )
+    first = pyds_write._committed_epochs(root)
+    assert first == {f"s#{e}" for e in range(4)}
+    calls = []
+    real = pyds._manifest_any
+
+    def counting(r, v):
+        calls.append(v)
+        return real(r, v)
+
+    monkeypatch.setattr(pyds, "_manifest_any", counting)
+    again = pyds_write._committed_epochs(root)
+    assert again == first
+    # head probe (head+1 miss) + v0 replacement canary — NOT a rescan
+    # of all five committed manifests
+    assert len(calls) <= 3
+    # a NEW commit extends the set incrementally
+    vt.commit_append(
+        spark.range(2).selectExpr("id as n"), meta={"sink_epoch": "s#4"}
+    )
+    calls.clear()
+    assert pyds_write._committed_epochs(root) == first | {"s#4"}
+    assert len(calls) <= 4
+    # table REPLACEMENT at the same root must drop the cached epochs
+    monkeypatch.undo()
+    import shutil as _shutil
+
+    _shutil.rmtree(root)
+    vt2 = VersionedTable(spark, root)
+    vt2.commit_overwrite(spark.range(1).selectExpr("id as n"))
+    assert pyds_write._committed_epochs(root) == set()
