@@ -263,3 +263,112 @@ def test_cross_process_identity_allocation(spark, tmp_path):
     assert len(set(rids)) == len(rids)
     # step alignment: every id is start + k*step
     assert all(v >= 100 and (v - 100) % 3 == 0 for v in rids)
+
+
+_SQL_WRITER = r"""
+import sys
+sys.path.insert(0, ".")
+root, wid = sys.argv[1], int(sys.argv[2])
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName(f"mp-sqlw-{wid}")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+from finalpipeline_spark.sources.pyds import register_versioned_source
+
+register_versioned_source(spark)
+spark.sql(
+    f"CREATE TEMPORARY VIEW t USING versioned OPTIONS (root '{root}')"
+)
+base = 1_000 * (wid + 1)
+for step in range(3):
+    lo = base + 10 * step
+    spark.sql(
+        f"INSERT INTO t SELECT id, cast({wid} as int) as grp "
+        f"FROM range({lo}, {lo + 10})"
+    )
+print("SQLW-OK", wid)
+"""
+
+
+_JVM_API_WRITER = r"""
+import sys
+sys.path.insert(0, ".")
+root = sys.argv[1]
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("mp-jvmw")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+from finalpipeline_spark.sources.versioned import VersionedTable
+
+vt = VersionedTable(spark, root)
+for step in range(3):
+    lo = 9_000 + 10 * step
+    vt.commit_with_retry(
+        lambda t, lo=lo: t.commit_append(
+            spark.range(lo, lo + 10).selectExpr(
+                "id", "cast(9 as int) as grp"
+            )
+        ),
+        attempts=60,
+    )
+print("JVMW-OK 7")
+"""
+
+
+def test_cross_process_sql_inserts_race_jvm_writer(spark, tmp_path):
+    """The os-primitive commit protocol (pyds_write) racing the JVM
+    protocol (versioned_log) ACROSS PROCESSES: two subprocess drivers
+    append through pure SQL INSERT INTO while a third appends through
+    the VersionedTable API — the two claim implementations must
+    interoperate on one log with every commit landing exactly once."""
+    root = str(tmp_path / "vtsql")
+    table = VersionedTable(spark, root)
+    table.commit_overwrite(
+        spark.range(0, 5).selectExpr("id", "cast(-1 as int) as grp")
+    )
+
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _SQL_WRITER, root, str(w)],
+            cwd="/root/repo",
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for w in range(2)
+    ] + [
+        subprocess.Popen(
+            [sys.executable, "-c", _JVM_API_WRITER, root],
+            cwd="/root/repo",
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+    ]
+    outs = [p.communicate(timeout=800)[0] for p in procs]
+    for w, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"writer {w} failed:\n{out[-4000:]}"
+    assert "SQLW-OK 0" in outs[0] and "SQLW-OK 1" in outs[1]
+    assert "JVMW-OK 7" in outs[2]
+
+    vs = table.versions()
+    assert vs == list(range(len(vs)))
+    assert len(vs) == 1 + 3 * 3  # seed + 3 writers x 3 appends
+    got = {r["id"]: r["grp"] for r in table.read().collect()}
+    want = {i: -1 for i in range(5)}
+    for w in range(2):
+        b = 1_000 * (w + 1)
+        want |= {i: w for i in range(b, b + 30)}
+    want |= {i: 9 for i in range(9_000, 9_030)}
+    assert got == want

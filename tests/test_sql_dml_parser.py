@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis) for the versioned_sql DML parser.
+
+A DML misparse is silent corruption, so the parser's invariants get
+adversarial inputs: string literals CONTAINING the grammar's own
+keywords (WHEN/WHERE/AND/THEN), quotes-in-quotes, commas inside
+function calls, random identifiers. All pure-Python (no Spark) — the
+integration semantics are covered by tests/test_sql_write.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from finalpipeline_spark.sources.sql_dml import (
+    _mask_literals,
+    _parse_merge,
+    _split_top,
+)
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+# literal contents designed to collide with the grammar: keywords,
+# quotes (doubled-escape form), commas, parens
+_nasty = st.lists(
+    st.sampled_from(
+        list("abc,()=<>.* ")
+        + ["WHEN ", " WHERE ", " AND ", " THEN ", "MATCHED", "''"]
+    ),
+    min_size=0,
+    max_size=12,
+).map(lambda parts: "".join(parts))
+
+
+@given(s=_nasty)
+@settings(max_examples=200, deadline=None)
+def test_mask_preserves_length_and_quotes(s):
+    sql = f"SELECT '{s}' AS x FROM t"
+    masked = _mask_literals(sql)
+    assert len(masked) == len(sql)
+    # the DELIMITER quotes survive at their original offsets (escaped
+    # quotes inside the literal are content and are masked away)
+    assert masked[sql.index("'")] == "'"
+    # no keyword from inside the literal leaks into the masked region
+    inner = masked[sql.index("'") + 1 : sql.rindex("'")]
+    assert "WHEN" not in inner and "WHERE" not in inner and "," not in inner
+
+
+@given(items=st.lists(_nasty, min_size=1, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_split_top_rejoins_to_original(items):
+    # build a comma-joined expression list where each item hides its
+    # nasty content inside a string literal (so depth/commas inside are
+    # masked) and check the split returns exactly the items
+    parts = [f"f('{x}')" for x in items]
+    s = ", ".join(parts)
+    got = _split_top(s, _mask_literals(s))
+    assert got == parts
+
+
+@given(keys=st.lists(_ident, min_size=1, max_size=4, unique=True), cond=_nasty)
+@settings(max_examples=200, deadline=None)
+def test_merge_parser_extracts_keys_and_conditions(keys, cond):
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    stmt = (
+        f"MERGE INTO tgt AS t USING src AS s ON {on} "
+        f"WHEN MATCHED AND s.flag = '{cond}' THEN DELETE "
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
+    pk = _parse_merge(stmt, _mask_literals(stmt))
+    assert pk["keys"] == keys
+    assert pk["insert_unmatched"] is True
+    assert pk["matched_delete"] == f"s.flag = '{cond}'"
+    assert pk["when_matched_update"] is None
+
+
+@given(
+    cols=st.lists(_ident, min_size=1, max_size=4, unique=True),
+    vals=st.lists(_nasty, min_size=1, max_size=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_merge_update_set_assignments_survive_nasty_exprs(cols, vals):
+    vals = (vals * len(cols))[: len(cols)]
+    sets = ", ".join(
+        f"{c} = concat(s.{c}, '{v}')" for c, v in zip(cols, vals)
+    )
+    stmt = (
+        f"MERGE INTO tgt AS t USING src AS s ON t.k = s.k "
+        f"WHEN MATCHED THEN UPDATE SET {sets}"
+    )
+    pk = _parse_merge(stmt, _mask_literals(stmt))
+    assert list(pk["when_matched_update"]) == cols
+    for c, v in zip(cols, vals):
+        assert pk["when_matched_update"][c] == f"concat(s.{c}, '{v}')"
+
+
+@given(side=st.sampled_from(["t.a = s.b", "t.a > s.a", "s.a = s.a", "x.a = s.a"]))
+@settings(max_examples=20, deadline=None)
+def test_merge_rejects_non_equi_or_mispaired_on(side):
+    stmt = (
+        f"MERGE INTO tgt AS t USING src AS s ON {side} "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    with pytest.raises(ValueError, match="MERGE ON|MERGE keys"):
+        _parse_merge(stmt, _mask_literals(stmt))
+
+
+def test_merge_rejects_update_and_delete_together():
+    stmt = (
+        "MERGE INTO tgt AS t USING src AS s ON t.k = s.k "
+        "WHEN MATCHED AND s.x = 1 THEN UPDATE SET a = s.a "
+        "WHEN MATCHED THEN DELETE"
+    )
+    with pytest.raises(ValueError, match="one matched action"):
+        _parse_merge(stmt, _mask_literals(stmt))
+
+
+@given(s=_nasty)
+@settings(max_examples=100, deadline=None)
+def test_statement_router_never_misroutes_on_literal_keywords(s):
+    """A SELECT whose literal contains 'INSERT'/'MERGE' etc. must stay
+    a passthrough: the router keys on the masked FIRST token only."""
+    from finalpipeline_spark.sources import sql_dml
+
+    sql = f"SELECT 'INSERT INTO x {s} MERGE' AS v"
+    masked = _mask_literals(sql)
+    assert re.match(
+        r"(INSERT|UPDATE|DELETE|MERGE|OPTIMIZE|VACUUM|DESCRIBE)\b",
+        masked,
+        re.I,
+    ) is None
+    assert sql_dml is not None  # module import sanity
