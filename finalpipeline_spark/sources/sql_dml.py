@@ -51,6 +51,15 @@ Maintenance statements (Delta SQL parity, same target forms):
   protects in-flight commits.
 * ``DESCRIBE HISTORY <target>`` → the commit history DataFrame
   (version, parent, action, operation metrics).
+* ``CREATE [OR REPLACE] TABLE versioned.`/p` AS <query>`` — CTAS
+  bootstrap (plain CREATE refuses an existing root; OR REPLACE
+  commits an overwrite, history preserved).
+* ``CREATE TABLE versioned.`/dst` SHALLOW|DEEP CLONE <src> [VERSION AS
+  OF <n>]`` — Delta CLONE (shallow = by-pointer v0, deep = parallel
+  file copy).
+* ``RESTORE TABLE <target> TO VERSION AS OF <n> | TO TIMESTAMP AS OF
+  <epochSeconds>`` — roll-forward restore (history append-only).
+Other CREATE statements pass through to ``spark.sql`` untouched.
 
 Targets: ``versioned.`/abs/path``` (Delta's ``delta.`/path``` shape)
 or any registered view/table name whose analyzed plan resolves to a
@@ -348,12 +357,81 @@ def versioned_sql(
     stmt = sql.strip().rstrip(";")
     masked = _mask_literals(stmt)
     kw = re.match(
-        r"(INSERT|UPDATE|DELETE|MERGE|OPTIMIZE|VACUUM|DESCRIBE)\b",
+        r"(INSERT|UPDATE|DELETE|MERGE|OPTIMIZE|VACUUM|DESCRIBE|CREATE|RESTORE)\b",
         masked, re.I,
     )
     if not kw:
         return spark.sql(stmt)
     verb = kw.group(1).upper()
+
+    if verb == "CREATE":
+        # CREATE [OR REPLACE] TABLE versioned.`/p` AS <query>  (CTAS)
+        # CREATE TABLE versioned.`/dst` SHALLOW|DEEP CLONE <src>
+        #   [VERSION AS OF <n>]                            (Delta CLONE)
+        m = re.match(
+            rf"CREATE{_WS}(?:(OR{_WS}REPLACE){_WS})?TABLE{_WS}"
+            rf"(versioned\s*\.\s*`[^`]+`)\s+(.*)$",
+            masked, re.I | re.S,
+        )
+        if not m:
+            return spark.sql(stmt)  # ordinary CREATE: Spark's own
+        replace = bool(m.group(1))
+        dst_root = re.fullmatch(
+            r"versioned\s*\.\s*`([^`]+)`", stmt[m.start(2):m.end(2)]
+        ).group(1).rstrip("/")
+        tail = stmt[m.start(3):]
+        tail_masked = masked[m.start(3):]
+        cm = re.match(
+            rf"(SHALLOW|DEEP){_WS}CLONE{_WS}({_REF})"
+            rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(\d+))?\s*$",
+            tail_masked, re.I,
+        )
+        dst = VersionedTable(spark, dst_root)
+        if dst.latest_version() is not None and not (replace and not cm):
+            raise ValueError(
+                f"{dst_root} already exists — use CREATE OR REPLACE "
+                "TABLE (CTAS) or a fresh root"
+            )
+        if cm:
+            src = VersionedTable(
+                spark, _resolve_root(spark, tail[cm.start(2):cm.end(2)])
+            )
+            return src.clone_to(
+                dst_root,
+                version=int(cm.group(3)) if cm.group(3) else None,
+                deep=cm.group(1).upper() == "DEEP",
+            )
+        am = re.match(rf"AS{_WS}(.*)$", tail_masked, re.I | re.S)
+        if not am:
+            raise ValueError(
+                "unsupported CREATE TABLE shape — expected: CREATE [OR "
+                "REPLACE] TABLE versioned.`/p` AS <query>, or CREATE "
+                "TABLE versioned.`/p` SHALLOW|DEEP CLONE <src> "
+                "[VERSION AS OF n]"
+            )
+        return dst.commit_overwrite(spark.sql(tail[am.start(1):]))
+
+    if verb == "RESTORE":
+        # RESTORE TABLE <t> TO VERSION AS OF <n> | TO TIMESTAMP AS OF
+        # <epochSeconds> — Delta RESTORE: roll-forward commit whose
+        # content equals the target version's (history append-only)
+        m = re.match(
+            rf"RESTORE{_WS}TABLE{_WS}({_REF}){_WS}TO{_WS}"
+            rf"(VERSION|TIMESTAMP){_WS}AS{_WS}OF{_WS}([\d.]+)\s*$",
+            masked, re.I,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported RESTORE shape — expected: RESTORE TABLE "
+                "<target> TO VERSION AS OF <n> | TO TIMESTAMP AS OF "
+                "<epochSeconds>"
+            )
+        vt = VersionedTable(
+            spark, _resolve_root(spark, stmt[m.start(1):m.end(1)])
+        )
+        if m.group(2).upper() == "VERSION":
+            return vt.rollback(int(m.group(3)))
+        return vt.rollback(vt.version_as_of_timestamp(float(m.group(3))))
 
     if verb == "OPTIMIZE":
         # OPTIMIZE <target> [ZORDER BY (col, ...)] — Delta's SQL shape

@@ -509,3 +509,46 @@ def test_committed_epoch_scan_is_incremental(spark, tmp_path, monkeypatch):
     vt2 = VersionedTable(spark, root)
     vt2.commit_overwrite(spark.range(1).selectExpr("id as n"))
     assert pyds_write._committed_epochs(root) == set()
+
+
+def test_sql_ctas_clone_restore(spark, vt, tmp_path):
+    # CTAS bootstraps a new root; plain CREATE refuses an existing one
+    dst = str(tmp_path / "ctas")
+    info = versioned_sql(
+        spark,
+        f"CREATE TABLE versioned.`{dst}` AS "
+        "SELECT id, grp FROM sqlw WHERE id < 4",
+    )
+    assert info.action == "overwrite"
+    t2 = VersionedTable(spark, dst)
+    assert sorted(r.id for r in t2.read().collect()) == [0, 1, 2, 3]
+    with pytest.raises(ValueError, match="already exists"):
+        versioned_sql(
+            spark, f"CREATE TABLE versioned.`{dst}` AS SELECT 1 AS x"
+        )
+    versioned_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE versioned.`{dst}` AS "
+        "SELECT id, grp FROM sqlw WHERE id >= 8",
+    )
+    assert sorted(r.id for r in t2.read().collect()) == [8, 9]
+    assert t2.read(version=0).count() == 4  # history preserved
+
+    # SHALLOW CLONE at a pinned version
+    c1 = str(tmp_path / "clone1")
+    versioned_sql(
+        spark,
+        f"CREATE TABLE versioned.`{c1}` SHALLOW CLONE "
+        f"versioned.`{dst}` VERSION AS OF 0",
+    )
+    assert sorted(
+        r.id for r in VersionedTable(spark, c1).read().collect()
+    ) == [0, 1, 2, 3]
+
+    # RESTORE by version: roll-forward commit, history intact
+    info = versioned_sql(
+        spark, f"RESTORE TABLE versioned.`{dst}` TO VERSION AS OF 0"
+    )
+    assert info.action == "rollback"
+    assert sorted(r.id for r in t2.read().collect()) == [0, 1, 2, 3]
+    assert t2.read(version=1).count() == 2  # nothing rewritten
