@@ -651,9 +651,13 @@ class VersionedStreamDataSourceWriter(DataSourceStreamArrowWriter):
     in its manifest meta, and a re-delivered batch (crash between the
     table commit and the engine's checkpoint commit) is recognized and
     skipped — its freshly staged files are removed, no manifest is
-    written. Two DIFFERENT streaming queries appending to one table
-    must set distinct ``option("sinkId", ...)`` values (Delta's
-    txnAppId contract); the default suits the common one-stream case.
+    written. ``option("sinkId", ...)`` is REQUIRED and must be unique
+    per streaming query (Delta's txnAppId contract): the foreachBatch
+    sink derives this identity from its checkpoint dir, but the format
+    hooks cannot see the checkpoint, and a DEFAULT shared by two
+    queries would make the second query's batch ids collide with the
+    first's committed epochs — its early batches would be silently
+    dropped as replays, which is data loss, not idempotence.
 
     All micro-batches of one query run share one ``data/c<uuid>/`` sink
     directory (file names are task+uuid unique); vacuum reclaims
@@ -670,8 +674,18 @@ class VersionedStreamDataSourceWriter(DataSourceStreamArrowWriter):
         options = {k.lower(): v for k, v in options.items()}
         if "root" not in options:
             raise ValueError("format('versioned') writes require option 'root'")
+        if "sinkid" not in options or not str(options["sinkid"]).strip():
+            raise ValueError(
+                "format('versioned') streaming writes require option "
+                "'sinkId' — a stable identity unique to THIS streaming "
+                "query (pair it 1:1 with the checkpointLocation). It "
+                "keys the sink_epoch commit identity that makes "
+                "re-delivered batches no-ops; a shared or defaulted id "
+                "would silently drop another query's early batches as "
+                "replays"
+            )
         self._root = options["root"].rstrip("/")
-        self._sink_id = options.get("sinkid", "versioned-stream")
+        self._sink_id = str(options["sinkid"])
         self._fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
         self._ddl = schema.simpleString()
         self._commit_dir = f"{_DATA_DIR}/c{uuid.uuid4().hex}"

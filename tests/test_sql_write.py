@@ -296,6 +296,7 @@ def test_writestream_versioned_format(spark, tmp_path):
             .parquet(src + "/*")
             .writeStream.format("versioned")
             .option("root", root)
+            .option("sinkId", "sqlw-e2e")
             .option("checkpointLocation", ck)
             .trigger(availableNow=True)
             .start()
@@ -337,7 +338,9 @@ def test_stream_writer_epoch_replay_is_noop(spark, tmp_path):
     vt = VersionedTable(spark, root)
     vt.commit_overwrite(spark.range(0, 3).selectExpr("id as n"))
     schema = StructType.fromDDL("n bigint")
-    w = VersionedStreamDataSourceWriter({"root": root}, schema, False)
+    w = VersionedStreamDataSourceWriter(
+        {"root": root, "sinkId": "replay-test"}, schema, False
+    )
 
     import pyarrow as pa
 
@@ -370,13 +373,21 @@ def test_stream_writer_refuses_complete_mode_and_engine_features(
     schema = StructType.fromDDL("n bigint")
     with pytest.raises(ValueError, match="append output mode"):
         VersionedStreamDataSourceWriter(
-            {"root": str(tmp_path / "x")}, schema, True
+            {"root": str(tmp_path / "x"), "sinkId": "s"}, schema, True
+        )
+    # sinkId is REQUIRED: a defaulted identity shared by two queries
+    # would silently drop the second query's early batches as replays
+    with pytest.raises(ValueError, match="sinkId"):
+        VersionedStreamDataSourceWriter(
+            {"root": str(tmp_path / "x")}, schema, False
         )
     t = VersionedTable(spark, str(tmp_path / "cons"))
     t.commit_overwrite(spark.range(3).selectExpr("id as n"))
     t.add_constraint("pos", "n >= 0")
     with pytest.raises(ValueError, match="versioned_sql"):
-        VersionedStreamDataSourceWriter({"root": t.root}, schema, False)
+        VersionedStreamDataSourceWriter(
+            {"root": t.root, "sinkId": "s"}, schema, False
+        )
 
 
 # -- maintenance statements through versioned_sql -----------------------
