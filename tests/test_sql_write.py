@@ -563,3 +563,36 @@ def test_sql_ctas_clone_restore(spark, vt, tmp_path):
     assert info.action == "rollback"
     assert sorted(r.id for r in t2.read().collect()) == [0, 1, 2, 3]
     assert t2.read(version=1).count() == 2  # nothing rewritten
+
+
+def test_sql_written_commits_flow_through_change_feed(spark, vt, tmp_path):
+    """SQL-written tables are full lakehouse citizens: commits made by
+    the native INSERT path must stream through the change feed exactly
+    like JVM-written ones — right rows, right _commit_version tags."""
+    spark.sql("INSERT INTO sqlw VALUES (50, 0)")
+    spark.sql("INSERT INTO sqlw VALUES (51, 1)")
+    from finalpipeline_spark.sources.pyds import table_changes
+
+    ch = table_changes(spark, vt.root, 1).collect()
+    assert {(r.id, r._commit_version, r._change_type) for r in ch} == {
+        (50, 1, "insert"),
+        (51, 2, "insert"),
+    }
+    # and the STREAMING change feed sees them too
+    out = str(tmp_path / "cdf_out")
+    ck = str(tmp_path / "cdf_ck")
+    q = (
+        spark.readStream.format("versioned")
+        .option("root", vt.root)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.filter("_commit_version >= 1").count() == 2
+    assert got.count() == 12  # snapshot (10) + the two SQL inserts
