@@ -412,10 +412,12 @@ def commit_os(
             req = head_m.get("reader", 1)
             if req > 1:
                 manifest["reader"] = req
-            # defensive carry — unreachable while the refusal gate
+            # table properties carry forward: bloom_index is live on
+            # this path (the writers honor it); the engine-feature trio
+            # is a defensive carry — unreachable while the refusal gate
             # above is absolute, kept so a future relaxation cannot
-            # silently drop table properties
-            for k in ("constraints", "generated", "identity"):
+            # silently drop them
+            for k in ("constraints", "generated", "identity", "bloom_index"):
                 if head_m.get(k):
                     manifest[k] = dict(head_m[k])
         if meta:
@@ -440,12 +442,22 @@ def _write_partition(
     commit_dir: str,
     fields: list[tuple[str, str]],
     iterator: Iterator,
+    bloom: dict | None = None,
 ) -> FileCommitMessage:
     """One task's Arrow batches → ONE new parquet file under
     ``commit_dir`` with per-file min/max/null stats folded in-line
     (memory bounded by a RecordBatch; zero extra stats pass). Shared by
     the batch and streaming writers — their only difference is the
-    driver-side commit policy."""
+    driver-side commit policy.
+
+    ``bloom`` is the table's ``bloom_index`` property ({col, bits, k}),
+    honored here so SQL-written files stay point-lookup prunable: bit
+    positions use the exact scheme of operators/bloom._position_expr —
+    md5('<seed>:<str(value)>') hex-prefix int31 mod bits — which for
+    the string/integer key columns blooms are built on stringifies
+    identically in Python and Spark SQL."""
+    import hashlib
+
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     from pyspark import TaskContext
@@ -460,6 +472,9 @@ def _write_partition(
     nulls: dict[str, int] = {n: 0 for n, _ in fields}
     rows = 0
     writer = None
+    bwords: list[int] | None = None
+    if bloom is not None and any(n == bloom["col"] for n, _ in fields):
+        bwords = [0] * ((int(bloom["bits"]) + 63) // 64)
     try:
         for batch in iterator:
             if batch.num_rows == 0:
@@ -472,6 +487,17 @@ def _write_partition(
             for i, (name, _t) in enumerate(fields):
                 col = batch.column(i)
                 nulls[name] += col.null_count
+                if bwords is not None and name == bloom["col"]:
+                    bits, k = int(bloom["bits"]), int(bloom["k"])
+                    for v in col.to_pylist():
+                        if v is None:
+                            continue
+                        for j in range(k):
+                            h = hashlib.md5(
+                                f"{j}:{v}".encode()
+                            ).hexdigest()[:8]
+                            pos = (int(h, 16) % 2_147_483_648) % bits
+                            bwords[pos >> 6] |= 1 << (pos & 63)
                 if name not in stat_cols or col.null_count == len(col):
                     continue
                 mm = pc.min_max(col)
@@ -494,6 +520,8 @@ def _write_partition(
         },
         "nulls": nulls,
     }
+    if bwords is not None:
+        entry["bloom"] = bwords
     return FileCommitMessage(entry)
 
 
@@ -532,6 +560,11 @@ class VersionedDataSourceWriter(DataSourceArrowWriter):
         # fail-fast at PLAN time (commit re-checks authoritatively:
         # these can change between plan and commit)
         _, head_m = _head(self._root)
+        # bloom_index table property: honored so SQL-written files stay
+        # point-lookup prunable (pinned at plan time — the geometry is
+        # carried forward by every commit, so it cannot change under us
+        # without an explicit re-declare)
+        self._bloom = (head_m or {}).get("bloom_index")
         if head_m is not None:
             if head_m.get("writer", 1) > SUPPORTED_WRITER_VERSION:
                 raise ValueError(
@@ -556,7 +589,8 @@ class VersionedDataSourceWriter(DataSourceArrowWriter):
     # -- executor side -------------------------------------------------
     def write(self, iterator: Iterator) -> FileCommitMessage:
         return _write_partition(
-            self._root, self._commit_dir, self._fields, iterator
+            self._root, self._commit_dir, self._fields, iterator,
+            bloom=self._bloom,
         )
 
     # -- driver side (plan worker: os/json only, no JVM) ----------------
@@ -690,6 +724,7 @@ class VersionedStreamDataSourceWriter(DataSourceStreamArrowWriter):
         self._ddl = schema.simpleString()
         self._commit_dir = f"{_DATA_DIR}/c{uuid.uuid4().hex}"
         _, head_m = _head(self._root)
+        self._bloom = (head_m or {}).get("bloom_index")
         if head_m is not None:
             if head_m.get("writer", 1) > SUPPORTED_WRITER_VERSION:
                 raise ValueError(
@@ -707,7 +742,8 @@ class VersionedStreamDataSourceWriter(DataSourceStreamArrowWriter):
 
     def write(self, iterator: Iterator) -> FileCommitMessage:
         return _write_partition(
-            self._root, self._commit_dir, self._fields, iterator
+            self._root, self._commit_dir, self._fields, iterator,
+            bloom=self._bloom,
         )
 
     def _drop_staged(self, messages) -> None:

@@ -639,19 +639,26 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
         """Point lookup ``bloom_col = value`` that opens only files
         whose per-file bloom filter might contain the key (plus files
         committed without a bloom, conservatively). Over-selection
-        only — the exact equality filter is still applied."""
-        if self.bloom_col is None:
-            raise ValueError("table was opened without a bloom_col")
+        only — the exact equality filter is still applied. The bloom
+        geometry comes from the handle's config or, for a config-less
+        handle, the manifest's ``bloom_index`` table property."""
+        bcfg = self.effective_bloom()
+        if bcfg is None:
+            raise ValueError(
+                "table has no bloom index (neither this handle's "
+                "bloom_col nor a bloom_index table property)"
+            )
+        col, bits, k = bcfg
         m = self.manifest(version)
         hits = []
         for f in m["files"]:
             bloom = f.get("bloom")
-            if bloom is None or self._bloom_might_contain(bloom, value):
+            if bloom is None or self._bloom_might_contain(bloom, value, bits, k):
                 hits.append(f)
         if not hits:
             return self.read(version).filter(F.lit(False))
         return self._scan_entries(hits, self._schema_of(m)).filter(
-            F.col(self.bloom_col) == F.lit(value)
+            F.col(col) == F.lit(value)
         )
 
     def files(self, version: int | None = None) -> DataFrame:

@@ -79,7 +79,12 @@ class DmlMixin:
             .agg(*aggs)
             .collect()  # one row per new data file — manifest-sized
         )
-        blooms = self._per_file_blooms(back) if self.bloom_col in back.columns else {}
+        bcfg = self.effective_bloom()
+        blooms = (
+            self._per_file_blooms(back, *bcfg)
+            if bcfg is not None and bcfg[0] in back.columns
+            else {}
+        )
         files = []
         for r in stats:
             full = r["__file"]
@@ -96,21 +101,39 @@ class DmlMixin:
             files.append(entry)
         return files
 
-    def _per_file_blooms(self, back: DataFrame) -> dict[str, list[int]]:
-        """One bloom word-array per new data file over ``bloom_col``.
+    def effective_bloom(self) -> tuple[str, int, int] | None:
+        """The bloom-index geometry in force for THIS table's writes:
+        the handle's explicit ``bloom_col`` config wins; otherwise the
+        ``bloom_index`` table property the manifest carries (recorded
+        by the first bloom-configured writer, carried forward by every
+        commit like constraints) — so a config-less handle, a second
+        driver, or the SQL write path all keep the index populated
+        instead of silently writing unbloomed files."""
+        if self.bloom_col:
+            return self.bloom_col, self.bloom_bits, self.bloom_k
+        try:
+            prop = self.manifest().get("bloom_index")
+        except VersionNotFoundError:
+            return None
+        if prop:
+            return prop["col"], int(prop["bits"]), int(prop["k"])
+        return None
+
+    def _per_file_blooms(
+        self, back: DataFrame, col: str, bits: int, k: int
+    ) -> dict[str, list[int]]:
+        """One bloom word-array per new data file over ``col``.
         The aggregation dedups (file, position) pairs map-side, so the
-        collect is bounded by n_new_files × bloom_bits — commit-sized
+        collect is bounded by n_new_files × bits — commit-sized
         planning state, never row-sized."""
         from finalpipeline_spark.operators.bloom import _position_expr
 
         pos = F.array(
-            *[
-                F.expr(_position_expr(self.bloom_col, j, self.bloom_bits))
-                for j in range(self.bloom_k)
-            ]
+            *[F.expr(_position_expr(col, j, bits)) for j in range(k)]
         )
         rows = (
-            back.select(
+            back.filter(F.col(col).isNotNull())
+            .select(
                 F.col("_metadata.file_path").alias("__file"),
                 F.explode(pos).alias("pos"),
             )
@@ -118,21 +141,23 @@ class DmlMixin:
             .collect()
         )
         words: dict[str, list[int]] = {}
-        n_words = (self.bloom_bits + 63) // 64
+        n_words = (bits + 63) // 64
         for r in rows:
             w = words.setdefault(r["__file"], [0] * n_words)
             w[r["pos"] >> 6] |= 1 << (r["pos"] & 63)
         return words
 
-    def _bloom_might_contain(self, words: list[int], value: Any) -> bool:
+    def _bloom_might_contain(
+        self, words: list[int], value: Any, bits: int, k: int
+    ) -> bool:
         """Driver-side membership test mirroring operators/bloom's SQL
         scheme bit-for-bit: position = (md5('<seed>:<str(value)>') hex
         prefix as int31) % bits."""
         import hashlib
 
-        for j in range(self.bloom_k):
+        for j in range(k):
             h = hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:8]
-            p = (int(h, 16) % 2_147_483_648) % self.bloom_bits
+            p = (int(h, 16) % 2_147_483_648) % bits
             if not (words[p >> 6] >> (p & 63)) & 1:
                 return False
         return True

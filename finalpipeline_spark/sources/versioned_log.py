@@ -591,6 +591,20 @@ class LogProtocolMixin:
             identity = pm.get("identity")
         if identity:
             manifest["identity"] = dict(identity)
+        # bloom-index geometry is a table property too: recorded by the
+        # first bloom-configured writer, carried forward by every commit
+        # — so config-less handles and the SQL write path keep the
+        # point-lookup index populated (an explicitly configured handle
+        # may re-declare, replacing the geometry for FUTURE files; old
+        # entries keep the words they were written with)
+        if self.bloom_col:
+            manifest["bloom_index"] = {
+                "col": self.bloom_col,
+                "bits": self.bloom_bits,
+                "k": self.bloom_k,
+            }
+        elif pm is not None and pm.get("bloom_index"):
+            manifest["bloom_index"] = dict(pm["bloom_index"])
         self._write_manifest(manifest)
         return CommitInfo(
             version=version,

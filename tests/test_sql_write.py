@@ -596,3 +596,53 @@ def test_sql_written_commits_flow_through_change_feed(spark, vt, tmp_path):
     got = spark.read.parquet(out)
     assert got.filter("_commit_version >= 1").count() == 2
     assert got.count() == 12  # snapshot (10) + the two SQL inserts
+
+
+def test_bloom_index_is_a_durable_table_property(spark, tmp_path):
+    """The bloom geometry must survive the writer that declared it: a
+    config-less JVM handle AND the SQL INSERT path both keep the index
+    populated from the manifest's bloom_index property, and point
+    lookups prune from either handle."""
+    register_versioned_source(spark)
+    root = str(tmp_path / "bloomy")
+    t = VersionedTable(spark, root, bloom_col="k", bloom_bits=4096, bloom_k=3)
+    t.commit_overwrite(
+        spark.range(0, 50).selectExpr("cast(id as string) as k", "id as v")
+    )
+    m = t.manifest()
+    assert m["bloom_index"] == {"col": "k", "bits": 4096, "k": 3}
+    assert all("bloom" in e for e in m["files"])
+
+    # config-less handle appends: property carried, new files bloomed
+    plain = VersionedTable(spark, root)
+    plain.commit_append(
+        spark.range(50, 90).selectExpr("cast(id as string) as k", "id as v")
+    )
+    m = plain.manifest()
+    assert m["bloom_index"]["col"] == "k"
+    assert all("bloom" in e for e in m["files"])
+
+    # SQL INSERT path: new entries carry executor-computed blooms
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW bloomy USING versioned "
+        f"OPTIONS (root '{root}')"
+    )
+    spark.sql("INSERT INTO bloomy VALUES ('990', 990), ('991', 991)")
+    m = plain.manifest()
+    assert m["bloom_index"]["col"] == "k"
+    assert all("bloom" in e for e in m["files"])
+
+    # point lookup from the CONFIG-LESS handle prunes to the right file
+    # and returns the exact row — including a SQL-written key
+    for key, val in (("7", 7), ("990", 990)):
+        got = plain.read_point_lookup(key).collect()
+        assert [(r.k, r.v) for r in got] == [(key, val)]
+    # pruning actually skips: a missing key probes no candidate files
+    # in the common case (allow bloom false positives, bound them)
+    probed = [
+        e for e in m["files"]
+        if plain._bloom_might_contain(e["bloom"], "no-such-key", 4096, 3)
+    ]
+    assert len(probed) < len(m["files"])
+    assert plain.read_point_lookup("no-such-key").count() == 0
+    spark.catalog.dropTempView("bloomy")
