@@ -44,11 +44,14 @@ Maintenance statements (Delta SQL parity, same target forms):
 * ``OPTIMIZE <target> [ZORDER BY (col, ...)]`` → bin-packing rewrite /
   Morton clustering (versioned_dml.optimize), returns nothing useful
   beyond the CommitInfo.
-* ``VACUUM <target> [RETAIN <n> VERSIONS] [GRACE <n> SECONDS] [DRY RUN]`` → reclaim files
-  referenced only by expired versions; returns the reclaimed (or, on
-  DRY RUN, reclaimable) paths as a one-column DataFrame. Retention is
-  version-count based here; the grace-seconds file-age guard still
-  protects in-flight commits.
+* ``VACUUM <target> [RETAIN <n> VERSIONS | RETAIN <n> HOURS]
+  [GRACE <n> SECONDS] [DRY RUN]`` → reclaim files referenced only by
+  expired versions; returns the reclaimed (or, on DRY RUN,
+  reclaimable) paths as a one-column DataFrame. ``RETAIN n HOURS`` is
+  Delta's time-based history retention (versions whose commit time is
+  inside the horizon survive, the head always survives); ``RETAIN n
+  VERSIONS`` is the count-based form; the grace-seconds file-age
+  guard protects in-flight commits either way.
 * ``DESCRIBE HISTORY <target>`` → the commit history DataFrame
   (version, parent, action, operation metrics).
 * ``CREATE [OR REPLACE] TABLE versioned.`/p` AS <query>`` — CTAS
@@ -60,6 +63,31 @@ Maintenance statements (Delta SQL parity, same target forms):
 * ``RESTORE TABLE <target> TO VERSION AS OF <n> | TO TIMESTAMP AS OF
   <epochSeconds>`` — roll-forward restore (history append-only).
 Other CREATE statements pass through to ``spark.sql`` untouched.
+
+Schema evolution (Delta ALTER TABLE parity — every form maps 1:1 onto
+the engine's metadata-only evolution commits in versioned_schema.py,
+so the SQL-only persona can evolve tables, not just write them):
+
+* ``ALTER TABLE <target> ADD COLUMN <name> <type>`` — NULL-backfilled
+  metadata-only add (re-adding a dropped name goes through the
+  column-mapping re-add path automatically).
+* ``ALTER TABLE <target> ADD COLUMNS (<name> <type>, ...)`` — each
+  column is one evolution commit (the engine's add_column unit; Delta
+  folds them into one — documented nuance).
+* ``ALTER TABLE <target> ADD COLUMN <name> <type> GENERATED ALWAYS AS
+  (<expr>)`` — generated column (empty tables only, engine rule).
+* ``ALTER TABLE <target> ADD COLUMN <name> BIGINT GENERATED ALWAYS AS
+  IDENTITY [(START WITH <s> INCREMENT BY <k>)]`` — identity column
+  (type must be BIGINT, Delta's requirement too).
+* ``ALTER TABLE <target> DROP COLUMN <name>`` /
+  ``DROP COLUMNS (<name>, ...)``
+* ``ALTER TABLE <target> RENAME COLUMN <old> TO <new>`` — the
+  column-mapping rename.
+* ``ALTER TABLE <target> ALTER COLUMN <name> TYPE <widerType>`` —
+  lossless type widening only.
+* ``ALTER TABLE <target> ALTER COLUMN <name> SET NOT NULL``
+* ``ALTER TABLE <target> ADD CONSTRAINT <name> CHECK (<pred>)``
+* ``ALTER TABLE <target> DROP CONSTRAINT <name>``
 
 Targets: ``versioned.`/abs/path``` (Delta's ``delta.`/path``` shape)
 or any registered view/table name whose analyzed plan resolves to a
@@ -171,6 +199,153 @@ def _resolve_root(spark: SparkSession, ref: str) -> str:
 
 # target-reference token: versioned.`...` | `...` | dotted name
 _REF = r"versioned\s*\.\s*`[^`]+`|`[^`]+`|[A-Za-z_][\w.]*"
+# column-identifier token (backquoted content is masked to spaces in
+# the masked twin, so `[^`]*` must tolerate the blanks; real text is
+# always pulled from ``stmt`` by span)
+_IDENT = r"`[^`]*`|\w+"
+
+
+def _uq(ident: str) -> str:
+    """Strip optional backquotes from an identifier."""
+    return ident.strip().strip("`")
+
+
+def _split_cols(s: str, masked: str) -> list[tuple[str, str]]:
+    """Split a ``name type, name type, ...`` column-spec list on
+    top-level commas. Unlike ``_split_top`` this also tracks ``<...>``
+    depth — DDL types nest commas inside angle brackets
+    (``map<string,int>``) — which is safe HERE because a column-spec
+    list contains types, never comparison expressions."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(masked):
+        if ch in "([<":
+            depth += 1
+        elif ch in ")]>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append((s[start:i], masked[start:i]))
+            start = i + 1
+    parts.append((s[start:], masked[start:]))
+    cols = []
+    for part, pmask in parts:
+        cm = re.match(rf"\s*({_IDENT})\s+(.+?)\s*$", pmask, re.S)
+        if not cm:
+            raise ValueError(
+                f"unsupported column-spec entry {part.strip()!r} — "
+                "expected '<name> <type>'"
+            )
+        cols.append(
+            (_uq(part[cm.start(1):cm.end(1)]), part[cm.start(2):cm.end(2)].strip())
+        )
+    return cols
+
+
+def _parse_alter(stmt: str, masked: str) -> tuple[str, str, list[tuple]]:
+    """ALTER TABLE text → (target_text, op_name, [op_args...]) where
+    each op maps 1:1 onto a VersionedTable evolution method (see the
+    module docstring for the accepted grammar). Pure parse — no Spark,
+    so the grammar is property-testable without a session."""
+    shape_err = ValueError(
+        "unsupported ALTER TABLE shape — supported: ADD COLUMN <name> "
+        "<type> [GENERATED ALWAYS AS (expr) | GENERATED ALWAYS AS "
+        "IDENTITY [(START WITH s INCREMENT BY k)]], ADD COLUMNS (name "
+        "type, ...), DROP COLUMN <name>, DROP COLUMNS (name, ...), "
+        "RENAME COLUMN <old> TO <new>, ALTER COLUMN <name> TYPE "
+        "<widerType>, ALTER COLUMN <name> SET NOT NULL, ADD CONSTRAINT "
+        "<name> CHECK (pred), DROP CONSTRAINT <name>"
+    )
+    hm = re.match(
+        rf"ALTER{_WS}TABLE{_WS}({_REF}){_WS}", masked, re.I
+    )
+    if not hm:
+        raise shape_err
+    target = stmt[hm.start(1):hm.end(1)]
+    tail, tmask = stmt[hm.end():], masked[hm.end():]
+
+    m = re.match(
+        rf"ADD{_WS}CONSTRAINT{_WS}({_IDENT}){_WS}CHECK\s*\((.*)\)\s*$",
+        tmask, re.I | re.S,
+    )
+    if m:
+        return target, "add_constraint", [
+            (_uq(tail[m.start(1):m.end(1)]), tail[m.start(2):m.end(2)].strip())
+        ]
+    m = re.match(rf"DROP{_WS}CONSTRAINT{_WS}({_IDENT})\s*$", tmask, re.I)
+    if m:
+        return target, "drop_constraint", [(_uq(tail[m.start(1):m.end(1)]),)]
+    m = re.match(
+        rf"RENAME{_WS}COLUMN{_WS}({_IDENT}){_WS}TO{_WS}({_IDENT})\s*$",
+        tmask, re.I,
+    )
+    if m:
+        return target, "rename_column", [
+            (_uq(tail[m.start(1):m.end(1)]), _uq(tail[m.start(2):m.end(2)]))
+        ]
+    m = re.match(
+        rf"ALTER{_WS}COLUMN{_WS}({_IDENT}){_WS}TYPE{_WS}(.+?)\s*$",
+        tmask, re.I | re.S,
+    )
+    if m:
+        return target, "widen_column", [
+            (_uq(tail[m.start(1):m.end(1)]), tail[m.start(2):m.end(2)].strip())
+        ]
+    m = re.match(
+        rf"ALTER{_WS}COLUMN{_WS}({_IDENT}){_WS}SET{_WS}NOT{_WS}NULL\s*$",
+        tmask, re.I,
+    )
+    if m:
+        return target, "add_not_null", [(_uq(tail[m.start(1):m.end(1)]),)]
+    m = re.match(rf"DROP{_WS}COLUMNS?{_WS}({_IDENT})\s*$", tmask, re.I)
+    if m:
+        return target, "drop_column", [(_uq(tail[m.start(1):m.end(1)]),)]
+    m = re.match(rf"DROP{_WS}COLUMNS\s*\((.*)\)\s*$", tmask, re.I | re.S)
+    if m:
+        inner, imask = tail[m.start(1):m.end(1)], tmask[m.start(1):m.end(1)]
+        return target, "drop_column", [
+            (_uq(p),) for p in _split_top(inner, imask)
+        ]
+    # ADD COLUMN with a GENERATED clause — identity first (its clause
+    # text is a superset of the expression form's prefix)
+    m = re.match(
+        rf"ADD{_WS}COLUMNS?{_WS}({_IDENT}){_WS}(.+?){_WS}"
+        rf"GENERATED{_WS}ALWAYS{_WS}AS{_WS}IDENTITY"
+        rf"(?:\s*\(\s*START{_WS}WITH{_WS}(-?\d+){_WS}"
+        rf"INCREMENT{_WS}BY{_WS}(-?\d+)\s*\))?\s*$",
+        tmask, re.I | re.S,
+    )
+    if m:
+        name = _uq(tail[m.start(1):m.end(1)])
+        ddl = tail[m.start(2):m.end(2)].strip()
+        if ddl.lower() not in ("bigint", "long"):
+            raise ValueError(
+                f"identity column '{name}' must be BIGINT (got {ddl!r})"
+            )
+        start = int(m.group(3)) if m.group(3) else 1
+        step = int(m.group(4)) if m.group(4) else 1
+        return target, "add_identity_column", [(name, start, step)]
+    m = re.match(
+        rf"ADD{_WS}COLUMNS?{_WS}({_IDENT}){_WS}(.+?){_WS}"
+        rf"GENERATED{_WS}ALWAYS{_WS}AS\s*\((.*)\)\s*$",
+        tmask, re.I | re.S,
+    )
+    if m:
+        return target, "add_generated_column", [
+            (
+                _uq(tail[m.start(1):m.end(1)]),
+                tail[m.start(2):m.end(2)].strip(),
+                tail[m.start(3):m.end(3)].strip(),
+            )
+        ]
+    m = re.match(rf"ADD{_WS}COLUMN{_WS}({_IDENT}){_WS}(.+?)\s*$", tmask, re.I | re.S)
+    if m:
+        return target, "add_column", [
+            (_uq(tail[m.start(1):m.end(1)]), tail[m.start(2):m.end(2)].strip())
+        ]
+    m = re.match(rf"ADD{_WS}COLUMNS\s*\((.*)\)\s*$", tmask, re.I | re.S)
+    if m:
+        inner, imask = tail[m.start(1):m.end(1)], tmask[m.start(1):m.end(1)]
+        return target, "add_column", _split_cols(inner, imask)
+    raise shape_err
 
 
 def _align_insert(
@@ -357,12 +532,36 @@ def versioned_sql(
     stmt = sql.strip().rstrip(";")
     masked = _mask_literals(stmt)
     kw = re.match(
-        r"(INSERT|UPDATE|DELETE|MERGE|OPTIMIZE|VACUUM|DESCRIBE|CREATE|RESTORE)\b",
+        r"(INSERT|UPDATE|DELETE|MERGE|OPTIMIZE|VACUUM|DESCRIBE|CREATE|"
+        r"RESTORE|ALTER)\b",
         masked, re.I,
     )
     if not kw:
         return spark.sql(stmt)
     verb = kw.group(1).upper()
+
+    if verb == "ALTER":
+        hm = re.match(rf"ALTER{_WS}TABLE{_WS}({_REF})\b", masked, re.I)
+        if not hm:
+            return spark.sql(stmt)  # ALTER VIEW etc.: Spark's own
+        try:
+            root = _resolve_root(spark, stmt[hm.start(1):hm.end(1)])
+        except ValueError as e:
+            if "read-only" in str(e):
+                raise  # snapshot/feed view: evolution is a write too
+            # an ordinary catalog table (or an unsupported ref shape):
+            # Spark's own ALTER TABLE handles it
+            return spark.sql(stmt)
+        _, op, calls = _parse_alter(stmt, masked)  # loud on a bad shape
+        vt = VersionedTable(spark, root)
+        method = getattr(vt, op)
+        info = None
+        for args in calls:
+            # multi-column ADD/DROP runs one evolution commit per
+            # column (the engine's unit); each carries its own CAS
+            # retry, so concurrent writers interleave safely
+            info = method(*args, attempts=attempts)
+        return info
 
     if verb == "CREATE":
         # CREATE [OR REPLACE] TABLE versioned.`/p` AS <query>  (CTAS)
@@ -455,12 +654,14 @@ def versioned_sql(
         return vt.optimize(zorder_by=zcols, attempts=attempts)
 
     if verb == "VACUUM":
-        # VACUUM <target> [RETAIN <n> VERSIONS] [DRY RUN] — versions,
-        # not hours: retention here is version-count based (the
-        # grace-seconds file-age guard keeps Delta's in-flight safety)
+        # VACUUM <target> [RETAIN <n> VERSIONS | RETAIN <n> HOURS]
+        # [GRACE <n> SECONDS] [DRY RUN] — HOURS is Delta's time-based
+        # history retention (commit-time horizon, head always kept);
+        # VERSIONS is the count-based form; the grace-seconds file-age
+        # guard keeps Delta's in-flight safety either way
         m = re.match(
             rf"VACUUM{_WS}({_REF})"
-            rf"(?:{_WS}RETAIN{_WS}(\d+){_WS}VERSIONS)?"
+            rf"(?:{_WS}RETAIN{_WS}(\d+(?:\.\d+)?){_WS}(VERSIONS|HOURS))?"
             rf"(?:{_WS}GRACE{_WS}(\d+){_WS}SECONDS)?"
             rf"(?:{_WS}DRY{_WS}RUN)?\s*$",
             masked, re.I,
@@ -468,18 +669,24 @@ def versioned_sql(
         if not m:
             raise ValueError(
                 "unsupported VACUUM shape — expected: VACUUM <target> "
-                "[RETAIN <n> VERSIONS] [GRACE <n> SECONDS] [DRY RUN]"
+                "[RETAIN <n> VERSIONS | RETAIN <n> HOURS] "
+                "[GRACE <n> SECONDS] [DRY RUN]"
             )
         target = stmt[m.start(1):m.end(1)]
-        retain = int(m.group(2)) if m.group(2) else 1
         dry = bool(re.search(rf"{_WS}DRY{_WS}RUN\s*$", masked, re.I))
+        kwargs: dict[str, Any] = {"dry_run": dry}
+        if m.group(3) and m.group(3).upper() == "HOURS":
+            kwargs["retain_hours"] = float(m.group(2))
+        elif m.group(2):
+            if "." in m.group(2):
+                raise ValueError("RETAIN <n> VERSIONS takes an integer")
+            kwargs["retain_last"] = int(m.group(2))
         vt = VersionedTable(spark, _resolve_root(spark, target))
-        kwargs = {"retain_last": retain, "dry_run": dry}
-        if m.group(3) is not None:
-            # GRACE overrides the 7-day in-flight retention age (the
-            # Delta RETAIN-hours knob, in seconds) — 0 only when the
-            # caller can prove no concurrent writers
-            kwargs["grace_seconds"] = float(m.group(3))
+        if m.group(4) is not None:
+            # GRACE overrides the 7-day in-flight file-age guard (in
+            # seconds) — 0 only when the caller can prove no
+            # concurrent writers
+            kwargs["grace_seconds"] = float(m.group(4))
         reclaimed = vt.vacuum(**kwargs)
         return spark.createDataFrame(
             [(p,) for p in reclaimed], "path string"

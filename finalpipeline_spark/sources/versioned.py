@@ -752,21 +752,8 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
         time travel non-monotonic (asking for a LATER instant could
         return an EARLIER version).  Raises when ``ts`` predates the
         first live commit."""
-        adjusted = []
-        last = float("-inf")
-        for v in self.versions_live():
-            m = self._read_manifest_file(v)
-            t = m.get("ts")
-            if t is None:
-                p = self._manifest_path(v)
-                if not self._fs.exists(p):
-                    p = self._archive_path(v)  # vacuum archived it
-                t = self._fs.getFileStatus(p).getModificationTime() / 1000.0
-            t = max(float(t), last + 1e-3)
-            adjusted.append((v, t))
-            last = t
         winner = None
-        for v, t in adjusted:
+        for v, t in self._adjusted_live_times():
             if t <= ts:
                 winner = v
         if winner is None:

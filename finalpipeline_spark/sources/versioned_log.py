@@ -701,11 +701,37 @@ class LogProtocolMixin:
                     retired.append(v)
         return retired
 
+    def _adjusted_live_times(self) -> list[tuple[int, float]]:
+        """``(version, commit_time)`` for every live version, adjusted
+        to be strictly increasing across versions: with multiple
+        writers on skewed clocks a later version can carry an earlier
+        raw timestamp, and un-adjusted times would make time-based
+        resolution non-monotonic. Raw times come from each manifest's
+        recorded wall clock (``ts``), falling back to the manifest
+        file's mtime for tables written before timestamps were
+        recorded. Shared by TIMESTAMP AS OF resolution and time-based
+        vacuum retention, so both agree on every version's age."""
+        adjusted: list[tuple[int, float]] = []
+        last = float("-inf")
+        for v in self.versions_live():
+            m = self._read_manifest_file(v)
+            t = m.get("ts")
+            if t is None:
+                p = self._manifest_path(v)
+                if not self._fs.exists(p):
+                    p = self._archive_path(v)  # vacuum archived it
+                t = self._fs.getFileStatus(p).getModificationTime() / 1000.0
+            t = max(float(t), last + 1e-3)
+            adjusted.append((v, t))
+            last = t
+        return adjusted
+
     def vacuum(
         self,
         retain_last: int = 1,
         grace_seconds: float = 7 * 24 * 3600,
         dry_run: bool = False,
+        retain_hours: float | None = None,
     ) -> list[str]:
         """Delete data files referenced ONLY by versions older than the
         last ``retain_last`` live ones, plus orphan commit dirs from
@@ -725,11 +751,28 @@ class LogProtocolMixin:
         ``dry_run=True`` (Delta's VACUUM ... DRY RUN) returns the same
         reclaimable-path list WITHOUT deleting anything or expiring any
         manifest — the audit step before an irreversible retention run.
+
+        ``retain_hours`` adds Delta's TIME-based history retention
+        (``RETAIN n HOURS``): every live version whose adjusted commit
+        time is within the last ``retain_hours`` hours is retained IN
+        ADDITION to the last ``retain_last`` versions (the two rules
+        union, and retain_last >= 1 guarantees the head always
+        survives, Delta's invariant too). Ages use the same adjusted
+        commit times as TIMESTAMP AS OF resolution, so a version
+        reachable by time travel is never expired by a horizon that
+        should keep it.
         """
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
         live = self.versions_live()
-        retained, expired = live[-retain_last:], live[:-retain_last]
+        keep = set(live[-retain_last:])
+        if retain_hours is not None:
+            if retain_hours < 0:
+                raise ValueError("retain_hours must be >= 0")
+            cutoff = time.time() - retain_hours * 3600.0
+            keep |= {v for v, t in self._adjusted_live_times() if t >= cutoff}
+        retained = [v for v in live if v in keep]
+        expired = [v for v in live if v not in keep]
         referenced = set()
         for v in retained:
             for f in self._read_manifest_file(v)["files"]:

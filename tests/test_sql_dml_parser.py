@@ -132,3 +132,91 @@ def test_statement_router_never_misroutes_on_literal_keywords(s):
         re.I,
     ) is None
     assert sql_dml is not None  # module import sanity
+
+
+# -- ALTER TABLE parser --------------------------------------------------
+from finalpipeline_spark.sources.sql_dml import _parse_alter  # noqa: E402
+
+_type = st.sampled_from(
+    ["int", "bigint", "string", "decimal(10,2)", "array<int>", "map<string,int>"]
+)
+
+
+@given(name=_ident, ddl=_type)
+@settings(max_examples=100, deadline=None)
+def test_alter_add_column_roundtrip(name, ddl):
+    stmt = f"ALTER TABLE versioned.`/t` ADD COLUMN {name} {ddl}"
+    target, op, calls = _parse_alter(stmt, _mask_literals(stmt))
+    assert target == "versioned.`/t`"
+    assert op == "add_column" and calls == [(name, ddl)]
+
+
+@given(cols=st.lists(st.tuples(_ident, _type), min_size=1, max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_alter_add_columns_list_splits_on_top_level_commas(cols):
+    # decimal(10,2) hides a comma inside parens — _split_top must not
+    # split there
+    body = ", ".join(f"{n} {t}" for n, t in cols)
+    stmt = f"ALTER TABLE tgt ADD COLUMNS ({body})"
+    _, op, calls = _parse_alter(stmt, _mask_literals(stmt))
+    assert op == "add_column" and calls == list(cols)
+
+
+@given(old=_ident, new=_ident)
+@settings(max_examples=60, deadline=None)
+def test_alter_rename_column(old, new):
+    stmt = f"ALTER TABLE tgt RENAME COLUMN `{old}` TO {new}"
+    _, op, calls = _parse_alter(stmt, _mask_literals(stmt))
+    assert op == "rename_column" and calls == [(old, new)]
+
+
+@given(name=_ident, pred=_nasty)
+@settings(max_examples=100, deadline=None)
+def test_alter_add_constraint_predicate_survives_nasty_literals(name, pred):
+    stmt = (
+        f"ALTER TABLE tgt ADD CONSTRAINT {name} "
+        f"CHECK (col > 0 AND note <> '{pred}')"
+    )
+    _, op, calls = _parse_alter(stmt, _mask_literals(stmt))
+    assert op == "add_constraint"
+    assert calls == [(name, f"col > 0 AND note <> '{pred}'")]
+
+
+def test_alter_fixed_shapes():
+    cases = [
+        ("ALTER TABLE t DROP COLUMN x", "drop_column", [("x",)]),
+        ("ALTER TABLE t DROP COLUMNS (x, y)", "drop_column", [("x",), ("y",)]),
+        ("alter table t alter column x type bigint", "widen_column", [("x", "bigint")]),
+        ("ALTER TABLE t ALTER COLUMN x SET NOT NULL", "add_not_null", [("x",)]),
+        ("ALTER TABLE t DROP CONSTRAINT c1", "drop_constraint", [("c1",)]),
+        (
+            "ALTER TABLE t ADD COLUMN g bigint GENERATED ALWAYS AS (a + b)",
+            "add_generated_column",
+            [("g", "bigint", "a + b")],
+        ),
+        (
+            "ALTER TABLE t ADD COLUMN i bigint GENERATED ALWAYS AS IDENTITY",
+            "add_identity_column",
+            [("i", 1, 1)],
+        ),
+        (
+            "ALTER TABLE t ADD COLUMN i bigint GENERATED ALWAYS AS IDENTITY "
+            "(START WITH -5 INCREMENT BY 2)",
+            "add_identity_column",
+            [("i", -5, 2)],
+        ),
+    ]
+    for stmt, op, calls in cases:
+        _, got_op, got_calls = _parse_alter(stmt, _mask_literals(stmt))
+        assert (got_op, got_calls) == (op, calls), stmt
+
+
+def test_alter_rejects_bad_shapes():
+    for stmt in [
+        "ALTER TABLE t SET TBLPROPERTIES ('a'='b')",
+        "ALTER TABLE t ADD COLUMN",
+        "ALTER TABLE t RENAME COLUMN a b",
+        "ALTER TABLE t ADD COLUMN i int GENERATED ALWAYS AS IDENTITY",
+    ]:
+        with pytest.raises(ValueError):
+            _parse_alter(stmt, _mask_literals(stmt))

@@ -646,3 +646,132 @@ def test_bloom_index_is_a_durable_table_property(spark, tmp_path):
     assert len(probed) < len(m["files"])
     assert plain.read_point_lookup("no-such-key").count() == 0
     spark.catalog.dropTempView("bloomy")
+
+
+# -- ALTER TABLE surface -------------------------------------------------
+def test_sql_alter_add_drop_rename_widen(spark, vt):
+    versioned_sql(spark, "ALTER TABLE sqlw ADD COLUMN note string")
+    df = vt.read()
+    assert "note" in df.columns
+    assert df.filter("note IS NOT NULL").count() == 0  # NULL-backfilled
+
+    versioned_sql(
+        spark, "ALTER TABLE sqlw ADD COLUMNS (a int, b decimal(10,2))"
+    )
+    types = dict(vt.read().dtypes)
+    assert types["a"] == "int" and types["b"] == "decimal(10,2)"
+
+    versioned_sql(spark, "ALTER TABLE sqlw ALTER COLUMN a TYPE bigint")
+    assert dict(vt.read().dtypes)["a"] == "bigint"
+    with pytest.raises(ValueError, match="lossless"):
+        versioned_sql(spark, "ALTER TABLE sqlw ALTER COLUMN b TYPE int")
+
+    versioned_sql(spark, "ALTER TABLE sqlw RENAME COLUMN note TO comment")
+    cols = vt.read().columns
+    assert "comment" in cols and "note" not in cols
+    # pre-rename data survives the mapping: grp still reads its values
+    assert vt.read().filter("grp IS NULL").count() == 0
+
+    versioned_sql(spark, "ALTER TABLE sqlw DROP COLUMN b")
+    assert "b" not in vt.read().columns
+    versioned_sql(spark, "ALTER TABLE sqlw DROP COLUMNS (a, comment)")
+    assert set(vt.read().columns) == {"id", "grp"}
+
+    # the whole evolution flow stays SQL-writable afterwards
+    spark.sql("INSERT INTO sqlw VALUES (100, 1)")
+    assert vt.count_rows() == 11
+
+    with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
+        versioned_sql(spark, "ALTER TABLE sqlw FROBNICATE COLUMN x")
+
+
+def test_sql_alter_constraints_and_not_null(spark, vt):
+    versioned_sql(
+        spark,
+        "ALTER TABLE sqlw ADD CONSTRAINT grp_range CHECK (grp BETWEEN 0 AND 2)",
+    )
+    assert vt.constraints() == {"grp_range": "grp BETWEEN 0 AND 2"}
+    with pytest.raises(ConstraintViolationError):
+        versioned_sql(spark, "INSERT INTO sqlw VALUES (500, 99)")
+    versioned_sql(spark, "ALTER TABLE sqlw DROP CONSTRAINT grp_range")
+    versioned_sql(spark, "INSERT INTO sqlw VALUES (500, 99)")
+    assert vt.count_rows() == 11
+
+    versioned_sql(spark, "ALTER TABLE sqlw ALTER COLUMN id SET NOT NULL")
+    assert "id_not_null" in vt.constraints()
+    # a column with existing NULLs refuses NOT NULL loudly
+    versioned_sql(spark, "ALTER TABLE sqlw ADD COLUMN opt string")
+    with pytest.raises(ValueError, match="NULL"):
+        versioned_sql(spark, "ALTER TABLE sqlw ALTER COLUMN opt SET NOT NULL")
+
+
+def test_sql_alter_generated_and_identity(spark, tmp_path):
+    register_versioned_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "gen"))
+    t.commit_overwrite(
+        spark.range(0).selectExpr("cast(id as string) as k", "id as v")
+    )  # stage the schema empty, then declare rules (Delta: at creation)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW altgen USING versioned "
+        f"OPTIONS (root '{t.root}')"
+    )
+    versioned_sql(
+        spark,
+        "ALTER TABLE altgen ADD COLUMN v2 bigint GENERATED ALWAYS AS (v * 2)",
+    )
+    versioned_sql(
+        spark,
+        "ALTER TABLE altgen ADD COLUMN rid BIGINT GENERATED ALWAYS AS "
+        "IDENTITY (START WITH 10 INCREMENT BY 5)",
+    )
+    assert t.generated() == {"v2": "v * 2"}
+    assert t.identity() == {"rid": {"start": 10, "step": 5}}
+    versioned_sql(spark, "INSERT INTO altgen (k, v) VALUES ('a', 1), ('b', 2)")
+    rows = {r.k: r for r in t.read().collect()}
+    assert rows["a"].v2 == 2 and rows["b"].v2 == 4
+    assert {rows["a"].rid, rows["b"].rid} <= {10, 15}
+    # a non-BIGINT identity declaration refuses at parse time
+    with pytest.raises(ValueError, match="BIGINT"):
+        versioned_sql(
+            spark,
+            "ALTER TABLE altgen ADD COLUMN oops int GENERATED ALWAYS AS IDENTITY",
+        )
+    spark.catalog.dropTempView("altgen")
+
+
+def test_sql_alter_routing_edges(spark, vt, tmp_path):
+    # a snapshot view is read-only for evolution too
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW sqlw_v0 USING versioned "
+        f"OPTIONS (root '{vt.root}', version '0')"
+    )
+    with pytest.raises(ValueError, match="read-only"):
+        versioned_sql(spark, "ALTER TABLE sqlw_v0 ADD COLUMN x int")
+    spark.catalog.dropTempView("sqlw_v0")
+    # a non-versioned relation routes to Spark's own ALTER TABLE (which
+    # refuses schema changes on plain temp views with its own error)
+    spark.range(3).createOrReplaceTempView("plainv")
+    with pytest.raises(Exception, match="(?i)plainv|not supported|expect"):
+        versioned_sql(spark, "ALTER TABLE plainv ADD COLUMN x int")
+    spark.catalog.dropTempView("plainv")
+
+
+def test_sql_vacuum_retain_hours(spark, vt):
+    import json as _json
+    import os
+
+    spark.sql("INSERT OVERWRITE sqlw VALUES (1, 0)")  # v0 files dead
+    p = os.path.join(vt.root, "_log", "v%012d.json" % 0)
+    m = _json.load(open(p))
+    m["ts"] = m["ts"] - 7200.0
+    with open(p, "w") as fh:
+        fh.write(_json.dumps(m))
+    got = versioned_sql(
+        spark, "VACUUM sqlw RETAIN 1 HOURS GRACE 0 SECONDS"
+    )
+    assert got.count() > 0  # v0's files reclaimed by the hour horizon
+    assert vt.versions_live() == [1]
+    # fractional horizons parse; VERSIONS with a fraction refuses
+    versioned_sql(spark, "VACUUM sqlw RETAIN 0.5 HOURS GRACE 0 SECONDS")
+    with pytest.raises(ValueError, match="integer"):
+        versioned_sql(spark, "VACUUM sqlw RETAIN 1.5 VERSIONS")

@@ -1547,3 +1547,57 @@ def test_column_stats_metadata_only(spark, table):
     table.delete_where("id = 7", mode="mor")
     with pytest.raises(ValueError, match="deletion-vectored"):
         table.column_stats("id")
+
+
+def test_vacuum_retain_hours_expires_by_commit_age(spark, table):
+    import json as _json
+
+    table.commit_overwrite(_df(spark, 0, 10, "old0"))
+    table.commit_overwrite(_df(spark, 0, 10, "old1"))  # v0's files dead
+    table.commit_overwrite(_df(spark, 0, 10, "new"))   # v1's files dead
+    # back-date the first two COMMIT TIMES (manifest ts, the input of
+    # time-based retention), leaving the head fresh — a mixed-age log
+    log_dir = os.path.join(table.root, "_log")
+    for v, age in ((0, 7200.0), (1, 7200.0)):
+        p = os.path.join(log_dir, "v%012d.json" % v)
+        m = _json.load(open(p))
+        m["ts"] = m["ts"] - age
+        with open(p, "w") as fh:
+            fh.write(_json.dumps(m))
+    # fresh FILE mtimes + default grace: expiry happens, but no file
+    # is reclaimed yet (the in-flight guard is age-based on files)
+    assert table.vacuum(retain_hours=1.0) == []
+    with pytest.raises(VersionNotFoundError):
+        table.read(version=0)
+    with pytest.raises(VersionNotFoundError):
+        table.read(version=1)
+    assert table.read().count() == 10  # head retained (always)
+    # grace lifted: exactly the old versions' dead files reclaim
+    deleted = table.vacuum(retain_hours=1.0, grace_seconds=0)
+    assert deleted
+    for f in table.manifest()["files"]:
+        assert os.path.exists(os.path.join(table.root, f["path"]))
+    # a horizon wider than every age expires nothing further
+    table.commit_append(_df(spark, 10, 20, "tail"))
+    assert table.vacuum(retain_hours=48.0, grace_seconds=0) == []
+    assert {v for v in table.versions_live()} == {2, 3}
+
+
+def test_vacuum_retain_hours_unions_with_retain_last(spark, table):
+    import json as _json
+
+    for tag in ("a", "b", "c"):
+        table.commit_overwrite(_df(spark, 0, 5, tag))
+    log_dir = os.path.join(table.root, "_log")
+    for v in (0, 1, 2):  # everything is "old" by commit time
+        p = os.path.join(log_dir, "v%012d.json" % v)
+        m = _json.load(open(p))
+        m["ts"] = m["ts"] - 7200.0
+        with open(p, "w") as fh:
+            fh.write(_json.dumps(m))
+    # hour-horizon alone would expire ALL of them; retain_last=2 keeps
+    # the newest two anyway (the rules union)
+    table.vacuum(retain_last=2, retain_hours=0.5, grace_seconds=0)
+    assert table.versions_live() == [1, 2]
+    with pytest.raises(ValueError):
+        table.vacuum(retain_hours=-1.0)
