@@ -541,7 +541,7 @@ def versioned_sql(
     verb = kw.group(1).upper()
 
     if verb == "ALTER":
-        hm = re.match(rf"ALTER{_WS}TABLE{_WS}({_REF})\b", masked, re.I)
+        hm = re.match(rf"ALTER{_WS}TABLE{_WS}({_REF})", masked, re.I)
         if not hm:
             return spark.sql(stmt)  # ALTER VIEW etc.: Spark's own
         try:
