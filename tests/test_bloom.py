@@ -76,3 +76,43 @@ def test_bloom_tiny_filter_overselects_but_never_drops(spark, sf_dir):
     ).count()
     assert missed == 0
     assert survivors.count() >= true_matches.count()
+
+
+def test_executor_bloom_fold_bit_parity_with_reference_scheme():
+    """The SQL-write path's vectorized fold (sources/pyds_write.py
+    _bloom_fold_batch) must stay bit-identical to the reference
+    per-value scheme of operators/bloom._position_expr — a single
+    divergent bit silently breaks point-lookup pruning for SQL-written
+    files."""
+    import hashlib
+    import random
+
+    import pyarrow as pa
+
+    from finalpipeline_spark.sources.pyds_write import _bloom_fold_batch
+
+    def reference_fold(bwords, values, bits, k):
+        for v in values:
+            if v is None:
+                continue
+            for j in range(k):
+                h = hashlib.md5(f"{j}:{v}".encode()).hexdigest()[:8]
+                pos = (int(h, 16) % 2_147_483_648) % bits
+                bwords[pos >> 6] |= 1 << (pos & 63)
+
+    rng = random.Random(42)
+    bits, k = 1 << 14, 3
+    cases = [
+        [rng.randrange(-(10**12), 10**12) for _ in range(2000)] + [None] * 7,
+        [f"key-{rng.randrange(10**9)}" for _ in range(2000)] + [None] * 3,
+        [rng.randrange(20) for _ in range(5000)],  # heavy repeats
+        ["", "a", "üñïçødé", "0", "-1"],
+        [None, None],
+        [],
+    ]
+    for values in cases:
+        nwords = (bits + 63) // 64
+        ref, got = [0] * nwords, [0] * nwords
+        reference_fold(ref, values, bits, k)
+        _bloom_fold_batch(got, pa.array(values), bits, k)
+        assert got == ref, f"bit divergence on {values[:5]}..."
