@@ -355,6 +355,159 @@ def _entry_partition(root: str, e: dict, **kw) -> _FilePartition:
     )
 
 
+def _schema_field_names(schema: str) -> list[str]:
+    """Top-level field names of a manifest schema string
+    (``struct<id:bigint,m:map<string,int>,...>``) — split on commas at
+    angle/paren depth 0, name is the text before the first colon."""
+    inner = schema.strip()
+    assert inner.startswith("struct<") and inner.endswith(">"), inner
+    inner = inner[len("struct<"):-1]
+    names, depth, start = [], 0, 0
+    for i, ch in enumerate(inner + ","):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            part = inner[start:i]
+            names.append(part.split(":", 1)[0].strip())
+            start = i + 1
+    return names
+
+
+def _scan_remap_ops(
+    root: str, mans: dict[int, dict], lo: int, hi: int
+) -> list[tuple[int, tuple]]:
+    """Column-remap commits in ``(lo, hi]`` as ``(version, ("rename",
+    old, new) | ("readd", name, ghost))``, recovered from each commit's
+    schema diff — the engine-less twin of VersionedTable._remap_ops
+    (see versioned.py for the frame-alignment contract; chained remaps
+    compose fine in version order — only the streaming direction
+    inference guards them, in _split_op_directions)."""
+    ops: list[tuple[int, tuple]] = []
+    for v in range(lo + 1, hi + 1):
+        m = mans.get(v) or _manifest_any(root, v)
+        if m is None or m["action"] not in ("rename_column", "readd_column"):
+            continue
+        pm = mans.get(v - 1) or _manifest_any(root, v - 1)
+        if pm is None:
+            raise ValueError(
+                f"version {v - 1} of {root} is unavailable — cannot "
+                f"recover the column remap committed at version {v}"
+            )
+        pf = _schema_field_names(pm["schema"])
+        cf = _schema_field_names(m["schema"])
+        if m["action"] == "rename_column":
+            old, new = next((a, b) for a, b in zip(pf, cf) if a != b)
+            ops.append((v, ("rename", old, new)))
+        else:
+            name = cf[-1]
+            ghost = next(
+                (
+                    (e.get("cmap") or {})[name]
+                    for e in m["files"]
+                    if name in (e.get("cmap") or {})
+                ),
+                f"{name}__readd_cdc_ghost",
+            )
+            ops.append((v, ("readd", name, ghost)))
+    return ops
+
+
+def _split_op_directions(
+    ops: list[tuple[int, tuple]],
+    pinned_names: set[str],
+    base_names: set[str],
+) -> tuple[dict[int, tuple], dict[int, tuple]]:
+    """Resolve each remap op's direction relative to the feed's PINNED
+    logical frame (the schema the reader was planned with):
+
+    * rename whose NEW name is pinned → the pin postdates the op:
+      FORWARD-align entries of steps before it (a resumed stream or a
+      batch feed planned on the post-rename schema).
+    * rename whose OLD name is pinned → the pin predates the op (a
+      live stream that crossed the rename): REVERSE-align entries of
+      steps at/after it back onto the pinned name — value-preserving,
+      so the consumer keeps receiving the column it subscribed to.
+    * rename touching no pinned name → irrelevant, skip.
+    * re-add of a pinned name: FORWARD when the range's diff-base
+      schema lacks the name (the pin can only postdate the re-add —
+      old values emit NULL, new-era values flow); REFUSES when the
+      base schema still has it — that feed could be an old-era
+      consumer, and serving new-era values under its old-era column
+      is silent corruption (the hazard the re-add guard exists for).
+    * re-add of an unpinned name → never selected, skip.
+    """
+    names: list[str] = []
+    for _v, op in ops:
+        names += [op[1], op[2]] if op[0] == "rename" else [op[1]]
+    dup = sorted({n for n in names if names.count(n) > 1})
+    if dup:
+        # membership inference needs each name on exactly one op: a
+        # chain like A→B→A in one STREAM range makes the pin's side
+        # undecidable from the schema alone
+        raise ValueError(
+            f"column(s) {dup} are remapped more than once inside one "
+            "stream range — restart the stream from a fresh checkpoint"
+        )
+    fwd: dict[int, tuple] = {}
+    rev: dict[int, tuple] = {}
+    for v, op in ops:
+        if op[0] == "rename":
+            if op[2] in pinned_names:
+                fwd[v] = op
+            elif op[1] in pinned_names:
+                rev[v] = op
+        else:
+            name = op[1]
+            if name not in pinned_names:
+                continue
+            if name in base_names:
+                raise ValueError(
+                    f"version {v} re-adds column '{name}', which the "
+                    "feed's base schema still carries — an old-era "
+                    "consumer must not read new-era values under it; "
+                    "restart the stream from a fresh checkpoint (or "
+                    "start the batch feed at or after the re-add)"
+                )
+            fwd[v] = op
+    return fwd, rev
+
+
+def _frame_align_entry(
+    e: dict, v: int, fwd: dict[int, tuple], rev: dict[int, tuple]
+) -> dict:
+    """One manifest entry of step ``v`` aligned onto the pinned
+    logical frame: forward ops committed AFTER the step apply in
+    ascending version order (the exact transformation the remap
+    commits themselves stamp); reverse ops committed AT/BEFORE the
+    step apply in descending order (undoing newest first). The two
+    sets cannot both apply to one entry — the pin is a single point
+    in the version order."""
+    f_ops = [fwd[r] for r in sorted(fwd) if r > v]
+    r_ops = [rev[r] for r in sorted(rev, reverse=True) if r <= v]
+    if not f_ops and not r_ops:
+        return e
+    cm = dict(e.get("cmap") or {})
+    for op in f_ops:
+        if op[0] == "rename":
+            _, old, new = op
+            phys = cm.pop(old, old)
+            if phys != new:
+                cm[new] = phys
+        else:
+            cm[op[1]] = op[2]
+    for op in r_ops:  # only renames resolve reverse
+        _, old, new = op
+        phys = cm.pop(new, new)
+        if phys != old:
+            cm[old] = phys
+    e2 = {k: x for k, x in e.items() if k != "cmap"}
+    if cm:
+        e2["cmap"] = cm
+    return e2
+
+
 def _dv_positions_for(dv_path: str | None, rel: str) -> set[int]:
     """Deleted row positions recorded for file ``rel`` in the vector at
     ``dv_path`` (a Spark-written parquet directory). Bounded by that
@@ -973,7 +1126,12 @@ class VersionedStreamReader(DataSourceStreamReader):
         return {"version": end}
 
     def _cdf_partitions(
-        self, start: dict, s: int, e: int, live: dict[int, dict]
+        self,
+        start: dict,
+        s: int,
+        e: int,
+        live: dict[int, dict],
+        directions: tuple[dict[int, tuple], dict[int, tuple]] | None = None,
     ) -> Sequence[InputPartition]:
         """Change-feed partitions: per commit in (s, e], the ADDED
         files stream as 'insert' rows and the DROPPED files as
@@ -994,18 +1152,22 @@ class VersionedStreamReader(DataSourceStreamReader):
             prev = live[s]
         else:
             prev = _manifest_any(self._root, s)
+        # column-remap commits (rename/re-add) are metadata-only (zero
+        # row delta); every step's entries are aligned onto THIS feed's
+        # pinned logical frame below (_split_op_directions docstring
+        # has the full direction contract and the one refusal left).
+        # The batch CDF reader passes its own directions — its pin is
+        # the LATEST schema, so every op is forward by construction.
+        if directions is not None:
+            fwd, rev = directions
+        else:
+            fwd, rev = _split_op_directions(
+                _scan_remap_ops(self._root, live, s, e),
+                {n for n, _t in self._fields},
+                set(_schema_field_names(prev["schema"])) if prev else set(),
+            )
         for v in range(s + 1, e + 1):
             cur = live[v]
-            if cur["action"] in ("rename_column", "readd_column"):
-                # this stream's pinned schema predates the mapping
-                # change — silently reading NULLs (new files), ghosts
-                # (old files), or new-era values under an old-era
-                # re-added name is worse than failing
-                raise ValueError(
-                    f"version {v} remaps a column ({cur['action']}) — "
-                    "restart the stream from a fresh checkpoint to pick "
-                    "up the new schema"
-                )
             if prev is not None and _same_file_refs(prev["files"], cur["files"]):
                 # metadata-only commit (constraint add/drop, column
                 # drop, no-op compaction): provably zero row delta
@@ -1036,11 +1198,19 @@ class VersionedStreamReader(DataSourceStreamReader):
             # merge-on-read delete (same file list, changed vector ref)
             # streams exactly the newly-vectored positions as deletes.
             parts += [
-                _entry_partition(self._root, cur_by[p], change="insert", version=v, ts=cur.get("ts"))
+                _entry_partition(
+                    self._root,
+                    _frame_align_entry(cur_by[p], v, fwd, rev),
+                    change="insert", version=v, ts=cur.get("ts"),
+                )
                 for p in sorted(set(cur_by) - set(prev_by))
             ]
             parts += [
-                _entry_partition(self._root, prev_by[p], change="delete", version=v, ts=cur.get("ts"))
+                _entry_partition(
+                    self._root,
+                    _frame_align_entry(prev_by[p], v, fwd, rev),
+                    change="delete", version=v, ts=cur.get("ts"),
+                )
                 for p in sorted(set(prev_by) - set(cur_by))
             ]
             for p in sorted(set(cur_by) & set(prev_by)):
@@ -1076,7 +1246,7 @@ class VersionedStreamReader(DataSourceStreamReader):
                             else None
                         ),
                         dv_diff=True,
-                        cmap=ne.get("cmap"),
+                        cmap=_frame_align_entry(ne, v, fwd, rev).get("cmap"),
                         ts=cur.get("ts"),
                     )
                 )
@@ -1099,12 +1269,10 @@ class VersionedStreamReader(DataSourceStreamReader):
                 )
             if self._cdf:
                 continue  # CDF mode validates per-action below
-            if live[v]["action"] in ("rename_column", "readd_column"):
-                raise ValueError(
-                    f"version {v} remaps a column ({live[v]['action']}) "
-                    "— restart the stream from a fresh checkpoint to "
-                    "pick up the new schema"
-                )
+            # rename/re-add commits are metadata-only: same file refs,
+            # so the not-append branch below skips them; the entries
+            # served at the end are frame-aligned onto this stream's
+            # pinned schema
             if v > min(live) and live[v]["action"] != "append":
                 pm = _manifest_any(self._root, v - 1)
                 if pm is not None and _same_file_refs(
@@ -1148,9 +1316,17 @@ class VersionedStreamReader(DataSourceStreamReader):
                     "manifest — cannot compute an exact delta; restart "
                     "from a fresh checkpoint"
                 ) from None
+        # frame-align the served entries onto this stream's pinned
+        # schema (a live stream that crossed a rename keeps receiving
+        # its subscribed column; see _split_op_directions)
+        fwd, rev = _split_op_directions(
+            _scan_remap_ops(self._root, live, s, e),
+            {n for n, _t in self._fields},
+            set(_schema_field_names(base["schema"])) if base else set(),
+        )
         base_paths = set(_abs_paths(self._root, base)) if base else set()
         return [
-            _entry_partition(self._root, f)
+            _entry_partition(self._root, _frame_align_entry(f, e, fwd, rev))
             for f in live[e]["files"]
             if os.path.join(f.get("base", self._root), f["path"]) not in base_paths
         ]
@@ -1259,8 +1435,20 @@ class VersionedCDFBatchReader(DataSourceReader):
             if self._start == 0
             else {"version": self._start - 1}
         )
+        # the batch feed's pinned frame is the LATEST schema (the view
+        # planned with it), so every remap op — including ones BETWEEN
+        # endingVersion and head — is forward by construction; scan to
+        # the head so a rename after the range still aligns its steps
+        pin = max(live) if live else self._end
+        ops = _scan_remap_ops(
+            self._root, mans, self._start - 1, max(self._end, pin)
+        )
         return self._inner._cdf_partitions(
-            offset, self._start - 1, self._end, mans
+            offset,
+            self._start - 1,
+            self._end,
+            mans,
+            directions=({v: op for v, op in ops}, {}),
         )
 
     def read(self, partition: _FilePartition) -> Iterator:

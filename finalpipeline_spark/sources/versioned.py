@@ -346,25 +346,23 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
         overwrite/rollback/optimize has no row-level delta, and a CoW
         delete rewrites surviving rows into NEW files (streaming those
         as additions would double-count them); the caller must
-        reprocess from the snapshot."""
+        reprocess from the snapshot.
+
+        Column-mapping commits (rename/re-add) in the range are fine:
+        they are metadata-only (zero row delta), and the feed is served
+        in the TARGET version's logical schema — the new files' entries
+        come from the target manifest, which already carries every
+        mapping those commits stamped, so a pre-rename file reads its
+        values under the post-rename name."""
         target = self.manifest(version)
         base = self.manifest(since_version)
         for v in range(since_version + 1, target["version"] + 1):
             m = self._read_manifest_file(v)
-            if m["action"] in ("rename_column", "readd_column"):
-                # pre-rename manifests' entries lack the rename's
-                # column mapping — same refusal as read_changes_rows;
-                # a re-add would let a pre-drop-schema consumer read
-                # new-era values under the old-era column
-                raise ValueError(
-                    f"version {v} remaps a column ({m['action']}): no "
-                    "incremental row delta across a column mapping "
-                    "change — reprocess from the snapshot"
-                )
             if _same_file_refs(self._read_manifest_file(v - 1)["files"], m["files"]):
                 # metadata-only commit (constraint add/drop, column
-                # add/drop/widen, no-op compaction): identical file list
-                # and vector refs ⇒ provably zero row delta — skip it
+                # add/drop/widen/rename/re-add, no-op compaction):
+                # identical file list and vector refs ⇒ provably zero
+                # row delta — skip it
                 continue
             if m["action"] != "append":
                 raise ValueError(
@@ -375,9 +373,10 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
         new = [f for f in target["files"] if self._abs(f) not in base_paths]
         if not new:
             return self.read(target["version"]).filter(F.lit(False))
-        return self.spark.read.schema(self._schema_of(target)).parquet(
-            *(self._abs(f) for f in new)
-        )
+        # entry-aware scan (not a bare spark.read.parquet): target
+        # entries carry the column mappings of any rename/re-add the
+        # range crossed, and appends never carry deletion vectors
+        return self._scan_entries(new, self._schema_of(target))
 
     def count_rows(self, version: int | None = None) -> int:
         """Metadata-only row count: the sum of per-file row counts the
@@ -436,6 +435,82 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
             mx = s[1] if mx is None else max(mx, s[1])
         return {"rows": rows, "null_count": null_count, "min": mn, "max": mx}
 
+    def _remap_ops(
+        self, since_version: int, upto: int
+    ) -> list[tuple[int, tuple]]:
+        """Column-remap commits in ``(since_version, upto]`` as
+        ``(version, ("rename", old, new) | ("readd", name, ghost))``,
+        recovered from each commit's schema diff (rename: the one
+        position whose name changed; re-add: the appended field) — no
+        extra manifest metadata needed, so pre-existing tables serve
+        too. The re-add ghost is the fresh physical name the commit
+        stamped on its entries (any never-written name works for
+        NULL-backfill; a synthesized one covers an empty-table re-add).
+
+        Chained remaps (A→B→C, rename-then-re-add of one name) are
+        fine: applying the ops in ASCENDING version order replays
+        exactly the per-entry stamps the commits themselves made, so
+        forward composition is well-defined — only the STREAMING
+        reader's membership-based direction inference needs a chain
+        guard (sources/pyds.py _split_op_directions)."""
+        ops: list[tuple[int, tuple]] = []
+        for v in range(since_version + 1, upto + 1):
+            m = self._read_manifest_file(v)
+            if m["action"] not in ("rename_column", "readd_column"):
+                continue
+            prev = self._read_manifest_file(v - 1)
+            pf = self._schema_of(prev).fields
+            cf = self._schema_of(m).fields
+            if m["action"] == "rename_column":
+                old, new = next(
+                    (p.name, c.name)
+                    for p, c in zip(pf, cf)
+                    if p.name != c.name
+                )
+                ops.append((v, ("rename", old, new)))
+            else:
+                name = cf[-1].name
+                ghost = next(
+                    (
+                        (e.get("cmap") or {})[name]
+                        for e in m["files"]
+                        if name in (e.get("cmap") or {})
+                    ),
+                    f"{name}__readd_cdc_ghost",
+                )
+                ops.append((v, ("readd", name, ghost)))
+        return ops
+
+    @staticmethod
+    def _remap_entries(
+        entries: list[dict[str, Any]], ops: list[tuple]
+    ) -> list[dict[str, Any]]:
+        """Forward-align file entries onto the logical frame PAST the
+        given remap ops — the exact per-entry transformation the
+        rename/re-add commits themselves stamp (rename: follow the
+        chain, logical new → the entry's physical name; re-add: map
+        the name to the commit's ghost so pre-re-add values stay
+        dead). Entries from manifests at or after an op's version
+        already carry its stamp and are never passed that op."""
+        if not ops:
+            return entries
+        out = []
+        for e in entries:
+            cm = dict(e.get("cmap") or {})
+            for op in ops:
+                if op[0] == "rename":
+                    _, old, new = op
+                    phys = cm.pop(old, old)
+                    if phys != new:
+                        cm[new] = phys
+                else:
+                    cm[op[1]] = op[2]
+            e2 = {k: x for k, x in e.items() if k != "cmap"}
+            if cm:
+                e2["cmap"] = cm
+            out.append(e2)
+        return out
+
     def read_changes_rows(
         self, since_version: int, version: int | None = None
     ) -> DataFrame:
@@ -455,26 +530,27 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
         the change, not the snapshot. Whole-table rewrites
         (overwrite/rollback/optimize/clone) still raise: optimize's
         diff is provably empty but would cost a full-table comparison,
-        and the others have no meaningful row delta."""
+        and the others have no meaningful row delta.
+
+        Ranges crossing a RENAME or RE-ADD commit serve in the TARGET
+        version's logical schema: those commits are metadata-only
+        (zero row delta), and each earlier step's entries are
+        forward-aligned through the same per-entry column-mapping
+        transformation the commits themselves stamp (``_remap_ops`` /
+        ``_remap_entries``) — a pre-rename step's rows emit their
+        values under the post-rename name, and pre-re-add values emit
+        NULL under the re-added name (they are dead in the target
+        frame, exactly as a target-version snapshot reads them).
+        Replay-onto-base equality therefore holds with the base
+        snapshot read in the target frame."""
         target = self.manifest(version)
         tv = target["version"]
         self.manifest(since_version)  # validates the base is live
+        ops = self._remap_ops(since_version, tv)
         out: DataFrame | None = None
         for v in range(since_version + 1, tv + 1):
             m = self._read_manifest_file(v)
             prev = self._read_manifest_file(v - 1)
-            if m["action"] in ("rename_column", "readd_column"):
-                # pre-rename manifests' entries lack the rename's
-                # column mapping: imposing the target schema on them
-                # would silently NULL the renamed column — refuse. A
-                # re-add is the same hazard mirrored: a consumer that
-                # processed the pre-drop column would read new-era
-                # values under the old-era name.
-                raise ValueError(
-                    f"version {v} remaps a column ({m['action']}): no "
-                    "row-level delta across a column mapping change — "
-                    "reprocess from the snapshot"
-                )
             if _same_file_refs(prev["files"], m["files"]):
                 # metadata-only commit (constraint add/drop, column
                 # drop, no-op compaction): identical file list and
@@ -498,8 +574,19 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
             # range spans a merge_schema commit — per-step schemas would
             # make the final unionByName raise on the missing columns.
             schema = self._schema_of(target)
-            added = [cur_by[p] for p in sorted(set(cur_by) - set(prev_by))]
-            dropped = [prev_by[p] for p in sorted(set(prev_by) - set(cur_by))]
+            # forward-align this step's entries through every remap
+            # commit AFTER it (entries at or past an op already carry
+            # its stamp), so the scan below reads them in the target
+            # version's logical frame
+            step_ops = [op for r, op in ops if r > v]
+            added = self._remap_entries(
+                [cur_by[p] for p in sorted(set(cur_by) - set(prev_by))],
+                step_ops,
+            )
+            dropped = self._remap_entries(
+                [prev_by[p] for p in sorted(set(prev_by) - set(cur_by))],
+                step_ops,
+            )
             # A merge-on-read delete changes no file list — the delta
             # lives in the deletion-vector references: rows at positions
             # newly present in a file's vector are that commit's deletes
@@ -533,7 +620,9 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
                 step = dels if step is None else step.unionByName(dels)
             if dv_changed:
                 old_e = [o for o, _ in dv_changed]
-                new_e = [n for _, n in dv_changed]
+                new_e = self._remap_entries(
+                    [n for _, n in dv_changed], step_ops
+                )
                 newly = self._dv_positions(new_e).join(
                     self._dv_positions(old_e), ["__file", "__pos"], "left_anti"
                 )

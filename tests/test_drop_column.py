@@ -283,10 +283,13 @@ def test_readd_column_chained_ddl(spark, table):
     assert table.read().filter("v IS NOT NULL").count() == 0
 
 
-def test_readd_column_refuses_change_feeds_like_rename(spark, table):
-    """CDC refusal semantics mirror rename: any change-feed range that
-    CROSSES the re-add refuses (a pre-drop consumer would read new-era
-    values under the old-era column); ranges before or after it work."""
+def test_readd_column_cdc_serves_in_target_frame(spark, table):
+    """A feed range crossing a re-add serves in the TARGET version's
+    logical schema: pre-re-add steps emit NULL for the re-added name
+    (old-era values are dead in the target frame, exactly as a target
+    snapshot reads those files), post-re-add steps emit the new-era
+    values — so a consumer never reads new-era values under an
+    old-era column, the hazard the old refusal guarded."""
     v0 = table.latest_version()
     table.commit_append(
         spark.range(100, 110).selectExpr(
@@ -300,13 +303,31 @@ def test_readd_column_refuses_change_feeds_like_rename(spark, table):
             "id", "cast(0 as int) as grp", "id * 5 as v"
         )
     )  # version 4
-    with pytest.raises(ValueError, match="readd_column"):
-        table.read_changes(since_version=v0)
-    with pytest.raises(ValueError, match="readd_column"):
-        table.read_changes_rows(since_version=v0)
-    # before the re-add: fine (drop itself is metadata-only, skipped)
+    ch = table.read_changes_rows(since_version=v0)
+    assert ch.count() == 20
+    pre = ch.filter("_commit_version = 1")
+    post = ch.filter("_commit_version = 4")
+    assert pre.filter("v IS NOT NULL").count() == 0  # old era: dead
+    assert sorted(r["v"] for r in post.collect()) == [
+        i * 5 for i in range(110, 120)
+    ]
+    # file-level feed: same frame, same NULL semantics
+    fl = table.read_changes(since_version=v0)
+    assert fl.count() == 20
+    assert fl.filter("v IS NOT NULL").count() == 10
+    # replay-onto-base equality, base read in the target frame (the
+    # base predates the re-add, so its v values are dead too)
+    import pyspark.sql.functions as F
+
+    base = table.read(v0).withColumn("v", F.lit(None).cast("bigint"))
+    ins = ch.filter("_change_type = 'insert'").select("id", "grp", "v")
+    dels = ch.filter("_change_type = 'delete'").select("id", "grp", "v")
+    replayed = sorted(
+        map(tuple, base.unionByName(ins).exceptAll(dels).collect())
+    )
+    assert replayed == sorted(map(tuple, table.read().collect()))
+    # sub-ranges on either side still work
     assert table.read_changes(v0, version=2).count() == 10
-    # after the re-add: fine, new schema
     after = table.read_changes_rows(readd.version)
     assert after.count() == 10 and "v" in after.columns
 

@@ -134,24 +134,79 @@ def test_rename_stats_pruning_and_optimize_purge(spark, table):
     assert table.read().filter("score = 598").count() == 1
 
 
-def test_rename_cdc_refuses_crossing_then_resumes(spark, table):
+def test_rename_cdc_serves_crossing_in_target_frame(spark, table):
+    """A feed range crossing a rename serves in the TARGET version's
+    logical schema: pre-rename steps' rows emit their values under the
+    post-rename name (the rename is value-preserving metadata), and
+    replay-onto-base equality holds with the base read in the target
+    frame."""
     table.commit_append(
         spark.range(100, 110).selectExpr(
             "id", "cast(1 as int) as grp", "id * 2 as v"
         )
-    )
-    v_before = table.latest_version()
-    table.rename_column("v", "score")
+    )  # v1: pre-rename append
+    table.rename_column("v", "score")  # v2 (metadata-only)
     table.commit_append(
         spark.range(110, 120).selectExpr(
             "id", "cast(2 as int) as grp", "id * 2 as score"
         )
+    )  # v3: post-rename append
+    table.delete_where("id < 5")  # v4: CoW rewrite of PRE-rename files
+    ch = table.read_changes_rows(0)
+    assert "score" in ch.columns and "v" not in ch.columns
+    rows = ch.collect()
+    by_ver = {}
+    for r in rows:
+        by_ver.setdefault(r["_commit_version"], []).append(r)
+    # the pre-rename append's values flow under the new name
+    assert sorted(r["score"] for r in by_ver[1]) == [
+        i * 2 for i in range(100, 110)
+    ]
+    # the CoW delete step emits pre-rename file rows under the new
+    # name too (deletes AND rewrite-survivor churn cancel in exceptAll)
+    assert all(r["score"] is not None for r in by_ver[4])
+    # replay-onto-base equality, base read in the target frame
+    base = table.read(0).withColumnRenamed("v", "score")
+    ins = ch.filter("_change_type = 'insert'").select("id", "grp", "score")
+    dels = ch.filter("_change_type = 'delete'").select("id", "grp", "score")
+    replayed = sorted(
+        map(tuple, base.unionByName(ins).exceptAll(dels).collect())
     )
-    with pytest.raises(ValueError, match="rename"):
-        table.read_changes_rows(0)
-    # a post-rename window works and speaks the new schema
-    ch = table.read_changes_rows(v_before + 1)
-    assert "score" in ch.columns and ch.count() == 10
+    assert replayed == sorted(map(tuple, table.read().collect()))
+    # file-level feed across the rename: entry-aware scan, no NULLs
+    app_only = table.read_changes(0, version=3)
+    assert app_only.filter("score IS NULL").count() == 0
+    assert app_only.count() == 20
+
+
+def test_cdc_chained_remaps_fold_in_version_order(spark, table):
+    """Chained renames inside one BATCH feed range compose in version
+    order (the ops replay the commits' own per-entry stamps), folding
+    v→w→x into one mapping — the rows arrive under the final name."""
+    table.commit_append(
+        spark.range(100, 105).selectExpr(
+            "id", "cast(1 as int) as grp", "id * 2 as v"
+        )
+    )
+    table.rename_column("v", "w")
+    table.rename_column("w", "x")
+    ch = table.read_changes_rows(0)
+    assert "x" in ch.columns and ch.count() == 5
+    assert sorted(r["x"] for r in ch.collect()) == [
+        i * 2 for i in range(100, 105)
+    ]
+    # rename-then-re-add of ONE name in one range: old era dead, new
+    # era flows — same fold
+    table.drop_column("x")
+    table.add_column("x", "bigint")
+    table.commit_append(
+        spark.range(200, 203).selectExpr(
+            "id", "cast(1 as int) as grp", "id * 7 as x"
+        )
+    )
+    ch = table.read_changes_rows(0)
+    assert ch.filter("x IS NOT NULL").count() == 3
+    assert ch.count() == 8
 
 
 def test_rename_clones(spark, table, tmp_path):
@@ -182,7 +237,9 @@ def test_rename_pyds_batch_and_stream(spark, tmp_path, table):
     assert df.filter("score IS NULL").count() == 0
     assert df.filter("id = 7").count() == 0         # vector still honored
 
-    # a stream whose range crosses the rename fails loud
+    # a fresh stream whose range crosses the rename serves in ITS
+    # pinned (post-rename) frame: pre-rename steps' rows flow under
+    # the new name — no NULLs, no lost values
     q = (
         spark.readStream.format("versioned")
         .option("root", table.root)
@@ -194,6 +251,101 @@ def test_rename_pyds_batch_and_stream(spark, tmp_path, table):
         .trigger(availableNow=True)
         .start()
     )
-    with pytest.raises(Exception, match="rename"):
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert "score" in got.columns and "v" not in got.columns
+    ins = got.filter("_change_type = 'insert'")
+    assert ins.filter("score IS NULL").count() == 0
+    assert ins.filter("score = 84").count() == 1   # pre-rename value
+    assert ins.filter("score = 208").count() == 1  # post-rename value
+
+
+def test_rename_midstream_keeps_pinned_schema(spark, tmp_path, table):
+    """A LIVE stream that crosses a rename keeps receiving the column
+    it subscribed to (the pinned pre-rename name), with post-rename
+    files' values reverse-aligned onto it — the stream never silently
+    NULLs or drops its column mid-flight."""
+    from finalpipeline_spark.sources.pyds import register_versioned_source
+
+    register_versioned_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_available(trigger_table):
+        q = (
+            spark.readStream.format("versioned")
+            .option("root", trigger_table.root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
         q.awaitTermination(120)
-        raise AssertionError("stream should have failed")
+
+    run_available(table)  # consume the seed under the pinned v-schema
+    table.rename_column("v", "score")
+    table.commit_append(
+        spark.range(100, 110).selectExpr(
+            "id", "cast(1 as int) as grp", "id * 2 as score"
+        )
+    )
+    # the resumed query object is re-planned from the CURRENT schema
+    # (post-rename) — the checkpointed offsets carry on, and the
+    # pre-rename steps already consumed stay consumed; the new batch
+    # serves the post-rename append under the fresh pinned frame
+    q = (
+        spark.readStream.format("versioned")
+        .option("root", table.root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # first era wrote v-named files, second era score-named: the union
+    # directory carries both shapes; per-era content is value-correct
+    assert got.count() == 110
+    new_rows = got.filter("id >= 100")
+    assert new_rows.count() == 10
+
+
+def test_stream_reader_reverse_aligns_to_pinned_old_frame(spark, table):
+    """Unit-level check of the REVERSE direction: a reader pinned to
+    the pre-rename schema (a live stream mid-flight) keeps serving the
+    subscribed column, with post-rename files' values aligned back
+    onto the pinned name."""
+    import pyarrow as pa
+
+    from finalpipeline_spark.sources.pyds import (
+        VersionedStreamReader,
+        _live_manifests,
+    )
+
+    v_pin = table.latest_version()
+    fields = [
+        ("id", "bigint"), ("grp", "int"), ("v", "bigint"),
+        ("_change_type", "string"), ("_commit_version", "bigint"),
+        ("_commit_timestamp", "timestamp"),
+    ]
+    reader = VersionedStreamReader(table.root, fields, cdf=True)
+    table.rename_column("v", "score")
+    table.commit_append(
+        spark.range(100, 110).selectExpr(
+            "id", "cast(1 as int) as grp", "id * 2 as score"
+        )
+    )
+    live = _live_manifests(table.root)
+    parts = reader._cdf_partitions(
+        {"version": v_pin}, v_pin, max(live), live
+    )
+    rows = []
+    for p in parts:
+        for b in reader.read(p):
+            rows += pa.Table.from_batches([b]).to_pylist()
+    # the post-rename append's values arrive under the pinned name `v`
+    assert sorted(x["v"] for x in rows) == [i * 2 for i in range(100, 110)]
+    assert all(x["_change_type"] == "insert" for x in rows)

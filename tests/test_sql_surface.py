@@ -191,3 +191,51 @@ def test_sql_history_rejects_cdf_combo(spark, vt):
     )
     with pytest.raises(Exception, match="history or changeFeed"):
         spark.sql("SELECT * FROM t_bad").collect()
+
+
+def test_sql_change_feed_across_rename_and_readd(spark, vt):
+    """A BATCH changeFeed view whose range crosses a rename (and a
+    drop + re-add) serves in the view's pinned frame — the LATEST
+    schema — with pre-rename steps' values under the new name and
+    pre-re-add values dead (NULL)."""
+    vt.rename_column("grp", "bucket")          # v2
+    vt.commit_append(
+        spark.range(80, 90).selectExpr(
+            "id", "cast(id % 5 as int) as bucket"
+        )
+    )                                           # v3
+    _mkview(
+        spark,
+        "t_cdf_ren",
+        {"root": vt.root, "changeFeed": "true", "startingVersion": "1"},
+    )
+    got = spark.sql(
+        "SELECT * FROM t_cdf_ren WHERE _change_type = 'insert'"
+    )
+    assert "bucket" in got.columns and "grp" not in got.columns
+    # v1's pre-rename append (ids 50..79) flows values under `bucket`
+    assert got.filter("bucket IS NULL").count() == 0
+    assert got.count() == 40  # 30 pre-rename + 10 post-rename inserts
+    assert (
+        got.filter("_commit_version = 1 AND bucket = id % 5").count() == 30
+    )
+
+    # drop + re-add: old-era values are dead in the latest frame
+    vt.drop_column("bucket")                    # v4
+    vt.add_column("bucket", "int")              # v5 (re-add)
+    vt.commit_append(
+        spark.range(90, 95).selectExpr("id", "cast(7 as int) as bucket")
+    )                                           # v6
+    _mkview(
+        spark,
+        "t_cdf_readd",
+        {"root": vt.root, "changeFeed": "true", "startingVersion": "1"},
+    )
+    got = spark.sql(
+        "SELECT * FROM t_cdf_readd WHERE _change_type = 'insert'"
+    )
+    assert got.count() == 45
+    assert got.filter("bucket IS NOT NULL").count() == 5  # new era only
+    assert got.filter("_commit_version = 6 AND bucket = 7").count() == 5
+    spark.catalog.dropTempView("t_cdf_ren")
+    spark.catalog.dropTempView("t_cdf_readd")
