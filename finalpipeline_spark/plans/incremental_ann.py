@@ -46,7 +46,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -55,6 +57,49 @@ from finalpipeline_spark.operators.compaction import dir_exists
 
 K_LISTS = 8
 _STATE = "_index_state.json"
+
+
+def _append_atomic(
+    df: DataFrame, target: str, partition_col: str | None = None
+) -> None:
+    """Concurrent-safe append into a shared parquet directory.
+
+    Spark's ``mode("append")`` stages every job's output under ONE
+    ``_temporary/0`` scratch dir inside the target path, so two DRIVER
+    PROCESSES appending the same postings/stats dir race their
+    committers — the first commit deletes the other's scratch
+    (observed cross-JVM by tests/test_ann_multiprocess.py as
+    ``FileNotFoundException: .../_temporary/0``). Instead each append
+    writes to a PRIVATE staging dir and moves the finished data files
+    in with ``os.rename`` — atomic per file, and task-UUID file names
+    make collisions impossible. Readers list whole files only.
+    The index root is already required to be locally mounted (the
+    epoch pointer uses ``open``/``os.replace`` — see ``_state`` /
+    ``_swap_state``), so plain os renames are the right primitive; an
+    object-store deployment would swap this seam for a conditional
+    put, exactly like the versioned log's documented S3 caveat."""
+    base = os.path.dirname(target.rstrip("/"))
+    stage = os.path.join(base, f".stage-{uuid.uuid4().hex}")
+    try:
+        w = df.write
+        if partition_col:
+            w = w.partitionBy(partition_col)
+        w.parquet(stage)
+        for dirpath, _dirs, files in os.walk(stage):
+            rel = os.path.relpath(dirpath, stage)
+            dst_dir = target if rel == "." else os.path.join(target, rel)
+            moved_any = False
+            for name in files:
+                if name.startswith(("_", ".")):
+                    continue  # committer lint (_SUCCESS, .crc)
+                if not moved_any:
+                    os.makedirs(dst_dir, exist_ok=True)
+                    moved_any = True
+                os.rename(
+                    os.path.join(dirpath, name), os.path.join(dst_dir, name)
+                )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def _dot(a: str, b: str) -> F.Column:
@@ -139,7 +184,7 @@ def _record_ingest(spark: SparkSession, index_path: str, epoch: int,
         )],
         "epoch int, seq bigint, ingested_at double, n bigint, sum_dist double",
     )
-    stats.coalesce(1).write.mode("append").parquet(index_path + "/ingest_stats")
+    _append_atomic(stats.coalesce(1), index_path + "/ingest_stats")
 
 
 def ingest_batch(spark: SparkSession, new_vecs: DataFrame, index_path: str) -> int:
@@ -149,67 +194,91 @@ def ingest_batch(spark: SparkSession, new_vecs: DataFrame, index_path: str) -> i
     mean quantization distance in ``ingest_stats`` (the drift signal
     ``drift_ratio``/``maybe_retrain`` act on).
 
-    Concurrency: the epoch pointer is read ONCE and both the data
-    paths and the recorded epoch derive from that same snapshot — a
-    racing ``retrain`` swap can never make this ingest record stats
-    under a mismatched epoch/paths pair. An ingest that lands in the
-    OLD epoch while a retrain is in flight is recovered by the
-    retrain's post-swap catch-up pass (see ``retrain``); an ingest
-    that straddles the swap itself is the documented single-writer
-    boundary (run ingest and retrain from one maintenance driver, the
-    normal shape for index maintenance)."""
+    Concurrency: the epoch pointer is read ONCE per attempt and both
+    the data paths and the recorded epoch derive from that same
+    snapshot — a racing ``retrain`` swap can never make this ingest
+    record stats under a mismatched epoch/paths pair. An ingest that
+    lands in the OLD epoch before a retrain's corpus snapshot rides
+    the rewrite; one that lands after it is recovered by the retrain's
+    post-swap catch-up pass (see ``retrain``). An ingest that
+    STRADDLES the swap itself — pointer read pre-swap, postings write
+    completing after the catch-up scan — is closed by the post-write
+    re-check here: after writing, the pointer is read again, and if
+    the epoch moved the batch re-ingests into the live epoch (the
+    vec_id anti-join makes every retry exactly-once, and depth is
+    bounded by the number of concurrent retrains). Ordering argument:
+    either the swap precedes this re-check (we retry into the new
+    epoch) or it follows the completed write (the catch-up scan,
+    which runs after the swap, sees the rows). Proven cross-JVM by
+    tests/test_ann_multiprocess.py."""
     vecs = _with_nrm(
         new_vecs.select("vec_id", "embedding").dropDuplicates(["vec_id"])
     )
 
-    state = _state(index_path)
-    cent_path, post_path = _paths(index_path, state)
-    epoch = state["epoch"]
-    if not dir_exists(spark, cent_path):
-        # Founding batch: deterministic seed centroids (K lowest ids).
-        seeds = (
-            vecs.orderBy("vec_id")
-            .limit(K_LISTS)
-            .select(
-                F.row_number()
-                .over(Window.orderBy("vec_id"))
-                .cast("int")
-                .alias("list_id"),
-                F.col("embedding").alias("centroid"),
-                "nrm",
+    n_landed = 0
+    while True:
+        state = _state(index_path)
+        cent_path, post_path = _paths(index_path, state)
+        epoch = state["epoch"]
+        if not dir_exists(spark, cent_path):
+            # Founding batch: deterministic seed centroids (K lowest ids).
+            seeds = (
+                vecs.orderBy("vec_id")
+                .limit(K_LISTS)
+                .select(
+                    F.row_number()
+                    .over(Window.orderBy("vec_id"))
+                    .cast("int")
+                    .alias("list_id"),
+                    F.col("embedding").alias("centroid"),
+                    "nrm",
+                )
             )
-        )
-        seeds.write.parquet(cent_path)
+            seeds.write.parquet(cent_path)
 
-    centroids = spark.read.parquet(cent_path)
+        centroids = spark.read.parquet(cent_path)
 
-    if dir_exists(spark, post_path):
-        seen = spark.read.parquet(post_path).select("vec_id")
-        vecs = vecs.join(seen, "vec_id", "left_anti")
+        batch = vecs
+        if dir_exists(spark, post_path):
+            seen = spark.read.parquet(post_path).select("vec_id")
+            batch = batch.join(seen, "vec_id", "left_anti")
 
-    assigned = _assign(vecs, centroids)
-    # One pass: count + quantization-distance sum (tiny 1-row agg),
-    # then the partitioned write.
-    row = assigned.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dist").alias("sd")
-    ).first()
-    n_new = int(row["n"])
-    if n_new:
+        assigned = _assign(batch, centroids)
+        # One pass: count + quantization-distance sum (tiny 1-row agg),
+        # then the partitioned write.
+        row = assigned.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("sd")
+        ).first()
+        n_new = int(row["n"])
+        if not n_new:
+            # nothing missing from the CURRENT epoch — either all
+            # duplicates, or a prior attempt's rows were carried over
+            # by the retrain/catch-up
+            return n_landed
         assigned = assigned.localCheckpoint(eager=True)
-        assigned.drop("dist").write.mode("append").partitionBy(
-            "list_id"
-        ).parquet(post_path)
+        _append_atomic(assigned.drop("dist"), post_path, "list_id")
         pq = state.get("pq")
         if pq:
             # PQ layer enabled: encode the batch with the SAME epoch's
             # codebooks and append to its codes table (partitioned by
             # list_id like the postings, so ADC scans prune identically)
             cb = spark.read.parquet(f"{index_path}/{pq['codebooks']}")
-            _pq_encode(assigned, cb, pq["m"]).write.mode("append").partitionBy(
-                "list_id"
-            ).parquet(f"{index_path}/{pq['codes']}")
+            _append_atomic(
+                _pq_encode(assigned, cb, pq["m"]),
+                f"{index_path}/{pq['codes']}",
+                "list_id",
+            )
         _record_ingest(spark, index_path, epoch, n_new, row["sd"] or 0.0)
-    return n_new
+        n_landed = max(n_landed, n_new)
+        post_state = _state(index_path)
+        if (
+            post_state["epoch"] == epoch
+            and post_state["postings"] == state["postings"]
+        ):
+            return n_landed
+        # a retrain swapped the epoch under this write: it may have
+        # landed in the dead epoch after the catch-up scan — retry
+        # into the live epoch (anti-join keeps it exactly-once)
 
 
 def drift_ratio(spark: SparkSession, index_path: str) -> float:
@@ -332,8 +401,10 @@ def retrain(
     snapshot and its pointer swap is NOT lost: after the swap a
     catch-up pass re-reads the old epoch's postings, anti-joins the
     new epoch's, and re-ingests anything missing under the new
-    centroids (and codebooks). Only an ingest straddling the swap
-    itself needs the documented single-writer maintenance driver."""
+    centroids (and codebooks). An ingest STRADDLING the swap itself is
+    closed on the ingest side — its post-write epoch re-check retries
+    the batch into the live epoch (see ``ingest_batch``; proven
+    cross-JVM by tests/test_ann_multiprocess.py)."""
     state = _state(index_path)
     cent_path, post_path = _paths(index_path, state)
     vecs = spark.read.parquet(post_path).select("vec_id", "embedding", "nrm")
