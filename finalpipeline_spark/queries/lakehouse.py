@@ -308,3 +308,175 @@ def versioned_sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+@register(
+    "versioned_sql_alter_roundtrip",
+    oracle="""
+        SELECT band,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(cast(round(s_acctbal * 100) AS bigint)) AS bigint)
+                   AS sum_cents
+        FROM (
+            SELECT CASE WHEN s_acctbal >= 5000 THEN 'high' ELSE 'low' END
+                       AS band,
+                   s_acctbal
+            FROM supplier
+            UNION ALL
+            SELECT 'high' AS band, s_acctbal + 111.0 AS s_acctbal
+            FROM supplier
+            WHERE s_suppkey % 10 = 0
+        )
+        GROUP BY band
+        ORDER BY band
+    """,
+    tags=("extension",),
+)
+def versioned_sql_alter_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 SQL ALTER TABLE surface, attested end-to-end in one
+    flow — the SQL-only persona (reference views_p1.py writes SQL
+    text) can now EVOLVE tables, not just write them:
+
+    1. **CTAS** bootstraps the table from the supplier slice.
+    2. **ADD COLUMN** (metadata-only NULL backfill), then a SQL
+       **UPDATE** fills it (CoW rewrite under the widened schema).
+    3. **ADD COLUMNS** multi-add + **ALTER COLUMN TYPE** lossless
+       widening + **DROP COLUMN** — all metadata-only commits.
+    4. **RENAME COLUMN** via entry-level column mapping: the UPDATE's
+       rewritten files carry the old physical name; the final read
+       must serve their values under the new name through cmap.
+    5. **ADD CONSTRAINT** (validation scan) — the closing INSERT then
+       runs under full engine enforcement via ``versioned_sql``.
+
+    The DuckDB oracle reconstructs the identical final state straight
+    from the parquet: equality proves every evolution commit changed
+    exactly the metadata it claims and no byte of data was lost or
+    duplicated on the way. Money math sums exact bigint cents."""
+    from finalpipeline_spark.sources.pyds import register_versioned_source
+    from finalpipeline_spark.sources.sql_dml import versioned_sql
+    from finalpipeline_spark.sources.versioned import VersionedTable  # noqa: F401
+
+    register_versioned_source(spark)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal", "s_nationkey"
+    )
+    root = tempfile.mkdtemp(prefix="fps_alter_") + "/supp_vt"
+    supp.createOrReplaceTempView("__fps_alter_supp")
+    versioned_sql(
+        spark,
+        f"CREATE TABLE versioned.`{root}` AS "
+        "SELECT s_suppkey, s_acctbal, s_nationkey FROM __fps_alter_supp",
+    )
+    tgt = f"versioned.`{root}`"
+    versioned_sql(spark, f"ALTER TABLE {tgt} ADD COLUMN tier string")
+    versioned_sql(
+        spark,
+        f"UPDATE {tgt} SET tier = CASE WHEN s_acctbal >= 5000 "
+        "THEN 'high' ELSE 'low' END",
+    )
+    versioned_sql(
+        spark, f"ALTER TABLE {tgt} ADD COLUMNS (flag int, note string)"
+    )
+    versioned_sql(spark, f"ALTER TABLE {tgt} ALTER COLUMN flag TYPE bigint")
+    versioned_sql(spark, f"ALTER TABLE {tgt} DROP COLUMN note")
+    versioned_sql(spark, f"ALTER TABLE {tgt} RENAME COLUMN tier TO band")
+    versioned_sql(
+        spark,
+        f"ALTER TABLE {tgt} ADD CONSTRAINT band_valid "
+        "CHECK (band IN ('high', 'low'))",
+    )
+    versioned_sql(
+        spark,
+        f"INSERT INTO {tgt} (s_suppkey, s_acctbal, s_nationkey, band) "
+        "SELECT s_suppkey + 1000000, s_acctbal + 111.0, s_nationkey, 'high' "
+        "FROM __fps_alter_supp WHERE s_suppkey % 10 = 0",
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW __fps_alter_v USING versioned "
+        f"OPTIONS (root '{root}')"
+    )
+    return spark.sql(
+        """
+        SELECT band,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(cast(round(s_acctbal * 100) AS bigint)) AS bigint)
+                   AS sum_cents
+        FROM __fps_alter_v
+        GROUP BY band
+        ORDER BY band
+        """
+    )
+
+
+@register(
+    "versioned_cdc_rename_feed",
+    oracle="""
+        SELECT v, ct,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(cast(round(price * 100) AS bigint)) AS bigint)
+                   AS sum_cents
+        FROM (
+            SELECT cast(1 AS bigint) AS v, 'insert' AS ct,
+                   p_retailprice AS price
+            FROM part WHERE p_partkey % 3 = 1
+            UNION ALL
+            SELECT cast(3 AS bigint) AS v, 'insert' AS ct,
+                   p_retailprice AS price
+            FROM part WHERE p_partkey % 3 = 2
+            UNION ALL
+            SELECT cast(4 AS bigint) AS v, 'delete' AS ct,
+                   p_retailprice AS price
+            FROM part WHERE p_size < 10
+        )
+        GROUP BY v, ct
+        ORDER BY v, ct
+    """,
+    tags=("extension",),
+)
+def versioned_cdc_rename_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 CDC-across-rename, attested end-to-end: a row-level
+    change feed whose range crosses an ``ALTER TABLE RENAME COLUMN``
+    serves in the TARGET version's logical schema instead of refusing
+    (sources/versioned.py read_changes_rows + _remap_ops).
+
+    Flow: part staged as two era appends AROUND a rename
+    (p_retailprice → price), then a CoW predicate delete. The feed
+    from version 0 must emit (a) era-1 inserts — PRE-rename files —
+    with their values under the POST-rename name via the forward
+    column-mapping alignment, (b) era-2 inserts natively, and (c) the
+    delete commit's rows = exactly the predicate matches, including
+    pre-rename-era rows. The DuckDB oracle reconstructs all three
+    groups straight from the parquet; equality proves the feed loses
+    no value and mislabels no column across the mapping change."""
+    from finalpipeline_spark.sources.pyds import register_versioned_source
+    from finalpipeline_spark.sources.versioned import VersionedTable
+
+    register_versioned_source(spark)
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    root = tempfile.mkdtemp(prefix="fps_cdcren_") + "/part_vt"
+    t = VersionedTable(spark, root)
+    t.commit_overwrite(part.filter("p_partkey % 3 = 0"))          # v0
+    t.commit_append(part.filter("p_partkey % 3 = 1"))             # v1
+    t.rename_column("p_retailprice", "price")                     # v2
+    t.commit_append(                                              # v3
+        part.filter("p_partkey % 3 = 2").withColumnRenamed(
+            "p_retailprice", "price"
+        )
+    )
+    t.delete_where("p_size < 10")                                 # v4 (CoW)
+    ch = t.read_changes_rows(0)
+    ch.createOrReplaceTempView("__fps_cdcren_feed")
+    return spark.sql(
+        """
+        SELECT cast(_commit_version AS bigint) AS v,
+               _change_type AS ct,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(cast(round(price * 100) AS bigint)) AS bigint)
+                   AS sum_cents
+        FROM __fps_cdcren_feed
+        GROUP BY v, ct
+        ORDER BY v, ct
+        """
+    )

@@ -72,70 +72,73 @@ def register(
 # the window.  After ANY registration change, re-print list(queries())
 # [:52] and re-curate this list.
 _PRIORITY_MODULES: tuple[str, ...] = ()
-# Round 9 window, OLDEST-EVIDENCE-FIRST: after r8 the oldest evidence
-# is the 49-query block whose latest green driver row is r5 (recomputed
-# from CORRECTNESS_r01..r08 — the r9 VERDICT's own recount agrees:
-# exactly these 49). They take the first 49 slots; the 50th goes to
-# this round's one new query (versioned_sql_dml_roundtrip — the SQL
-# WRITE surface attestation: never driver-checked, i.e. the true
-# oldest evidence of all). 49 + 1 = 50 exactly, so nothing is
-# displaced and after this window no registered query's latest green
-# row is older than r6. Everything outside the window stays covered by
-# the local oracle-parity suite (tests/test_oracle_parity.py — same
-# compare, dtype-strict).
+# Round 10 window, OLDEST-EVIDENCE-FIRST: after r9 the oldest evidence
+# is the 50-query block whose latest green driver row is r6 (recomputed
+# from CORRECTNESS_r01..r09 — the r9 VERDICT's own recount agrees:
+# exactly these 50, the ref_*/TPC-H relational core + multimodal).
+# This round ADDS two never-driver-checked attestations
+# (versioned_sql_alter_roundtrip — the SQL ALTER TABLE surface;
+# versioned_cdc_rename_feed — CDC across a column rename), which as
+# never-checked queries are the true oldest evidence and take the
+# first 2 slots; the r6 block fills the remaining 48, displacing its
+# two most-locally-covered members (tpch_rollup_sales, tpch_cube_sales
+# — GROUPING SETS staples exercised by test_warehouse AND the
+# oracle-parity suite), which must head the r11 window. Everything
+# outside the window stays covered by the local oracle-parity suite
+# (tests/test_oracle_parity.py — same compare, dtype-strict).
 _PRIORITY_QUERIES = (
-    # -- never driver-checked: this round's addition ---------------------
-    "versioned_sql_dml_roundtrip",
-    # -- the complete block whose latest green driver row is r5 ----------
-    "chembl_tanimoto_topk",
-    "doc_bpe_token_count",
-    "doc_contamination_check",
-    "doc_corpus_curation",
-    "doc_dedup_clusters",
-    "doc_dedup_exact",
-    "doc_dedup_minhash_lsh",
-    "doc_dedup_ngram_jaccard",
-    "doc_edit_distance_pairs",
-    "doc_entropy_by_source",
-    "doc_fingerprint",
-    "doc_langid",
-    "doc_quality_score",
-    "doc_sample_per_lang",
-    "doc_simhash",
-    "doc_simhash_near_dup",
-    "doc_tfidf_topterms",
-    "doc_token_stats",
-    "doc_train_test_split",
-    "emb_cosine_topk",
-    "emb_ivf_centroids",
-    "emb_ivf_topk",
-    "emb_lsh_buckets",
-    "emb_near_dup_pairs",
-    "emb_scalar_quantize_int8",
-    "emb_silhouette",
-    "events_anomaly_zscore",
-    "events_asof_signup",
-    "events_cohort_retention",
-    "events_conversion_funnel",
-    "events_funnel_latency",
-    "events_hourly_rollup",
-    "events_json_extract",
-    "events_range_self_join",
-    "events_rank_functions",
-    "events_salted_agg",
-    "events_seasonal_decompose",
-    "events_sessionize",
-    "events_sliding_window",
-    "events_top_users_per_type",
-    "events_udaf_median",
-    "events_user_deltas",
-    "events_window_frames",
-    "lineitem_abc_analysis",
-    "lineitem_weighted_median",
-    "orders_gini_revenue",
-    "orders_median_gap",
-    "orders_rfm_segments",
-    "part_skyline",
+    # -- never driver-checked: this round's additions ---------------------
+    "versioned_sql_alter_roundtrip",
+    "versioned_cdc_rename_feed",
+    # -- the r6-attested block (complete minus the two deferred) ----------
+    "doc_decontam_substring",
+    "doc_top_ngrams",
+    "emb_ivf_kmeans_topk",
+    "events_autocorrelation",
+    "flagship_datamart_chain",
+    "lineitem_percentiles",
+    "mm_frame_sample",
+    "mm_image_meta",
+    "mm_resize",
+    "orders_date_math",
+    "orders_full_outer_reconcile",
+    "ref_anti_join_pairs",
+    "ref_clean_ids",
+    "ref_counts",
+    "ref_dim_draft",
+    "ref_except_all",
+    "ref_filter_project",
+    "ref_intersect",
+    "ref_left_join_lookup",
+    "ref_orderby_limit",
+    "ref_star_enrich",
+    "ref_tie_flag_topk",
+    "ref_topk_per_group",
+    "ref_union_all",
+    "ref_view_avg_absdiff",
+    "ref_view_avg_absdiff_nonull",
+    "ref_view_avg_sim",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q11_share",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_topk_join",
 )
 
 # Queries ADDED in r7 should take slots here by displacing entries from
