@@ -415,3 +415,77 @@ def test_widen_column_pyds_batch(spark, tmp_path):
     assert dict(df.dtypes)["n"] == "bigint"
     vals = {r["id"]: r["n"] for r in df.collect()}
     assert len(vals) == 30 and vals[5] == 5 and vals[25] == 25
+
+
+def test_stream_reader_readd_direction_rules(spark, table):
+    """Streaming re-add crossings resolve by schema membership
+    (sources/pyds.py _split_op_directions):
+
+    * pinned schema LACKS the re-added name (stream planned between
+      the drop and the re-add) → the crossing is harmless: the column
+      is never selected, the feed keeps flowing;
+    * pinned schema HAS the name and the range's base schema lacks it
+      (a resumed stream re-planned on the post-re-add schema) → serve
+      forward: old-era steps emit NULL, new-era values flow;
+    * pinned schema HAS the name and the base schema still has it too
+      (an old-era live consumer) → REFUSE loudly: new-era values
+      under an old-era column is the corruption the guard exists for.
+    """
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from finalpipeline_spark.sources.pyds import (
+        VersionedStreamReader,
+        _live_manifests,
+    )
+
+    meta = [
+        ("_change_type", "string"),
+        ("_commit_version", "bigint"),
+        ("_commit_timestamp", "timestamp"),
+    ]
+    v_full = table.latest_version()          # v0: schema has old-era v
+    table.drop_column("v")                   # v1
+    v_dropped = table.latest_version()
+    table.commit_append(
+        spark.range(100, 105).selectExpr("id", "cast(0 as int) as grp")
+    )                                        # v2: drop-era append
+    table.add_column("v", "bigint")          # v3: re-add
+    table.commit_append(
+        spark.range(105, 110).selectExpr(
+            "id", "cast(0 as int) as grp", "id * 5 as v"
+        )
+    )                                        # v4: new-era append
+    live = _live_manifests(table.root)
+    end = max(live)
+
+    def read_all(reader, s):
+        rows = []
+        for p in reader._cdf_partitions({"version": s}, s, end, live):
+            for b in reader.read(p):
+                rows += pa.Table.from_batches([b]).to_pylist()
+        return rows
+
+    # case 1: pinned schema lacks v (planned in the drop era) — flows
+    r_nov = VersionedStreamReader(
+        table.root, [("id", "bigint"), ("grp", "int")] + meta, cdf=True
+    )
+    rows = read_all(r_nov, v_dropped)
+    assert sorted(x["id"] for x in rows) == list(range(100, 110))
+
+    # case 2: pinned schema has v, base schema lacks it (resumed on the
+    # fresh schema) — forward: old era NULL, new era values
+    r_fresh = VersionedStreamReader(
+        table.root,
+        [("id", "bigint"), ("grp", "int"), ("v", "bigint")] + meta,
+        cdf=True,
+    )
+    rows = read_all(r_fresh, v_dropped)
+    by_id = {x["id"]: x["v"] for x in rows}
+    assert all(by_id[i] is None for i in range(100, 105))
+    assert all(by_id[i] == i * 5 for i in range(105, 110))
+
+    # case 3: pinned schema has v AND the base schema still has it —
+    # an old-era consumer: refuse loudly
+    with _pytest.raises(ValueError, match="re-adds"):
+        read_all(r_fresh, v_full)
