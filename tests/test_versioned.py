@@ -1436,10 +1436,14 @@ def test_read_changes_skips_metadata_only_commits(spark, table):
     # a range that ENDS on the metadata-only commit is simply the
     # appends before it
     assert table.read_changes(since_version=1, version=2).count() == 0
-    # renames still refuse: pre-rename manifests lack the column mapping
+    # a rename is metadata-only too: the feed serves in the TARGET
+    # frame, pre-rename files' values under the new name via their
+    # target-manifest column mappings (r10 — was a refusal before)
     table.rename_column("tag", "label")
-    with pytest.raises(ValueError, match="rename"):
-        table.read_changes(since_version=0)
+    delta = table.read_changes(since_version=0)
+    assert "label" in delta.columns
+    assert delta.filter("label IS NULL").count() == 0
+    assert sorted(r.id for r in delta.collect()) == list(range(5, 10))
 
 
 def test_restore_quarantined_stale_steals_aged_junk(spark, table):
