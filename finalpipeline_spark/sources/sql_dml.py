@@ -88,6 +88,13 @@ so the SQL-only persona can evolve tables, not just write them):
 * ``ALTER TABLE <target> ALTER COLUMN <name> SET NOT NULL``
 * ``ALTER TABLE <target> ADD CONSTRAINT <name> CHECK (<pred>)``
 * ``ALTER TABLE <target> DROP CONSTRAINT <name>``
+* ``ALTER TABLE <target> SET TBLPROPERTIES ('bloom.column' = <c>
+  [, 'bloom.bits' = <n>, 'bloom.k' = <n>])`` — declare the durable
+  bloom point-lookup index property; ``UNSET TBLPROPERTIES
+  ('bloom.column')`` clears it.
+* ``SHOW TBLPROPERTIES <target>`` / ``DESCRIBE DETAIL <target>`` —
+  property and table-metadata introspection (O(manifest), no data
+  I/O); other SHOW/DESCRIBE forms pass through to Spark.
 
 Targets: ``versioned.`/abs/path``` (Delta's ``delta.`/path``` shape)
 or any registered view/table name whose analyzed plan resolves to a
@@ -262,6 +269,51 @@ def _parse_alter(stmt: str, masked: str) -> tuple[str, str, list[tuple]]:
     target = stmt[hm.start(1):hm.end(1)]
     tail, tmask = stmt[hm.end():], masked[hm.end():]
 
+    m = re.match(rf"SET{_WS}TBLPROPERTIES\s*\((.*)\)\s*$", tmask, re.I | re.S)
+    if m:
+        inner, imask = tail[m.start(1):m.end(1)], tmask[m.start(1):m.end(1)]
+        props: dict[str, str] = {}
+        for part in _split_top(inner, imask):
+            pm = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", part)
+            if not pm:
+                raise ValueError(
+                    f"unsupported TBLPROPERTIES entry {part.strip()!r} — "
+                    "expected 'key' = 'value'"
+                )
+            props[pm.group(1)] = pm.group(2)
+        unknown = sorted(set(props) - {"bloom.column", "bloom.bits", "bloom.k"})
+        if unknown:
+            # silent property drop is corruption — only the durable
+            # bloom-index property exists on this engine
+            raise ValueError(
+                f"unsupported table propert{'ies' if len(unknown) > 1 else 'y'} "
+                f"{unknown} — supported: bloom.column, bloom.bits, bloom.k"
+            )
+        if "bloom.column" not in props:
+            raise ValueError(
+                "SET TBLPROPERTIES for the bloom index needs "
+                "'bloom.column' (bits/k are optional)"
+            )
+        return target, "set_bloom_index", [
+            (
+                props["bloom.column"],
+                int(props.get("bloom.bits", 8192)),
+                int(props.get("bloom.k", 3)),
+            )
+        ]
+    m = re.match(rf"UNSET{_WS}TBLPROPERTIES\s*\((.*)\)\s*$", tmask, re.I | re.S)
+    if m:
+        inner, imask = tail[m.start(1):m.end(1)], tmask[m.start(1):m.end(1)]
+        keys = {
+            p.strip().strip("'") for p in _split_top(inner, imask)
+        }
+        if not keys or not keys <= {"bloom.column", "bloom.bits", "bloom.k"}:
+            raise ValueError(
+                f"unsupported UNSET TBLPROPERTIES keys {sorted(keys)} — "
+                "supported: the bloom.* trio (unsetting any clears the "
+                "whole bloom_index property)"
+            )
+        return target, "drop_bloom_index", [()]
     m = re.match(
         rf"ADD{_WS}CONSTRAINT{_WS}({_IDENT}){_WS}CHECK\s*\((.*)\)\s*$",
         tmask, re.I | re.S,
@@ -533,7 +585,7 @@ def versioned_sql(
     masked = _mask_literals(stmt)
     kw = re.match(
         r"(INSERT|UPDATE|DELETE|MERGE|OPTIMIZE|VACUUM|DESCRIBE|CREATE|"
-        r"RESTORE|ALTER)\b",
+        r"RESTORE|ALTER|SHOW)\b",
         masked, re.I,
     )
     if not kw:
@@ -692,13 +744,47 @@ def versioned_sql(
             [(p,) for p in reclaimed], "path string"
         )
 
+    if verb == "SHOW":
+        m = re.match(rf"SHOW{_WS}TBLPROPERTIES{_WS}({_REF})\s*$", masked, re.I)
+        if not m:
+            return spark.sql(stmt)  # other SHOW forms: Spark's own
+        vt = VersionedTable(
+            spark, _resolve_root(spark, stmt[m.start(1):m.end(1)])
+        )
+        return spark.createDataFrame(
+            sorted(vt.table_properties().items()), "key string, value string"
+        )
+
     if verb == "DESCRIBE":
         m = re.match(rf"DESCRIBE{_WS}HISTORY{_WS}({_REF})\s*$", masked, re.I)
+        if m:
+            target = stmt[m.start(1):m.end(1)]
+            vt = VersionedTable(spark, _resolve_root(spark, target))
+            return vt.history()
+        m = re.match(rf"DESCRIBE{_WS}DETAIL{_WS}({_REF})\s*$", masked, re.I)
         if not m:
             return spark.sql(stmt)  # plain DESCRIBE: Spark's own
-        target = stmt[m.start(1):m.end(1)]
-        vt = VersionedTable(spark, _resolve_root(spark, target))
-        return vt.history()
+        # Delta's DESCRIBE DETAIL shape: one row of table metadata,
+        # all O(manifest) — zero data I/O
+        vt = VersionedTable(
+            spark, _resolve_root(spark, stmt[m.start(1):m.end(1)])
+        )
+        m_ = vt.manifest()
+        return spark.createDataFrame(
+            [(
+                "versioned",
+                vt.root,
+                int(m_["version"]),
+                len(m_["files"]),
+                sum(vt._entry_live_rows(f) for f in m_["files"]),
+                len(m_.get("constraints") or {}),
+                vt.table_properties(),
+                float(m_["ts"]) if m_.get("ts") is not None else None,
+            )],
+            "format string, location string, version bigint, "
+            "numFiles bigint, numRows bigint, numConstraints bigint, "
+            "properties map<string,string>, commitTs double",
+        )
 
     if verb == "INSERT":
         m = re.match(

@@ -47,6 +47,10 @@ from finalpipeline_spark.sources.versioned_base import (
 from finalpipeline_spark.sources import versioned_base as _base
 
 
+# sentinel: "no explicit bloom_index op on this commit" (None must
+# remain a valid explicit value meaning CLEAR the property)
+_KEEP_BLOOM = object()
+
 class LogProtocolMixin:
     """Methods are documented where they live; see the module docstring
     for the carve. Composed into VersionedTable — never instantiated
@@ -513,6 +517,7 @@ class LogProtocolMixin:
         generated: dict[str, str] | None = None,
         identity: dict[str, dict] | None = None,
         reader: int | None = None,
+        bloom_index: dict | None | object = _KEEP_BLOOM,
     ) -> CommitInfo:
         """``base_version`` is the compare-and-swap guard: the version
         the caller's file list was COMPUTED from (None = empty table).
@@ -597,7 +602,13 @@ class LogProtocolMixin:
         # point-lookup index populated (an explicitly configured handle
         # may re-declare, replacing the geometry for FUTURE files; old
         # entries keep the words they were written with)
-        if self.bloom_col:
+        if bloom_index is not _KEEP_BLOOM:
+            # explicit property evolution (SET/UNSET TBLPROPERTIES):
+            # a dict replaces the geometry, None clears it — both win
+            # over the handle config and the carry-forward
+            if bloom_index:
+                manifest["bloom_index"] = dict(bloom_index)
+        elif self.bloom_col:
             manifest["bloom_index"] = {
                 "col": self.bloom_col,
                 "bits": self.bloom_bits,

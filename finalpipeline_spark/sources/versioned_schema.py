@@ -794,3 +794,71 @@ class SchemaEvolutionMixin:
                 )
         return df
 
+
+    # -- table properties (bloom point-lookup index) ---------------------
+
+    def set_bloom_index(
+        self, col: str, bits: int = 8192, k: int = 3, attempts: int = 10
+    ) -> CommitInfo:
+        """Declare (or re-declare) the durable bloom-index table
+        property as a METADATA-ONLY commit — the ``ALTER TABLE SET
+        TBLPROPERTIES`` half of the bloom story (the other half is the
+        constructor's ``bloom_col``, which this property outlives).
+        From this commit on, EVERY writer — config-less handles, other
+        drivers, the SQL/V2 write path — records per-file bloom words
+        for ``col`` (the carry-forward in ``_commit``), and
+        ``read_point_lookup`` prunes on them. Files committed before
+        the property carry no words and are probed conservatively, so
+        the index tightens as the table naturally rewrites; an
+        ``optimize()`` materializes it everywhere at once."""
+        if bits < 64 or k < 1:
+            raise ValueError(f"bad bloom geometry: bits={bits}, k={k}")
+        return self.commit_with_retry(
+            lambda t: t._set_bloom_once(col, int(bits), int(k)), attempts
+        )
+
+    def _set_bloom_once(self, col: str, bits: int, k: int) -> CommitInfo:
+        m = self.manifest()
+        if col not in self._schema_of(m).fieldNames():
+            raise ValueError(f"no column '{col}' on {self.root}")
+        return self._commit(
+            "set_properties",
+            list(m["files"]),
+            m["schema"],
+            base_version=m["version"],
+            bloom_index={"col": col, "bits": bits, "k": k},
+        )
+
+    def drop_bloom_index(self, attempts: int = 10) -> CommitInfo:
+        """Clear the bloom-index table property (``ALTER TABLE UNSET
+        TBLPROPERTIES``): subsequent commits stop recording words and
+        point lookups through config-less handles refuse again.
+        Existing per-file words stay in old manifests (harmless) and
+        purge as files rewrite."""
+        def once(t):
+            m = t.manifest()
+            if not m.get("bloom_index"):
+                raise ValueError(f"no bloom_index property on {t.root}")
+            return t._commit(
+                "set_properties",
+                list(m["files"]),
+                m["schema"],
+                base_version=m["version"],
+                bloom_index=None,
+            )
+
+        return self.commit_with_retry(once, attempts)
+
+    def table_properties(self, version: int | None = None) -> dict[str, str]:
+        """The table's durable properties as flat Delta-style key
+        strings (``SHOW TBLPROPERTIES`` backing)."""
+        m = self.manifest(version)
+        props: dict[str, str] = {}
+        b = m.get("bloom_index")
+        if b:
+            props["bloom.column"] = str(b["col"])
+            props["bloom.bits"] = str(b["bits"])
+            props["bloom.k"] = str(b["k"])
+        if m.get("reader"):
+            props["versioned.minReaderVersion"] = str(m["reader"])
+        return props
