@@ -94,6 +94,23 @@ _STAT_TYPES = {
     "string", "date", "timestamp", "boolean",
 }
 
+# String-bound truncation — mirror of versioned_base._STR_STAT_MAX /
+# _trunc_upper (duplicated: this module must stay importable in the
+# engine-less plan worker without the JVM-facing base module). A
+# document-body column must never put whole documents into manifest
+# entries as min/max; see versioned_dml._write_data_files for the
+# bound-validity argument.
+_STR_STAT_MAX = 64
+
+
+def _trunc_upper(prefix: str) -> str | None:
+    chars = list(prefix)
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        if cp < 0x10FFFF:
+            return "".join(chars[:i]) + chr(cp + 1)
+    return None
+
 
 class ConcurrentSqlWriteError(RuntimeError):
     """Another writer claimed this version first; the commit loop
@@ -517,6 +534,8 @@ def _write_partition(
     rel = f"{commit_dir}/part-{tid:05d}-{uuid.uuid4().hex}.parquet"
     abs_path = os.path.join(root, rel)
     stat_cols = [n for n, t in fields if t in _STAT_TYPES]
+    str_cols = {n for n, t in fields if t == "string"}
+    trunc_cols: set[str] = set()
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
     nulls: dict[str, int] = {n: 0 for n, _ in fields}
@@ -543,7 +562,20 @@ def _write_partition(
                     )
                 if name not in stat_cols or col.null_count == len(col):
                     continue
-                mm = pc.min_max(col)
+                if name in str_cols:
+                    # truncated bounds, never whole values (see
+                    # _STR_STAT_MAX): accumulate prefix min/max; the
+                    # upper bound is adjusted once at entry build
+                    vals = col.drop_null()
+                    maxlen = pc.max(pc.utf8_length(vals)).as_py()
+                    if maxlen is not None and maxlen > _STR_STAT_MAX:
+                        trunc_cols.add(name)
+                        vals = pc.utf8_slice_codeunits(
+                            vals, 0, _STR_STAT_MAX
+                        )
+                    mm = pc.min_max(vals)
+                else:
+                    mm = pc.min_max(col)
                 lo, hi = mm["min"].as_py(), mm["max"].as_py()
                 if name not in mins or lo < mins[name]:
                     mins[name] = lo
@@ -554,6 +586,9 @@ def _write_partition(
             writer.close()
     if rows == 0:
         return FileCommitMessage(None)  # empty split: no file
+    for c in trunc_cols:
+        if c in maxs:
+            maxs[c] = _trunc_upper(maxs[c])
     entry: dict[str, Any] = {
         "path": rel,
         "rows": rows,
@@ -563,6 +598,8 @@ def _write_partition(
         },
         "nulls": nulls,
     }
+    if trunc_cols:
+        entry["stats_trunc"] = sorted(trunc_cols)
     if bwords is not None:
         entry["bloom"] = bwords
     return FileCommitMessage(entry)

@@ -418,6 +418,12 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
                     "stats entries present — rewrite (optimize) first"
                 )
             phys = (f.get("cmap") or {}).get(col, col)
+            if phys in (f.get("stats_trunc") or []):
+                raise ValueError(
+                    f"column_stats('{col}') not derivable: recorded "
+                    "min/max are TRUNCATED BOUNDS (long strings), not "
+                    "exact extremes — aggregate with a scan"
+                )
             rows += f["rows"]
             if phys not in nd:  # physically absent ⇒ all rows NULL
                 null_count += f["rows"]

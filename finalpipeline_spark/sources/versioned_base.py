@@ -163,6 +163,32 @@ def _stat_cols(df: DataFrame) -> list[str]:
     return [c for c, t in df.dtypes if t in keep]
 
 
+# Iceberg-style string-bound truncation (Iceberg: write.metadata.
+# metrics truncate(16)): manifests must never carry whole document
+# bodies as min/max — a string column's recorded bounds are capped at
+# this many characters. A truncated LOWER bound is the value's prefix
+# (prefix <= value, still a valid lower bound); the UPPER bound is the
+# max prefix with its last character incremented (strictly greater
+# than every value sharing any <=max prefix, still a valid upper
+# bound). Pruning stays exact-or-over-selecting; ``column_stats``
+# refuses truncated columns (bounds are no longer the exact extremes).
+_STR_STAT_MAX = 64
+
+
+def _trunc_upper(prefix: str) -> str | None:
+    """Smallest convenient string > every string with this prefix:
+    increment the last incrementable character, dropping any trailing
+    U+10FFFF first. None when every character is U+10FFFF (no safe
+    bound — callers record no upper bound, which readers treat
+    conservatively)."""
+    chars = list(prefix)
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        if cp < 0x10FFFF:
+            return "".join(chars[:i]) + chr(cp + 1)
+    return None
+
+
 def _json_safe(v: Any) -> Any:
     if v is None or isinstance(v, (int, float, str, bool)):
         return v

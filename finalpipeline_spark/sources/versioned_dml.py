@@ -31,9 +31,11 @@ from finalpipeline_spark.sources.versioned_base import (
     ConstraintViolationError,
     SchemaMismatchError,
     VersionNotFoundError,
+    _STR_STAT_MAX,
     _json_safe,
     _same_file_refs,
     _stat_cols,
+    _trunc_upper,
     cdf_final_state,
 )
 
@@ -52,7 +54,22 @@ class DmlMixin:
         table's CHECK constraints (one extra aggregate pass — the
         price of enforcement, skipped for rewrites of rows that are
         already in the table: CoW delete/replace survivors and
-        optimize, whose content is provably unchanged)."""
+        optimize, whose content is provably unchanged).
+
+        String min/max are recorded as TRUNCATED BOUNDS, Iceberg-style
+        (``_STR_STAT_MAX`` chars): a document-body column must never
+        put two whole documents into every manifest entry — at 10^5
+        files that is manifest blow-up, the difference between an
+        O(MB) planning read and an O(table) one. The truncated lower
+        bound is the min over per-row prefixes (a prefix <= its
+        string, and min-of-prefixes <= every full value); the upper
+        bound is the max prefix with its last character incremented
+        (greater than every value sharing any prefix <= it) — so
+        pruning stays safe, only over-selecting. Columns whose bounds
+        were actually truncated are listed in the entry's
+        ``stats_trunc`` so ``column_stats`` refuses them (the bounds
+        are no longer the exact extremes); columns that never exceed
+        the cap keep exact stats and no marker."""
         if enforce:
             cons = self.constraints()
             if cons:
@@ -65,10 +82,19 @@ class DmlMixin:
         df.write.mode("errorifexists").parquet(abs_dir)
         back = self.spark.read.parquet(abs_dir)
         cols = _stat_cols(back)
+        str_cols = {c for c, t in back.dtypes if c in set(cols) and t == "string"}
         all_cols = back.columns  # null counts work for EVERY type
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in cols:
-            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+            if c in str_cols:
+                pre = F.substring(F.col(c), 1, _STR_STAT_MAX)
+                aggs += [
+                    F.min(pre).alias(f"__min_{c}"),
+                    F.max(pre).alias(f"__max_{c}"),
+                    F.max(F.length(F.col(c))).alias(f"__len_{c}"),
+                ]
+            else:
+                aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
         for c in all_cols:
             aggs.append(
                 F.sum(F.col(c).isNull().cast("long")).alias(f"__nc_{c}")
@@ -91,10 +117,24 @@ class DmlMixin:
             idx = full.find(commit_dir)
             rel = full[idx:] if idx >= 0 else full
             entry: dict[str, Any] = {"path": rel, "rows": r["__rows"]}
-            entry["stats"] = {
-                c: [_json_safe(r[f"__min_{c}"]), _json_safe(r[f"__max_{c}"])]
-                for c in cols
-            }
+            ent_stats: dict[str, Any] = {}
+            trunc: list[str] = []
+            for c in cols:
+                mn, mx = r[f"__min_{c}"], r[f"__max_{c}"]
+                if (
+                    c in str_cols
+                    and (r[f"__len_{c}"] or 0) > _STR_STAT_MAX
+                ):
+                    # bounds, not extremes: adjust the upper prefix to
+                    # stay an upper bound; unadjustable (all U+10FFFF)
+                    # records no upper bound — readers treat None
+                    # conservatively
+                    mx = _trunc_upper(mx) if mx is not None else None
+                    trunc.append(c)
+                ent_stats[c] = [_json_safe(mn), _json_safe(mx)]
+            entry["stats"] = ent_stats
+            if trunc:
+                entry["stats_trunc"] = trunc
             entry["nulls"] = {c: int(r[f"__nc_{c}"]) for c in all_cols}
             if full in blooms:
                 entry["bloom"] = blooms[full]
