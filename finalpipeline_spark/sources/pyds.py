@@ -315,6 +315,36 @@ def _manifest_any(root: str, version: int) -> dict | None:
     return None
 
 
+def _opt_ts(val, opt: str) -> float:
+    """Timestamp option → epoch seconds. Accepts a numeric epoch (the
+    original contract) or an ISO-8601 instant WITH an explicit offset
+    ('Z' / '+hh:mm') — this source plans in an engine-less worker with
+    no session timezone, so a tz-naive string would be silently
+    interpreted in whatever the worker's locale is; refusing it loudly
+    beats shifting the requested snapshot by hours. (``versioned_sql``
+    resolves tz-naive text through the Spark session instead.)"""
+    try:
+        return float(val)
+    except (TypeError, ValueError):
+        pass
+    import datetime
+
+    try:
+        dt = datetime.datetime.fromisoformat(str(val))
+    except ValueError:
+        raise ValueError(
+            f"{opt} must be epoch seconds or an ISO-8601 timestamp, "
+            f"got {val!r}"
+        ) from None
+    if dt.tzinfo is None:
+        raise ValueError(
+            f"{opt}: ISO timestamps need an explicit UTC offset "
+            f"('2024-01-01T00:00:00Z', '...+02:00') — got the tz-naive "
+            f"{val!r}, which this engine-less planner cannot anchor"
+        )
+    return dt.timestamp()
+
+
 class _FilePartition(InputPartition):
     def __init__(
         self,
@@ -743,7 +773,9 @@ class VersionedDataSource(DataSource):
         if ts_opt is not None and "version" in self.options:
             raise ValueError("pass version or timestampAsOf, not both")
         if ts_opt is not None:
-            v = _version_as_of_timestamp(root, live, float(ts_opt))
+            v = _version_as_of_timestamp(
+                root, live, _opt_ts(ts_opt, "timestampAsOf")
+            )
         else:
             v = int(self.options.get("version", max(live)))
         if v not in live:
@@ -791,7 +823,7 @@ class VersionedDataSource(DataSource):
                 s = _first_version_at_or_after(
                     root,
                     _live_manifests(root),
-                    float(self.options["startingTimestamp"]),
+                    _opt_ts(self.options["startingTimestamp"], "startingTimestamp"),
                 )
             else:
                 raise ValueError(
@@ -804,7 +836,7 @@ class VersionedDataSource(DataSource):
                 e = _version_as_of_timestamp(
                     root,
                     _live_manifests(root),
-                    float(self.options["endingTimestamp"]),
+                    _opt_ts(self.options["endingTimestamp"], "endingTimestamp"),
                 )
             else:
                 live = _live_manifests(root)
@@ -879,7 +911,7 @@ class VersionedDataSource(DataSource):
             caps["starting_version"] = _first_version_at_or_after(
                 root,
                 _live_manifests(root),
-                float(self.options["startingTimestamp"]),
+                _opt_ts(self.options["startingTimestamp"], "startingTimestamp"),
             )
         return VersionedStreamReader(
             self.options["root"],

@@ -586,12 +586,14 @@ def _write_partition(
             writer.close()
     if rows == 0:
         return FileCommitMessage(None)  # empty split: no file
+    nbytes = os.path.getsize(abs_path)
     for c in trunc_cols:
         if c in maxs:
             maxs[c] = _trunc_upper(maxs[c])
     entry: dict[str, Any] = {
         "path": rel,
         "rows": rows,
+        "bytes": nbytes,
         "stats": {
             c: [_json_safe(mins.get(c)), _json_safe(maxs.get(c))]
             for c in stat_cols

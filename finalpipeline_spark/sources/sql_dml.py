@@ -61,7 +61,10 @@ Maintenance statements (Delta SQL parity, same target forms):
   OF <n>]`` — Delta CLONE (shallow = by-pointer v0, deep = parallel
   file copy).
 * ``RESTORE TABLE <target> TO VERSION AS OF <n> | TO TIMESTAMP AS OF
-  <epochSeconds>`` — roll-forward restore (history append-only).
+  <epochSeconds | 'timestamp text'>`` — roll-forward restore (history
+  append-only); quoted timestamp text resolves in the SESSION
+  timezone via Spark itself (the engine-less view options instead
+  take epoch seconds or offset-anchored ISO-8601 — see pyds._opt_ts).
 Other CREATE statements pass through to ``spark.sql`` untouched.
 
 Schema evolution (Delta ALTER TABLE parity — every form maps 1:1 onto
@@ -668,21 +671,37 @@ def versioned_sql(
         # content equals the target version's (history append-only)
         m = re.match(
             rf"RESTORE{_WS}TABLE{_WS}({_REF}){_WS}TO{_WS}"
-            rf"(VERSION|TIMESTAMP){_WS}AS{_WS}OF{_WS}([\d.]+)\s*$",
+            rf"(VERSION|TIMESTAMP){_WS}AS{_WS}OF{_WS}([\d.]+|'[^']*')\s*$",
             masked, re.I,
         )
         if not m:
             raise ValueError(
                 "unsupported RESTORE shape — expected: RESTORE TABLE "
                 "<target> TO VERSION AS OF <n> | TO TIMESTAMP AS OF "
-                "<epochSeconds>"
+                "<epochSeconds | 'timestamp text'>"
             )
         vt = VersionedTable(
             spark, _resolve_root(spark, stmt[m.start(1):m.end(1)])
         )
+        arg = stmt[m.start(3):m.end(3)]
         if m.group(2).upper() == "VERSION":
-            return vt.rollback(int(m.group(3)))
-        return vt.rollback(vt.version_as_of_timestamp(float(m.group(3))))
+            if arg.startswith("'"):
+                raise ValueError("VERSION AS OF takes an integer")
+            return vt.rollback(int(arg))
+        if arg.startswith("'"):
+            # quoted timestamp text: resolved by Spark itself in the
+            # SESSION timezone (Delta's semantics for timestamp
+            # strings), so tz-naive text means what the user's session
+            # says it means
+            row = spark.sql(
+                f"SELECT cast(try_to_timestamp({arg}) as double) AS ts"
+            ).first()
+            if row.ts is None:
+                raise ValueError(f"unparseable RESTORE timestamp {arg}")
+            epoch = float(row.ts)
+        else:
+            epoch = float(arg)
+        return vt.rollback(vt.version_as_of_timestamp(epoch))
 
     if verb == "OPTIMIZE":
         # OPTIMIZE <target> [ZORDER BY (col, ...)] — Delta's SQL shape
@@ -770,6 +789,9 @@ def versioned_sql(
             spark, _resolve_root(spark, stmt[m.start(1):m.end(1)])
         )
         m_ = vt.manifest()
+        # sizeInBytes only when every entry records it (pre-r10 files
+        # may not) — a partial sum would silently under-report
+        sizes = [f.get("bytes") for f in m_["files"]]
         return spark.createDataFrame(
             [(
                 "versioned",
@@ -777,12 +799,14 @@ def versioned_sql(
                 int(m_["version"]),
                 len(m_["files"]),
                 sum(vt._entry_live_rows(f) for f in m_["files"]),
+                sum(sizes) if all(b is not None for b in sizes) else None,
                 len(m_.get("constraints") or {}),
                 vt.table_properties(),
                 float(m_["ts"]) if m_.get("ts") is not None else None,
             )],
             "format string, location string, version bigint, "
-            "numFiles bigint, numRows bigint, numConstraints bigint, "
+            "numFiles bigint, numRows bigint, sizeInBytes bigint, "
+            "numConstraints bigint, "
             "properties map<string,string>, commitTs double",
         )
 

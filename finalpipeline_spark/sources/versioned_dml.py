@@ -84,7 +84,14 @@ class DmlMixin:
         cols = _stat_cols(back)
         str_cols = {c for c, t in back.dtypes if c in set(cols) and t == "string"}
         all_cols = back.columns  # null counts work for EVERY type
-        aggs = [F.count(F.lit(1)).alias("__rows")]
+        aggs = [
+            F.count(F.lit(1)).alias("__rows"),
+            # physical file size rides the same one-pass aggregation
+            # (every row of a file carries the same _metadata value) —
+            # feeds DESCRIBE DETAIL and size-aware maintenance with
+            # zero extra I/O
+            F.first(F.col("__fsize")).alias("__bytes"),
+        ]
         for c in cols:
             if c in str_cols:
                 pre = F.substring(F.col(c), 1, _STR_STAT_MAX)
@@ -100,7 +107,11 @@ class DmlMixin:
                 F.sum(F.col(c).isNull().cast("long")).alias(f"__nc_{c}")
             )
         stats = (
-            back.select(F.col("_metadata.file_path").alias("__file"), *all_cols)
+            back.select(
+                F.col("_metadata.file_path").alias("__file"),
+                F.col("_metadata.file_size").alias("__fsize"),
+                *all_cols,
+            )
             .groupBy("__file")
             .agg(*aggs)
             .collect()  # one row per new data file — manifest-sized
@@ -116,7 +127,11 @@ class DmlMixin:
             full = r["__file"]
             idx = full.find(commit_dir)
             rel = full[idx:] if idx >= 0 else full
-            entry: dict[str, Any] = {"path": rel, "rows": r["__rows"]}
+            entry: dict[str, Any] = {
+                "path": rel,
+                "rows": r["__rows"],
+                "bytes": int(r["__bytes"]),
+            }
             ent_stats: dict[str, Any] = {}
             trunc: list[str] = []
             for c in cols:

@@ -239,3 +239,47 @@ def test_sql_change_feed_across_rename_and_readd(spark, vt):
     assert got.filter("_commit_version = 6 AND bucket = 7").count() == 5
     spark.catalog.dropTempView("t_cdf_ren")
     spark.catalog.dropTempView("t_cdf_readd")
+
+
+def test_iso_timestamp_options_and_restore_text(spark, vt, tmp_path):
+    """Delta parity: timestamp options accept ISO-8601 text, not just
+    epoch floats — tz-anchored strings in the engine-less view options,
+    session-tz text in RESTORE (resolved by Spark itself)."""
+    import datetime
+
+    from finalpipeline_spark.sources.sql_dml import versioned_sql
+
+    ts_v0 = vt.manifest(0)["ts"]
+    ts_v1 = vt.manifest(1)["ts"]
+    mid = (ts_v0 + ts_v1) / 2 if ts_v1 > ts_v0 + 2e-3 else ts_v0
+    iso = datetime.datetime.fromtimestamp(
+        mid, tz=datetime.timezone.utc
+    ).isoformat()
+    _mkview(spark, "t_iso", {"root": vt.root, "timestampAsOf": iso})
+    assert spark.sql("SELECT count(*) AS n FROM t_iso").first()["n"] == 50
+    # tz-naive text refuses loudly at plan time (the engine-less
+    # planner cannot anchor it)
+    with pytest.raises(Exception, match="offset"):
+        _mkview(
+            spark, "t_naive",
+            {"root": vt.root, "timestampAsOf": "2024-01-01T00:00:00"},
+        )
+    # RESTORE with quoted timestamp text resolves in the SESSION tz
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        text = datetime.datetime.fromtimestamp(
+            mid, tz=datetime.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S.%f")
+        info = versioned_sql(
+            spark, f"RESTORE TABLE t_iso TO TIMESTAMP AS OF '{text}'"
+        )
+        assert info.action == "rollback"
+        assert vt.read().count() == 50  # restored to the v0 content
+        with pytest.raises(ValueError, match="unparseable"):
+            versioned_sql(
+                spark, "RESTORE TABLE t_iso TO TIMESTAMP AS OF 'not a time'"
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    spark.catalog.dropTempView("t_iso")

@@ -100,3 +100,13 @@ def test_describe_detail_sql(spark, vt):
     assert row.version == vt.latest_version()
     assert "bloom.column" in row.properties
     assert row.numConstraints == 1
+
+
+def test_entries_record_bytes_and_detail_sums_them(spark, vt):
+    for e in vt.manifest()["files"]:
+        assert e.get("bytes", 0) > 0
+    spark.sql("INSERT INTO props VALUES ('z1', 1)")  # SQL path too
+    m = vt.manifest()
+    assert all(e.get("bytes", 0) > 0 for e in m["files"])
+    row = versioned_sql(spark, "DESCRIBE DETAIL props").first()
+    assert row.sizeInBytes == sum(e["bytes"] for e in m["files"])
