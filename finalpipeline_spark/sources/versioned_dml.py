@@ -994,6 +994,7 @@ class DmlMixin:
         zorder_by: list[str] | None = None,
         mode: str = "full",
         attempts: int = 10,
+        target_bytes_per_file: int | None = None,
     ) -> CommitInfo:
         """OPTIMIZE: rewrite small files into ~target-sized files
         (bin-packing), optionally range-clustered on ``cluster_by``
@@ -1017,15 +1018,28 @@ class DmlMixin:
           paying a snapshot rewrite. Clustering flags apply to the
           compacted subset only.
 
+        ``target_bytes_per_file`` switches the sizing unit to PHYSICAL
+        BYTES (Delta's maxFileSize semantics — the honest knob at
+        100 TB, where "1M rows" can be 10 MB or 10 GB depending on
+        row width): compact-mode selection keeps files already at or
+        above the target, and the output file count derives from the
+        rewrite set's recorded byte sizes (entries predating the
+        per-file ``bytes`` field are estimated from the set's
+        observed bytes-per-row, or rewritten outright in compact
+        mode — their size is unknown, so they are fair game).
+
         Either mode is one atomic commit, so concurrent readers never
         see a half-compacted table; retries on a lost CAS race."""
         if cluster_by and zorder_by:
             raise ValueError("pass cluster_by or zorder_by, not both")
         if mode not in ("full", "compact"):
             raise ValueError(f"mode must be 'full' or 'compact', got {mode!r}")
+        if target_bytes_per_file is not None and target_bytes_per_file < 1:
+            raise ValueError("target_bytes_per_file must be >= 1")
         return self.commit_with_retry(
             lambda t: t._optimize_once(
-                target_rows_per_file, cluster_by, zorder_by, mode
+                target_rows_per_file, cluster_by, zorder_by, mode,
+                target_bytes_per_file,
             ),
             attempts,
         )
@@ -1036,17 +1050,28 @@ class DmlMixin:
         cluster_by: list[str] | None,
         zorder_by: list[str] | None,
         mode: str,
+        target_bytes_per_file: int | None = None,
     ) -> CommitInfo:
         m = self.manifest()
         schema = self._schema_of(m)
         if not m["files"]:
             raise VersionNotFoundError(f"version {m['version']} is empty")
         if mode == "compact":
-            rewrite = [
-                e
-                for e in m["files"]
-                if e.get("dv") or self._entry_live_rows(e) < target_rows_per_file
-            ]
+            if target_bytes_per_file is not None:
+                rewrite = [
+                    e
+                    for e in m["files"]
+                    if e.get("dv")
+                    or e.get("bytes") is None  # size unknown: fair game
+                    or e["bytes"] < target_bytes_per_file
+                ]
+            else:
+                rewrite = [
+                    e
+                    for e in m["files"]
+                    if e.get("dv")
+                    or self._entry_live_rows(e) < target_rows_per_file
+                ]
             rw = {e["path"] for e in rewrite}
             keep = [e for e in m["files"] if e["path"] not in rw]
             if len(rewrite) < 2 and not any(e.get("dv") for e in rewrite):
@@ -1060,8 +1085,22 @@ class DmlMixin:
         else:
             rewrite, keep = list(m["files"]), []
             current = self._scan_entries(rewrite, schema)
-        total_rows = sum(self._entry_live_rows(f) for f in rewrite)
-        n_out = max(1, -(-total_rows // target_rows_per_file))
+        if target_bytes_per_file is not None:
+            known = [e for e in rewrite if e.get("bytes")]
+            if known:
+                per_row = sum(e["bytes"] for e in known) / max(
+                    1, sum(e["rows"] for e in known)
+                )
+            else:
+                per_row = 128.0  # pre-bytes table: conservative guess
+            total_bytes = sum(
+                e.get("bytes") or int(self._entry_live_rows(e) * per_row)
+                for e in rewrite
+            )
+            n_out = max(1, -(-total_bytes // target_bytes_per_file))
+        else:
+            total_rows = sum(self._entry_live_rows(f) for f in rewrite)
+            n_out = max(1, -(-total_rows // target_rows_per_file))
         if zorder_by:
             from finalpipeline_spark.operators.zorder import zorder_cluster
 

@@ -110,3 +110,30 @@ def test_entries_record_bytes_and_detail_sums_them(spark, vt):
     assert all(e.get("bytes", 0) > 0 for e in m["files"])
     row = versioned_sql(spark, "DESCRIBE DETAIL props").first()
     assert row.sizeInBytes == sum(e["bytes"] for e in m["files"])
+
+
+def test_optimize_by_target_bytes(spark, vt):
+    # fragment the table: many tiny files
+    for lo in range(100, 160, 10):
+        vt.commit_append(
+            spark.range(lo, lo + 10)
+            .selectExpr("cast(id as string) as k", "id as v")
+            .coalesce(1)
+        )
+    m = vt.manifest()
+    assert len(m["files"]) >= 7
+    big = max(e["bytes"] for e in m["files"])
+    # compact by BYTES: everything under the (generous) target packs
+    info = vt.optimize(mode="compact", target_bytes_per_file=big * 100)
+    assert info.action == "optimize"
+    m2 = vt.manifest()
+    assert len(m2["files"]) < len(m["files"])
+    assert vt.count_rows() == 100
+    # idempotent at the same target: files now sized, nothing to pack
+    before = {e["path"] for e in m2["files"]}
+    vt.optimize(mode="compact", target_bytes_per_file=min(
+        e["bytes"] for e in m2["files"]
+    ))
+    assert {e["path"] for e in vt.manifest()["files"]} == before
+    with pytest.raises(ValueError, match=">= 1"):
+        vt.optimize(target_bytes_per_file=0)
