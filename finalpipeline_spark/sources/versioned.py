@@ -768,7 +768,9 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
                 f["path"],
                 f.get("base", self.root),
                 f["rows"],
+                f.get("bytes"),  # NULL for pre-r10 entries
                 json.dumps(f.get("stats", {}), sort_keys=True),
+                list(f.get("stats_trunc") or []),
                 "bloom" in f,
                 (f.get("dv") or {}).get("deleted", 0),
             )
@@ -776,7 +778,8 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
         ]
         return self.spark.createDataFrame(
             rows,
-            "path string, base string, rows bigint, stats string, "
+            "path string, base string, rows bigint, bytes bigint, "
+            "stats string, stats_trunc array<string>, "
             "has_bloom boolean, dv_deleted bigint",
         )
 

@@ -360,11 +360,14 @@ def test_files_metadata_table(spark, table):
     table.commit_append(_df(spark, 50, 60, "b").coalesce(1))
     files = table.files()
     assert files.columns == [
-        "path", "base", "rows", "stats", "has_bloom", "dv_deleted"
+        "path", "base", "rows", "bytes", "stats", "stats_trunc",
+        "has_bloom", "dv_deleted",
     ]
     rows = files.collect()
     assert sum(r.rows for r in rows) == 60
     assert all(r.base == table.root for r in rows)
+    assert all(r.bytes > 0 for r in rows)
+    assert all(r.stats_trunc == [] for r in rows)  # short strings only
     assert files.filter("has_bloom").count() == 0  # no bloom_col declared
     # the metadata table is queryable with plain SQL
     files.createOrReplaceTempView("vt_files")
