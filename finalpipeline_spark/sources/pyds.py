@@ -21,8 +21,12 @@ from this repo at all, just the registered format name:
   readChangeFeed contract at file granularity (a CoW survivor churns
   as delete+insert of identical content; keyed consumers applying
   deletes-then-inserts per commit converge to the exact snapshot).
-  Whole-table rewrites (overwrite/rollback/optimize past the initial
-  snapshot) fail either mode.
+  OPTIMIZE commits stream as ZERO change rows in changeFeed mode (a
+  layout rewrite provably never changes the live row set — Delta
+  parity for ranges crossing routine maintenance); whole-table
+  rewrites with a real content delta (overwrite/rollback past the
+  initial snapshot) fail either mode, and optimize still fails the
+  append-only mode (its file diff would re-deliver rewritten rows).
 
 **SQL-only surface** (Delta option parity, zero Python imports): once
 the format is registered, every capability is reachable through pure
@@ -413,7 +417,7 @@ def _scan_remap_ops(
     schema diff — the engine-less twin of VersionedTable._remap_ops
     (see versioned.py for the frame-alignment contract; chained remaps
     compose fine in version order — only the streaming direction
-    inference guards them, in _split_op_directions)."""
+    inference guards them, in _pin_directions)."""
     ops: list[tuple[int, tuple]] = []
     for v in range(lo + 1, hi + 1):
         m = mans.get(v) or _manifest_any(root, v)
@@ -444,63 +448,54 @@ def _scan_remap_ops(
     return ops
 
 
-def _split_op_directions(
+def _pin_directions(
     ops: list[tuple[int, tuple]],
+    pin_version: int,
     pinned_names: set[str],
-    base_names: set[str],
 ) -> tuple[dict[int, tuple], dict[int, tuple]]:
-    """Resolve each remap op's direction relative to the feed's PINNED
-    logical frame (the schema the reader was planned with):
+    """Resolve each remap op's direction from VERSION ORDER relative to
+    the feed's PIN VERSION — the table head captured when the reader
+    was planned, i.e. the version whose schema the consumer subscribed
+    to:
 
-    * rename whose NEW name is pinned → the pin postdates the op:
-      FORWARD-align entries of steps before it (a resumed stream or a
-      batch feed planned on the post-rename schema).
-    * rename whose OLD name is pinned → the pin predates the op (a
-      live stream that crossed the rename): REVERSE-align entries of
-      steps at/after it back onto the pinned name — value-preserving,
-      so the consumer keeps receiving the column it subscribed to.
-    * rename touching no pinned name → irrelevant, skip.
-    * re-add of a pinned name: FORWARD when the range's diff-base
-      schema lacks the name (the pin can only postdate the re-add —
-      old values emit NULL, new-era values flow); REFUSES when the
-      base schema still has it — that feed could be an old-era
-      consumer, and serving new-era values under its old-era column
-      is silent corruption (the hazard the re-add guard exists for).
-    * re-add of an unpinned name → never selected, skip.
+    * op committed AT/BEFORE the pin → FORWARD: entries of steps older
+      than the op align up onto the pin's frame (the exact per-entry
+      transformation the commit itself stamped).  A re-add at/before
+      the pin serves too — the pin provably postdates it, so the
+      consumer subscribed to the NEW-era column and old-era steps
+      correctly emit NULL.  (This retires the r10 membership-inference
+      refusal: with the pin version known there is no old-era/new-era
+      ambiguity left to refuse on.)
+    * op AFTER the pin → REVERSE: a live stream that crossed the remap
+      keeps serving the frame it subscribed to.  ALL later renames
+      join the reverse set, pinned or not — a chain like A→B in one
+      micro-batch and B→C in a later one composes pairwise even though
+      B→C touches no pinned name (membership inference missed exactly
+      this and silently served NULL).
+    * re-add AFTER the pin whose name chains back to a pinned column →
+      REFUSE: the pin-era consumer would read new-era values under its
+      old-era column — the one genuinely unserveable case left.
     """
-    names: list[str] = []
-    for _v, op in ops:
-        names += [op[1], op[2]] if op[0] == "rename" else [op[1]]
-    dup = sorted({n for n in names if names.count(n) > 1})
-    if dup:
-        # membership inference needs each name on exactly one op: a
-        # chain like A→B→A in one STREAM range makes the pin's side
-        # undecidable from the schema alone
-        raise ValueError(
-            f"column(s) {dup} are remapped more than once inside one "
-            "stream range — restart the stream from a fresh checkpoint"
-        )
-    fwd: dict[int, tuple] = {}
+    fwd = {v: op for v, op in ops if v <= pin_version}
     rev: dict[int, tuple] = {}
-    for v, op in ops:
+    # the pinned columns' names as they evolve era by era past the pin
+    tracked = set(pinned_names)
+    for v, op in sorted(o for o in ops if o[0] > pin_version):
         if op[0] == "rename":
-            if op[2] in pinned_names:
-                fwd[v] = op
-            elif op[1] in pinned_names:
-                rev[v] = op
-        else:
-            name = op[1]
-            if name not in pinned_names:
-                continue
-            if name in base_names:
-                raise ValueError(
-                    f"version {v} re-adds column '{name}', which the "
-                    "feed's base schema still carries — an old-era "
-                    "consumer must not read new-era values under it; "
-                    "restart the stream from a fresh checkpoint (or "
-                    "start the batch feed at or after the re-add)"
-                )
-            fwd[v] = op
+            _, old, new = op
+            if old in tracked:
+                tracked.discard(old)
+                tracked.add(new)
+            rev[v] = op
+        elif op[1] in tracked:
+            raise ValueError(
+                f"version {v} re-adds column '{op[1]}', which this feed "
+                f"(pinned at version {pin_version}) subscribed to in its "
+                "pre-re-add era — an old-era consumer must not read "
+                "new-era values under its column; restart the stream "
+                "from a fresh checkpoint"
+            )
+        # re-add of a name the pin never chains to: invisible, skip
     return fwd, rev
 
 
@@ -1053,10 +1048,21 @@ class VersionedStreamReader(DataSourceStreamReader):
         max_versions: int | None = None,
         max_files: int | None = None,
         starting_version: int | None = None,
+        pin_version: int | None = None,
     ):
         self._root = root
         self._fields = fields
         self._cdf = cdf
+        # The PIN: the version whose schema this reader was planned
+        # with (Spark resolves schema() and constructs the reader in
+        # the same plan pass, so the head at construction IS the
+        # subscribed frame).  Remap-op directions derive from version
+        # order against it — see _pin_directions; injectable for tests
+        # that model a reader planned in an earlier era.
+        if pin_version is None:
+            live = _live_manifests(root)
+            pin_version = max(live) if live else -1
+        self._pin = pin_version
         # Delta startingVersion/startingTimestamp parity: begin the
         # change stream AT this commit instead of with the initial
         # snapshot — the resume-from-here shape for consumers that
@@ -1186,23 +1192,37 @@ class VersionedStreamReader(DataSourceStreamReader):
             prev = _manifest_any(self._root, s)
         # column-remap commits (rename/re-add) are metadata-only (zero
         # row delta); every step's entries are aligned onto THIS feed's
-        # pinned logical frame below (_split_op_directions docstring
-        # has the full direction contract and the one refusal left).
-        # The batch CDF reader passes its own directions — its pin is
-        # the LATEST schema, so every op is forward by construction.
+        # pinned logical frame below (_pin_directions docstring has the
+        # full direction contract and the one refusal left).  Ops are
+        # scanned across the WHOLE span between the pin and the range —
+        # not just inside (s, e] — so a remap that moved the pinned
+        # frame in an earlier micro-batch (or after a replayed range)
+        # still aligns this batch's entries.  The batch CDF reader
+        # passes its own directions — its pin is the LATEST schema, so
+        # every op is forward by construction.
         if directions is not None:
             fwd, rev = directions
         else:
-            fwd, rev = _split_op_directions(
-                _scan_remap_ops(self._root, live, s, e),
+            fwd, rev = _pin_directions(
+                _scan_remap_ops(
+                    self._root, live, min(s, self._pin), max(e, self._pin)
+                ),
+                self._pin,
                 {n for n, _t in self._fields},
-                set(_schema_field_names(prev["schema"])) if prev else set(),
             )
         for v in range(s + 1, e + 1):
             cur = live[v]
             if prev is not None and _same_file_refs(prev["files"], cur["files"]):
                 # metadata-only commit (constraint add/drop, column
                 # drop, no-op compaction): provably zero row delta
+                prev = cur
+                continue
+            if cur["action"] == "optimize":
+                # OPTIMIZE (bin-packing / clustering / DV folding)
+                # rewrites the file LAYOUT, never the live row set —
+                # its row delta is provably empty, so the feed emits
+                # zero change rows for it (Delta parity: a consumer's
+                # range crossing routine maintenance must not break)
                 prev = cur
                 continue
             if cur["action"] not in ("append", "delete", "replace", "overwrite", "clone"):
@@ -1350,11 +1370,14 @@ class VersionedStreamReader(DataSourceStreamReader):
                 ) from None
         # frame-align the served entries onto this stream's pinned
         # schema (a live stream that crossed a rename keeps receiving
-        # its subscribed column; see _split_op_directions)
-        fwd, rev = _split_op_directions(
-            _scan_remap_ops(self._root, live, s, e),
+        # its subscribed column; see _pin_directions) — ops scanned
+        # across the whole pin↔range span, not just (s, e]
+        fwd, rev = _pin_directions(
+            _scan_remap_ops(
+                self._root, live, min(s, self._pin), max(e, self._pin)
+            ),
+            self._pin,
             {n for n, _t in self._fields},
-            set(_schema_field_names(base["schema"])) if base else set(),
         )
         base_paths = set(_abs_paths(self._root, base)) if base else set()
         return [
@@ -1480,7 +1503,9 @@ class VersionedCDFBatchReader(DataSourceReader):
             self._start - 1,
             self._end,
             mans,
-            directions=({v: op for v, op in ops}, {}),
+            directions=_pin_directions(
+                ops, pin, {n for n, _t in self._inner._fields}
+            ),
         )
 
     def read(self, partition: _FilePartition) -> Iterator:

@@ -456,9 +456,9 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
         Chained remaps (A→B→C, rename-then-re-add of one name) are
         fine: applying the ops in ASCENDING version order replays
         exactly the per-entry stamps the commits themselves made, so
-        forward composition is well-defined — only the STREAMING
-        reader's membership-based direction inference needs a chain
-        guard (sources/pyds.py _split_op_directions)."""
+        forward composition is well-defined — the streaming reader
+        resolves directions the same way, from version order against
+        its pin (sources/pyds.py _pin_directions)."""
         ops: list[tuple[int, tuple]] = []
         for v in range(since_version + 1, upto + 1):
             m = self._read_manifest_file(v)
@@ -533,10 +533,13 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
         versa for inserts (Delta's CDF-without-row-tracking fallback).
         The exceptAll diff shuffles only the REWRITTEN file set — the
         CoW hit files — never the whole table, so the cost scales with
-        the change, not the snapshot. Whole-table rewrites
-        (overwrite/rollback/optimize/clone) still raise: optimize's
-        diff is provably empty but would cost a full-table comparison,
-        and the others have no meaningful row delta.
+        the change, not the snapshot. OPTIMIZE commits in the range
+        emit ZERO change rows without any comparison: a layout rewrite
+        provably never changes the live row set (Delta parity — a
+        consumer's range crossing routine maintenance must not break).
+        Whole-table rewrites with a real content delta
+        (overwrite/rollback) still raise: they have no meaningful
+        row-level diff short of comparing two snapshots.
 
         Ranges crossing a RENAME or RE-ADD commit serve in the TARGET
         version's logical schema: those commits are metadata-only
@@ -562,6 +565,12 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
                 # drop, no-op compaction): identical file list and
                 # vector refs ⇒ provably zero row delta — skip it
                 # whatever its action says
+                continue
+            if m["action"] == "optimize":
+                # layout-only rewrite (bin-packing / clustering / DV
+                # folding): the live row set is unchanged by
+                # construction — provably zero change rows, no
+                # comparison needed
                 continue
             if m["action"] not in ("append", "delete", "replace"):
                 raise ValueError(
@@ -758,9 +767,13 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
 
     def files(self, version: int | None = None) -> DataFrame:
         """Iceberg-style ``files`` metadata table for one snapshot:
-        (path, base, rows, stats-as-JSON, has_bloom) — the manifest as
-        a queryable DataFrame, so operators can reason about layout
-        (file sizes, stat tightness, bloom coverage) with plain SQL.
+        (path, base, rows, bytes, stats-as-JSON, stats_trunc,
+        has_bloom, dv_deleted) — the manifest as a queryable DataFrame,
+        so operators can reason about layout (file sizes, stat
+        tightness, bloom coverage, deletion-vector load) with plain
+        SQL. ``bytes`` is NULL for entries committed before per-file
+        byte recording; ``stats_trunc`` lists the columns whose
+        min/max are truncated bounds, not exact extremes.
         Manifest-sized, never data-sized."""
         m = self.manifest(version)
         rows = [

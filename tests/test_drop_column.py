@@ -418,18 +418,20 @@ def test_widen_column_pyds_batch(spark, tmp_path):
 
 
 def test_stream_reader_readd_direction_rules(spark, table):
-    """Streaming re-add crossings resolve by schema membership
-    (sources/pyds.py _split_op_directions):
+    """Streaming re-add crossings resolve by VERSION ORDER against the
+    reader's pin (sources/pyds.py _pin_directions):
 
     * pinned schema LACKS the re-added name (stream planned between
       the drop and the re-add) → the crossing is harmless: the column
       is never selected, the feed keeps flowing;
-    * pinned schema HAS the name and the range's base schema lacks it
-      (a resumed stream re-planned on the post-re-add schema) → serve
-      forward: old-era steps emit NULL, new-era values flow;
-    * pinned schema HAS the name and the base schema still has it too
-      (an old-era live consumer) → REFUSE loudly: new-era values
-      under an old-era column is the corruption the guard exists for.
+    * re-add AT/BEFORE the pin (any reader planned after it, whatever
+      its range's base schema) → serve forward: the pin provably
+      postdates the re-add, so old-era steps emit NULL and new-era
+      values flow — even when the base schema still carries the name
+      (the r10 membership inference refused this servable case);
+    * re-add AFTER the pin touching a pinned column (a genuinely
+      old-era live consumer) → REFUSE loudly: new-era values under an
+      old-era column is the corruption the guard exists for.
     """
     import pyarrow as pa
     import pytest as _pytest
@@ -485,7 +487,23 @@ def test_stream_reader_readd_direction_rules(spark, table):
     assert all(by_id[i] is None for i in range(100, 105))
     assert all(by_id[i] == i * 5 for i in range(105, 110))
 
-    # case 3: pinned schema has v AND the base schema still has it —
-    # an old-era consumer: refuse loudly
+    # case 3: same reader (planned at head, pin postdates the re-add),
+    # range based at v_full whose schema still carries v — the r10
+    # membership inference refused this, but the pin proves the
+    # consumer subscribed to the NEW-era column: serve forward
+    rows = read_all(r_fresh, v_full)
+    by_id = {x["id"]: x["v"] for x in rows}
+    assert all(by_id[i] is None for i in range(100, 105))
+    assert all(by_id[i] == i * 5 for i in range(105, 110))
+
+    # case 4: a reader PINNED BEFORE the re-add (a live old-era
+    # consumer mid-flight) whose range crosses it — the one genuinely
+    # unserveable case: refuse loudly
+    r_old = VersionedStreamReader(
+        table.root,
+        [("id", "bigint"), ("grp", "int"), ("v", "bigint")] + meta,
+        cdf=True,
+        pin_version=v_full,
+    )
     with _pytest.raises(ValueError, match="re-adds"):
-        read_all(r_fresh, v_full)
+        read_all(r_old, v_full)

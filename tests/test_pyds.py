@@ -670,3 +670,46 @@ def test_cdf_commit_timestamp_parity(spark, tmp_path):
     for v, ts in by_v.items():
         recorded = t._read_manifest_file(v)["ts"]
         assert abs(ts.timestamp() - recorded) < 0.001, (v, ts, recorded)
+
+
+def test_changefeed_across_optimize_batch_and_stream(spark, tmp_path):
+    """Both change-feed surfaces serve across OPTIMIZE commits with
+    zero change rows for them (layout rewrite = provably empty row
+    delta): the batch table_changes() view and the streaming
+    changeFeed source, including a byte-targeted optimize."""
+    register_versioned_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit_overwrite(
+        spark.range(0, 50).selectExpr("id").repartition(4)
+    )                                                   # v0
+    t.commit_append(spark.range(50, 60).selectExpr("id"))   # v1
+    t.optimize(target_rows_per_file=1_000, mode="compact")  # v2
+    t.commit_append(spark.range(60, 70).selectExpr("id"))   # v3
+    t.optimize(target_bytes_per_file=1 << 30, mode="compact")  # v4
+    t.commit_append(spark.range(70, 80).selectExpr("id"))   # v5
+
+    from finalpipeline_spark.sources.pyds import table_changes
+
+    ch = table_changes(spark, t.root, 0)
+    rows = {(r["_commit_version"], r["id"]) for r in ch.collect()}
+    assert {v for v, _ in rows} == {0, 1, 3, 5}
+    assert rows >= {(3, i) for i in range(60, 70)}
+    assert len(rows) == 80
+
+    q = (
+        spark.readStream.format("versioned")
+        .option("root", t.root)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 80
+    assert set(
+        r["_commit_version"] for r in got.select("_commit_version").collect()
+    ) == {0, 1, 3, 5}

@@ -349,3 +349,102 @@ def test_stream_reader_reverse_aligns_to_pinned_old_frame(spark, table):
     # the post-rename append's values arrive under the pinned name `v`
     assert sorted(x["v"] for x in rows) == [i * 2 for i in range(100, 110)]
     assert all(x["_change_type"] == "insert" for x in rows)
+
+
+def _drain(reader, s, e, live):
+    import pyarrow as pa
+
+    rows = []
+    for p in reader._cdf_partitions({"version": s}, s, e, live):
+        for b in reader.read(p):
+            rows += pa.Table.from_batches([b]).to_pylist()
+    return rows
+
+
+def test_stream_chained_renames_across_microbatches(spark, table):
+    """A live stream pinned pre-rename that crosses v→score in one
+    micro-batch and score→points in a LATER one: the second op touches
+    no pinned name, but it moves the pinned frame's chain — the reader
+    must scan ops across the whole pin↔range span (not just inside the
+    batch range) and reverse-compose BOTH renames, or the second era's
+    values silently read NULL (the r10 bug)."""
+    from finalpipeline_spark.sources.pyds import (
+        VersionedStreamReader,
+        _live_manifests,
+    )
+
+    meta = [
+        ("_change_type", "string"),
+        ("_commit_version", "bigint"),
+        ("_commit_timestamp", "timestamp"),
+    ]
+    v_pin = table.latest_version()
+    reader = VersionedStreamReader(
+        table.root,
+        [("id", "bigint"), ("grp", "int"), ("v", "bigint")] + meta,
+        cdf=True,
+    )
+    assert reader._pin == v_pin
+
+    table.rename_column("v", "score")
+    table.commit_append(
+        spark.range(100, 105).selectExpr(
+            "id", "cast(1 as int) as grp", "id * 2 as score"
+        )
+    )
+    e1 = table.latest_version()
+    live = _live_manifests(table.root)
+    rows = _drain(reader, v_pin, e1, live)
+    assert sorted(x["v"] for x in rows) == [i * 2 for i in range(100, 105)]
+
+    # second era: a rename that touches NO pinned name, then an append
+    table.rename_column("score", "points")
+    table.commit_append(
+        spark.range(105, 110).selectExpr(
+            "id", "cast(1 as int) as grp", "id * 3 as points"
+        )
+    )
+    e2 = table.latest_version()
+    live = _live_manifests(table.root)
+    # micro-batch (e1, e2] contains only the second rename + append —
+    # the first rename is OUTSIDE the range but inside the pin span
+    rows = _drain(reader, e1, e2, live)
+    by_id = {x["id"]: x["v"] for x in rows}
+    assert by_id == {i: i * 3 for i in range(105, 110)}, by_id
+
+
+def test_stream_replayed_range_before_rename_forward_aligns(spark, table):
+    """A restarted stream (re-planned on the post-rename schema)
+    replaying a checkpointed range that ENDED before the rename: no op
+    lies inside the range, but the pinned frame is newer — the reader
+    must scan forward to its pin and serve the old-era files' values
+    under the new pinned name, not NULL (the r10 bug's other half)."""
+    from finalpipeline_spark.sources.pyds import (
+        VersionedStreamReader,
+        _live_manifests,
+    )
+
+    meta = [
+        ("_change_type", "string"),
+        ("_commit_version", "bigint"),
+        ("_commit_timestamp", "timestamp"),
+    ]
+    v0 = table.latest_version()
+    table.commit_append(
+        spark.range(100, 105).selectExpr(
+            "id", "cast(1 as int) as grp", "id * 2 as v"
+        )
+    )
+    e_replay = table.latest_version()
+    table.rename_column("v", "score")
+
+    # reader re-planned NOW (pin = head, post-rename schema)
+    reader = VersionedStreamReader(
+        table.root,
+        [("id", "bigint"), ("grp", "int"), ("score", "bigint")] + meta,
+        cdf=True,
+    )
+    live = _live_manifests(table.root)
+    rows = _drain(reader, v0, e_replay, live)
+    by_id = {x["id"]: x["score"] for x in rows}
+    assert by_id == {i: i * 2 for i in range(100, 105)}, by_id

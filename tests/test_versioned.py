@@ -1608,3 +1608,48 @@ def test_vacuum_retain_hours_unions_with_retain_last(spark, table):
     assert table.versions_live() == [1, 2]
     with pytest.raises(ValueError):
         table.vacuum(retain_hours=-1.0)
+
+
+def test_read_changes_rows_across_optimize(spark, table):
+    """A CDF range crossing OPTIMIZE serves: the layout rewrite's row
+    delta is provably empty, so the commit emits ZERO change rows and
+    the rest of the range flows (Delta parity — a consumer's range
+    spanning routine maintenance must not break). Covers bin-packing,
+    a byte-targeted optimize, and a z-ordered full rewrite; replay-
+    onto-base equality holds across all of them."""
+    table.commit_overwrite(_df(spark, 0, 100, "a").repartition(4))   # v0
+    table.commit_append(_df(spark, 100, 120, "b").repartition(3))    # v1
+    table.optimize(target_rows_per_file=1_000, mode="compact")       # v2
+    table.commit_append(_df(spark, 120, 140, "c"))                   # v3
+    table.delete_where("id < 10")                                    # v4 CoW
+    table.optimize(target_bytes_per_file=1 << 30, mode="compact")    # v5
+    table.commit_append(_df(spark, 200, 210, "d"))                   # v6
+    table.optimize(zorder_by=["id"], mode="full")                    # v7
+    table.commit_append(_df(spark, 300, 305, "e"))                   # v8
+
+    ch = table.read_changes_rows(0)
+    vers = {r["_commit_version"] for r in ch.collect()}
+    assert vers == {1, 3, 4, 6, 8}  # no optimize version emits a row
+    got = {
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in ch.collect()
+    }
+    assert {(4, "delete", i) for i in range(10)} <= got
+    assert len(got) == 20 + 20 + 10 + 10 + 5
+    # replay-onto-base equality across the maintenance commits
+    base = {r["id"] for r in table.read(version=0).collect()}
+    for v in sorted(vers):
+        ins = {r["id"] for r in ch.filter(
+            f"_commit_version = {v} AND _change_type = 'insert'").collect()}
+        dels = {r["id"] for r in ch.filter(
+            f"_commit_version = {v} AND _change_type = 'delete'").collect()}
+        base = (base - dels) | ins
+    assert base == {r["id"] for r in table.read().collect()}
+    # a range made ONLY of optimize commits: zero rows, stable schema
+    only_opt = table.read_changes_rows(6, 7)
+    assert only_opt.count() == 0
+    assert "_change_type" in only_opt.columns
+    # overwrite/rollback still refuse — they have a real content delta
+    table.rollback(0)
+    with pytest.raises(ValueError, match="row-level delta"):
+        table.read_changes_rows(7)
