@@ -108,7 +108,10 @@ def _trunc_upper(prefix: str) -> str | None:
     for i in range(len(chars) - 1, -1, -1):
         cp = ord(chars[i])
         if cp < 0x10FFFF:
-            return "".join(chars[:i]) + chr(cp + 1)
+            nxt = cp + 1
+            if nxt == 0xD800:  # surrogate block: not a scalar value
+                nxt = 0xE000
+            return "".join(chars[:i]) + chr(nxt)
     return None
 
 

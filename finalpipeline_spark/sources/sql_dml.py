@@ -57,6 +57,16 @@ Maintenance statements (Delta SQL parity, same target forms):
 * ``CREATE [OR REPLACE] TABLE versioned.`/p` AS <query>`` — CTAS
   bootstrap (plain CREATE refuses an existing root; OR REPLACE
   commits an overwrite, history preserved).
+* ``CREATE TABLE versioned.`/p` (<col> <type> [NOT NULL] | <col>
+  <type> GENERATED ALWAYS AS (<expr>) | <col> BIGINT GENERATED
+  ALWAYS AS IDENTITY [(START WITH s INCREMENT BY k)] | CONSTRAINT
+  <name> CHECK (<pred>), ...) [TBLPROPERTIES ('bloom.column' = c
+  [, 'bloom.bits' = n, 'bloom.k' = n])]`` — Delta's empty-table
+  DDL: declared schema, NOT NULL, CHECK constraints, generated and
+  identity columns, and the bloom property in ONE statement (an
+  empty base commit, then one metadata-only evolution commit per
+  clause — declared column order is preserved; the first column
+  must be a plain stored one).
 * ``CREATE TABLE versioned.`/dst` SHALLOW|DEEP CLONE <src> [VERSION AS
   OF <n>]`` — Delta CLONE (shallow = by-pointer v0, deep = parallel
   file copy).
@@ -250,6 +260,133 @@ def _split_cols(s: str, masked: str) -> list[tuple[str, str]]:
     return cols
 
 
+def _parse_create_cols(s: str, masked: str) -> list[tuple]:
+    """Entries of a ``CREATE TABLE (...)`` column list →
+    ``('plain', name, ddl_type, not_null)`` |
+    ``('generated', name, ddl_type, expr)`` |
+    ``('identity', name, start, step)`` |
+    ``('constraint', name, predicate)``.
+
+    Splitting tracks paren/bracket depth always, but angle-bracket
+    depth ONLY at paren depth 0: DDL types nest commas inside ``<...>``
+    (``map<string,int>``), while CHECK predicates contain bare
+    comparison ``<``/``>`` INSIDE their parens — counting those would
+    corrupt the depth for every later entry."""
+    parts, pdepth, adepth, start = [], 0, 0, 0
+    for i, ch in enumerate(masked):
+        if ch in "([":
+            pdepth += 1
+        elif ch in ")]":
+            pdepth -= 1
+        elif pdepth == 0 and ch == "<":
+            adepth += 1
+        elif pdepth == 0 and ch == ">":
+            adepth = max(0, adepth - 1)
+        elif ch == "," and pdepth == 0 and adepth == 0:
+            parts.append((s[start:i], masked[start:i]))
+            start = i + 1
+    parts.append((s[start:], masked[start:]))
+    out: list[tuple] = []
+    for part, pmask in parts:
+        m = re.match(
+            rf"\s*CONSTRAINT{_WS}({_IDENT}){_WS}CHECK\s*\((.*)\)\s*$",
+            pmask, re.I | re.S,
+        )
+        if m:
+            out.append((
+                "constraint",
+                _uq(part[m.start(1):m.end(1)]),
+                part[m.start(2):m.end(2)].strip(),
+            ))
+            continue
+        m = re.match(
+            rf"\s*({_IDENT}){_WS}(.+?){_WS}"
+            rf"GENERATED{_WS}ALWAYS{_WS}AS{_WS}IDENTITY"
+            rf"(?:\s*\(\s*START{_WS}WITH{_WS}(-?\d+){_WS}"
+            rf"INCREMENT{_WS}BY{_WS}(-?\d+)\s*\))?\s*$",
+            pmask, re.I | re.S,
+        )
+        if m:
+            name = _uq(part[m.start(1):m.end(1)])
+            ddl = part[m.start(2):m.end(2)].strip()
+            if ddl.lower() not in ("bigint", "long"):
+                raise ValueError(
+                    f"identity column '{name}' must be BIGINT (got {ddl!r})"
+                )
+            out.append((
+                "identity", name,
+                int(m.group(3)) if m.group(3) else 1,
+                int(m.group(4)) if m.group(4) else 1,
+            ))
+            continue
+        m = re.match(
+            rf"\s*({_IDENT}){_WS}(.+?){_WS}"
+            rf"GENERATED{_WS}ALWAYS{_WS}AS\s*\((.*)\)\s*$",
+            pmask, re.I | re.S,
+        )
+        if m:
+            out.append((
+                "generated",
+                _uq(part[m.start(1):m.end(1)]),
+                part[m.start(2):m.end(2)].strip(),
+                part[m.start(3):m.end(3)].strip(),
+            ))
+            continue
+        m = re.match(
+            rf"\s*({_IDENT}){_WS}(.+?){_WS}NOT{_WS}NULL\s*$",
+            pmask, re.I | re.S,
+        )
+        not_null = bool(m)
+        if not m:
+            m = re.match(rf"\s*({_IDENT}){_WS}(\S.*?)\s*$", pmask, re.I | re.S)
+        if not m:
+            raise ValueError(
+                f"unsupported CREATE TABLE column entry {part.strip()!r} "
+                "— expected '<name> <type> [NOT NULL]', '<name> <type> "
+                "GENERATED ALWAYS AS (expr)', '<name> BIGINT GENERATED "
+                "ALWAYS AS IDENTITY [(START WITH s INCREMENT BY k)]', "
+                "or 'CONSTRAINT <name> CHECK (pred)'"
+            )
+        out.append((
+            "plain",
+            _uq(part[m.start(1):m.end(1)]),
+            part[m.start(2):m.end(2)].strip(),
+            not_null,
+        ))
+    return out
+
+
+def _parse_bloom_props(inner: str, imask: str) -> tuple[str, int, int]:
+    """A ``TBLPROPERTIES ('k' = 'v', ...)`` body restricted to the
+    bloom-index trio → ``(column, bits, k)``. Loud on anything else —
+    silent property drop is corruption."""
+    props: dict[str, str] = {}
+    for part in _split_top(inner, imask):
+        pm = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", part)
+        if not pm:
+            raise ValueError(
+                f"unsupported TBLPROPERTIES entry {part.strip()!r} — "
+                "expected 'key' = 'value'"
+            )
+        props[pm.group(1)] = pm.group(2)
+    unknown = sorted(set(props) - {"bloom.column", "bloom.bits", "bloom.k"})
+    if unknown:
+        raise ValueError(
+            f"unsupported table propert{'ies' if len(unknown) > 1 else 'y'} "
+            f"{unknown} — supported: bloom.column, bloom.bits, bloom.k"
+        )
+    if "bloom.column" not in props:
+        raise ValueError(
+            "TBLPROPERTIES for the bloom index needs 'bloom.column' "
+            "(bits/k are optional)"
+        )
+    return (
+        props["bloom.column"],
+        int(props.get("bloom.bits", 8192)),
+        int(props.get("bloom.k", 3)),
+    )
+
+
 def _parse_alter(stmt: str, masked: str) -> tuple[str, str, list[tuple]]:
     """ALTER TABLE text → (target_text, op_name, [op_args...]) where
     each op maps 1:1 onto a VersionedTable evolution method (see the
@@ -275,35 +412,7 @@ def _parse_alter(stmt: str, masked: str) -> tuple[str, str, list[tuple]]:
     m = re.match(rf"SET{_WS}TBLPROPERTIES\s*\((.*)\)\s*$", tmask, re.I | re.S)
     if m:
         inner, imask = tail[m.start(1):m.end(1)], tmask[m.start(1):m.end(1)]
-        props: dict[str, str] = {}
-        for part in _split_top(inner, imask):
-            pm = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", part)
-            if not pm:
-                raise ValueError(
-                    f"unsupported TBLPROPERTIES entry {part.strip()!r} — "
-                    "expected 'key' = 'value'"
-                )
-            props[pm.group(1)] = pm.group(2)
-        unknown = sorted(set(props) - {"bloom.column", "bloom.bits", "bloom.k"})
-        if unknown:
-            # silent property drop is corruption — only the durable
-            # bloom-index property exists on this engine
-            raise ValueError(
-                f"unsupported table propert{'ies' if len(unknown) > 1 else 'y'} "
-                f"{unknown} — supported: bloom.column, bloom.bits, bloom.k"
-            )
-        if "bloom.column" not in props:
-            raise ValueError(
-                "SET TBLPROPERTIES for the bloom index needs "
-                "'bloom.column' (bits/k are optional)"
-            )
-        return target, "set_bloom_index", [
-            (
-                props["bloom.column"],
-                int(props.get("bloom.bits", 8192)),
-                int(props.get("bloom.k", 3)),
-            )
-        ]
+        return target, "set_bloom_index", [_parse_bloom_props(inner, imask)]
     m = re.match(rf"UNSET{_WS}TBLPROPERTIES\s*\((.*)\)\s*$", tmask, re.I | re.S)
     if m:
         inner, imask = tail[m.start(1):m.end(1)], tmask[m.start(1):m.end(1)]
@@ -655,13 +764,112 @@ def versioned_sql(
                 version=int(cm.group(3)) if cm.group(3) else None,
                 deep=cm.group(1).upper() == "DEEP",
             )
+        if tail_masked.lstrip().startswith("("):
+            # CREATE TABLE versioned.`/p` (col type [NOT NULL] | col
+            # type GENERATED ALWAYS AS (expr) | col BIGINT GENERATED
+            # ALWAYS AS IDENTITY [(START WITH s INCREMENT BY k)] |
+            # CONSTRAINT name CHECK (pred), ...)
+            # [TBLPROPERTIES ('bloom.column' = c, ...)] — Delta's
+            # empty-table DDL: declared schema, enforcement metadata,
+            # and the bloom property in ONE statement, mapped onto the
+            # engine's schema-commit APIs (an empty base overwrite,
+            # then one metadata-only evolution commit per clause).
+            if replace:
+                raise ValueError(
+                    "CREATE OR REPLACE with a declared column list is "
+                    "not supported — REPLACE carries the prior table's "
+                    "generated/identity/constraint metadata; use a "
+                    "fresh root (CTAS supports OR REPLACE for data)"
+                )
+            p0 = tail_masked.index("(")
+            depth, p1 = 0, None
+            for i in range(p0, len(tail_masked)):
+                if tail_masked[i] == "(":
+                    depth += 1
+                elif tail_masked[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        p1 = i
+                        break
+            if p1 is None:
+                raise ValueError(
+                    "unbalanced parentheses in CREATE TABLE column list"
+                )
+            specs = _parse_create_cols(
+                tail[p0 + 1:p1], tail_masked[p0 + 1:p1]
+            )
+            rest, rest_mask = tail[p1 + 1:], tail_masked[p1 + 1:]
+            props = None
+            if rest.strip():
+                rm = re.match(
+                    r"\s*TBLPROPERTIES\s*\((.*)\)\s*$", rest_mask, re.I | re.S
+                )
+                if not rm:
+                    raise ValueError(
+                        f"unsupported CREATE TABLE trailer {rest.strip()!r}"
+                        " — only TBLPROPERTIES ('k' = 'v', ...) may "
+                        "follow the column list"
+                    )
+                props = _parse_bloom_props(
+                    rest[rm.start(1):rm.end(1)], rest_mask[rm.start(1):rm.end(1)]
+                )
+            col_specs = [sp for sp in specs if sp[0] != "constraint"]
+            cons_specs = [sp for sp in specs if sp[0] == "constraint"]
+            if not col_specs:
+                raise ValueError("CREATE TABLE needs at least one column")
+            if col_specs[0][0] != "plain":
+                raise ValueError(
+                    "the first column of CREATE TABLE (col ...) must be "
+                    "a plain stored column — the engine declares "
+                    "GENERATED/IDENTITY columns by appending them to an "
+                    "existing empty base commit (column order is "
+                    "otherwise preserved exactly as written)"
+                )
+            from pyspark.sql.types import StructType, _parse_datatype_string
+
+            n_pre = 0
+            while n_pre < len(col_specs) and col_specs[n_pre][0] == "plain":
+                n_pre += 1
+            fields = []
+            for _, name, ddl, _nn in col_specs[:n_pre]:
+                # per-column parse: loud, with the offending column named
+                try:
+                    fields += _parse_datatype_string(f"`{name}` {ddl}").fields
+                except Exception:
+                    raise ValueError(
+                        f"unparseable DDL type {ddl!r} for column "
+                        f"'{name}'"
+                    ) from None
+            info = dst.commit_overwrite(
+                spark.createDataFrame([], StructType(fields))
+            )
+            for sp in col_specs[n_pre:]:
+                if sp[0] == "plain":
+                    info = dst.add_column(sp[1], sp[2], attempts=attempts)
+                elif sp[0] == "generated":
+                    info = dst.add_generated_column(
+                        sp[1], sp[2], sp[3], attempts=attempts
+                    )
+                else:
+                    info = dst.add_identity_column(
+                        sp[1], sp[2], sp[3], attempts=attempts
+                    )
+            for sp in col_specs:
+                if sp[0] == "plain" and sp[3]:
+                    info = dst.add_not_null(sp[1], attempts=attempts)
+            for _, cname, pred in cons_specs:
+                info = dst.add_constraint(cname, pred, attempts=attempts)
+            if props is not None:
+                info = dst.set_bloom_index(*props, attempts=attempts)
+            return info
         am = re.match(rf"AS{_WS}(.*)$", tail_masked, re.I | re.S)
         if not am:
             raise ValueError(
                 "unsupported CREATE TABLE shape — expected: CREATE [OR "
-                "REPLACE] TABLE versioned.`/p` AS <query>, or CREATE "
-                "TABLE versioned.`/p` SHALLOW|DEEP CLONE <src> "
-                "[VERSION AS OF n]"
+                "REPLACE] TABLE versioned.`/p` AS <query>, CREATE TABLE "
+                "versioned.`/p` (col type, ...) [TBLPROPERTIES (...)], "
+                "or CREATE TABLE versioned.`/p` SHALLOW|DEEP CLONE "
+                "<src> [VERSION AS OF n]"
             )
         return dst.commit_overwrite(spark.sql(tail[am.start(1):]))
 

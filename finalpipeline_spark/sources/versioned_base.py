@@ -178,14 +178,22 @@ _STR_STAT_MAX = 64
 def _trunc_upper(prefix: str) -> str | None:
     """Smallest convenient string > every string with this prefix:
     increment the last incrementable character, dropping any trailing
-    U+10FFFF first. None when every character is U+10FFFF (no safe
-    bound — callers record no upper bound, which readers treat
-    conservatively)."""
+    U+10FFFF first. Incrementing U+D7FF skips the surrogate block to
+    U+E000 — bounds must stay valid Unicode SCALAR values (a lone
+    \\ud800 escape round-trips through Python's json but is rejected
+    by strict RFC-8259 parsers and cannot encode to UTF-8; data values
+    arrive via UTF-8 so none lies in the skipped gap — the bound stays
+    > every value with the prefix). None when every character is
+    U+10FFFF (no safe bound — callers record no upper bound, which
+    readers treat conservatively)."""
     chars = list(prefix)
     for i in range(len(chars) - 1, -1, -1):
         cp = ord(chars[i])
         if cp < 0x10FFFF:
-            return "".join(chars[:i]) + chr(cp + 1)
+            nxt = cp + 1
+            if nxt == 0xD800:  # surrogate block: not a scalar value
+                nxt = 0xE000
+            return "".join(chars[:i]) + chr(nxt)
     return None
 
 

@@ -1116,6 +1116,42 @@ class DmlMixin:
             base_version=m["version"],
         )
 
+    def refresh_file_sizes(self, attempts: int = 10) -> CommitInfo:
+        """Backfill per-file ``bytes`` on entries committed before byte
+        recording existed — one METADATA-ONLY commit that ``os.stat``s
+        each recorded path missing the field (manifest-sized, zero data
+        I/O; files are immutable, so entries that already carry bytes
+        keep their recorded value). Afterwards ``DESCRIBE DETAIL``'s
+        ``sizeInBytes`` is exact and byte-targeted OPTIMIZE bins by
+        real sizes instead of the bytes-per-row estimate. Same
+        (path, vector) refs as the parent, so change feeds skip it as
+        a zero-row-delta commit. Idempotent: already-complete tables
+        commit a no-op (the optimize() precedent — the call stays
+        atomic under CAS retries either way)."""
+        return self.commit_with_retry(
+            lambda t: t._refresh_file_sizes_once(), attempts
+        )
+
+    def _refresh_file_sizes_once(self) -> CommitInfo:
+        import os
+
+        m = self.manifest()
+        entries = []
+        for e in m["files"]:
+            if e.get("bytes") is None:
+                path = self._abs(e)
+                if not os.path.exists(path):
+                    raise ValueError(
+                        f"cannot refresh file sizes: {path} is gone "
+                        "(a shallow clone whose source was vacuumed?)"
+                    )
+                e = dict(e)
+                e["bytes"] = int(os.stat(path).st_size)
+            entries.append(e)
+        return self._commit(
+            "refresh_stats", entries, m["schema"], base_version=m["version"]
+        )
+
     def rollback(self, version: int) -> CommitInfo:
         """Commit a NEW version whose content equals ``version``'s.
         History is append-only; nothing is deleted or rewritten."""

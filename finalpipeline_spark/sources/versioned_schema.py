@@ -444,10 +444,11 @@ class SchemaEvolutionMixin:
         files written after the re-add carry the name physically (no
         mapping) and read normally. Time travel to pre-drop versions
         still sees the ORIGINAL values through those manifests' own
-        entries. Change feeds refuse ranges crossing a re-add, exactly
-        like a rename — a consumer pinned to the pre-drop schema would
-        otherwise silently read new-era values under the old-era
-        column."""
+        entries. Change feeds serve ranges crossing a re-add for any
+        consumer whose pin postdates it (old-era steps emit NULL);
+        only a feed PINNED BEFORE the re-add refuses — it would
+        otherwise silently read new-era values under its old-era
+        column (sources/pyds.py _pin_directions)."""
         return self.commit_with_retry(
             lambda t: t._add_column_once(name, ddl_type), attempts
         )

@@ -220,3 +220,72 @@ def test_alter_rejects_bad_shapes():
     ]:
         with pytest.raises(ValueError):
             _parse_alter(stmt, _mask_literals(stmt))
+
+
+from finalpipeline_spark.sources.sql_dml import (  # noqa: E402
+    _parse_bloom_props,
+    _parse_create_cols,
+)
+
+
+@given(cols=st.lists(st.tuples(_ident, _type), min_size=1, max_size=5))
+@settings(max_examples=100, deadline=None)
+def test_create_cols_plain_list_roundtrip(cols):
+    # decimal(10,2) hides a comma inside parens, map<string,int> inside
+    # angle brackets — neither may split an entry
+    body = ", ".join(f"{n} {t}" for n, t in cols)
+    specs = _parse_create_cols(body, _mask_literals(body))
+    assert specs == [("plain", n, t, False) for n, t in cols]
+
+
+@given(name=_ident, pred=_nasty)
+@settings(max_examples=100, deadline=None)
+def test_create_cols_check_predicate_survives_nasty_literals(name, pred):
+    # a bare '<' INSIDE the CHECK parens must not corrupt the
+    # angle-depth tracking for entries that follow it
+    body = (
+        f"id bigint, CONSTRAINT {name} CHECK (a < 10 AND note <> '{pred}'), "
+        "m map<string,int> NOT NULL"
+    )
+    specs = _parse_create_cols(body, _mask_literals(body))
+    assert specs == [
+        ("plain", "id", "bigint", False),
+        ("constraint", name, f"a < 10 AND note <> '{pred}'"),
+        ("plain", "m", "map<string,int>", True),
+    ]
+
+
+def test_create_cols_fixed_shapes():
+    body = (
+        "id bigint, name string NOT NULL, "
+        "cents bigint GENERATED ALWAYS AS (cast(price * 100 as bigint)), "
+        "rid bigint GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY -2), "
+        "k bigint GENERATED ALWAYS AS IDENTITY, "
+        "CONSTRAINT pos CHECK (id >= 0)"
+    )
+    assert _parse_create_cols(body, _mask_literals(body)) == [
+        ("plain", "id", "bigint", False),
+        ("plain", "name", "string", True),
+        ("generated", "cents", "bigint", "cast(price * 100 as bigint)"),
+        ("identity", "rid", 10, -2),
+        ("identity", "k", 1, 1),
+        ("constraint", "pos", "id >= 0"),
+    ]
+
+
+def test_create_cols_rejects_bad_entries():
+    for body in [
+        "id",                                     # no type
+        "i int GENERATED ALWAYS AS IDENTITY",     # identity must be bigint
+        "",                                       # empty entry
+    ]:
+        with pytest.raises(ValueError):
+            _parse_create_cols(body, _mask_literals(body))
+
+
+def test_parse_bloom_props():
+    inner = "'bloom.column' = 'id', 'bloom.bits' = '4096'"
+    assert _parse_bloom_props(inner, _mask_literals(inner)) == ("id", 4096, 3)
+    for bad in ["'other' = 'x'", "'bloom.bits' = '64'"]:
+        with pytest.raises(ValueError):
+            _parse_bloom_props(bad, _mask_literals(bad))

@@ -775,3 +775,88 @@ def test_sql_vacuum_retain_hours(spark, vt):
     versioned_sql(spark, "VACUUM sqlw RETAIN 0.5 HOURS GRACE 0 SECONDS")
     with pytest.raises(ValueError, match="integer"):
         versioned_sql(spark, "VACUUM sqlw RETAIN 1.5 VERSIONS")
+
+
+def test_create_table_column_list_full_roundtrip(spark, tmp_path):
+    """CREATE TABLE (col ...) empty-table DDL: declared schema, NOT
+    NULL, a CHECK constraint, generated + identity columns, and the
+    bloom property land in one statement; INSERTs are then enforced
+    exactly as if each clause had been declared through the Python
+    API, and declared column order is preserved."""
+    register_versioned_source(spark)
+    root = str(tmp_path / "created")
+    info = versioned_sql(
+        spark,
+        f"""CREATE TABLE versioned.`{root}` (
+              id bigint NOT NULL,
+              name string,
+              price double,
+              cents bigint GENERATED ALWAYS AS (cast(price * 100 as bigint)),
+              rid bigint GENERATED ALWAYS AS IDENTITY (START WITH 5 INCREMENT BY 5),
+              CONSTRAINT price_pos CHECK (price >= 0)
+            ) TBLPROPERTIES ('bloom.column' = 'name')""",
+    )
+    t = VersionedTable(spark, root)
+    assert t.count_rows() == 0
+    assert t._schema_of(t.manifest()).fieldNames() == [
+        "id", "name", "price", "cents", "rid"
+    ]
+    assert t.generated() == {"cents": "cast(price * 100 as bigint)"}
+    assert t.identity() == {"rid": {"start": 5, "step": 5}}
+    assert t.table_properties().get("bloom.column") == "name"
+    assert info.version == t.latest_version()
+
+    # engine-enforced INSERT: identity assigned, generated computed
+    versioned_sql(
+        spark,
+        f"INSERT INTO versioned.`{root}` (id, name, price) "
+        "VALUES (1, 'a', 1.5), (2, 'b', 2.25)",
+    )
+    rows = {r["id"]: r for r in t.read().collect()}
+    assert rows[1]["cents"] == 150 and rows[2]["cents"] == 225
+    rids = sorted(r["rid"] for r in rows.values())
+    assert rids[0] >= 5 and all(v % 5 == 0 for v in rids)
+    assert len(set(rids)) == 2
+    # NOT NULL and CHECK refuse violating writes
+    with pytest.raises(Exception, match="id_not_null|constraint"):
+        versioned_sql(
+            spark,
+            f"INSERT INTO versioned.`{root}` (id, name, price) "
+            "VALUES (NULL, 'x', 1.0)",
+        )
+    with pytest.raises(Exception, match="price_pos|constraint"):
+        versioned_sql(
+            spark,
+            f"INSERT INTO versioned.`{root}` (id, name, price) "
+            "VALUES (3, 'x', -1.0)",
+        )
+    # evolution on the created table keeps working
+    versioned_sql(spark, f"ALTER TABLE versioned.`{root}` ADD COLUMN tag string")
+    assert "tag" in t._schema_of(t.manifest()).fieldNames()
+
+
+def test_create_table_column_list_guards(spark, tmp_path):
+    register_versioned_source(spark)
+    root = str(tmp_path / "g")
+    versioned_sql(spark, f"CREATE TABLE versioned.`{root}` (id bigint)")
+    with pytest.raises(ValueError, match="already exists"):
+        versioned_sql(spark, f"CREATE TABLE versioned.`{root}` (id bigint)")
+    with pytest.raises(ValueError, match="OR REPLACE"):
+        versioned_sql(
+            spark,
+            f"CREATE OR REPLACE TABLE versioned.`{root}2` (id bigint)",
+        )
+    with pytest.raises(ValueError, match="first column"):
+        versioned_sql(
+            spark,
+            f"CREATE TABLE versioned.`{root}3` "
+            "(rid bigint GENERATED ALWAYS AS IDENTITY, v int)",
+        )
+    with pytest.raises(ValueError, match="unparseable DDL type"):
+        versioned_sql(
+            spark, f"CREATE TABLE versioned.`{root}4` (id notatype)"
+        )
+    with pytest.raises(ValueError, match="trailer"):
+        versioned_sql(
+            spark, f"CREATE TABLE versioned.`{root}5` (id bigint) WITH x"
+        )

@@ -115,3 +115,85 @@ def test_sql_write_path_truncates_identically(spark, tmp_path):
     assert got.count() == 30
     spark.catalog.dropTempView("trunc_v")
     spark.catalog.dropTempView("trunc_src")
+
+
+def test_trunc_upper_boundary_properties():
+    """Hypothesis boundary sweep over BOTH writer populations' twins
+    (versioned_base and the engine-less pyds_write): bounds are valid
+    Unicode SCALAR values (surrogate block skipped — U+D7FF increments
+    to U+E000), strict-JSON round-trip safe, and > every value sharing
+    the prefix."""
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from finalpipeline_spark.sources import pyds_write
+    from finalpipeline_spark.sources import versioned_base
+
+    edge = st.sampled_from(
+        ["", "퟿", "￿", chr(0x10FFFF)]
+    )
+    scalar_char = st.characters(  # valid scalar values only (as UTF-8 data)
+        min_codepoint=0, max_codepoint=0x10FFFF,
+        blacklist_categories=("Cs",),
+    )
+    prefixes = st.one_of(
+        st.text(scalar_char, max_size=6),
+        st.tuples(st.text(scalar_char, max_size=3), edge, edge).map(
+            lambda t: t[0] + t[1] + t[2]
+        ),
+    )
+
+    @given(prefix=prefixes, suffix=st.text(scalar_char, max_size=4))
+    @settings(max_examples=400, deadline=None)
+    def check(prefix, suffix):
+        for fn in (versioned_base._trunc_upper, pyds_write._trunc_upper):
+            up = fn(prefix)
+            if up is None:
+                # only when every char is U+10FFFF (no safe bound)
+                assert prefix == chr(0x10FFFF) * len(prefix)
+                continue
+            # valid scalar values only: encodable and strict-JSON safe
+            up.encode("utf-8")
+            assert _json.loads(_json.dumps({"u": up}))["u"] == up
+            # bound validity: > every string with the prefix
+            assert up > prefix + suffix
+        assert versioned_base._trunc_upper(prefix) == pyds_write._trunc_upper(
+            prefix
+        )
+
+    check()
+
+
+def test_trunc_upper_surrogate_adjacent_prunes_safely(spark, tmp_path):
+    """End-to-end on the boundary key: values whose 64th char is
+    U+D7FF force the incremented bound across the surrogate block; the
+    manifest stays valid strict JSON and pruning on those keys is
+    exact-or-over-selecting (never drops a match)."""
+    import json as _json
+    import os as _os
+
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    # 63-char prefix + U+D7FF at the truncation edge + a long tail
+    df = spark.range(0, 40).selectExpr(
+        "id",
+        "concat(format_string('p%062d', id), '퟿', repeat('y', 200)) as body",
+    )
+    t.commit_overwrite(df.repartition(4))
+    m = t.manifest()
+    for e in m["files"]:
+        assert "body" in e.get("stats_trunc", [])
+        mx = e["stats"]["body"][1]
+        assert "\ud800" not in mx and mx.encode("utf-8")
+    # strict JSON parse of the raw manifest file (RFC-8259 shape)
+    raw = open(
+        _os.path.join(t.root, "_log", "v%012d.json" % t.latest_version())
+    ).read()
+    assert _json.loads(raw)
+    # pruning ≡ full scan on the boundary keys
+    lo = "p" + "0" * 62
+    hi = "p%062d" % 39 + "퟿" + "y" * 200
+    assert t.read_pruned("body", lo, hi).count() == 40
+    one = "p%062d" % 7 + "퟿" + "y" * 200
+    assert t.read_pruned("body", one, one).count() == 1

@@ -1653,3 +1653,46 @@ def test_read_changes_rows_across_optimize(spark, table):
     table.rollback(0)
     with pytest.raises(ValueError, match="row-level delta"):
         table.read_changes_rows(7)
+
+
+def test_refresh_file_sizes_backfills_legacy_entries(spark, table):
+    """refresh_file_sizes(): a pre-bytes (legacy) manifest gets exact
+    per-file bytes stamped in ONE metadata-only commit — DESCRIBE
+    DETAIL's sizeInBytes becomes exact, byte-targeted OPTIMIZE bins by
+    real bytes, change feeds skip the commit (zero row delta), and the
+    call is idempotent."""
+    import json as _json
+    import os as _os
+
+    table.commit_overwrite(_df(spark, 0, 100, "a").repartition(3))
+    table.commit_append(_df(spark, 100, 120, "b"))
+    # age the manifest to the pre-r10 shape: strip the bytes field
+    head = table.latest_version()
+    path = _os.path.join(table.root, "_log", "v%012d.json" % head)
+    m = _json.loads(open(path).read())
+    for e in m["files"]:
+        e.pop("bytes", None)
+    open(path, "w").write(_json.dumps(m))
+    assert all(f.get("bytes") is None for f in table.manifest()["files"])
+
+    files_before = {f["path"] for f in table.manifest()["files"]}
+    info = table.refresh_file_sizes()
+    assert info.action == "refresh_stats"
+    m2 = table.manifest()
+    assert {f["path"] for f in m2["files"]} == files_before
+    for f in m2["files"]:
+        assert f["bytes"] == _os.stat(table._abs(f)).st_size
+    # the backfill commit is metadata-only to the row-level change feed
+    ch = table.read_changes_rows(head)
+    assert ch.count() == 0
+    # byte-targeted optimize now bins by REAL bytes: a target far above
+    # the true total packs everything into one file (no estimate path)
+    total = sum(f["bytes"] for f in m2["files"])
+    table.optimize(target_bytes_per_file=total * 10, mode="compact")
+    assert len(table.manifest()["files"]) == 1
+    # idempotent: second refresh is a no-op commit, bytes unchanged
+    before = {f["path"]: f["bytes"] for f in table.manifest()["files"]}
+    table.refresh_file_sizes()
+    assert {
+        f["path"]: f["bytes"] for f in table.manifest()["files"]
+    } == before
