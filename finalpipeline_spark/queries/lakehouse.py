@@ -480,3 +480,161 @@ def versioned_cdc_rename_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY v, ct
         """
     )
+
+
+@register(
+    "versioned_cdf_across_optimize",
+    oracle="""
+        SELECT v, ct,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(cast(round(c_acctbal * 100) AS bigint)) AS bigint)
+                   AS sum_cents
+        FROM (
+            SELECT cast(1 AS bigint) AS v, 'insert' AS ct, c_acctbal
+            FROM customer WHERE c_custkey % 3 = 1
+            UNION ALL
+            SELECT cast(3 AS bigint) AS v, 'insert' AS ct, c_acctbal
+            FROM customer WHERE c_custkey % 3 = 2
+            UNION ALL
+            SELECT cast(4 AS bigint) AS v, 'delete' AS ct, c_acctbal
+            FROM customer WHERE c_acctbal < 0
+        )
+        GROUP BY v, ct
+        ORDER BY v, ct
+    """,
+    tags=("extension",),
+)
+def versioned_cdf_across_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 CDF-across-OPTIMIZE, attested end-to-end: a row-level
+    change feed whose range crosses BOTH optimize shapes — a row-target
+    bin-packing compaction and a byte-targeted one — serves with ZERO
+    change rows for the maintenance commits instead of refusing
+    (sources/versioned.py read_changes_rows; Delta parity: a consumer's
+    range spanning routine maintenance must not break).
+
+    Flow: customer staged as two era appends AROUND a compaction, then
+    a CoW predicate delete whose diff runs against the POST-optimize
+    file layout, then a byte-packed optimize closing the range. The
+    feed from version 0 must emit exactly the two appends' rows as
+    inserts and the predicate matches as deletes — nothing for either
+    optimize (their row delta is provably empty), and the delete must
+    be computed correctly against compacted files. The DuckDB oracle
+    reconstructs all three groups straight from the parquet."""
+    from finalpipeline_spark.sources.pyds import register_versioned_source
+    from finalpipeline_spark.sources.versioned import VersionedTable
+
+    register_versioned_source(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="fps_cdfopt_") + "/cust_vt"
+    t = VersionedTable(spark, root)
+    t.commit_overwrite(
+        cust.filter("c_custkey % 3 = 0").repartition(4)
+    )                                                              # v0
+    t.commit_append(cust.filter("c_custkey % 3 = 1").repartition(3))  # v1
+    t.optimize(target_rows_per_file=1_000_000, mode="compact")        # v2
+    t.commit_append(cust.filter("c_custkey % 3 = 2"))                 # v3
+    t.delete_where("c_acctbal < 0")                                   # v4 CoW
+    t.optimize(target_bytes_per_file=1 << 30, mode="compact")         # v5
+    ch = t.read_changes_rows(0)
+    ch.createOrReplaceTempView("__fps_cdfopt_feed")
+    return spark.sql(
+        """
+        SELECT cast(_commit_version AS bigint) AS v,
+               _change_type AS ct,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(cast(round(c_acctbal * 100) AS bigint)) AS bigint)
+                   AS sum_cents
+        FROM __fps_cdfopt_feed
+        GROUP BY v, ct
+        ORDER BY v, ct
+        """
+    )
+
+
+@register(
+    "versioned_sql_create_roundtrip",
+    oracle="""
+        SELECT tag,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(cast(round(bal * 100) AS bigint)) AS bigint)
+                   AS sum_gen_cents,
+               cast(count(DISTINCT s_suppkey) AS bigint) AS n_keys
+        FROM (
+            SELECT cast(NULL AS varchar) AS tag, s_suppkey, s_acctbal AS bal
+            FROM supplier
+            UNION ALL
+            SELECT 'era2' AS tag, s_suppkey + 1000000 AS s_suppkey,
+                   s_acctbal + 7.5 AS bal
+            FROM supplier WHERE s_suppkey % 7 = 0
+        )
+        GROUP BY tag
+        ORDER BY tag NULLS FIRST
+    """,
+    tags=("extension",),
+)
+def versioned_sql_create_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 empty-table DDL, attested end-to-end: ``CREATE TABLE
+    versioned.`/p` (col type ...)`` declares schema, NOT NULL, a CHECK
+    constraint, a GENERATED column, and an IDENTITY column in ONE
+    statement (sources/sql_dml.py); the INSERTs that follow run under
+    full engine enforcement — the engine COMPUTES the generated cents
+    column and ASSIGNS unique identity values — and the table then
+    evolves (ADD COLUMN) and ingests a second era.
+
+    The aggregate proves it: sum_gen_cents comes from the GENERATED
+    column (never inserted by the writer — equality with the oracle's
+    recomputation proves the engine computed it on every row), and the
+    per-group distinct-key counts split eras exactly. Identity
+    uniqueness is engine-enforced and pytest-locked (its values are
+    allocation-dependent, so the deterministic oracle aggregates the
+    declared columns)."""
+    from finalpipeline_spark.sources.pyds import register_versioned_source
+    from finalpipeline_spark.sources.sql_dml import versioned_sql
+
+    register_versioned_source(spark)
+    load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    ).createOrReplaceTempView("__fps_create_supp")
+    root = tempfile.mkdtemp(prefix="fps_create_") + "/supp_vt"
+    versioned_sql(
+        spark,
+        f"""CREATE TABLE versioned.`{root}` (
+              s_suppkey bigint NOT NULL,
+              s_name string,
+              bal double,
+              gen_cents bigint GENERATED ALWAYS AS
+                  (cast(round(bal * 100) AS bigint)),
+              rid bigint GENERATED ALWAYS AS IDENTITY,
+              CONSTRAINT bal_known CHECK (bal IS NOT NULL)
+            )""",
+    )
+    tgt = f"versioned.`{root}`"
+    versioned_sql(
+        spark,
+        f"INSERT INTO {tgt} (s_suppkey, s_name, bal) "
+        "SELECT s_suppkey, s_name, s_acctbal FROM __fps_create_supp",
+    )
+    versioned_sql(spark, f"ALTER TABLE {tgt} ADD COLUMN tag string")
+    versioned_sql(
+        spark,
+        f"INSERT INTO {tgt} (s_suppkey, s_name, bal, tag) "
+        "SELECT s_suppkey + 1000000, s_name, s_acctbal + 7.5, 'era2' "
+        "FROM __fps_create_supp WHERE s_suppkey % 7 = 0",
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW __fps_create_v USING versioned "
+        f"OPTIONS (root '{root}')"
+    )
+    return spark.sql(
+        """
+        SELECT tag,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(gen_cents) AS bigint) AS sum_gen_cents,
+               cast(count(DISTINCT s_suppkey) AS bigint) AS n_keys
+        FROM __fps_create_v
+        GROUP BY tag
+        ORDER BY tag NULLS FIRST
+        """
+    )

@@ -72,73 +72,78 @@ def register(
 # the window.  After ANY registration change, re-print list(queries())
 # [:52] and re-curate this list.
 _PRIORITY_MODULES: tuple[str, ...] = ()
-# Round 10 window, OLDEST-EVIDENCE-FIRST: after r9 the oldest evidence
-# is the 50-query block whose latest green driver row is r6 (recomputed
-# from CORRECTNESS_r01..r09 — the r9 VERDICT's own recount agrees:
-# exactly these 50, the ref_*/TPC-H relational core + multimodal).
-# This round ADDS two never-driver-checked attestations
-# (versioned_sql_alter_roundtrip — the SQL ALTER TABLE surface;
-# versioned_cdc_rename_feed — CDC across a column rename), which as
-# never-checked queries are the true oldest evidence and take the
-# first 2 slots; the r6 block fills the remaining 48, displacing its
-# two most-locally-covered members (tpch_rollup_sales, tpch_cube_sales
-# — GROUPING SETS staples exercised by test_warehouse AND the
-# oracle-parity suite), which must head the r11 window. Everything
+# Round 11 window, OLDEST-EVIDENCE-FIRST (recomputed from
+# CORRECTNESS_r01..r10; the r10 VERDICT's recount agrees): the true
+# oldest evidence is this round's two never-driver-checked attestations
+# (versioned_cdf_across_optimize — change feeds across OPTIMIZE;
+# versioned_sql_create_roundtrip — the CREATE TABLE column-list DDL),
+# then the two GROUPING SETS staples displaced from the r10 window
+# (tpch_rollup_sales / tpch_cube_sales, last green r6 — the r10
+# registry note promised them these slots), then the 50-query block
+# whose latest green row is r7. 54 candidates for 50 slots: the four
+# most-locally-covered r7 members are displaced and MUST HEAD THE R12
+# WINDOW — lineitem_approx_quantiles, lineitem_hll_distinct,
+# lineitem_mergeable_quantiles (the sketch trio: bound-locked by
+# tests/test_sketch_bounds.py + test_sketch_properties.py AND
+# oracle-parity), and tpch_q11 (same query family as tpch_q11_share,
+# green r10). After this window no query's latest green row is older
+# than r8 except those four documented displacements. Everything
 # outside the window stays covered by the local oracle-parity suite
 # (tests/test_oracle_parity.py — same compare, dtype-strict).
 _PRIORITY_QUERIES = (
     # -- never driver-checked: this round's additions ---------------------
-    "versioned_sql_alter_roundtrip",
-    "versioned_cdc_rename_feed",
-    # -- the r6-attested block (complete minus the two deferred) ----------
-    "doc_decontam_substring",
-    "doc_top_ngrams",
-    "emb_ivf_kmeans_topk",
-    "events_autocorrelation",
-    "flagship_datamart_chain",
-    "lineitem_percentiles",
-    "mm_frame_sample",
-    "mm_image_meta",
-    "mm_resize",
-    "orders_date_math",
-    "orders_full_outer_reconcile",
-    "ref_anti_join_pairs",
-    "ref_clean_ids",
-    "ref_counts",
-    "ref_dim_draft",
-    "ref_except_all",
-    "ref_filter_project",
-    "ref_intersect",
-    "ref_left_join_lookup",
-    "ref_orderby_limit",
-    "ref_star_enrich",
-    "ref_tie_flag_topk",
-    "ref_topk_per_group",
-    "ref_union_all",
-    "ref_view_avg_absdiff",
-    "ref_view_avg_absdiff_nonull",
-    "ref_view_avg_sim",
-    "tpch_q1",
-    "tpch_q10",
-    "tpch_q11_share",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q21",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_topk_join",
+    "versioned_cdf_across_optimize",
+    "versioned_sql_create_roundtrip",
+    # -- displaced from r10 (last green r6), promised these slots ---------
+    "tpch_rollup_sales",
+    "tpch_cube_sales",
+    # -- the r7-attested block (complete minus the four deferred) ---------
+    "doc_bm25_topk",
+    "doc_chunk_overlap",
+    "doc_decontam_ngram_overlap",
+    "doc_dedup_exact_keep_best",
+    "doc_dedup_lsh_recall",
+    "doc_hybrid_search_rrf",
+    "doc_inverted_index",
+    "doc_lm_perplexity",
+    "doc_mix_sources",
+    "doc_pack_sequences",
+    "doc_pii_redact",
+    "doc_quality_classifier",
+    "doc_reconcile_checksums",
+    "doc_repetition_stats",
+    "doc_sample_temperature",
+    "doc_shard_interleave",
+    "doc_vocab_coverage",
+    "doc_weighted_sample_fixed",
+    "emb_ann_recall_eval",
+    "emb_ivf_pq_topk",
+    "emb_kmeans_lloyd",
+    "emb_pca_power",
+    "emb_pca_scores",
+    "emb_pq_encode",
+    "emb_semantic_dedup",
+    "events_activity_streaks",
+    "events_cms_heavy_hitters",
+    "events_ewma_value",
+    "events_gapfill_locf",
+    "events_holt_smoothing",
+    "events_late_classify",
+    "events_ohlc_bars",
+    "events_pivot_counts",
+    "events_rolling_distinct_hll",
+    "events_rollup_hierarchy",
+    "events_time_weighted_avg",
+    "lineitem_regr_stats",
+    "mm_feature_extract",
+    "nation_pagerank",
+    "nation_triangle_count",
+    "orders_bloom_semi_join",
+    "orders_profile",
+    "orders_scd2_snapshot",
+    "ref_ledger_new_files",
+    "tpch_q2",
+    "tpch_q20",
 )
 
 # Queries ADDED in r7 should take slots here by displacing entries from
