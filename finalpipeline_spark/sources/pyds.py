@@ -21,12 +21,14 @@ from this repo at all, just the registered format name:
   readChangeFeed contract at file granularity (a CoW survivor churns
   as delete+insert of identical content; keyed consumers applying
   deletes-then-inserts per commit converge to the exact snapshot).
-  OPTIMIZE commits stream as ZERO change rows in changeFeed mode (a
-  layout rewrite provably never changes the live row set — Delta
-  parity for ranges crossing routine maintenance); whole-table
-  rewrites with a real content delta (overwrite/rollback past the
-  initial snapshot) fail either mode, and optimize still fails the
-  append-only mode (its file diff would re-deliver rewritten rows).
+  OPTIMIZE commits are transparent to BOTH modes (Delta parity:
+  streaming ignores dataChange=false actions, and a CDF range
+  crossing routine maintenance serves zero change rows for it) — the
+  append-only planner diffs PER COMMIT, so compaction's rewritten
+  files are never re-delivered. Whole-table rewrites with a real
+  content delta (overwrite/rollback past the initial snapshot) fail
+  either mode; ``option("skipChangeCommits", "true")`` instead skips
+  content-mutation commits whole (Delta's appends-only view).
 
 **SQL-only surface** (Delta option parity, zero Python imports): once
 the format is registered, every capability is reachable through pure
@@ -282,10 +284,6 @@ def _live_manifests(root: str) -> dict[int, dict]:
             _LIVE_CACHE.pop(next(iter(_LIVE_CACHE)))
         _LIVE_CACHE[root] = c
     return out
-
-
-def _abs_paths(root: str, m: dict) -> list[str]:
-    return [os.path.join(f.get("base", root), f["path"]) for f in m["files"]]
 
 
 def _same_file_refs(a: list[dict], b: list[dict]) -> bool:
@@ -908,6 +906,16 @@ class VersionedDataSource(DataSource):
                 _live_manifests(root),
                 _opt_ts(self.options["startingTimestamp"], "startingTimestamp"),
             )
+        if (
+            str(self.options.get("skipChangeCommits", "false")).lower()
+            == "true"
+        ):
+            if self._cdf():
+                raise ValueError(
+                    "skipChangeCommits applies to the append-only "
+                    "stream — a change feed serves mutations as rows"
+                )
+            caps["skip_change_commits"] = True
         return VersionedStreamReader(
             self.options["root"],
             [(f.name, f.dataType.simpleString()) for f in schema.fields],
@@ -1049,10 +1057,15 @@ class VersionedStreamReader(DataSourceStreamReader):
         max_files: int | None = None,
         starting_version: int | None = None,
         pin_version: int | None = None,
+        skip_change_commits: bool = False,
     ):
         self._root = root
         self._fields = fields
         self._cdf = cdf
+        # Delta's skipChangeCommits: the append-only stream SKIPS
+        # content-mutation commits whole (appends-only view) instead
+        # of failing on them. Never affects CDF mode.
+        self._skip_change_commits = skip_change_commits
         # The PIN: the version whose schema this reader was planned
         # with (Spark resolves schema() and constructs the reader in
         # the same plan pass, so the head at construction IS the
@@ -1319,24 +1332,6 @@ class VersionedStreamReader(DataSourceStreamReader):
                     f"version {v} of {self._root} was vacuumed before this "
                     "stream consumed it — restart from a fresh checkpoint"
                 )
-            if self._cdf:
-                continue  # CDF mode validates per-action below
-            # rename/re-add commits are metadata-only: same file refs,
-            # so the not-append branch below skips them; the entries
-            # served at the end are frame-aligned onto this stream's
-            # pinned schema
-            if v > min(live) and live[v]["action"] != "append":
-                pm = _manifest_any(self._root, v - 1)
-                if pm is not None and _same_file_refs(
-                    pm["files"], live[v]["files"]
-                ):
-                    continue  # metadata-only commit: zero row delta
-                # a CoW delete rewrites SURVIVOR rows into new files —
-                # emitting those as additions would double-count them
-                raise ValueError(
-                    f"version {v} is '{live[v]['action']}': content "
-                    "mutation has no row-level delta; reprocess the snapshot"
-                )
         if self._cdf:
             try:
                 return self._cdf_partitions(start, s, e, live)
@@ -1346,22 +1341,28 @@ class VersionedStreamReader(DataSourceStreamReader):
                     "manifest — cannot compute an exact delta; restart "
                     "from a fresh checkpoint"
                 ) from None
-        # Base file set for the delta diff.  If the start version was
-        # vacuumed UNDER the stream (expired while e was still live),
-        # its tombstone manifest still carries the full file list, so
-        # the diff stays exact — without this, an empty base would
-        # redeliver every carried-over file in manifest e as 'new'
-        # rows, silently double-counting everything already consumed.
-        # The pre-snapshot sentinel (marked by initialOffset) means
-        # "deliver the full snapshot" — the one case an empty base is
-        # correct even when an older tombstone exists at version s.
+        # Append-only mode plans PER COMMIT (not one base→end diff):
+        # each commit in (s, e] contributes the files it ADDED vs its
+        # parent, so an OPTIMIZE inside the range contributes nothing —
+        # its rewritten files carry rows the consumer already received
+        # (Delta parity: streaming ignores dataChange=false actions,
+        # so routine compaction never breaks or double-delivers a
+        # stream). Content mutations (CoW/MoR delete, replace,
+        # overwrite) still fail loudly — their added files rewrite
+        # SURVIVOR rows, which a one-shot diff would double-count —
+        # unless option skipChangeCommits 'true' opted into Delta's
+        # appends-only view (those commits are skipped whole).
+        # Diff base for the first planned commit: the start manifest —
+        # a tombstone manifest still works if the start version was
+        # vacuumed UNDER the stream (its file list survives), and the
+        # pre-snapshot sentinel means "deliver the full snapshot".
         if start.get("snapshot"):
-            base = None
+            prev = None
         elif s in live:
-            base = live[s]
+            prev = live[s]
         else:
             try:
-                base = _manifest_any(self._root, s)
+                prev = _manifest_any(self._root, s)
             except json.JSONDecodeError:
                 raise ValueError(
                     f"start version {s} of {self._root} has an unreadable "
@@ -1379,12 +1380,45 @@ class VersionedStreamReader(DataSourceStreamReader):
             self._pin,
             {n for n, _t in self._fields},
         )
-        base_paths = set(_abs_paths(self._root, base)) if base else set()
-        return [
-            _entry_partition(self._root, _frame_align_entry(f, e, fwd, rev))
-            for f in live[e]["files"]
-            if os.path.join(f.get("base", self._root), f["path"]) not in base_paths
-        ]
+        parts = []
+        for v in range(s + 1, e + 1):
+            cur = live[v]
+            if prev is not None and _same_file_refs(prev["files"], cur["files"]):
+                # metadata-only commit (rename/re-add/constraint/
+                # column add/drop/widen, properties, stats refresh,
+                # no-op compaction): provably zero row delta
+                prev = cur
+                continue
+            if cur["action"] == "optimize":
+                # layout-only rewrite: rows unchanged, already served
+                prev = cur
+                continue
+            if prev is not None and cur["action"] != "append":
+                if self._skip_change_commits:
+                    prev = cur
+                    continue
+                raise ValueError(
+                    f"version {v} is '{cur['action']}': content "
+                    "mutation has no row-level delta; reprocess the "
+                    "snapshot (or set skipChangeCommits 'true' to "
+                    "stream newly appended rows only)"
+                )
+            prev_paths = (
+                {
+                    os.path.join(f.get("base", self._root), f["path"])
+                    for f in prev["files"]
+                }
+                if prev
+                else set()
+            )
+            parts += [
+                _entry_partition(self._root, _frame_align_entry(f, v, fwd, rev))
+                for f in cur["files"]
+                if os.path.join(f.get("base", self._root), f["path"])
+                not in prev_paths
+            ]
+            prev = cur
+        return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
         if partition is None:  # empty partition list → one None split

@@ -54,6 +54,11 @@ Maintenance statements (Delta SQL parity, same target forms):
   guard protects in-flight commits either way.
 * ``DESCRIBE HISTORY <target>`` → the commit history DataFrame
   (version, parent, action, operation metrics).
+* ``ANALYZE TABLE <target> COMPUTE STATISTICS`` → metadata-only
+  per-file ``bytes`` backfill (versioned_dml.refresh_file_sizes), so
+  legacy tables get an exact ``DESCRIBE DETAIL.sizeInBytes`` and real
+  byte-targeted OPTIMIZE bins; other ANALYZE forms (and ANALYZE on
+  ordinary catalog tables) pass through to Spark.
 * ``CREATE [OR REPLACE] TABLE versioned.`/p` AS <query>`` — CTAS
   bootstrap (plain CREATE refuses an existing root; OR REPLACE
   commits an overwrite, history preserved).
@@ -697,7 +702,7 @@ def versioned_sql(
     masked = _mask_literals(stmt)
     kw = re.match(
         r"(INSERT|UPDATE|DELETE|MERGE|OPTIMIZE|VACUUM|DESCRIBE|CREATE|"
-        r"RESTORE|ALTER|SHOW)\b",
+        r"RESTORE|ALTER|SHOW|ANALYZE)\b",
         masked, re.I,
     )
     if not kw:
@@ -969,6 +974,24 @@ def versioned_sql(
         reclaimed = vt.vacuum(**kwargs)
         return spark.createDataFrame(
             [(p,) for p in reclaimed], "path string"
+        )
+
+    if verb == "ANALYZE":
+        m = re.match(
+            rf"ANALYZE{_WS}TABLE{_WS}({_REF}){_WS}"
+            rf"COMPUTE{_WS}STATISTICS\s*$",
+            masked, re.I,
+        )
+        if not m:
+            return spark.sql(stmt)  # other ANALYZE forms: Spark's own
+        try:
+            root = _resolve_root(spark, stmt[m.start(1):m.end(1)])
+        except ValueError as e:
+            if "read-only" in str(e):
+                raise  # snapshot/feed view: stats refresh is a write
+            return spark.sql(stmt)  # ordinary catalog table
+        return VersionedTable(spark, root).refresh_file_sizes(
+            attempts=attempts
         )
 
     if verb == "SHOW":

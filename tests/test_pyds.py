@@ -713,3 +713,113 @@ def test_changefeed_across_optimize_batch_and_stream(spark, tmp_path):
     assert set(
         r["_commit_version"] for r in got.select("_commit_version").collect()
     ) == {0, 1, 3, 5}
+
+
+def test_append_stream_serves_across_optimize(spark, tmp_path):
+    """Delta parity: streaming ignores dataChange=false actions — an
+    OPTIMIZE between micro-batches must neither fail the append-only
+    stream nor re-deliver the rows its rewrite relocated (the planner
+    diffs per commit, so compaction contributes nothing)."""
+    register_versioned_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit_overwrite(spark.range(0, 40).selectExpr("id").repartition(4))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned")
+            .option("root", t.root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    assert drain().count() == 40
+    t.optimize(target_rows_per_file=1_000_000, mode="compact")
+    t.commit_append(spark.range(40, 50).selectExpr("id"))
+    got = drain()
+    assert got.count() == 50  # +10 appended, ZERO re-delivered
+    assert sorted(r["id"] for r in got.collect()) == list(range(50))
+    # a single batch spanning snapshot + optimize + append also works
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    q = (
+        spark.readStream.format("versioned")
+        .option("root", t.root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out2).count() == 50
+
+
+def test_append_stream_skip_change_commits(spark, tmp_path):
+    """option(skipChangeCommits 'true'): the append-only stream skips
+    content-mutation commits whole (Delta's appends-only view) instead
+    of failing; the default still fails loudly."""
+    register_versioned_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit_overwrite(spark.range(0, 30).selectExpr("id"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("versioned")
+        .option("root", t.root)
+        .option("skipChangeCommits", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    t.delete_where("id < 5")                       # CoW mutation
+    t.commit_append(spark.range(30, 35).selectExpr("id"))
+    q = (
+        spark.readStream.format("versioned")
+        .option("root", t.root)
+        .option("skipChangeCommits", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # appends-only view: the delete's rewrite contributes nothing, the
+    # new append flows — deleted ids REMAIN in the consumed output
+    assert sorted(r["id"] for r in got.collect()) == list(range(35))
+    # default mode still refuses the mutation
+    with pytest.raises(Exception, match="skipChangeCommits|content"):
+        q = (
+            spark.readStream.format("versioned")
+            .option("root", t.root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out3"))
+            .option("checkpointLocation", str(tmp_path / "ckpt3"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        raise RuntimeError("stream unexpectedly served a CoW delete")
+    # and the option is refused in changeFeed mode (feeds serve
+    # mutations as rows — skipping them there would be corruption)
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        spark.readStream.format("versioned").option("root", t.root).option(
+            "changeFeed", "true"
+        ).option("skipChangeCommits", "true").load().writeStream.format(
+            "noop"
+        ).option(
+            "checkpointLocation", str(tmp_path / "ckpt4")
+        ).trigger(availableNow=True).start().awaitTermination(120)

@@ -860,3 +860,31 @@ def test_create_table_column_list_guards(spark, tmp_path):
         versioned_sql(
             spark, f"CREATE TABLE versioned.`{root}5` (id bigint) WITH x"
         )
+
+
+def test_analyze_table_backfills_bytes(spark, tmp_path):
+    """ANALYZE TABLE <versioned> COMPUTE STATISTICS maps onto the
+    metadata-only bytes backfill; other ANALYZE text passes through."""
+    import json as _json
+    import os as _os
+
+    register_versioned_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit_overwrite(spark.range(0, 30).selectExpr("id").repartition(2))
+    path = _os.path.join(t.root, "_log", "v%012d.json" % t.latest_version())
+    m = _json.loads(open(path).read())
+    for e in m["files"]:
+        e.pop("bytes", None)
+    open(path, "w").write(_json.dumps(m))
+    info = versioned_sql(
+        spark, f"ANALYZE TABLE versioned.`{t.root}` COMPUTE STATISTICS"
+    )
+    assert info.action == "refresh_stats"
+    for f in t.manifest()["files"]:
+        assert f["bytes"] == _os.stat(t._abs(f)).st_size
+    # ordinary catalog table: pass through to Spark's own ANALYZE
+    spark.range(5).write.mode("overwrite").saveAsTable("an_plain")
+    try:
+        versioned_sql(spark, "ANALYZE TABLE an_plain COMPUTE STATISTICS")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS an_plain")
