@@ -638,9 +638,11 @@ def test_replicate_from_converges_to_producer(spark, tmp_path):
 
 def test_cdc_replication_soak_random_commit_sequence(spark, table, tmp_path):
     """Soak the CDC loop: a seeded-random interleaving of appends, CoW
-    deletes and replaceWhere commits on the producer, synced to a
-    consumer at random version boundaries — after every sync the
-    consumer must equal the producer row-for-row."""
+    deletes, replaceWhere commits, AND optimize maintenance (r11:
+    zero-change-row commits inside replication ranges) on the
+    producer, synced to a consumer at random version boundaries —
+    after every sync the consumer must equal the producer
+    row-for-row."""
     import random
 
     rng = random.Random(20260814)
@@ -654,12 +656,17 @@ def test_cdc_replication_soak_random_commit_sequence(spark, table, tmp_path):
     def present_ids():
         return [r["id"] for r in prod.read().select("id").collect()]
 
-    for step in range(12):
-        op = rng.choice(["append", "delete", "replace"])
+    for step in range(14):
+        op = rng.choice(["append", "delete", "replace", "optimize"])
         if op == "append":
             n = rng.randrange(5, 30)
             prod.commit_append(_df(spark, next_id, next_id + n, f"a{step}"))
             next_id += n
+        elif op == "optimize":
+            prod.optimize(
+                target_rows_per_file=rng.choice([20, 1_000_000]),
+                mode="compact",
+            )
         elif op == "delete":
             ids = present_ids()
             victims = rng.sample(ids, min(len(ids), rng.randrange(1, 15)))
