@@ -1088,7 +1088,11 @@ class VersionedStreamReader(DataSourceStreamReader):
         # END, and only partitions()/initialOffset move that cursor
         # (latestOffset is polled many times per trigger for progress
         # reporting, so advancing state there would race the cursor to
-        # head and silently disable the cap — measured). Semantics:
+        # head and silently disable the cap — measured). A never-set
+        # cursor is SEEDED (not advanced) by latestOffset via
+        # _initial_offset, so a fresh stream's first trigger is paced
+        # too — the engine may ask for the latest offset on an
+        # instance that never planned a batch. Semantics:
         # EVERY batch is paced, including a fresh stream's first —
         # initialOffset seeds the cursor, so the first batch delivers
         # the initial snapshot AS OF the capped end and later batches
@@ -1116,6 +1120,9 @@ class VersionedStreamReader(DataSourceStreamReader):
         # list must be subtracted in partitions(); the sentinel's, if
         # one exists from a pre-stream vacuum, must NOT be — first may
         # carry that tombstone's files by reference).
+        return self._initial_offset()
+
+    def _initial_offset(self) -> dict:
         if self._starting is not None:
             sv = self._starting
             self._last_end = sv - 1
@@ -1151,8 +1158,19 @@ class VersionedStreamReader(DataSourceStreamReader):
         if not live:
             return {"version": -1}
         head = max(live)
-        start = self._last_end
         uncapped = self._max_versions is None and self._max_files is None
+        if not uncapped and self._last_end is None:
+            # The engine may ask for the latest offset on an instance
+            # that never planned a batch (a fresh stream's very first
+            # trigger; plan/run split across workers): seed the cursor
+            # exactly as initialOffset would, so the FIRST batch is
+            # paced too — a consumer 10k commits behind must not get
+            # the whole backlog as one batch. On a restart this seeds
+            # conservatively low; the engine never plans backwards
+            # from its checkpoint, and the replayed partitions() call
+            # re-syncs the cursor before the next real batch.
+            self._initial_offset()
+        start = self._last_end
         if uncapped or start is None or head <= start:
             return {"version": head}
         # advance version-by-version until a cap would be exceeded —
