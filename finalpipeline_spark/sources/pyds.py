@@ -1183,6 +1183,16 @@ class VersionedStreamReader(DataSourceStreamReader):
                 break  # gap: partitions() raises the clearer error
             pv = {f["path"] for f in prev["files"]} if prev else set()
             added = sum(1 for f in cur["files"] if f["path"] not in pv)
+            if prev is not None and (
+                cur["action"] == "optimize"
+                or (self._skip_change_commits and cur["action"] != "append")
+            ):
+                # files this commit adds are never SERVED (compaction
+                # relocates already-delivered rows in both modes and
+                # emits zero change rows in CDF mode; skipped change
+                # commits are dropped whole) — they must not eat
+                # maxFilesPerTrigger budget
+                added = 0
             if end > start and (
                 self._max_files is not None and files_acc + added > self._max_files
             ):

@@ -823,3 +823,40 @@ def test_append_stream_skip_change_commits(spark, tmp_path):
         ).option(
             "checkpointLocation", str(tmp_path / "ckpt4")
         ).trigger(availableNow=True).start().awaitTermination(120)
+
+
+def test_pacing_walk_ignores_unserved_commit_files(spark, tmp_path):
+    """maxFilesPerTrigger budget counts only files the planner will
+    SERVE: an optimize's rewritten files (never delivered) must not
+    stall the version walk, and under skipChangeCommits neither must a
+    CoW delete's survivor rewrites."""
+    from finalpipeline_spark.sources.pyds import VersionedStreamReader
+
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit_overwrite(spark.range(0, 20).selectExpr("id").repartition(2))
+    t.commit_append(spark.range(20, 30).selectExpr("id").coalesce(1))  # v1
+    t.optimize(target_rows_per_file=1_000_000, mode="compact")      # v2
+    t.commit_append(spark.range(30, 40).selectExpr("id").coalesce(1))  # v3
+
+    r = VersionedStreamReader(t.root, [("id", "bigint")], max_files=2)
+    r.initialOffset()
+    # v0 snapshot: 2 files = the whole budget
+    assert r.latestOffset() == {"version": 0}
+    r.partitions({"version": -1, "snapshot": True}, {"version": 0})
+    # v1 adds 1 file; v2 (optimize) adds files but serves none — the
+    # walk must advance THROUGH it and stop before v3's served file
+    # only if the budget is exhausted (1 + 0 < 2 → v3 fits too)
+    assert r.latestOffset() == {"version": 3}
+
+    # skipChangeCommits: a CoW delete's rewrite files are not served
+    t2 = VersionedTable(spark, str(tmp_path / "vt2"))
+    t2.commit_overwrite(spark.range(0, 20).selectExpr("id"))
+    t2.commit_append(spark.range(20, 30).selectExpr("id").coalesce(1))  # v1
+    t2.delete_where("id < 5")                                       # v2 CoW
+    t2.commit_append(spark.range(30, 40).selectExpr("id").coalesce(1))  # v3
+    r2 = VersionedStreamReader(
+        t2.root, [("id", "bigint")], max_files=2, skip_change_commits=True
+    )
+    r2.initialOffset()
+    r2.partitions({"version": -1, "snapshot": True}, r2.latestOffset())
+    assert r2.latestOffset() == {"version": 3}  # delete eats no budget
