@@ -339,43 +339,57 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
         ``version`` (default latest) — the change-data-feed primitive
         that lets a downstream job process O(delta), not O(table).
 
-        Appends are file-level additions, so the delta is exactly the
-        files present in the target manifest but not the base one: a
-        manifest-sized set diff, then a scan of only the new files.
-        Raises if the range crosses any non-append commit — an
-        overwrite/rollback/optimize has no row-level delta, and a CoW
-        delete rewrites surviving rows into NEW files (streaming those
-        as additions would double-count them); the caller must
-        reprocess from the snapshot.
+        Planned PER COMMIT: each append in the range contributes the
+        files it added versus its parent (a manifest-sized diff per
+        commit, then one scan of only those files), so an OPTIMIZE in
+        the range contributes NOTHING — its rewritten files carry rows
+        the caller already processed, which the old base→target diff
+        would have re-delivered (it refused instead; Delta parity:
+        routine maintenance must not break incremental consumers).
+        Still raises on a content mutation — an overwrite/rollback has
+        no row-level delta, and a CoW delete rewrites surviving rows
+        into NEW files (streaming those as additions would
+        double-count them); the caller must reprocess the snapshot.
 
         Column-mapping commits (rename/re-add) in the range are fine:
-        they are metadata-only (zero row delta), and the feed is served
-        in the TARGET version's logical schema — the new files' entries
-        come from the target manifest, which already carries every
-        mapping those commits stamped, so a pre-rename file reads its
-        values under the post-rename name."""
+        they are metadata-only (zero row delta), and the feed is
+        served in the TARGET version's logical schema — each step's
+        entries are forward-aligned through the remap commits after it
+        (``_remap_ops``/``_remap_entries``), so a pre-rename file
+        reads its values under the post-rename name."""
         target = self.manifest(version)
-        base = self.manifest(since_version)
-        for v in range(since_version + 1, target["version"] + 1):
+        tv = target["version"]
+        self.manifest(since_version)  # validates the base is live
+        ops = self._remap_ops(since_version, tv)
+        new: list[dict[str, Any]] = []
+        for v in range(since_version + 1, tv + 1):
             m = self._read_manifest_file(v)
-            if _same_file_refs(self._read_manifest_file(v - 1)["files"], m["files"]):
+            prev = self._read_manifest_file(v - 1)
+            if _same_file_refs(prev["files"], m["files"]):
                 # metadata-only commit (constraint add/drop, column
                 # add/drop/widen/rename/re-add, no-op compaction):
                 # identical file list and vector refs ⇒ provably zero
                 # row delta — skip it
                 continue
+            if m["action"] == "optimize":
+                continue  # layout-only rewrite: rows already served
             if m["action"] != "append":
                 raise ValueError(
                     f"version {v} is '{m['action']}': no incremental row delta "
                     "across content mutation — reprocess from the snapshot"
                 )
-        base_paths = {self._abs(f) for f in base["files"]}
-        new = [f for f in target["files"] if self._abs(f) not in base_paths]
+            prev_paths = {self._abs(f) for f in prev["files"]}
+            step_ops = [op for r, op in ops if r > v]
+            new += self._remap_entries(
+                [f for f in m["files"] if self._abs(f) not in prev_paths],
+                step_ops,
+            )
         if not new:
-            return self.read(target["version"]).filter(F.lit(False))
-        # entry-aware scan (not a bare spark.read.parquet): target
-        # entries carry the column mappings of any rename/re-add the
-        # range crossed, and appends never carry deletion vectors
+            return self.read(tv).filter(F.lit(False))
+        # entry-aware scan (not a bare spark.read.parquet): the
+        # aligned entries carry the column mappings of any rename/
+        # re-add the range crossed, and appends never carry deletion
+        # vectors
         return self._scan_entries(new, self._schema_of(target))
 
     def count_rows(self, version: int | None = None) -> int:

@@ -1656,6 +1656,13 @@ def test_read_changes_rows_across_optimize(spark, table):
     only_opt = table.read_changes_rows(6, 7)
     assert only_opt.count() == 0
     assert "_change_type" in only_opt.columns
+    # the FILE-level feed serves across optimize too: appends only,
+    # nothing re-delivered from the rewrites
+    fl = table.read_changes(5, 8)
+    assert sorted(r["id"] for r in fl.collect()) == (
+        list(range(200, 210)) + list(range(300, 305))
+    )
+    assert table.read_changes(6, 7).count() == 0
     # overwrite/rollback still refuse — they have a real content delta
     table.rollback(0)
     with pytest.raises(ValueError, match="row-level delta"):
