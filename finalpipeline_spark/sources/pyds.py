@@ -1231,6 +1231,15 @@ class VersionedStreamReader(DataSourceStreamReader):
             prev = live[s]
         else:
             prev = _manifest_any(self._root, s)
+            if prev is None:
+                # a consumed version's manifest (even its vacuum
+                # tombstone) is gone: an empty diff base would
+                # re-deliver everything as 'insert' — fail loud
+                raise ValueError(
+                    f"start version {s} of {self._root} has no "
+                    "manifest — cannot compute an exact delta; "
+                    "restart from a fresh checkpoint"
+                )
         # column-remap commits (rename/re-add) are metadata-only (zero
         # row delta); every step's entries are aligned onto THIS feed's
         # pinned logical frame below (_pin_directions docstring has the
@@ -1397,6 +1406,15 @@ class VersionedStreamReader(DataSourceStreamReader):
                     "manifest — cannot compute an exact delta; restart "
                     "from a fresh checkpoint"
                 ) from None
+            if prev is None:
+                # a consumed version's manifest (even its vacuum
+                # tombstone) is gone: an empty diff base would
+                # re-deliver everything — fail loud
+                raise ValueError(
+                    f"start version {s} of {self._root} has no "
+                    "manifest — cannot compute an exact delta; "
+                    "restart from a fresh checkpoint"
+                )
         # frame-align the served entries onto this stream's pinned
         # schema (a live stream that crossed a rename keeps receiving
         # its subscribed column; see _pin_directions) — ops scanned

@@ -860,3 +860,39 @@ def test_pacing_walk_ignores_unserved_commit_files(spark, tmp_path):
     r2.initialOffset()
     r2.partitions({"version": -1, "snapshot": True}, r2.latestOffset())
     assert r2.latestOffset() == {"version": 3}  # delete eats no budget
+
+
+def test_stream_refuses_when_start_manifest_fully_gone(spark, tmp_path):
+    """A consumed start version whose manifest (even the vacuum
+    tombstone) has vanished must FAIL the next batch loudly in both
+    stream modes — an empty diff base would silently re-deliver every
+    carried-over row as new."""
+    import os as _os
+
+    from finalpipeline_spark.sources.pyds import (
+        VersionedStreamReader,
+        _live_manifests,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit_overwrite(spark.range(0, 10).selectExpr("id"))          # v0
+    t.commit_append(spark.range(10, 20).selectExpr("id"))            # v1
+    t.commit_append(spark.range(20, 30).selectExpr("id"))            # v2
+    # simulate total manifest loss for v1 (beyond vacuum: no tombstone)
+    _os.remove(_os.path.join(t.root, "_log", "v%012d.json" % 1))
+    live = _live_manifests(t.root)
+    for cdf in (False, True):
+        fields = [("id", "bigint")] + (
+            [
+                ("_change_type", "string"),
+                ("_commit_version", "bigint"),
+                ("_commit_timestamp", "timestamp"),
+            ]
+            if cdf
+            else []
+        )
+        r = VersionedStreamReader(t.root, fields, cdf=cdf)
+        with pytest.raises(ValueError, match="no manifest|never committed"):
+            r.partitions({"version": 1}, {"version": 2}) if not cdf else (
+                r._cdf_partitions({"version": 1}, 1, 2, live)
+            )
