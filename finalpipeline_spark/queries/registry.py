@@ -72,78 +72,88 @@ def register(
 # the window.  After ANY registration change, re-print list(queries())
 # [:52] and re-curate this list.
 _PRIORITY_MODULES: tuple[str, ...] = ()
-# Round 11 window, OLDEST-EVIDENCE-FIRST (recomputed from
-# CORRECTNESS_r01..r10; the r10 VERDICT's recount agrees): the true
-# oldest evidence is this round's two never-driver-checked attestations
-# (versioned_cdf_across_optimize — change feeds across OPTIMIZE;
-# versioned_sql_create_roundtrip — the CREATE TABLE column-list DDL),
-# then the two GROUPING SETS staples displaced from the r10 window
-# (tpch_rollup_sales / tpch_cube_sales, last green r6 — the r10
-# registry note promised them these slots), then the 50-query block
-# whose latest green row is r7. 54 candidates for 50 slots: the four
-# most-locally-covered r7 members are displaced and MUST HEAD THE R12
-# WINDOW — lineitem_approx_quantiles, lineitem_hll_distinct,
-# lineitem_mergeable_quantiles (the sketch trio: bound-locked by
-# tests/test_sketch_bounds.py + test_sketch_properties.py AND
-# oracle-parity), and tpch_q11 (same query family as tpch_q11_share,
-# green r10). After this window no query's latest green row is older
-# than r8 except those four documented displacements. Everything
-# outside the window stays covered by the local oracle-parity suite
-# (tests/test_oracle_parity.py — same compare, dtype-strict).
+# Round 12 window, OLDEST-EVIDENCE-FIRST (recomputed from
+# CORRECTNESS_r01..r11; the r11 VERDICT's recount agrees): this round's
+# never-driver-checked attestation queries head the window (added as
+# they land — each one displaces the last remaining member of the
+# next-to-displace list below), then the four queries the r11 registry
+# note promised these slots (displaced from r11, last green r7):
+# lineitem_approx_quantiles / lineitem_hll_distinct /
+# lineitem_mergeable_quantiles (the sketch trio) and tpch_q11; then the
+# 50-query block whose latest green row is r8, minus the
+# most-locally-covered members, displaced in this order and promised
+# the HEAD OF THE R13 WINDOW:
+#   versioned_sql_time_travel, versioned_sql_table_changes,
+#   versioned_identity_generated (each locked by the dedicated
+#   versioned-table pytest suites), tpch_grouping_sets (same family as
+#   tpch_rollup_sales / tpch_cube_sales, green r11),
+#   hll_union_parts (bound-locked by tests/test_sketch_bounds.py;
+#   lineitem_hll_distinct is in THIS window), chembl_tanimoto_lsh_recall
+#   + chembl_tanimoto_lsh_topk (kernel spec tests + chembl_tanimoto_topk
+#   green r9), doc_bpe_pair_counts (differential-tested in
+#   test_tokenizer.py).
+# After this window no query's latest green row is older than r9 except
+# those documented displacements. Everything outside the window stays
+# covered by the local oracle-parity suite (tests/test_oracle_parity.py
+# — same compare, dtype-strict).
 _PRIORITY_QUERIES = (
     # -- never driver-checked: this round's additions ---------------------
-    "versioned_cdf_across_optimize",
-    "versioned_sql_create_roundtrip",
-    # -- displaced from r10 (last green r6), promised these slots ---------
-    "tpch_rollup_sales",
-    "tpch_cube_sales",
-    # -- the r7-attested block (complete minus the four deferred) ---------
-    "doc_bm25_topk",
-    "doc_chunk_overlap",
-    "doc_decontam_ngram_overlap",
-    "doc_dedup_exact_keep_best",
-    "doc_dedup_lsh_recall",
-    "doc_hybrid_search_rrf",
-    "doc_inverted_index",
-    "doc_lm_perplexity",
-    "doc_mix_sources",
-    "doc_pack_sequences",
-    "doc_pii_redact",
-    "doc_quality_classifier",
-    "doc_reconcile_checksums",
-    "doc_repetition_stats",
-    "doc_sample_temperature",
-    "doc_shard_interleave",
-    "doc_vocab_coverage",
-    "doc_weighted_sample_fixed",
-    "emb_ann_recall_eval",
-    "emb_ivf_pq_topk",
-    "emb_kmeans_lloyd",
-    "emb_pca_power",
-    "emb_pca_scores",
-    "emb_pq_encode",
-    "emb_semantic_dedup",
-    "events_activity_streaks",
-    "events_cms_heavy_hitters",
-    "events_ewma_value",
-    "events_gapfill_locf",
-    "events_holt_smoothing",
-    "events_late_classify",
-    "events_ohlc_bars",
-    "events_pivot_counts",
-    "events_rolling_distinct_hll",
-    "events_rollup_hierarchy",
-    "events_time_weighted_avg",
-    "lineitem_regr_stats",
-    "mm_feature_extract",
-    "nation_pagerank",
-    "nation_triangle_count",
-    "orders_bloom_semi_join",
-    "orders_profile",
-    "orders_scd2_snapshot",
-    "ref_ledger_new_files",
-    "tpch_q2",
-    "tpch_q20",
+    "versioned_cdf_across_restore",
+    "versioned_merge_multi_clause",
+    "versioned_partitioned_table",
+    "versioned_type_widening",
+    # -- displaced from r11 (last green r7), promised these slots ---------
+    "lineitem_approx_quantiles",
+    "lineitem_hll_distinct",
+    "lineitem_mergeable_quantiles",
+    "tpch_q11",
+    # -- the r8-attested block (minus the displaced, see note above) ------
+    "chembl_id_resolution",
+    "customer_division_regions",
+    "doc_bigram_lm",
+    "doc_crossdoc_repeated_spans",
+    "doc_dedup_containment",
+    "doc_drift_psi",
+    "doc_dup_rate_by_source",
+    "doc_global_row_ids",
+    "doc_lang_source_contingency",
+    "doc_quality_linear_probe",
+    "doc_quality_weighted_sample",
+    "doc_simpson_diversity",
+    "doc_span_dedup_rewrite",
+    "doc_tokenizer_fertility",
+    "doc_unpivot_lang_counts",
+    "emb_covariance_prefix",
+    "emb_hard_negatives",
+    "emb_matryoshka_eval",
+    "events_ab_test_zscore",
+    "events_changepoint",
+    "events_cms_join_size",
+    "events_concurrency_curve",
+    "events_dow_hour_heatmap",
+    "events_drift_ks",
+    "events_first_touch_attribution",
+    "events_forecast_backtest",
+    "events_last_touch_attribution",
+    "events_mad_outliers",
+    "events_markov_transitions",
+    "events_skew_profile",
+    "events_top_paths",
+    "fk_integrity_audit",
+    "lineitem_basket_lift",
+    "lineitem_benford_audit",
+    "lineitem_price_histogram",
+    "mm_audio_energy",
+    "mm_video_scene_cut",
+    "nation_shortest_paths",
+    "orders_backlog_sweep",
+    "orders_cohort_ltv",
+    "orders_incremental_mv",
+    "orders_spend_tiles",
+    "doc_bpe_pair_counts",
+    "chembl_tanimoto_lsh_topk",
+    "chembl_tanimoto_lsh_recall",
+    "hll_union_parts",
 )
 
 # Queries ADDED in r7 should take slots here by displacing entries from
