@@ -554,6 +554,87 @@ def versioned_cdf_across_optimize(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "versioned_cdf_across_restore",
+    oracle="""
+        SELECT v, ct,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(cast(round(c_acctbal * 100) AS bigint)) AS bigint)
+                   AS sum_cents
+        FROM (
+            SELECT cast(0 AS bigint) AS v, 'insert' AS ct, c_acctbal
+            FROM customer WHERE c_custkey % 3 = 0
+            UNION ALL
+            SELECT cast(1 AS bigint) AS v, 'delete' AS ct, c_acctbal
+            FROM customer WHERE c_custkey % 3 = 0 AND c_acctbal < 0
+            UNION ALL
+            SELECT cast(2 AS bigint) AS v, 'insert' AS ct, c_acctbal
+            FROM customer WHERE c_custkey % 3 = 1
+            UNION ALL
+            SELECT cast(3 AS bigint) AS v, 'insert' AS ct, c_acctbal
+            FROM customer WHERE c_custkey % 3 = 0 AND c_acctbal < 0
+            UNION ALL
+            SELECT cast(3 AS bigint) AS v, 'delete' AS ct, c_acctbal
+            FROM customer WHERE c_custkey % 3 = 1
+        )
+        GROUP BY v, ct
+        ORDER BY v, ct
+    """,
+    tags=("extension",),
+)
+def versioned_cdf_across_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 CDF-across-RESTORE, attested end-to-end: a change feed
+    whose range crosses a ROLLBACK serves the rollback's net row delta
+    instead of refusing (Delta parity: RESTORE flows through
+    readChangeFeed) — including the rollback-only shape, a deletion
+    vector SHRINKING in place: the restored entry references the
+    pre-delete (absent) vector, so the merge-on-read-deleted rows are
+    RESURRECTED and emit as inserts.
+
+    Flow: customer's %3=0 slice committed, then a MoR predicate delete
+    (negative balances — a scattered GDPR-style erasure that writes a
+    position list, no data file), then an append, then ``rollback(0)``.
+    The feed from version 0 — consumed through the Python DataSource's
+    batch changeFeed (``table_changes``, start-INCLUSIVE per Delta's
+    startingVersion, so v0's snapshot emits as inserts), the same
+    planner the streaming source uses — must emit the snapshot, the
+    MoR delete, the append's inserts, and the rollback as
+    resurrection-inserts plus append-drops. The DuckDB oracle
+    reconstructs all five groups straight from the parquet."""
+    from finalpipeline_spark.sources.pyds import (
+        register_versioned_source,
+        table_changes,
+    )
+    from finalpipeline_spark.sources.versioned import VersionedTable
+
+    register_versioned_source(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="fps_cdfrst_") + "/cust_vt"
+    t = VersionedTable(spark, root)
+    t.commit_overwrite(
+        cust.filter("c_custkey % 3 = 0").repartition(4)
+    )                                                                 # v0
+    t.delete_where("c_acctbal < 0", mode="mor")                       # v1
+    t.commit_append(cust.filter("c_custkey % 3 = 1"))                 # v2
+    t.rollback(0)                                                     # v3
+    ch = table_changes(spark, root, 0)
+    ch.createOrReplaceTempView("__fps_cdfrst_feed")
+    return spark.sql(
+        """
+        SELECT cast(_commit_version AS bigint) AS v,
+               _change_type AS ct,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(cast(round(c_acctbal * 100) AS bigint)) AS bigint)
+                   AS sum_cents
+        FROM __fps_cdfrst_feed
+        GROUP BY v, ct
+        ORDER BY v, ct
+        """
+    )
+
+
+@register(
     "versioned_sql_create_roundtrip",
     oracle="""
         SELECT tag,

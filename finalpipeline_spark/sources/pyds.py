@@ -25,10 +25,15 @@ from this repo at all, just the registered format name:
   streaming ignores dataChange=false actions, and a CDF range
   crossing routine maintenance serves zero change rows for it) — the
   append-only planner diffs PER COMMIT, so compaction's rewritten
-  files are never re-delivered. Whole-table rewrites with a real
-  content delta (overwrite/rollback past the initial snapshot) fail
-  either mode; ``option("skipChangeCommits", "true")`` instead skips
-  content-mutation commits whole (Delta's appends-only view).
+  files are never re-delivered. ROLLBACK/RESTORE commits flow through
+  changeFeed mode as their net row delta (dropped files as deletes,
+  restored files as inserts, vector shrink as resurrected inserts —
+  Delta parity: RESTORE serves through readChangeFeed), refusing only
+  a schema-reverting rollback; in append-only mode they fail (no
+  append-only delta exists). Whole-table overwrite past the initial
+  snapshot fails either mode; ``option("skipChangeCommits", "true")``
+  instead skips content-mutation commits whole (Delta's appends-only
+  view).
 
 **SQL-only surface** (Delta option parity, zero Python imports): once
 the format is registered, every capability is reachable through pure
@@ -1275,7 +1280,9 @@ class VersionedStreamReader(DataSourceStreamReader):
                 # range crossing routine maintenance must not break)
                 prev = cur
                 continue
-            if cur["action"] not in ("append", "delete", "replace", "overwrite", "clone"):
+            if cur["action"] not in (
+                "append", "delete", "replace", "overwrite", "clone", "rollback"
+            ):
                 raise ValueError(
                     f"version {v} is '{cur['action']}': whole-table rewrite "
                     "has no row-level change feed — restart from a snapshot"
@@ -1284,6 +1291,19 @@ class VersionedStreamReader(DataSourceStreamReader):
                 raise ValueError(
                     f"version {v} is '{cur['action']}': whole-table rewrite "
                     "has no row-level change feed — restart from a snapshot"
+                )
+            if (
+                cur["action"] == "rollback"
+                and prev is not None
+                and cur.get("schema") != prev.get("schema")
+            ):
+                # a rollback that also reverts the schema (undoes a
+                # rename/re-add/evolution) has no single logical frame
+                # to serve the feed in — data-only rollbacks serve
+                raise ValueError(
+                    f"version {v} is a SCHEMA-REVERTING rollback — no "
+                    "row-level change feed across it; restart from a "
+                    "snapshot"
                 )
             prev_by = (
                 {os.path.join(f.get("base", self._root), f["path"]): f
@@ -1321,37 +1341,54 @@ class VersionedStreamReader(DataSourceStreamReader):
                     "path"
                 ):
                     continue
-                if not ne.get("dv"):
+                if not ne.get("dv") and cur["action"] != "rollback":
                     # positions removed from a live entry = resurrected
-                    # rows; no writer produces this (rollback raises
-                    # above) — fail loud rather than mis-stream
+                    # rows; the one writer that legitimately restores an
+                    # older (smaller) vector is rollback, served below —
+                    # anything else dropping a vector in place is
+                    # corruption: fail loud rather than mis-stream
                     raise ValueError(
                         f"version {v} dropped the deletion vector of "
                         f"{ne['path']} in place — no row-level change "
                         "feed for resurrection; restart from a snapshot"
                     )
                 base = ne.get("base", self._root)
-                parts.append(
-                    _FilePartition(
-                        p,
-                        change="delete",
-                        version=v,
-                        rel=ne["path"],
-                        dv=os.path.join(
-                            ne["dv"].get("base", base), ne["dv"]["path"]
-                        ),
-                        dv_old=(
-                            os.path.join(
-                                oe["dv"].get("base", base), oe["dv"]["path"]
-                            )
-                            if oe.get("dv")
-                            else None
-                        ),
-                        dv_diff=True,
-                        cmap=_frame_align_entry(ne, v, fwd, rev).get("cmap"),
-                        ts=cur.get("ts"),
+                cmap = _frame_align_entry(ne, v, fwd, rev).get("cmap")
+
+                def _dv_abs(entry: dict) -> str | None:
+                    d = entry.get("dv")
+                    if not d:
+                        return None
+                    return os.path.join(d.get("base", base), d["path"])
+
+                # positions newly PRESENT in the vector are this
+                # commit's deletes; for a rollback, positions newly
+                # ABSENT (the restored, older vector is smaller) are
+                # resurrected rows and stream as inserts. Vectors of
+                # one file are nested along the version line, so at
+                # most one direction is non-empty per entry; an empty
+                # diff partition yields zero rows.
+                directions_to_emit = [("delete", _dv_abs(ne), _dv_abs(oe))]
+                if cur["action"] == "rollback":
+                    directions_to_emit.append(
+                        ("insert", _dv_abs(oe), _dv_abs(ne))
                     )
-                )
+                for change, dv_new, dv_old in directions_to_emit:
+                    if dv_new is None:
+                        continue  # minuend empty ⇒ provably no rows
+                    parts.append(
+                        _FilePartition(
+                            p,
+                            change=change,
+                            version=v,
+                            rel=ne["path"],
+                            dv=dv_new,
+                            dv_old=dv_old,
+                            dv_diff=True,
+                            cmap=cmap,
+                            ts=cur.get("ts"),
+                        )
+                    )
             prev = cur
         return parts
 

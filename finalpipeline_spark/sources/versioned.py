@@ -551,9 +551,24 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
         emit ZERO change rows without any comparison: a layout rewrite
         provably never changes the live row set (Delta parity — a
         consumer's range crossing routine maintenance must not break).
-        Whole-table rewrites with a real content delta
-        (overwrite/rollback) still raise: they have no meaningful
-        row-level diff short of comparing two snapshots.
+
+        ROLLBACK/RESTORE commits in the range SERVE (Delta parity:
+        RESTORE flows through readChangeFeed as the row delta between
+        the pre-restore state and the restored version): the same
+        per-commit file diff applies — rows of files the rollback
+        dropped are deletes, rows of files it restored are inserts,
+        exceptAll-cancelled so only the net delta emits — plus the one
+        rollback-only shape, a deletion vector SHRINKING in place
+        (the restored entry references an older, smaller vector):
+        positions present in the parent's vector but absent from the
+        restored one are resurrected rows and emit as inserts. The
+        diff cost scales with the files the rollback actually touched
+        (the changed-since-V set), never the snapshot. A
+        SCHEMA-REVERTING rollback (one that undoes a rename/re-add/
+        evolution) still raises — its feed has no single logical
+        frame. Whole-table ``overwrite`` still raises: unlike a
+        rollback it names no prior version, so there is no bounded
+        changed-file set — reprocess from the snapshot.
 
         Ranges crossing a RENAME or RE-ADD commit serve in the TARGET
         version's logical schema: those commits are metadata-only
@@ -586,10 +601,16 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
                 # construction — provably zero change rows, no
                 # comparison needed
                 continue
-            if m["action"] not in ("append", "delete", "replace"):
+            if m["action"] not in ("append", "delete", "replace", "rollback"):
                 raise ValueError(
                     f"version {v} is '{m['action']}': whole-table rewrite "
                     "has no row-level delta — reprocess from the snapshot"
+                )
+            if m["action"] == "rollback" and m["schema"] != prev["schema"]:
+                raise ValueError(
+                    f"version {v} is a SCHEMA-REVERTING rollback — the "
+                    "range has no single logical frame; reprocess from "
+                    "the snapshot"
                 )
             prev_by = {self._abs(f): f for f in prev["files"]}
             cur_by = {self._abs(f): f for f in m["files"]}
@@ -618,11 +639,13 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
             )
             # A merge-on-read delete changes no file list — the delta
             # lives in the deletion-vector references: rows at positions
-            # newly present in a file's vector are that commit's deletes
-            # (positions are never REMOVED from a live entry's vector —
-            # only rollback restores old references, and rollback raises
-            # above). Scans of added/dropped files are entry-aware too,
-            # so rows a vector already killed can't churn the diff.
+            # newly present in a file's vector are that commit's deletes.
+            # Positions only ever ACCUMULATE in a live entry's vector —
+            # the one writer that restores an older (smaller) reference
+            # is rollback, whose removed positions are resurrected rows
+            # and emit as INSERTS below. Scans of added/dropped files
+            # are entry-aware too, so rows a vector already killed
+            # can't churn the diff.
             dv_changed = [
                 (prev_by[p], cur_by[p])
                 for p in sorted(set(cur_by) & set(prev_by))
@@ -652,23 +675,58 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
                 new_e = self._remap_entries(
                     [n for _, n in dv_changed], step_ops
                 )
-                newly = self._dv_positions(new_e).join(
-                    self._dv_positions(old_e), ["__file", "__pos"], "left_anti"
-                )
-                n_newly = sum(
-                    (n.get("dv") or {}).get("deleted", 0)
-                    - (o.get("dv") or {}).get("deleted", 0)
-                    for o, n in dv_changed
-                )  # exact from manifest metadata — positions only grow
-                if n_newly <= _DV_BROADCAST_ROWS:
-                    newly = F.broadcast(newly)
-                dv_dels = (
-                    self._lineage_scan(new_e, schema)
-                    .join(newly, ["__file", "__pos"], "left_semi")
-                    .select(*schema.fieldNames())
-                    .withColumn("_change_type", F.lit("delete"))
-                )
-                step = dv_dels if step is None else step.unionByName(dv_dels)
+                new_pos = self._dv_positions(new_e)
+                old_pos = self._dv_positions(old_e)
+                # one file's vectors along the version line are NESTED
+                # (positions accumulate; rollback restores an earlier,
+                # smaller set), so per entry exactly one direction is
+                # non-empty and these metadata counts are exact
+                diffs = [
+                    (
+                        "delete",
+                        new_pos.join(old_pos, ["__file", "__pos"], "left_anti"),
+                        sum(
+                            max(
+                                0,
+                                (n.get("dv") or {}).get("deleted", 0)
+                                - (o.get("dv") or {}).get("deleted", 0),
+                            )
+                            for o, n in dv_changed
+                        ),
+                    )
+                ]
+                if m["action"] == "rollback":
+                    # vector SHRINK: positions the rollback removed are
+                    # resurrected rows — live again in the restored
+                    # version, so they emit as inserts
+                    diffs.append(
+                        (
+                            "insert",
+                            old_pos.join(
+                                new_pos, ["__file", "__pos"], "left_anti"
+                            ),
+                            sum(
+                                max(
+                                    0,
+                                    (o.get("dv") or {}).get("deleted", 0)
+                                    - (n.get("dv") or {}).get("deleted", 0),
+                                )
+                                for o, n in dv_changed
+                            ),
+                        )
+                    )
+                for ctype, pos, n_est in diffs:
+                    if n_est <= _DV_BROADCAST_ROWS:
+                        pos = F.broadcast(pos)
+                    dv_rows = (
+                        self._lineage_scan(new_e, schema)
+                        .join(pos, ["__file", "__pos"], "left_semi")
+                        .select(*schema.fieldNames())
+                        .withColumn("_change_type", F.lit(ctype))
+                    )
+                    step = (
+                        dv_rows if step is None else step.unionByName(dv_rows)
+                    )
             if step is not None:
                 step = step.withColumn("_commit_version", F.lit(v))
                 # Delta CDF's third meta column: the commit's recorded

@@ -715,6 +715,80 @@ def test_changefeed_across_optimize_batch_and_stream(spark, tmp_path):
     ) == {0, 1, 3, 5}
 
 
+def test_changefeed_across_rollback_batch_and_stream(spark, tmp_path):
+    """Both change-feed surfaces serve across ROLLBACK/RESTORE (Delta
+    parity: RESTORE flows through readChangeFeed): the rollback's net
+    delta emits as deletes+inserts — including resurrected rows from a
+    deletion-vector shrink — and a keyed consumer replaying the feed
+    converges to the exact restored snapshot. The append-only stream
+    still refuses (no append-only delta exists) unless
+    skipChangeCommits opted into the appends-only view."""
+    register_versioned_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    t.commit_overwrite(spark.range(0, 50).selectExpr("id").coalesce(1))  # v0
+    t.delete_where("id < 10", mode="mor")                                # v1
+    t.commit_append(spark.range(50, 60).selectExpr("id"))                # v2
+    t.rollback(0)                                                        # v3
+
+    from finalpipeline_spark.sources.pyds import table_changes
+
+    ch = table_changes(spark, t.root, 0)
+    rows = {(r["_commit_version"], r["_change_type"], r["id"]) for r in ch.collect()}
+    assert {(1, "delete", i) for i in range(10)} <= rows
+    assert {(3, "insert", i) for i in range(10)} <= rows  # dv shrink resurrection
+    assert {(3, "delete", i) for i in range(50, 60)} <= rows
+    assert len(rows) == 50 + 10 + 10 + (10 + 10)
+    # replay-onto-base: the feed converges to the restored snapshot
+    base: set[int] = set()
+    for v in sorted({x for x, _, _ in rows}):
+        base -= {i for vv, c, i in rows if vv == v and c == "delete"}
+        base |= {i for vv, c, i in rows if vv == v and c == "insert"}
+    assert base == {r["id"] for r in t.read().collect()} == set(range(50))
+
+    # the STREAMING changeFeed source crosses the rollback too
+    q = (
+        spark.readStream.format("versioned")
+        .option("root", t.root)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == rows  # batch and stream feeds can never diverge
+
+    # append-only mode: rollback still fails the stream ...
+    def drain_append(out, ckpt, skip=False):
+        r = spark.readStream.format("versioned").option("root", t.root)
+        if skip:
+            r = r.option("skipChangeCommits", "true")
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / out))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(
+        Exception, match="no row-level delta|StreamingQueryException"
+    ):
+        drain_append("out2", "ckpt2")
+    # ... unless skipChangeCommits opted into the appends-only view
+    drain_append("out3", "ckpt3", skip=True)
+    got3 = {r["id"] for r in spark.read.parquet(str(tmp_path / "out3")).collect()}
+    assert got3 == set(range(60))  # v0 snapshot + v2 append; v1/v3 skipped
+
+
 def test_append_stream_serves_across_optimize(spark, tmp_path):
     """Delta parity: streaming ignores dataChange=false actions — an
     OPTIMIZE between micro-batches must neither fail the append-only

@@ -1663,10 +1663,82 @@ def test_read_changes_rows_across_optimize(spark, table):
         list(range(200, 210)) + list(range(300, 305))
     )
     assert table.read_changes(6, 7).count() == 0
-    # overwrite/rollback still refuse — they have a real content delta
-    table.rollback(0)
+    # a ROLLBACK in the range now SERVES (Delta RESTORE-through-CDF
+    # parity): its net delta vs the pre-rollback state — resurrected
+    # rows as inserts, since-V rows as deletes
+    table.rollback(0)                                                 # v9
+    rb = table.read_changes_rows(8)
+    got_rb = {
+        (r["_change_type"], r["id"]) for r in rb.collect()
+    }
+    assert {v for v, _ in got_rb} == {"insert", "delete"}
+    assert {i for c, i in got_rb if c == "insert"} == set(range(10))
+    assert {i for c, i in got_rb if c == "delete"} == (
+        set(range(100, 140)) | set(range(200, 210)) | set(range(300, 305))
+    )
+    # whole-table overwrite still refuses — it names no prior version,
+    # so there is no bounded changed-file set
+    table.commit_overwrite(_df(spark, 0, 5, "z"))                     # v10
     with pytest.raises(ValueError, match="row-level delta"):
-        table.read_changes_rows(7)
+        table.read_changes_rows(9)
+
+
+def test_read_changes_rows_across_rollback(spark, table):
+    """CDF ranges crossing ROLLBACK/RESTORE serve (Delta parity:
+    RESTORE flows through readChangeFeed as deletes+inserts vs the
+    pre-restore state) — including the rollback-only deletion-vector
+    SHRINK (a restored entry references an older, smaller vector:
+    the removed positions are resurrected rows, emitted as inserts)
+    and the roll-forward direction (a later rollback that re-applies
+    the vector). Replay-onto-base equality holds across all of it;
+    a schema-reverting rollback still refuses."""
+    table.commit_overwrite(_df(spark, 0, 100, "a").coalesce(1))        # v0
+    table.delete_where("id < 20", mode="mor")                          # v1 MoR
+    table.commit_append(_df(spark, 100, 110, "b"))                     # v2
+    table.rollback(0)                                                  # v3: resurrect 0-19, drop 100-109
+    table.rollback(2)                                                  # v4: re-kill 0-19, re-add 100-109
+
+    ch = table.read_changes_rows(0)
+    got = {
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in ch.collect()
+    }
+    assert {(1, "delete", i) for i in range(20)} <= got
+    # v3: vector shrink resurrection + dropped append files
+    assert {(3, "insert", i) for i in range(20)} <= got
+    assert {(3, "delete", i) for i in range(100, 110)} <= got
+    # v4: the roll-forward — vector grows back, append files return
+    assert {(4, "delete", i) for i in range(20)} <= got
+    assert {(4, "insert", i) for i in range(100, 110)} <= got
+    assert len(got) == 20 + 10 + (20 + 10) + (20 + 10)  # v1+v2+v3+v4
+    # replay-onto-base equality across both rollbacks
+    base = {r["id"] for r in table.read(version=0).collect()}
+    for v in sorted({x for x, _, _ in got}):
+        ins = {i for vv, c, i in got if vv == v and c == "insert"}
+        dels = {i for vv, c, i in got if vv == v and c == "delete"}
+        base = (base - dels) | ins
+    assert base == {r["id"] for r in table.read().collect()}
+    # a sub-range landing ON the rollback serves just its delta
+    only_rb = table.read_changes_rows(2, 3)
+    rb = {(r["_change_type"], r["id"]) for r in only_rb.collect()}
+    assert rb == {("insert", i) for i in range(20)} | {
+        ("delete", i) for i in range(100, 110)
+    }
+    # a schema-reverting rollback refuses: no single logical frame.
+    # (With IDENTICAL file refs it would be a provably-zero-delta
+    # metadata commit and serve as empty — so change data too.)
+    table.add_column("extra", "int")                                   # v5
+    table.commit_append(
+        _df(spark, 110, 115, "c").selectExpr(
+            "id", "tag", "cast(1 as int) as extra"
+        )
+    )                                                                  # v6
+    table.rollback(4)                                                  # v7 reverts schema + files
+    with pytest.raises(ValueError, match="SCHEMA-REVERTING"):
+        table.read_changes_rows(4)
+    # ... but a range that stops BEFORE it still serves
+    assert table.read_changes_rows(4, 5).count() == 0
+    assert table.read_changes_rows(4, 6).count() == 5
 
 
 def test_refresh_file_sizes_backfills_legacy_entries(spark, table):
