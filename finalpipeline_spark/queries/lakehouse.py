@@ -635,6 +635,108 @@ def versioned_cdf_across_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_merge_multi_clause",
+    oracle="""
+        WITH base AS (
+            SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0
+        ), src AS (
+            SELECT c_custkey,
+                   c_acctbal + CAST(500.25 AS DOUBLE) AS new_bal,
+                   CASE WHEN c_acctbal < 0 THEN 'D' ELSE 'U' END AS op
+            FROM customer WHERE c_custkey % 4 = 1
+        ), final AS (
+            SELECT b.c_custkey, s.new_bal AS c_acctbal,
+                   'UPDATED' AS c_mktsegment
+            FROM base b JOIN src s USING (c_custkey) WHERE s.op = 'U'
+            UNION ALL
+            SELECT s.c_custkey, s.new_bal, 'MERGED'
+            FROM src s LEFT JOIN base b USING (c_custkey)
+            WHERE b.c_custkey IS NULL AND s.op = 'U'
+            UNION ALL
+            SELECT b.c_custkey, b.c_acctbal, 'STALE'
+            FROM base b LEFT JOIN src s USING (c_custkey)
+            WHERE s.c_custkey IS NULL AND b.c_acctbal >= 0
+        )
+        SELECT c_mktsegment AS seg,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(cast(round(c_acctbal * 100) AS bigint)) AS bigint)
+                   AS sum_cents,
+               cast(sum(c_custkey) AS bigint) AS sum_keys
+        FROM final
+        GROUP BY seg
+        ORDER BY seg
+    """,
+    tags=("extension",),
+)
+def versioned_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 multi-clause MERGE, attested end-to-end: ONE SQL
+    statement carrying the full Delta clause matrix — ``WHEN MATCHED
+    AND s.op = 'D' THEN DELETE`` then ``WHEN MATCHED THEN UPDATE SET``
+    (first-match-wins, the CDC-apply shape), a CONDITIONAL ``WHEN NOT
+    MATCHED AND ... THEN INSERT *``, and the by-source pair ``WHEN NOT
+    MATCHED BY SOURCE AND ... THEN DELETE`` / ``... THEN UPDATE SET``
+    (SCD retire-or-stamp) — executed as one atomic commit
+    (sources/sql_dml.py → versioned_dml._merge_clause_files).
+
+    Flow: customer's %3=0 slice is the target; a CDC source derived
+    from the %4=1 slice flags negative balances 'D' and the rest 'U'.
+    Every target row takes exactly one clause by construction, so the
+    final snapshot is fully reconstructible: matched-updates
+    ('UPDATED'), conditional inserts ('MERGED'), stamped source-less
+    survivors ('STALE') — negative source-less rows retired, matched
+    'D' rows deleted. The DuckDB oracle rebuilds the same state with
+    plain joins."""
+    from finalpipeline_spark.sources.pyds import register_versioned_source
+    from finalpipeline_spark.sources.sql_dml import versioned_sql
+
+    register_versioned_source(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="fps_mergemc_") + "/cust_vt"
+    from finalpipeline_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, root)
+    t.commit_overwrite(
+        cust.filter("c_custkey % 3 = 0")
+        .withColumn("c_mktsegment", F.lit("BASE"))
+        .repartition(4)
+    )
+    cust.filter("c_custkey % 4 = 1").selectExpr(
+        "c_custkey",
+        "c_acctbal + CAST(500.25 AS DOUBLE) AS c_acctbal",
+        "'MERGED' AS c_mktsegment",
+        "CASE WHEN c_acctbal < 0 THEN 'D' ELSE 'U' END AS op",
+    ).createOrReplaceTempView("__fps_mergemc_src")
+    versioned_sql(
+        spark,
+        f"""MERGE INTO versioned.`{root}` AS t USING __fps_mergemc_src AS s
+            ON t.c_custkey = s.c_custkey
+            WHEN MATCHED AND s.op = 'D' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal,
+                                         c_mktsegment = 'UPDATED'
+            WHEN NOT MATCHED AND s.op = 'U' THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND c_acctbal < 0 THEN DELETE
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+                c_mktsegment = 'STALE'
+        """,
+    )
+    t.read().createOrReplaceTempView("__fps_mergemc_final")
+    return spark.sql(
+        """
+        SELECT c_mktsegment AS seg,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(cast(round(c_acctbal * 100) AS bigint)) AS bigint)
+                   AS sum_cents,
+               cast(sum(c_custkey) AS bigint) AS sum_keys
+        FROM __fps_mergemc_final
+        GROUP BY seg
+        ORDER BY seg
+        """
+    )
+
+
+@register(
     "versioned_sql_create_roundtrip",
     oracle="""
         SELECT tag,

@@ -28,16 +28,22 @@ supported shape in the message; silent misparse of DML is corruption):
 * ``UPDATE <target> SET col = expr [, ...] [WHERE <pred>]``
 * ``DELETE FROM <target> [WHERE <pred>]``
 * ``MERGE INTO <target> AS t USING <source> AS s ON <equi-keys>
-  [WHEN MATCHED [AND <cond>] THEN UPDATE SET c = e, ...
-   | WHEN MATCHED [AND <cond>] THEN DELETE]
-  [WHEN NOT MATCHED THEN INSERT *]
-  [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]``
-  — aliases MUST literally be ``t`` (target) and ``s`` (source):
-  clause expressions are handed to VersionedTable.merge verbatim,
-  whose documented reference frame is t./s. (versioned_dml.py). ON
-  must be a conjunction of ``t.k = s.k`` equalities (MERGE is keyed);
-  a statement with BOTH a matched-UPDATE and a matched-DELETE clause
-  is refused (one matched action per statement).
+  [WHEN MATCHED [AND <cond>] THEN UPDATE SET c = e, ... | DELETE]...
+  [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+  [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ... |
+   DELETE]...``
+  — full Delta multi-clause MERGE: the WHEN MATCHED and WHEN NOT
+  MATCHED BY SOURCE groups are REPEATABLE, applied first-match-wins
+  in declared order (so ``WHEN MATCHED AND s.op = 'D' THEN DELETE
+  WHEN MATCHED THEN UPDATE SET ...`` is the CDC apply shape); only
+  the LAST clause of each group may omit its condition (later
+  clauses would be unreachable — Delta rule). A matched row taking
+  no clause carries through UNCHANGED. Aliases MUST literally be
+  ``t`` (target) and ``s`` (source): clause expressions are handed
+  to VersionedTable.merge verbatim, whose documented reference frame
+  is t./s. (versioned_dml.py; NOT-MATCHED-BY-SOURCE conditions see
+  only the target row, as bare names). ON must be a conjunction of
+  ``t.k = s.k`` equalities (MERGE is keyed).
 
 Maintenance statements (Delta SQL parity, same target forms):
 
@@ -625,25 +631,64 @@ def _parse_merge(stmt: str, masked: str) -> dict[str, Any]:
         "insert_unmatched": False, "when_matched_update": None,
         "when_matched_condition": None, "matched_delete": None,
         "not_matched_by_source_delete": None,
+        # ordered multi-clause form (Delta semantics, first-match-wins)
+        "matched_clauses": [], "not_matched_by_source_clauses": [],
+        "insert_condition": None,
     }
-    # clause scan over the masked tail
+
+    def _parse_set(sets_text: str, sets_masked: str) -> dict[str, str]:
+        assigns: dict[str, str] = {}
+        for part, pm in zip(
+            _split_top(sets_text, sets_masked),
+            _split_top(sets_masked, sets_masked),
+        ):
+            am = re.match(r"\s*(?:t\s*\.\s*)?(\w+)\s*=", pm)
+            if not am:
+                raise ValueError(f"unsupported SET assignment {part!r}")
+            assigns[am.group(1)] = part[am.end():].strip()
+        return assigns
+
+    # clause scan over the masked tail; clauses keep DECLARED order
+    # (first-match-wins inside each group, Delta semantics)
     tail, tail_masked = stmt[on_end:], masked[on_end:]
     clause_starts = [mt.start() for mt in re.finditer(rf"WHEN{_WS}", tail_masked, re.I)]
     clause_starts.append(len(tail))
     for a, b in zip(clause_starts, clause_starts[1:]):
         clause, cm = tail[a:b].strip(), tail_masked[a:b].strip()
-        if re.fullmatch(
-            rf"WHEN{_WS}NOT{_WS}MATCHED{_WS}THEN{_WS}INSERT\s*\*", cm, re.I
+        mm = re.match(
+            rf"WHEN{_WS}NOT{_WS}MATCHED(?:{_WS}AND{_WS}(.*?))?"
+            rf"{_WS}THEN{_WS}INSERT\s*\*$", cm, re.I | re.S,
+        )
+        if mm and not re.match(
+            rf"WHEN{_WS}NOT{_WS}MATCHED{_WS}BY{_WS}SOURCE", cm, re.I
         ):
+            if kwargs["insert_unmatched"]:
+                raise ValueError(
+                    "at most one WHEN NOT MATCHED ... INSERT clause"
+                )
             kwargs["insert_unmatched"] = True
+            if mm.group(1):
+                kwargs["insert_condition"] = clause[mm.start(1):mm.end(1)]
             continue
         mm = re.match(
             rf"WHEN{_WS}NOT{_WS}MATCHED{_WS}BY{_WS}SOURCE"
-            rf"(?:{_WS}AND{_WS}(.*?))?{_WS}THEN{_WS}DELETE$", cm, re.I | re.S,
+            rf"(?:{_WS}AND{_WS}(.*?))?{_WS}THEN{_WS}"
+            rf"(UPDATE{_WS}SET{_WS}|DELETE$)", cm, re.I | re.S,
         )
         if mm:
-            cond = clause[mm.start(1):mm.end(1)] if mm.group(1) else "true"
-            kwargs["not_matched_by_source_delete"] = cond
+            cond = clause[mm.start(1):mm.end(1)] if mm.group(1) else None
+            if mm.group(2).upper().startswith("DELETE"):
+                kwargs["not_matched_by_source_clauses"].append(
+                    {"condition": cond, "action": "delete", "set": None}
+                )
+            else:
+                kwargs["not_matched_by_source_clauses"].append(
+                    {
+                        "condition": cond,
+                        "action": "update",
+                        "set": _parse_set(clause[mm.end(2):], cm[mm.end(2):]),
+                    }
+                )
             continue
         mm = re.match(
             rf"WHEN{_WS}MATCHED(?:{_WS}AND{_WS}(.*?))?{_WS}THEN{_WS}"
@@ -652,38 +697,46 @@ def _parse_merge(stmt: str, masked: str) -> dict[str, Any]:
         if mm:
             cond = clause[mm.start(1):mm.end(1)] if mm.group(1) else None
             if mm.group(2).upper().startswith("DELETE"):
-                if kwargs["when_matched_update"] is not None:
-                    raise ValueError(
-                        "one matched action per MERGE statement (UPDATE "
-                        "or DELETE, not both)"
-                    )
-                kwargs["matched_delete"] = cond or "true"
-                continue
-            if kwargs["matched_delete"] is not None:
-                raise ValueError(
-                    "one matched action per MERGE statement (UPDATE or "
-                    "DELETE, not both)"
+                kwargs["matched_clauses"].append(
+                    {"condition": cond, "action": "delete", "set": None}
                 )
-            sets_text = clause[mm.end(2):]
-            sets_masked = cm[mm.end(2):]
-            assigns = {}
-            for part, pm in zip(
-                _split_top(sets_text, sets_masked),
-                _split_top(sets_masked, sets_masked),
-            ):
-                am = re.match(r"\s*(?:t\s*\.\s*)?(\w+)\s*=", pm)
-                if not am:
-                    raise ValueError(f"unsupported SET assignment {part!r}")
-                assigns[am.group(1)] = part[am.end():].strip()
-            kwargs["when_matched_update"] = assigns
-            kwargs["when_matched_condition"] = cond
+            else:
+                kwargs["matched_clauses"].append(
+                    {
+                        "condition": cond,
+                        "action": "update",
+                        "set": _parse_set(clause[mm.end(2):], cm[mm.end(2):]),
+                    }
+                )
             continue
         raise ValueError(
             f"unsupported MERGE clause {clause!r} — supported: WHEN "
-            "MATCHED [AND c] THEN UPDATE SET ... | DELETE, WHEN NOT "
-            "MATCHED THEN INSERT *, WHEN NOT MATCHED BY SOURCE [AND c] "
-            "THEN DELETE"
+            "MATCHED [AND c] THEN UPDATE SET ... | DELETE (repeatable, "
+            "first-match-wins), WHEN NOT MATCHED [AND c] THEN INSERT *, "
+            "WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET ... | "
+            "DELETE (repeatable)"
         )
+    for label, group in (
+        ("MATCHED", kwargs["matched_clauses"]),
+        ("NOT MATCHED BY SOURCE", kwargs["not_matched_by_source_clauses"]),
+    ):
+        for i, cl in enumerate(group):
+            if cl["condition"] is None and i < len(group) - 1:
+                raise ValueError(
+                    f"only the last WHEN {label} clause may omit AND "
+                    "<condition> — later clauses would be unreachable"
+                )
+    # legacy single-clause fields (back-compat surface for callers and
+    # the single-clause engine routing in versioned_sql)
+    mc = kwargs["matched_clauses"]
+    if len(mc) == 1 and mc[0]["action"] == "delete":
+        kwargs["matched_delete"] = mc[0]["condition"] or "true"
+    elif len(mc) == 1:
+        kwargs["when_matched_update"] = mc[0]["set"]
+        kwargs["when_matched_condition"] = mc[0]["condition"]
+    nmbs = kwargs["not_matched_by_source_clauses"]
+    if len(nmbs) == 1 and nmbs[0]["action"] == "delete":
+        kwargs["not_matched_by_source_delete"] = nmbs[0]["condition"] or "true"
     return kwargs
 
 
@@ -1118,6 +1171,33 @@ def versioned_sql(
         if src_ref.startswith("(")
         else spark.table(src_ref)
     )
+    mc, nmbs = pk["matched_clauses"], pk["not_matched_by_source_clauses"]
+    legacy_single = (
+        len(mc) == 1
+        and len(nmbs) <= 1
+        and all(cl["action"] == "delete" for cl in nmbs)
+        and pk["insert_condition"] is None
+    )
+    if not legacy_single:
+        # multi-clause (or by-source UPDATE / conditional INSERT / no
+        # matched clause): route the ordered clause lists natively —
+        # first-match-wins, matched rows taking no clause carry through
+        # UNCHANGED (SQL semantics; also the insert-only shape). Clause
+        # conditions/SETs reference t.<col>/s.<col>; the INSERT gate is
+        # evaluated on the source row (s. prefix stripped).
+        return vt.merge(
+            source,
+            pk["keys"],
+            attempts=attempts,
+            matched_clauses=mc,
+            not_matched_by_source_clauses=nmbs,
+            insert_unmatched=pk["insert_unmatched"],
+            insert_condition=(
+                re.sub(r"\bs\s*\.\s*", "", pk["insert_condition"])
+                if pk["insert_condition"]
+                else None
+            ),
+        )
     delete_col = None
     when_matched_update = pk["when_matched_update"]
     if pk["matched_delete"] is not None:

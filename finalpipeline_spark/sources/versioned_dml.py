@@ -568,6 +568,9 @@ class DmlMixin:
         when_matched_condition: str | None = None,
         insert_unmatched: bool = True,
         not_matched_by_source_delete: str | None = None,
+        matched_clauses: list[dict[str, Any]] | None = None,
+        not_matched_by_source_clauses: list[dict[str, Any]] | None = None,
+        insert_condition: str | None = None,
     ) -> CommitInfo:
         """Delta-style MERGE: one atomic commit that upserts ``source``
         rows into the table by ``keys`` (whole-row replacement for
@@ -618,6 +621,31 @@ class DmlMixin:
           (Delta's ``whenNotMatchedBySourceDelete``) — the sync shape
           that retires rows absent from the latest feed.
 
+        MULTI-CLAUSE form (Delta semantics, FIRST-MATCH-WINS in the
+        declared order; only the LAST clause of a group may omit its
+        condition — anything after an unconditional clause would be
+        unreachable):
+
+        * ``matched_clauses=[{"condition": sql|None, "action":
+          "update"|"delete", "set": {col: expr}|None}, ...]`` — the
+          ordered ``WHEN MATCHED`` clause list, e.g. ``WHEN MATCHED
+          AND s.op = 'D' THEN DELETE WHEN MATCHED THEN UPDATE SET
+          ...``. Conditions and SET expressions may reference the
+          target row as ``t.<col>`` and the source row as ``s.<col>``.
+          A matched row taking no clause carries through UNCHANGED.
+          Exclusive with ``when_matched_update`` /
+          ``when_matched_condition`` / ``delete_col``.
+        * ``not_matched_by_source_clauses=[{"condition": sql|None,
+          "action": "update"|"delete", "set": {...}|None}, ...]`` —
+          the ordered ``WHEN NOT MATCHED BY SOURCE`` list; Delta also
+          allows UPDATE here (the SCD retire-or-stamp half).
+          Conditions see only the target row (bare names); SET
+          expressions reference it as ``t.<col>``. Exclusive with
+          ``not_matched_by_source_delete``.
+        * ``insert_condition="sql"`` — gates ``insert_unmatched``
+          (``WHEN NOT MATCHED AND <cond> THEN INSERT *``), evaluated
+          on the SOURCE row (bare names).
+
         Retries the whole derive+commit on a lost CAS race
         (``attempts=1`` restores raise-on-conflict)."""
         return self.commit_with_retry(
@@ -631,6 +659,9 @@ class DmlMixin:
                 when_matched_condition,
                 insert_unmatched,
                 not_matched_by_source_delete,
+                matched_clauses,
+                not_matched_by_source_clauses,
+                insert_condition,
             ),
             attempts,
         )
@@ -646,6 +677,9 @@ class DmlMixin:
         when_matched_condition: str | None = None,
         insert_unmatched: bool = True,
         not_matched_by_source_delete: str | None = None,
+        matched_clauses: list[dict[str, Any]] | None = None,
+        not_matched_by_source_clauses: list[dict[str, Any]] | None = None,
+        insert_condition: str | None = None,
     ) -> CommitInfo:
         if delete_col and delete_col in keys:
             raise ValueError("delete_col cannot be a merge key")
@@ -657,6 +691,67 @@ class DmlMixin:
             bad = sorted(set(when_matched_update) & set(keys))
             if bad:
                 raise ValueError(f"cannot SET merge keys {bad}")
+        if matched_clauses is not None and (
+            when_matched_update is not None
+            or when_matched_condition is not None
+            or delete_col is not None
+        ):
+            raise ValueError(
+                "matched_clauses is exclusive with when_matched_update/"
+                "when_matched_condition/delete_col"
+            )
+        if (
+            not_matched_by_source_clauses is not None
+            and not_matched_by_source_delete is not None
+        ):
+            raise ValueError(
+                "not_matched_by_source_clauses is exclusive with "
+                "not_matched_by_source_delete"
+            )
+        # normalize the single-clause kwargs into ordered clause lists;
+        # matched_clauses left as None means WHOLE-ROW replacement for
+        # matched keys (the original upsert semantics) — an empty list
+        # or an explicit clause list means clause semantics (rows taking
+        # no clause carry through unchanged)
+        if matched_clauses is None and when_matched_update is not None:
+            matched_clauses = [
+                {
+                    "condition": when_matched_condition,
+                    "action": "update",
+                    "set": when_matched_update,
+                }
+            ]
+        if not_matched_by_source_clauses is None:
+            not_matched_by_source_clauses = (
+                [{"condition": not_matched_by_source_delete,
+                  "action": "delete", "set": None}]
+                if not_matched_by_source_delete
+                else []
+            )
+        for label, group in (
+            ("matched", matched_clauses or []),
+            ("not-matched-by-source", not_matched_by_source_clauses),
+        ):
+            for i, cl in enumerate(group):
+                if cl.get("action") not in ("update", "delete"):
+                    raise ValueError(
+                        f"{label} clause action must be 'update' or "
+                        f"'delete', got {cl.get('action')!r}"
+                    )
+                if cl["action"] == "update" and not cl.get("set"):
+                    raise ValueError(
+                        f"{label} UPDATE clause needs SET assignments"
+                    )
+                if cl["action"] == "update":
+                    bad = sorted(set(cl["set"]) & set(keys))
+                    if bad:
+                        raise ValueError(f"cannot SET merge keys {bad}")
+                if cl.get("condition") is None and i < len(group) - 1:
+                    raise ValueError(
+                        f"only the last {label} clause may omit its "
+                        "condition — clauses after an unconditional one "
+                        "are unreachable (Delta rule)"
+                    )
         m = self.manifest()
         schema = self._schema_of(m)
         old = {f.name: f.dataType for f in schema.fields}
@@ -671,9 +766,12 @@ class DmlMixin:
                 f"type change on {conflicts} is not supported "
                 "(additive evolution only)"
             )
+        whole_row = matched_clauses is None
+        if insert_condition is not None and not insert_unmatched:
+            raise ValueError("insert_condition requires insert_unmatched")
         extra = [f for n, f in src.items() if n not in old]
-        if extra and when_matched_update is not None:
-            # SET mode: extra source columns are expression INPUTS
+        if extra and not whole_row:
+            # clause mode: extra source columns are expression INPUTS
             # (s.<col>), not schema evolution — inserts project the
             # table schema and ignore them
             pass
@@ -704,41 +802,54 @@ class DmlMixin:
         live = self._apply_dv(
             self._lineage_scan(m["files"], base_schema), m["files"]
         )
-        if when_matched_update is None:
+        if whole_row:
             # whole-row semantics: matched source rows REPLACE target
             # rows, so identity values must be retained from the target
             # (fresh ids only for genuinely new keys — silent
             # re-identification would break every downstream reference),
             # then omitted generated columns computed (their expressions
-            # may reference the identity). The SET-clause path retains
+            # may reference the identity). The clause path retains
             # ids naturally (updates rebuild target rows) and its
             # inserts get fresh ids in _merge_clause_files.
             source = self._apply_generated(
                 self._apply_identity_merge(source, live, keys, m), m
             )
         src_keys = source.select(*keys).distinct()
-        hit_rels = {
-            r["__file"]
-            for r in live.select("__file", *keys)
-            .join(src_keys, keys, "left_semi")
-            .select("__file")
-            .distinct()
-            .collect()  # bounded by file count, not rows
-        }
-        if not_matched_by_source_delete:
-            # files holding doomed source-less rows must be rewritten too
+        hit_rels: set[str] = set()
+        if whole_row or matched_clauses or delete_col:
+            # an INSERT-only clause merge touches no matched row —
+            # matched files need no rewrite at all
+            hit_rels = {
+                r["__file"]
+                for r in live.select("__file", *keys)
+                .join(src_keys, keys, "left_semi")
+                .select("__file")
+                .distinct()
+                .collect()  # bounded by file count, not rows
+            }
+        if not_matched_by_source_clauses:
+            # files holding source-less rows ANY by-source clause hits
+            # (doomed or re-stamped) must be rewritten too
+            nmbs_any = " OR ".join(
+                f"({cl['condition'] or 'true'})"
+                for cl in not_matched_by_source_clauses
+            )
             hit_rels |= {
                 r["__file"]
                 for r in live.select("__file", *base_schema.fieldNames())
                 .join(src_keys, keys, "left_anti")
-                .filter(F.expr(not_matched_by_source_delete))
+                .filter(F.expr(nmbs_any))
                 .select("__file")
                 .distinct()
                 .collect()  # bounded by file count
             }
         keep = [e for e in m["files"] if e["path"] not in hit_rels]
         rewrite = [e for e in m["files"] if e["path"] in hit_rels]
-        if when_matched_update is None and not_matched_by_source_delete is None:
+        if (
+            whole_row
+            and not not_matched_by_source_clauses
+            and insert_condition is None
+        ):
             # whole-row upsert, the original path
             upserts = (
                 source.filter(~F.col(delete_col)) if delete_col else source
@@ -761,8 +872,8 @@ class DmlMixin:
         else:
             new_files = self._merge_clause_files(
                 source, keys, delete_col, schema, rewrite, live,
-                when_matched_update, when_matched_condition,
-                insert_unmatched, not_matched_by_source_delete, m,
+                matched_clauses, whole_row, insert_unmatched,
+                insert_condition, not_matched_by_source_clauses, m,
             )
         return self._commit(
             "replace",
@@ -780,98 +891,150 @@ class DmlMixin:
         schema,
         rewrite: list[dict[str, Any]],
         live: DataFrame,
-        when_matched_update: dict[str, str] | None,
-        when_matched_condition: str | None,
+        matched_clauses: list[dict[str, Any]] | None,
+        whole_row: bool,
         insert_unmatched: bool,
-        not_matched_by_source_delete: str | None,
+        insert_condition: str | None,
+        nmbs_clauses: list[dict[str, Any]],
         m: dict[str, Any],
     ) -> list[dict[str, Any]]:
-        """Rewrite-side row derivation for the conditional-clause MERGE
-        path: ONE left join of the rewrite files against the source
-        decides every target row's fate (flagged delete / conditional
-        SET update / unchanged carry / source-less retire), and
-        unmatched source rows append NULL-backfilled inserts. Cost
-        shape matches the whole-row path: a key join over the rewrite
-        files plus one pass over the key-unique source."""
+        """Rewrite-side row derivation for the clause MERGE path: ONE
+        left join of the rewrite files against the source decides every
+        target row's fate via two FIRST-MATCH-WINS clause indexes —
+        ``__mc`` for the ordered WHEN MATCHED clauses (the delete_col
+        flag acts as an implicit leading DELETE clause) and ``__nc``
+        for the WHEN NOT MATCHED BY SOURCE clauses (conditions speak
+        bare target names, so the index is computed BEFORE the join
+        where they are unambiguous). Rows taking no clause carry
+        through unchanged; unmatched source rows append NULL-backfilled
+        inserts. Cost shape matches the whole-row path: a key join over
+        the rewrite files plus one pass over the key-unique source."""
         cols = [f.name for f in schema.fields]
         by_name = {f.name: f for f in schema.fields}
-        if when_matched_update:
-            unknown = sorted(set(when_matched_update) - set(cols))
+        for cl in (matched_clauses or []) + nmbs_clauses:
+            unknown = sorted(set(cl.get("set") or {}) - set(cols))
             if unknown:
                 raise ValueError(f"unknown columns in SET: {unknown}")
-        reserved = {"__m", "__doomed"} & (set(cols) | set(source.columns))
+        reserved = {"__m", "__mc", "__nc"} & (set(cols) | set(source.columns))
         if reserved:
             raise ValueError(
                 f"merge reserves the column name(s) {sorted(reserved)}"
             )
-        no_adds = when_matched_update is not None and not insert_unmatched
+        no_adds = not whole_row and not insert_unmatched
         if not rewrite and no_adds:
             return []  # nothing rewritten, nothing inserted
         src_flag = source.withColumn("__m", F.lit(True)).alias("s")
         rows_out = None
         if rewrite:
             tgt = self._scan_entries(rewrite, schema)
-            # the retire predicate speaks bare TARGET names: evaluate it
-            # BEFORE the join, where they are unambiguous
+            # by-source clause index, first-match-wins: conditions see
+            # only the target row (bare names) — evaluate BEFORE the
+            # join, where they are unambiguous
+            nc = None
+            for jx, cl in enumerate(nmbs_clauses, 1):
+                cond = (
+                    F.expr(cl["condition"]) if cl["condition"] else F.lit(True)
+                )
+                nc = F.when(cond, jx) if nc is None else nc.when(cond, jx)
             tgt = tgt.withColumn(
-                "__doomed",
-                F.expr(not_matched_by_source_delete)
-                if not_matched_by_source_delete
-                else F.lit(False),
+                "__nc", nc.otherwise(0) if nc is not None else F.lit(0)
             ).alias("t")
             j = tgt.join(src_flag, keys, "left")
             matched = F.col("__m").isNotNull()
-            flagged = (
-                matched & F.coalesce(F.col(f"s.{delete_col}"), F.lit(False))
-                if delete_col
-                else F.lit(False)
-            )
-            cond = (
-                F.expr(when_matched_condition)
-                if when_matched_condition
-                else F.lit(True)
-            )
-            doomed = (~matched) & F.col("__doomed")
-            if when_matched_update:
-                do_update = matched & ~flagged & cond
-                out_cols = [
-                    F.col(c)
-                    if c in keys
-                    else (
-                        F.when(
-                            do_update,
-                            F.expr(when_matched_update[c]).cast(
-                                by_name[c].dataType
-                            ),
-                        )
-                        .otherwise(F.col(f"t.{c}"))
-                        .alias(c)
-                        if c in when_matched_update
-                        else F.col(f"t.{c}").alias(c)
+            # matched clause list in declared order; the delete_col
+            # flag (CDC channel) is an implicit LEADING delete clause
+            eff: list[tuple[F.Column, str, dict[str, str] | None]] = []
+            if delete_col:
+                eff.append(
+                    (
+                        F.coalesce(F.col(f"s.{delete_col}"), F.lit(False)),
+                        "delete",
+                        None,
                     )
-                    for c in cols
-                ]
-                keep_row = ~flagged & ~doomed
-            else:
+                )
+            for cl in matched_clauses or []:
+                eff.append(
+                    (
+                        F.expr(cl["condition"])
+                        if cl.get("condition")
+                        else F.lit(True),
+                        cl["action"],
+                        cl.get("set"),
+                    )
+                )
+            mc = None
+            for i, (cond, _a, _s) in enumerate(eff, 1):
+                mc = (
+                    F.when(matched & cond, i)
+                    if mc is None
+                    else mc.when(matched & cond, i)
+                )
+            j = j.withColumn(
+                "__mc", mc.otherwise(0) if mc is not None else F.lit(0)
+            )
+            del_ids = [i for i, (_c, a, _s) in enumerate(eff, 1) if a == "delete"]
+            ndel_ids = [
+                jx
+                for jx, cl in enumerate(nmbs_clauses, 1)
+                if cl["action"] == "delete"
+            ]
+            del_row = (
+                F.col("__mc").isin(del_ids) if del_ids else F.lit(False)
+            )
+            doomed = (~matched) & (
+                F.col("__nc").isin(ndel_ids) if ndel_ids else F.lit(False)
+            )
+            if whole_row:
                 # whole-row replacement: matched rows drop here and
                 # re-enter from the source side below
-                out_cols = [
-                    F.col(c) if c in keys else F.col(f"t.{c}").alias(c)
-                    for c in cols
-                ]
                 keep_row = ~matched & ~doomed
+            else:
+                keep_row = ~del_row & ~doomed
+            out_cols = []
+            for c in cols:
+                if c in keys:
+                    out_cols.append(F.col(c))
+                    continue
+                e = F.col(f"t.{c}")
+                # clause-index equality makes the overrides disjoint,
+                # so wrap order doesn't matter
+                for i, (_cond, a, st) in enumerate(eff, 1):
+                    if a == "update" and st and c in st:
+                        e = F.when(
+                            F.col("__mc") == i,
+                            F.expr(st[c]).cast(by_name[c].dataType),
+                        ).otherwise(e)
+                for jx, cl in enumerate(nmbs_clauses, 1):
+                    st = cl.get("set")
+                    if cl["action"] == "update" and st and c in st:
+                        e = F.when(
+                            (~matched) & (F.col("__nc") == jx),
+                            F.expr(st[c]).cast(by_name[c].dataType),
+                        ).otherwise(e)
+                out_cols.append(e.alias(c))
             rows_out = j.filter(keep_row).select(*out_cols)
         # source-side additions
         adds = source.filter(~F.col(delete_col)) if delete_col else source
-        if when_matched_update is not None:
-            # matched rows were updated in place: only NEW keys insert
+        if not whole_row:
+            # matched rows were handled in place: only NEW keys insert
             adds = (
                 adds.join(live.select(*keys).distinct(), keys, "left_anti")
                 if insert_unmatched
                 else adds.limit(0)
             )
+            if insert_condition:
+                adds = adds.filter(F.expr(insert_condition))
         elif not insert_unmatched:
             adds = adds.join(live.select(*keys).distinct(), keys, "left_semi")
+        elif insert_condition:
+            # whole-row mode: matched source rows RE-ENTER regardless —
+            # the insert condition gates only genuinely NEW keys
+            live_keys = live.select(*keys).distinct()
+            adds = adds.join(live_keys, keys, "left_semi").unionByName(
+                adds.join(live_keys, keys, "left_anti").filter(
+                    F.expr(insert_condition)
+                )
+            )
         ins = adds.select(
             *[
                 F.col(c)

@@ -141,6 +141,180 @@ def test_clause_validation(spark, table):
         table.merge(src, ["id"], when_matched_condition="1 = 1")
 
 
+def test_multi_clause_first_match_wins(spark, table):
+    """Delta multi-clause MERGE: ordered WHEN MATCHED clauses apply
+    first-match-wins — the CDC-apply shape ``WHEN MATCHED AND op='D'
+    THEN DELETE WHEN MATCHED THEN UPDATE SET ...`` — in ONE atomic
+    commit; matched rows taking no clause carry through unchanged."""
+    src = spark.createDataFrame(
+        [(1, "D", 0), (2, "U", 999), (3, "X", 5), (200, "I", 7)],
+        "id bigint, op string, val bigint",
+    )
+    v = table.latest_version()
+    table.merge(
+        src,
+        ["id"],
+        matched_clauses=[
+            {"condition": "s.op = 'D'", "action": "delete", "set": None},
+            {
+                "condition": "s.op = 'U'",
+                "action": "update",
+                "set": {"amount": "s.val", "status": "'upd'"},
+            },
+        ],
+    )
+    got = _rows(table)
+    assert 1 not in got                     # first clause took it
+    assert got[2] == (999, "upd")           # second clause
+    assert got[3] == (30, "old")            # matched, no clause: carried
+    assert got[200] == (None, None)         # unmatched: inserted
+    assert got[0] == (0, "old") and len(got) == 10
+    assert table.latest_version() == v + 1  # one commit, atomic
+
+
+def test_multi_clause_update_order_and_unconditional_tail(spark, table):
+    """A conditional UPDATE ahead of an unconditional one: rows taking
+    the first clause must NOT also take the second (first-match-wins,
+    not last-writer-wins)."""
+    src = spark.createDataFrame(
+        [(1, 100), (2, 1)], "id bigint, val bigint"
+    )
+    table.merge(
+        src,
+        ["id"],
+        matched_clauses=[
+            {
+                "condition": "s.val > t.amount",
+                "action": "update",
+                "set": {"status": "'raised'"},
+            },
+            {"condition": None, "action": "update",
+             "set": {"status": "'touched'"}},
+        ],
+        insert_unmatched=False,
+    )
+    got = _rows(table)
+    assert got[1] == (10, "raised")    # 100 > 10: first clause
+    assert got[2] == (20, "touched")   # 1 < 20: falls to the tail
+    assert got[3] == (30, "old")       # unmatched by source: carried
+
+
+def test_not_matched_by_source_update_and_delete(spark, table):
+    """WHEN NOT MATCHED BY SOURCE supports UPDATE too (the SCD
+    stamp-or-retire pair), first-match-wins within the group."""
+    src = spark.range(0, 3).selectExpr("id")  # covers ids 0-2
+    table.merge(
+        src,
+        ["id"],
+        matched_clauses=[],  # matched rows carry (insert/stamp-only run)
+        insert_unmatched=False,
+        not_matched_by_source_clauses=[
+            {"condition": "amount >= 80", "action": "delete", "set": None},
+            {"condition": None, "action": "update",
+             "set": {"status": "'stale'"}},
+        ],
+    )
+    got = _rows(table)
+    assert all(got[i] == (i * 10, "old") for i in range(3))  # matched carry
+    assert 8 not in got and 9 not in got                     # retired
+    assert got[5] == (50, "stale")                           # stamped
+    assert len(got) == 8
+
+
+def test_insert_condition_gates_new_keys_only(spark, table):
+    src = spark.createDataFrame(
+        [(1, 100), (300, 1), (400, 100)], "id bigint, amount bigint"
+    )
+    table.merge(
+        src,
+        ["id"],
+        matched_clauses=[
+            {"condition": None, "action": "update",
+             "set": {"amount": "s.amount"}},
+        ],
+        insert_condition="amount > 50",  # source frame
+    )
+    got = _rows(table)
+    assert got[1] == (100, "old")       # matched: updated regardless
+    assert 300 not in got               # gated out (1 <= 50)
+    assert got[400] == (100, None)      # gated in
+    assert len(got) == 11
+
+
+def test_insert_only_clause_merge_rewrites_nothing(spark, table):
+    """matched_clauses=[] + INSERT: matched target rows carry through
+    UNCHANGED and their files are NOT rewritten (zero-rewrite commit)."""
+    before = {f["path"] for f in table.manifest()["files"]}
+    src = spark.createDataFrame(
+        [(1, 999, "x"), (500, 1, "n")], "id bigint, amount bigint, status string"
+    )
+    table.merge(src, ["id"], matched_clauses=[])
+    got = _rows(table)
+    assert got[1] == (10, "old")        # matched: untouched
+    assert got[500] == (1, "n")
+    after = {f["path"] for f in table.manifest()["files"]}
+    assert before <= after              # every old file carried by reference
+
+
+def test_multi_clause_validation(spark, table):
+    src = spark.createDataFrame([(1, 2)], "id bigint, amount bigint")
+    with pytest.raises(ValueError, match="unreachable"):
+        table.merge(
+            src,
+            ["id"],
+            matched_clauses=[
+                {"condition": None, "action": "delete", "set": None},
+                {"condition": "1=1", "action": "update",
+                 "set": {"amount": "1"}},
+            ],
+        )
+    with pytest.raises(ValueError, match="exclusive"):
+        table.merge(
+            src,
+            ["id"],
+            matched_clauses=[{"condition": None, "action": "delete",
+                              "set": None}],
+            when_matched_update={"amount": "1"},
+        )
+    with pytest.raises(ValueError, match="SET assignments"):
+        table.merge(
+            src, ["id"],
+            matched_clauses=[{"condition": None, "action": "update",
+                              "set": None}],
+        )
+
+
+def test_sql_multi_clause_merge_end_to_end(spark, table):
+    """The SQL surface routes multi-clause MERGE natively: CDC-apply
+    (conditional DELETE then UPDATE), conditional INSERT, and
+    NOT MATCHED BY SOURCE UPDATE, all in one statement."""
+    from finalpipeline_spark.sources.sql_dml import versioned_sql
+
+    src = spark.createDataFrame(
+        [(0, "D", 0), (1, "U", 111), (300, "I", 60), (400, "I", 10)],
+        "id bigint, op string, val bigint",
+    )
+    src.createOrReplaceTempView("mc_src")
+    versioned_sql(
+        spark,
+        f"""MERGE INTO versioned.`{table.root}` AS t USING mc_src AS s
+            ON t.id = s.id
+            WHEN MATCHED AND s.op = 'D' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET amount = s.val, status = 'upd'
+            WHEN NOT MATCHED AND s.val > 50 THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND amount >= 90 THEN DELETE
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'stale'
+        """,
+    )
+    got = _rows(table)
+    assert 0 not in got                      # matched DELETE
+    assert got[1] == (111, "upd")            # matched UPDATE
+    assert 300 in got and 400 not in got     # conditional INSERT
+    assert 9 not in got                      # NMBS DELETE (90 >= 90)
+    assert got[5] == (50, "stale")           # NMBS UPDATE
+    spark.catalog.dropTempView("mc_src")
+
+
 def test_clause_merge_respects_vectors_and_history(spark, table):
     table.delete_where("id % 2 = 1", mode="mor")
     src = spark.createDataFrame([(2, 7), (3, 7)], "id bigint, d bigint")

@@ -107,14 +107,60 @@ def test_merge_rejects_non_equi_or_mispaired_on(side):
         _parse_merge(stmt, _mask_literals(stmt))
 
 
-def test_merge_rejects_update_and_delete_together():
+def test_merge_multi_clause_parses_in_declared_order():
+    """Delta multi-clause MERGE: repeated WHEN MATCHED clauses parse
+    into an ordered list (first-match-wins at execution), and the
+    legacy single-clause fields stay None for multi-clause text."""
     stmt = (
         "MERGE INTO tgt AS t USING src AS s ON t.k = s.k "
-        "WHEN MATCHED AND s.x = 1 THEN UPDATE SET a = s.a "
-        "WHEN MATCHED THEN DELETE"
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET a = s.a "
+        "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND a < 0 THEN UPDATE SET a = 0 "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
     )
-    with pytest.raises(ValueError, match="one matched action"):
+    pk = _parse_merge(stmt, _mask_literals(stmt))
+    assert [c["action"] for c in pk["matched_clauses"]] == ["delete", "update"]
+    assert pk["matched_clauses"][0]["condition"] == "s.op = 'D'"
+    assert pk["matched_clauses"][1]["condition"] is None
+    assert pk["matched_clauses"][1]["set"] == {"a": "s.a"}
+    assert pk["insert_unmatched"] is True
+    assert pk["insert_condition"] == "s.op <> 'D'"
+    assert [c["action"] for c in pk["not_matched_by_source_clauses"]] == [
+        "update", "delete",
+    ]
+    assert pk["not_matched_by_source_clauses"][0]["set"] == {"a": "0"}
+    # multi-clause text leaves the legacy single-clause fields unset
+    assert pk["when_matched_update"] is None
+    assert pk["matched_delete"] is None
+    assert pk["not_matched_by_source_delete"] is None
+
+
+def test_merge_rejects_unreachable_clause_after_unconditional():
+    """Only the LAST clause of a group may omit its condition — a
+    clause after an unconditional one is unreachable (Delta rule)."""
+    stmt = (
+        "MERGE INTO tgt AS t USING src AS s ON t.k = s.k "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN MATCHED AND s.x = 1 THEN UPDATE SET a = s.a"
+    )
+    with pytest.raises(ValueError, match="unreachable"):
         _parse_merge(stmt, _mask_literals(stmt))
+    stmt2 = (
+        "MERGE INTO tgt AS t USING src AS s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE AND a < 0 THEN UPDATE SET a = 0"
+    )
+    with pytest.raises(ValueError, match="unreachable"):
+        _parse_merge(stmt2, _mask_literals(stmt2))
+    # two INSERT clauses are refused (INSERT * carries no alternative)
+    stmt3 = (
+        "MERGE INTO tgt AS t USING src AS s ON t.k = s.k "
+        "WHEN NOT MATCHED AND s.x = 1 THEN INSERT * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    with pytest.raises(ValueError, match="at most one"):
+        _parse_merge(stmt3, _mask_literals(stmt3))
 
 
 @given(s=_nasty)
