@@ -737,6 +737,83 @@ def versioned_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_partitioned_table",
+    oracle="""
+        SELECT cast(o_orderkey % 5 AS int) AS bucket,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(cast(round(o_totalprice * 100) AS bigint))
+                    AS bigint) AS sum_cents,
+               cast(0 AS bigint) AS rewritten_files,
+               (SELECT cast(count(*) AS bigint) FROM orders
+                WHERE o_orderkey % 7 = 0) AS v0_rows
+        FROM orders
+        WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 NOT IN (1, 3)
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    tags=("extension",),
+)
+def versioned_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 PARTITIONED BY, attested end-to-end: a versioned table
+    created through SQL CTAS with declared partition columns (one
+    partition value per data file, enforced by the write layout —
+    sources/versioned_dml._write_data_files), then a partition-scoped
+    SQL DELETE that must be METADATA-ONLY: whole matching partitions
+    drop from the manifest with ZERO files rewritten and zero data
+    read (versioned_dml._partition_pred_split — the Delta/Hive
+    drop-partition fast path).
+
+    Two engine facts ride the result as oracle-checked constants:
+    ``rewritten_files`` is computed from the manifests as |files added
+    by the delete commit| and the oracle pins it to 0 (a CoW fallback
+    would fail the gate), and ``v0_rows`` is a TIME-TRAVEL read of the
+    pre-delete version proving history is intact. The per-partition
+    aggregates of the final state must match the oracle's direct
+    reconstruction from parquet."""
+    from finalpipeline_spark.sources.pyds import register_versioned_source
+    from finalpipeline_spark.sources.sql_dml import versioned_sql
+    from finalpipeline_spark.sources.versioned import VersionedTable
+
+    register_versioned_source(spark)
+    load_table(spark, sf_dir, "orders").filter(
+        "o_orderkey % 7 = 0"
+    ).selectExpr(
+        "o_orderkey",
+        "o_totalprice",
+        "cast(o_orderkey % 5 as int) AS bucket",
+    ).createOrReplaceTempView("__fps_part_src")
+    root = tempfile.mkdtemp(prefix="fps_part_") + "/orders_vt"
+    versioned_sql(
+        spark,
+        f"CREATE TABLE versioned.`{root}` PARTITIONED BY (bucket) "
+        "AS SELECT * FROM __fps_part_src",
+    )
+    t = VersionedTable(spark, root)
+    before = {f["path"] for f in t.manifest()["files"]}
+    versioned_sql(
+        spark, f"DELETE FROM versioned.`{root}` WHERE bucket IN (1, 3)"
+    )
+    rewritten = len(
+        {f["path"] for f in t.manifest()["files"]} - before
+    )
+    v0_rows = t.read(version=0).count()
+    t.read().createOrReplaceTempView("__fps_part_final")
+    return spark.sql(
+        f"""
+        SELECT bucket,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(cast(round(o_totalprice * 100) AS bigint))
+                    AS bigint) AS sum_cents,
+               cast({rewritten} AS bigint) AS rewritten_files,
+               cast({v0_rows} AS bigint) AS v0_rows
+        FROM __fps_part_final
+        GROUP BY bucket
+        ORDER BY bucket
+        """
+    )
+
+
+@register(
     "versioned_sql_create_roundtrip",
     oracle="""
         SELECT tag,

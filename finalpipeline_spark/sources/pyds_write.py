@@ -286,7 +286,9 @@ def _refuse_engine_features(m: dict, root: str) -> None:
     """The SQL write path has no Spark engine at enforcement time —
     refuse tables whose write-side invariants need one."""
     needs = [
-        k for k in ("constraints", "generated", "identity") if m.get(k)
+        k
+        for k in ("constraints", "generated", "identity", "partition_by")
+        if m.get(k)
     ]
     if needs:
         raise ValueError(
@@ -437,9 +439,13 @@ def commit_os(
             # is a defensive carry — unreachable while the refusal gate
             # above is absolute, kept so a future relaxation cannot
             # silently drop them
-            for k in ("constraints", "generated", "identity", "bloom_index"):
+            for k in (
+                "constraints", "generated", "identity", "bloom_index",
+            ):
                 if head_m.get(k):
                     manifest[k] = dict(head_m[k])
+            if head_m.get("partition_by"):
+                manifest["partition_by"] = list(head_m["partition_by"])
         if meta:
             manifest["meta"] = meta
         payload = json.dumps(manifest).encode("utf-8")

@@ -857,6 +857,16 @@ def versioned_sql(
                 tail[p0 + 1:p1], tail_masked[p0 + 1:p1]
             )
             rest, rest_mask = tail[p1 + 1:], tail_masked[p1 + 1:]
+            pcols = None
+            pbm = re.match(
+                rf"\s*PARTITIONED{_WS}BY\s*\(([^)]*)\)", rest_mask, re.I
+            )
+            if pbm:
+                pcols = [
+                    c.strip().strip("`")
+                    for c in rest[pbm.start(1):pbm.end(1)].split(",")
+                ]
+                rest, rest_mask = rest[pbm.end():], rest_mask[pbm.end():]
             props = None
             if rest.strip():
                 rm = re.match(
@@ -865,8 +875,9 @@ def versioned_sql(
                 if not rm:
                     raise ValueError(
                         f"unsupported CREATE TABLE trailer {rest.strip()!r}"
-                        " — only TBLPROPERTIES ('k' = 'v', ...) may "
-                        "follow the column list"
+                        " — only PARTITIONED BY (col, ...) and "
+                        "TBLPROPERTIES ('k' = 'v', ...) may follow the "
+                        "column list"
                     )
                 props = _parse_bloom_props(
                     rest[rm.start(1):rm.end(1)], rest_mask[rm.start(1):rm.end(1)]
@@ -888,6 +899,19 @@ def versioned_sql(
             n_pre = 0
             while n_pre < len(col_specs) and col_specs[n_pre][0] == "plain":
                 n_pre += 1
+            if pcols:
+                lead = {sp[1] for sp in col_specs[:n_pre]}
+                bad = [c for c in pcols if c not in lead]
+                if bad:
+                    raise ValueError(
+                        f"PARTITIONED BY column(s) {bad} must be plain "
+                        "columns declared ahead of any GENERATED/"
+                        "IDENTITY column (the empty base commit records "
+                        "the partitioning)"
+                    )
+                # record the immutable partition_by property on the
+                # empty base commit (the engine enforces it from there)
+                dst.partition_by = list(pcols)
             fields = []
             for _, name, ddl, _nn in col_specs[:n_pre]:
                 # per-column parse: loud, with the offending column named
@@ -920,14 +944,26 @@ def versioned_sql(
             if props is not None:
                 info = dst.set_bloom_index(*props, attempts=attempts)
             return info
+        pbm = re.match(
+            rf"PARTITIONED{_WS}BY\s*\(([^)]*)\)\s*", tail_masked, re.I
+        )
+        if pbm:
+            # CTAS partitioning: recorded on the bootstrap commit; the
+            # engine's write layout enforces it from there
+            dst.partition_by = [
+                c.strip().strip("`")
+                for c in tail[pbm.start(1):pbm.end(1)].split(",")
+            ]
+            tail, tail_masked = tail[pbm.end():], tail_masked[pbm.end():]
         am = re.match(rf"AS{_WS}(.*)$", tail_masked, re.I | re.S)
         if not am:
             raise ValueError(
                 "unsupported CREATE TABLE shape — expected: CREATE [OR "
-                "REPLACE] TABLE versioned.`/p` AS <query>, CREATE TABLE "
-                "versioned.`/p` (col type, ...) [TBLPROPERTIES (...)], "
-                "or CREATE TABLE versioned.`/p` SHALLOW|DEEP CLONE "
-                "<src> [VERSION AS OF n]"
+                "REPLACE] TABLE versioned.`/p` [PARTITIONED BY (col, "
+                "...)] AS <query>, CREATE TABLE versioned.`/p` (col "
+                "type, ...) [PARTITIONED BY (...)] [TBLPROPERTIES "
+                "(...)], or CREATE TABLE versioned.`/p` SHALLOW|DEEP "
+                "CLONE <src> [VERSION AS OF n]"
             )
         return dst.commit_overwrite(spark.sql(tail[am.start(1):]))
 
@@ -1085,12 +1121,13 @@ def versioned_sql(
                 sum(vt._entry_live_rows(f) for f in m_["files"]),
                 sum(sizes) if all(b is not None for b in sizes) else None,
                 len(m_.get("constraints") or {}),
+                list(m_.get("partition_by") or []),
                 vt.table_properties(),
                 float(m_["ts"]) if m_.get("ts") is not None else None,
             )],
             "format string, location string, version bigint, "
             "numFiles bigint, numRows bigint, sizeInBytes bigint, "
-            "numConstraints bigint, "
+            "numConstraints bigint, partitionColumns array<string>, "
             "properties map<string,string>, commitTs double",
         )
 

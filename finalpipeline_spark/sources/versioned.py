@@ -126,12 +126,21 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
         bloom_k: int = 3,
         recovery_grace_seconds: float = 60.0,
         checkpoint_interval: int = 64,
+        partition_by: list[str] | None = None,
     ):
         self.spark = spark
         self.root = root.rstrip("/")
         self.bloom_col = bloom_col
         self.bloom_bits = bloom_bits
         self.bloom_k = bloom_k
+        # Hive/Delta-style PARTITION COLUMNS: every data file holds
+        # exactly ONE value tuple of these columns (enforced by the
+        # write layout — partitionBy subdirectories under each commit
+        # dir), recorded per entry as string-encoded ``pv`` (Delta's
+        # partitionValues). Declared at table creation (first commit)
+        # and immutable afterwards — a handle declaring a DIFFERENT
+        # set against an existing table refuses at write time.
+        self.partition_by = list(partition_by) if partition_by else None
         # every Nth commit drops a log anchor (best-effort, tiny file);
         # 0 disables. See _ANCHOR_FMT.
         self.checkpoint_interval = checkpoint_interval
@@ -197,9 +206,10 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
         """Manifest-relative path of each scanned row's physical file,
         recovered from ``_metadata.file_path`` — the stable join key
         between scans and deletion vectors (absolute paths differ per
-        clone base; ``data/c<uuid>/<part>`` never collides)."""
+        clone base; ``data/c<uuid>/...`` never collides). The path may
+        contain ``pv__<col>=<value>`` partition subdirectories."""
         return F.regexp_extract(
-            F.col("_metadata.file_path"), r"(data/c[0-9a-f]{32}/[^/]+)$", 1
+            F.col("_metadata.file_path"), r"(data/c[0-9a-f]{32}/.+)$", 1
         )
 
     @staticmethod

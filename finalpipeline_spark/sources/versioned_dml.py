@@ -79,8 +79,45 @@ class DmlMixin:
                 self._verify_generated(df, gen)
         commit_dir = f"{_DATA_DIR}/c{uuid.uuid4().hex}"
         abs_dir = f"{self.root}/{commit_dir}"
-        df.write.mode("errorifexists").parquet(abs_dir)
-        back = self.spark.read.parquet(abs_dir)
+        pcols = self.effective_partitioning()
+        if pcols:
+            missing = [c for c in pcols if c not in df.columns]
+            if missing:
+                raise SchemaMismatchError(
+                    f"write is missing partition column(s) {missing} "
+                    f"of {self.root}"
+                )
+            reserved = [c for c in df.columns if c.startswith("pv__")]
+            if reserved:
+                raise ValueError(
+                    f"partitioned tables reserve the 'pv__' column-name "
+                    f"prefix (write layout): {reserved}"
+                )
+            # one-value-per-file layout via partitionBy on DUPLICATE
+            # ``pv__<col>`` columns: the writer strips its partitionBy
+            # columns from the data files, so duplicating keeps the
+            # real columns physically present — every existing read
+            # path (imposed-schema file-list scans, the pyarrow
+            # DataSource, stats) works unchanged, and per-file min/max
+            # stats on partition columns become EXACT by construction
+            # (min == max == the partition value).
+            out = df
+            for c in pcols:
+                out = out.withColumn(f"pv__{c}", F.col(c))
+            out.write.mode("errorifexists").partitionBy(
+                *[f"pv__{c}" for c in pcols]
+            ).parquet(abs_dir)
+            # stats read back the EXPLICIT leaf files with the input
+            # schema imposed: no partition-dir inference (the pv__
+            # dirs are write-layout only), and an empty input — which
+            # partitionBy writes as zero files — short-circuits
+            written = self._list_data_files(commit_dir)
+            if not written:
+                return []
+            back = self.spark.read.schema(df.schema).parquet(*written)
+        else:
+            df.write.mode("errorifexists").parquet(abs_dir)
+            back = self.spark.read.parquet(abs_dir)
         cols = _stat_cols(back)
         str_cols = {c for c, t in back.dtypes if c in set(cols) and t == "string"}
         all_cols = back.columns  # null counts work for EVERY type
@@ -132,6 +169,8 @@ class DmlMixin:
                 "rows": r["__rows"],
                 "bytes": int(r["__bytes"]),
             }
+            if pcols:
+                entry["pv"] = self._pv_from_rel(rel, pcols)
             ent_stats: dict[str, Any] = {}
             trunc: list[str] = []
             for c in cols:
@@ -155,6 +194,134 @@ class DmlMixin:
                 entry["bloom"] = blooms[full]
             files.append(entry)
         return files
+
+    def _list_data_files(self, rel_dir: str) -> list[str]:
+        """Recursive listing of the data files under one commit dir
+        (descends the ``pv__<col>=...`` partition subdirectories) —
+        commit-sized, used only by the write path's stats read."""
+        out: list[str] = []
+
+        def walk(p) -> None:
+            for st in self._fs.listStatus(p):
+                name = st.getPath().getName()
+                if name.startswith(("_", ".")):
+                    continue
+                if st.isDirectory():
+                    walk(st.getPath())
+                else:
+                    out.append(st.getPath().toString())
+
+        p = self._p(*rel_dir.split("/"))
+        if self._fs.exists(p):
+            walk(p)
+        return sorted(out)
+
+    def effective_partitioning(self) -> list[str] | None:
+        """The partition columns in force for this table's writes: the
+        handle's ``partition_by`` config (a bootstrap write records it)
+        or the ``partition_by`` table property the manifest carries.
+        Immutability of the property is enforced at commit time
+        (versioned_log._commit)."""
+        try:
+            prop = self.manifest().get("partition_by")
+        except VersionNotFoundError:
+            prop = None
+        if prop:
+            return list(prop)
+        return list(self.partition_by) if self.partition_by else None
+
+    @staticmethod
+    def _pv_from_rel(rel: str, pcols: list[str]) -> dict[str, Any]:
+        """Decode the ``pv__<col>=<value>`` partition segments of a
+        manifest-relative file path into the entry's string-encoded
+        partition values (Delta's partitionValues shape: strings, NULL
+        for the Hive default-partition marker). The dir names are the
+        layout's ground truth — Spark escaped special characters as
+        %XX (ExternalCatalogUtils.escapePathName), which unquote
+        reverses exactly."""
+        from urllib.parse import unquote
+
+        pv: dict[str, Any] = {}
+        for seg in rel.split("/")[:-1]:
+            name, eq, raw = seg.partition("=")
+            if eq and name.startswith("pv__"):
+                val = unquote(raw)
+                pv[name[len("pv__"):]] = (
+                    None if val == "__HIVE_DEFAULT_PARTITION__" else val
+                )
+        missing = [c for c in pcols if c not in pv]
+        if missing:
+            raise ValueError(
+                f"partitioned write produced a file without partition "
+                f"segments for {missing}: {rel!r}"
+            )
+        return {c: pv[c] for c in pcols}
+
+    # partition-value types whose path-string encoding provably
+    # round-trips through a cast back to the column type — the
+    # precondition for METADATA-ONLY partition predicate evaluation
+    # (float/double/timestamp formatting is not trusted; those fall
+    # back to the scan path, which is always correct)
+    _PV_EXACT_TYPES = {
+        "tinyint", "smallint", "int", "bigint", "string", "boolean", "date"
+    }
+
+    def _partition_pred_split(
+        self, m: dict[str, Any], predicate: str
+    ) -> tuple[list[dict[str, Any]], list[dict[str, Any]]] | None:
+        """METADATA-ONLY partition predicate evaluation: when the table
+        is partitioned, every entry carries ``pv``, the partition
+        columns' types round-trip exactly through their path-string
+        encoding, and ``predicate`` references ONLY partition columns,
+        return ``(matched_entries, kept_entries)`` — matched files
+        contain ONLY matching rows and kept files contain NONE, both
+        provable from the one-value-per-file layout, so a delete or
+        replace scoped to whole partitions needs NO data I/O at all
+        (the Delta/Hive drop-partition fast path). Returns None when
+        the fast path does not apply; callers fall back to the exact
+        scan."""
+        pcols = m.get("partition_by")
+        if not pcols or any("pv" not in e for e in m["files"]):
+            return None
+        by_name = {f.name: f for f in self._schema_of(m).fields}
+        if any(
+            by_name[c].dataType.simpleString() not in self._PV_EXACT_TYPES
+            for c in pcols
+        ):
+            return None
+        distinct = sorted(
+            {tuple(e["pv"][c] for c in pcols) for e in m["files"]}, key=repr
+        )
+        from pyspark.sql.types import StructField, StructType, StringType, LongType
+
+        pdf = self.spark.createDataFrame(
+            [(i, *t) for i, t in enumerate(distinct)],
+            StructType(
+                [StructField("__pv_idx", LongType())]
+                + [StructField(c, StringType()) for c in pcols]
+            ),
+        ).select(
+            "__pv_idx",
+            *[
+                F.col(c).cast(by_name[c].dataType).alias(c)
+                for c in pcols
+            ],
+        )
+        try:
+            matched_idx = {
+                r["__pv_idx"]
+                for r in pdf.filter(F.expr(predicate)).collect()
+            }
+        except Exception:
+            # predicate references non-partition columns (or fails
+            # analysis some other way): not partition-scoped
+            return None
+        matched_vals = {distinct[i] for i in matched_idx}
+        matched, kept = [], []
+        for e in m["files"]:
+            key = tuple(e["pv"][c] for c in pcols)
+            (matched if key in matched_vals else kept).append(e)
+        return matched, kept
 
     def effective_bloom(self) -> tuple[str, int, int] | None:
         """The bloom-index geometry in force for THIS table's writes:
@@ -338,6 +505,14 @@ class DmlMixin:
     def _delete_where_once(self, predicate: str) -> CommitInfo:
         m = self.manifest()
         schema = self._schema_of(m)
+        fast = self._partition_pred_split(m, predicate)
+        if fast is not None:
+            # partition-scoped delete: whole matching partitions drop
+            # METADATA-ONLY — zero files rewritten, zero data read
+            matched, kept = fast
+            return self._commit(
+                "delete", kept, m["schema"], base_version=m["version"]
+            )
         live = self._apply_dv(self._lineage_scan(m["files"], schema), m["files"])
         hit_rels = {
             r["__file"]
@@ -1122,22 +1297,31 @@ class DmlMixin:
     ) -> CommitInfo:
         m = self.manifest()
         schema = self._schema_of(m)
-        live = self._apply_dv(self._lineage_scan(m["files"], schema), m["files"])
-        hit_rels = {
-            r["__file"]
-            for r in live.filter(F.expr(predicate))
-            .select("__file")
-            .distinct()
-            .collect()  # bounded by file count, not rows
-        }
-        keep = [e for e in m["files"] if e["path"] not in hit_rels]
-        rewrite = [e for e in m["files"] if e["path"] in hit_rels]
-        new_files: list[dict[str, Any]] = []
-        if rewrite:
-            survivors = self._scan_entries(rewrite, schema).filter(
-                ~F.expr(predicate)
+        fast = self._partition_pred_split(m, predicate)
+        if fast is not None:
+            # partition-scoped replace: matching partitions drop
+            # metadata-only; only the replacement rows are written
+            _matched, keep = fast
+            new_files = []
+        else:
+            live = self._apply_dv(
+                self._lineage_scan(m["files"], schema), m["files"]
             )
-            new_files += self._write_data_files(survivors, enforce=False)
+            hit_rels = {
+                r["__file"]
+                for r in live.filter(F.expr(predicate))
+                .select("__file")
+                .distinct()
+                .collect()  # bounded by file count, not rows
+            }
+            keep = [e for e in m["files"] if e["path"] not in hit_rels]
+            rewrite = [e for e in m["files"] if e["path"] in hit_rels]
+            new_files = []
+            if rewrite:
+                survivors = self._scan_entries(rewrite, schema).filter(
+                    ~F.expr(predicate)
+                )
+                new_files += self._write_data_files(survivors, enforce=False)
         # replacement rows behave like an append: the engine assigns
         # identity values (fresh ids — ALWAYS semantics forbid reuse)
         # and computes omitted generated columns, from the SAME
@@ -1357,6 +1541,11 @@ class DmlMixin:
             bloom_col=self.bloom_col,
             bloom_bits=self.bloom_bits,
             bloom_k=self.bloom_k,
+            # partitioning clones with the table (Delta parity): deep
+            # clones REWRITE under the same layout, shallow clones
+            # carry the pv-stamped entries and keep future writes
+            # consistent with them
+            partition_by=m.get("partition_by"),
         )
         if deep and m["files"]:
             # rows already satisfied the source's constraints — skip

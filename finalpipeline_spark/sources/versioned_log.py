@@ -616,6 +616,30 @@ class LogProtocolMixin:
             }
         elif pm is not None and pm.get("bloom_index"):
             manifest["bloom_index"] = dict(pm["bloom_index"])
+        # partition columns are an IMMUTABLE table property: declared
+        # by the creating handle's config at version 0, carried forward
+        # by every commit; a handle declaring a DIFFERENT set against
+        # an existing table refuses (repartitioning is a rewrite into a
+        # new table, not a metadata flip)
+        prev_pb = pm.get("partition_by") if pm is not None else None
+        own_pb = getattr(self, "partition_by", None)
+        if pm is None:
+            if own_pb:
+                manifest["partition_by"] = list(own_pb)
+        elif prev_pb:
+            if own_pb is not None and list(own_pb) != list(prev_pb):
+                raise ValueError(
+                    f"{self.root} is partitioned by {prev_pb}; this "
+                    f"handle declares {own_pb} — partitioning is fixed "
+                    "at table creation"
+                )
+            manifest["partition_by"] = list(prev_pb)
+        elif own_pb:
+            raise ValueError(
+                f"cannot declare partition columns {own_pb} on the "
+                f"existing unpartitioned table {self.root} — rewrite "
+                "into a new partitioned table instead"
+            )
         self._write_manifest(manifest)
         return CommitInfo(
             version=version,
@@ -793,28 +817,44 @@ class LogProtocolMixin:
         cutoff_ms = (time.time() - grace_seconds) * 1000.0
         deleted: list[str] = []
         data = self._p(_DATA_DIR)
+
+        def _walk_commit_dir(dir_path, rel_prefix: str) -> None:
+            """One level of a commit dir's contents; recurses into
+            partition subdirectories (``pv__<col>=...`` partitionBy
+            layout), reaping each once emptied and aged."""
+            for st in self._fs.listStatus(dir_path):
+                name = st.getPath().getName()
+                rel = f"{rel_prefix}/{name}"
+                if st.isDirectory() and not name.startswith(("_", ".")):
+                    _walk_commit_dir(st.getPath(), rel)
+                    if (
+                        not dry_run
+                        and st.getModificationTime() <= cutoff_ms
+                        and not self._fs.listStatus(st.getPath())
+                    ):
+                        self._fs.delete(st.getPath(), True)
+                    continue
+                if st.getModificationTime() > cutoff_ms:
+                    continue  # possibly an in-flight commit: retain
+                if name.startswith(("_", ".")):
+                    if not dry_run:
+                        try:
+                            self._fs.delete(st.getPath(), True)
+                        except Exception:
+                            # committer lint (_SUCCESS, _temporary)
+                            # that grew contents or vanished since
+                            # the listing — never worth failing the
+                            # whole vacuum over; retry next run
+                            pass
+                elif rel not in referenced:
+                    if not dry_run:
+                        self._fs.delete(st.getPath(), False)
+                    deleted.append(rel)
+
         if self._fs.exists(data):
             for commit_st in self._fs.listStatus(data):
                 cdir = commit_st.getPath().getName()
-                for st in self._fs.listStatus(commit_st.getPath()):
-                    name = st.getPath().getName()
-                    rel = f"{_DATA_DIR}/{cdir}/{name}"
-                    if st.getModificationTime() > cutoff_ms:
-                        continue  # possibly an in-flight commit: retain
-                    if name.startswith(("_", ".")):
-                        if not dry_run:
-                            try:
-                                self._fs.delete(st.getPath(), False)
-                            except Exception:
-                                # committer lint (_SUCCESS, _temporary)
-                                # that grew contents or vanished since
-                                # the listing — never worth failing the
-                                # whole vacuum over; retry next run
-                                pass
-                    elif rel not in referenced:
-                        if not dry_run:
-                            self._fs.delete(st.getPath(), False)
-                        deleted.append(rel)
+                _walk_commit_dir(commit_st.getPath(), f"{_DATA_DIR}/{cdir}")
                 # reap a fully-emptied commit dir — but ONLY an aged one:
                 # a racing writer's brand-new dir is EMPTY for the
                 # instant between its mkdirs and its first file, and

@@ -524,6 +524,11 @@ class SchemaEvolutionMixin:
             raise ValueError(f"no column '{name}' on {self.root}")
         if len(schema.fields) == 1:
             raise ValueError(f"cannot drop the only column of {self.root}")
+        if name in (m.get("partition_by") or []):
+            raise ValueError(
+                f"column '{name}' is a PARTITION column of {self.root} "
+                "— partitioning is fixed at table creation"
+            )
         pat = re.compile(rf"\b{re.escape(name)}\b")
         used = sorted(
             cn
@@ -653,6 +658,11 @@ class SchemaEvolutionMixin:
             raise ValueError(f"no column '{old}' on {self.root}")
         if new in schema.fieldNames():
             raise ValueError(f"column '{new}' already exists on {self.root}")
+        if old in (m.get("partition_by") or []):
+            raise ValueError(
+                f"column '{old}' is a PARTITION column of {self.root} "
+                "— partitioning is fixed at table creation"
+            )
         pat = re.compile(rf"\b{re.escape(old)}\b")
         used = sorted(
             cn
