@@ -814,6 +814,82 @@ def versioned_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_type_widening",
+    oracle="""
+        SELECT era,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(n) AS bigint) AS sum_n,
+               'int' AS v0_type,
+               'bigint' AS head_type
+        FROM (
+            SELECT 1 AS era, cast(o_orderkey % 100 AS bigint) AS n
+            FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT 2 AS era, o_orderkey + 3000000000 AS n
+            FROM orders WHERE o_orderkey % 3 = 1
+        )
+        GROUP BY era
+        ORDER BY era
+    """,
+    tags=("extension",),
+)
+def versioned_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 lossless TYPE WIDENING through schema evolution,
+    attested end-to-end: era 1 commits with ``n`` as INT; era 2
+    arrives with values past 2^31 as BIGINT and a merge_schema append
+    widens the table type IN THE SAME COMMIT (Delta's type-widening-
+    in-mergeSchema, versioned_dml.commit_append) — metadata-only for
+    the existing files, which upcast at read.
+
+    The final state is consumed through the PYTHON DATASOURCE reader
+    (the Arrow-side cast path, sources/pyds.py), so the oracle match
+    proves both readers serve the widened frame; ``v0_type`` /
+    ``head_type`` ride the result as engine-attested constants — time
+    travel must still read era 1 under its original INT type while the
+    head reads BIGINT."""
+    from finalpipeline_spark.sources.pyds import register_versioned_source
+    from finalpipeline_spark.sources.versioned import VersionedTable
+
+    register_versioned_source(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="fps_widen_") + "/orders_vt"
+    t = VersionedTable(spark, root)
+    t.commit_overwrite(
+        orders.filter("o_orderkey % 3 = 0").selectExpr(
+            "o_orderkey",
+            "cast(1 as int) AS era",
+            "cast(o_orderkey % 100 AS int) AS n",
+        )
+    )                                                                 # v0
+    t.commit_append(
+        orders.filter("o_orderkey % 3 = 1").selectExpr(
+            "o_orderkey",
+            "cast(2 as int) AS era",
+            "cast(o_orderkey + 3000000000 AS bigint) AS n",
+        ),
+        merge_schema=True,
+    )                                                                 # v1
+    v0_type = dict(t.read(version=0).dtypes)["n"]
+    head = (
+        spark.read.format("versioned").option("root", root).load()
+    )
+    head_type = dict(head.dtypes)["n"]
+    head.createOrReplaceTempView("__fps_widen_head")
+    return spark.sql(
+        f"""
+        SELECT era,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(n) AS bigint) AS sum_n,
+               '{v0_type}' AS v0_type,
+               '{head_type}' AS head_type
+        FROM __fps_widen_head
+        GROUP BY era
+        ORDER BY era
+        """
+    )
+
+
+@register(
     "versioned_sql_create_roundtrip",
     oracle="""
         SELECT tag,

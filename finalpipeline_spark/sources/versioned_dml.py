@@ -441,25 +441,44 @@ class DmlMixin:
             old = {f.name: f.dataType for f in prev_schema.fields}
             new = {f.name: f.dataType for f in df.schema.fields}
             conflicts = sorted(n for n in new if n in old and new[n] != old[n])
-            if conflicts:
+            # a source column arriving at a provably-LOSSLESS wider
+            # type (the widen_column set) evolves the table schema
+            # in the same commit under merge_schema=True — Delta's
+            # type-widening-in-mergeSchema; existing files upcast at
+            # read exactly as after an explicit widen_column. Anything
+            # else (narrowing, incompatible) still refuses.
+            widen = {
+                n
+                for n in conflicts
+                if new[n].simpleString()
+                in self._WIDENINGS.get(old[n].simpleString(), set())
+            }
+            hard = [n for n in conflicts if n not in widen]
+            if hard:
                 raise SchemaMismatchError(
-                    f"type change on {conflicts} is not supported "
+                    f"type change on {hard} is not supported "
                     "(additive evolution only)"
                 )
             added = [n for n in new if n not in old]
             dropped = [n for n in old if n not in new]
-            if (added or dropped) and not merge_schema:
+            if (added or dropped or widen) and not merge_schema:
                 raise SchemaMismatchError(
                     f"append schema differs from table schema "
-                    f"(new columns {added}, absent columns {dropped}); "
+                    f"(new columns {added}, absent columns {dropped}, "
+                    f"widened columns {sorted(widen)}); "
                     "pass merge_schema=True for additive evolution"
                 )
             if added:
                 self._assert_no_readd(added, set(old))
-            from pyspark.sql.types import StructType
+            from pyspark.sql.types import StructField, StructType
 
             merged = StructType(
-                list(prev_schema.fields)
+                [
+                    StructField(f.name, new[f.name], f.nullable)
+                    if f.name in widen
+                    else f
+                    for f in prev_schema.fields
+                ]
                 + [f for f in df.schema.fields if f.name not in old]
             )
             schema_ddl = merged.simpleString()
@@ -936,11 +955,39 @@ class DmlMixin:
         conflicts = sorted(
             n for n, f in src.items() if n in old and f.dataType != old[n]
         )
-        if conflicts:
+        # lossless type widening evolves through MERGE too (Delta's
+        # type-widening-in-mergeSchema): the table schema takes the
+        # wider source type, existing files upcast at read exactly as
+        # after an explicit widen_column; anything else still refuses
+        widen = {
+            n
+            for n in conflicts
+            if src[n].dataType.simpleString()
+            in self._WIDENINGS.get(old[n].simpleString(), set())
+        }
+        hard = [n for n in conflicts if n not in widen]
+        if hard:
             raise SchemaMismatchError(
-                f"type change on {conflicts} is not supported "
+                f"type change on {hard} is not supported "
                 "(additive evolution only)"
             )
+        if widen:
+            if not merge_schema:
+                raise SchemaMismatchError(
+                    f"merge source widens column type(s) {sorted(widen)}; "
+                    "pass merge_schema=True for lossless type widening"
+                )
+            from pyspark.sql.types import StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField(f.name, src[f.name].dataType, f.nullable)
+                    if f.name in widen
+                    else f
+                    for f in schema.fields
+                ]
+            )
+            old = {f.name: f.dataType for f in schema.fields}
         whole_row = matched_clauses is None
         if insert_condition is not None and not insert_unmatched:
             raise ValueError("insert_condition requires insert_unmatched")

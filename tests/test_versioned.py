@@ -1741,6 +1741,69 @@ def test_read_changes_rows_across_rollback(spark, table):
     assert table.read_changes_rows(4, 6).count() == 5
 
 
+def test_type_widening_through_schema_evolution(spark, table):
+    """A merge_schema append/merge whose source carries a provably
+    LOSSLESS wider type (the widen_column set) evolves the table type
+    in the same commit — Delta's type-widening-in-mergeSchema. Old
+    files upcast at read in BOTH readers; time travel keeps the old
+    type; CDF ranges cross the widening; narrowing still refuses."""
+    table.commit_overwrite(
+        spark.range(0, 10).selectExpr("id", "cast(id as int) as n")
+    )                                                                  # v0
+    wide = spark.range(10, 15).selectExpr(
+        "id", "cast(id + 10000000000 as bigint) as n"
+    )
+    with pytest.raises(Exception, match="widen|merge_schema"):
+        table.commit_append(wide)  # widening requires the opt-in
+    table.commit_append(wide, merge_schema=True)                       # v1
+    assert dict(table.read().dtypes)["n"] == "bigint"
+    assert table.read().count() == 15
+    # old files upcast at read; values intact
+    got = {r["id"]: r["n"] for r in table.read().collect()}
+    assert got[3] == 3 and got[12] == 10000000012
+    # time travel keeps the OLD type
+    assert dict(table.read(version=0).dtypes)["n"] == "int"
+    # the Python DataSource reader upcasts the same way
+    from finalpipeline_spark.sources.pyds import register_versioned_source
+
+    register_versioned_source(spark)
+    pyds = (
+        spark.read.format("versioned").option("root", table.root).load()
+    )
+    assert dict(pyds.dtypes)["n"] == "bigint"
+    assert pyds.count() == 15
+    assert {r["n"] for r in pyds.filter("id = 3").collect()} == {3}
+    # CDF across the widening serves in the target (wide) type
+    ch = table.read_changes_rows(0)
+    assert dict(ch.dtypes)["n"] == "bigint"
+    assert {r["id"] for r in ch.collect()} == set(range(10, 15))
+    # a NARROWER source still refuses (the widen_column contract:
+    # subsequent writes must supply the widened type)
+    src = spark.createDataFrame(
+        [(0, 7), (100, 8)], "id bigint, n int"
+    )
+    with pytest.raises(Exception, match="type change"):
+        table.merge(src, ["id"])
+    assert dict(table.read().dtypes)["n"] == "bigint"
+
+
+def test_merge_type_widening_requires_opt_in(spark, table):
+    table.commit_overwrite(
+        spark.range(0, 5).selectExpr("id", "cast(id as int) as n")
+    )
+    src = spark.createDataFrame([(1, 99), (50, 1)], "id bigint, n bigint")
+    with pytest.raises(Exception, match="widens|merge_schema"):
+        table.merge(src, ["id"])
+    table.merge(src, ["id"], merge_schema=True)
+    assert dict(table.read().dtypes)["n"] == "bigint"
+    got = {r["id"]: r["n"] for r in table.read().collect()}
+    assert got[1] == 99 and got[50] == 1 and got[2] == 2
+    # a genuinely incompatible change still refuses
+    bad = spark.createDataFrame([(1, "x")], "id bigint, n string")
+    with pytest.raises(Exception, match="type change"):
+        table.merge(bad, ["id"], merge_schema=True)
+
+
 def test_refresh_file_sizes_backfills_legacy_entries(spark, table):
     """refresh_file_sizes(): a pre-bytes (legacy) manifest gets exact
     per-file bytes stamped in ONE metadata-only commit — DESCRIBE
