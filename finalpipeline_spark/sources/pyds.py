@@ -795,7 +795,14 @@ class VersionedDataSource(DataSource):
         # accepts the struct<...> form directly.  In change-feed mode
         # every row additionally carries its change type and commit
         # version (the Delta readChangeFeed column contract).
-        base = self._manifest()["schema"]
+        m = self._manifest()
+        # remember WHICH version this schema came from: the stream
+        # reader's remap pin must come from the same manifest read as
+        # its field list, or a rename committed between schema
+        # resolution and reader construction mis-classifies as forward
+        # and silently serves NULL under the subscribed name
+        self._schema_pin = m["version"]
+        base = m["schema"]
         if self._cdf():
             return base[:-1] + (
                 ",_change_type:string,_commit_version:bigint"
@@ -925,6 +932,11 @@ class VersionedDataSource(DataSource):
             self.options["root"],
             [(f.name, f.dataType.simpleString()) for f in schema.fields],
             cdf=self._cdf(),
+            # pin and field list from the SAME manifest read (schema()
+            # stashed the version it resolved); absent only when the
+            # consumer supplied the schema explicitly — then the
+            # head-at-construction fallback applies
+            pin_version=getattr(self, "_schema_pin", None),
             **caps,
         )
 
@@ -1072,11 +1084,14 @@ class VersionedStreamReader(DataSourceStreamReader):
         # of failing on them. Never affects CDF mode.
         self._skip_change_commits = skip_change_commits
         # The PIN: the version whose schema this reader was planned
-        # with (Spark resolves schema() and constructs the reader in
-        # the same plan pass, so the head at construction IS the
-        # subscribed frame).  Remap-op directions derive from version
-        # order against it — see _pin_directions; injectable for tests
-        # that model a reader planned in an earlier era.
+        # with. The DataSource passes the version its schema() call
+        # actually resolved (same manifest read as the field list —
+        # a rename committed between schema resolution and reader
+        # construction must not shift the frame); the head-at-
+        # construction fallback covers explicitly-supplied schemas.
+        # Remap-op directions derive from version order against it —
+        # see _pin_directions; injectable for tests that model a
+        # reader planned in an earlier era.
         if pin_version is None:
             live = _live_manifests(root)
             pin_version = max(live) if live else -1
@@ -1395,8 +1410,14 @@ class VersionedStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         s, e = start["version"], end["version"]
         # resync pacing with the checkpoint on a restart-replayed batch
-        if self._last_end is None or e > self._last_end:
-            self._last_end = e
+        # — to BOTH bounds: on a restart latestOffset may have seeded
+        # the cursor from _initial_offset (below the checkpoint), and
+        # an engine that consulted latestOffset before replaying the
+        # checkpointed batch must still never be offered an offset
+        # behind its own start (it would regress the offset log and
+        # re-deliver rows)
+        cur = self._last_end if self._last_end is not None else -1
+        self._last_end = max(cur, s, e)
         if e <= s:
             return []
         live = _live_manifests(self._root)

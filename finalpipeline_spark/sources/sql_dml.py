@@ -790,8 +790,12 @@ def versioned_sql(
         # CREATE TABLE versioned.`/dst` SHALLOW|DEEP CLONE <src>
         #   [VERSION AS OF <n>]                            (Delta CLONE)
         m = re.match(
+            # \s* (not \s+) after the backtick target: a closing
+            # backquote needs no whitespace before '(' — with \s+,
+            # CREATE TABLE versioned.`/p`(id int) silently fell through
+            # to spark.sql and died with a confusing catalog error
             rf"CREATE{_WS}(?:(OR{_WS}REPLACE){_WS})?TABLE{_WS}"
-            rf"(versioned\s*\.\s*`[^`]+`)\s+(.*)$",
+            rf"(versioned\s*\.\s*`[^`]+`)\s*(.*)$",
             masked, re.I | re.S,
         )
         if not m:
@@ -886,63 +890,95 @@ def versioned_sql(
             cons_specs = [sp for sp in specs if sp[0] == "constraint"]
             if not col_specs:
                 raise ValueError("CREATE TABLE needs at least one column")
-            if col_specs[0][0] != "plain":
-                raise ValueError(
-                    "the first column of CREATE TABLE (col ...) must be "
-                    "a plain stored column — the engine declares "
-                    "GENERATED/IDENTITY columns by appending them to an "
-                    "existing empty base commit (column order is "
-                    "otherwise preserved exactly as written)"
-                )
-            from pyspark.sql.types import StructType, _parse_datatype_string
+            from pyspark.sql.types import (
+                LongType,
+                StructField,
+                StructType,
+                _parse_datatype_string,
+            )
 
-            n_pre = 0
-            while n_pre < len(col_specs) and col_specs[n_pre][0] == "plain":
-                n_pre += 1
             if pcols:
-                lead = {sp[1] for sp in col_specs[:n_pre]}
-                bad = [c for c in pcols if c not in lead]
+                plain = {sp[1] for sp in col_specs if sp[0] == "plain"}
+                bad = [c for c in pcols if c not in plain]
                 if bad:
                     raise ValueError(
                         f"PARTITIONED BY column(s) {bad} must be plain "
-                        "columns declared ahead of any GENERATED/"
-                        "IDENTITY column (the empty base commit records "
-                        "the partitioning)"
+                        "declared columns"
                     )
-                # record the immutable partition_by property on the
-                # empty base commit (the engine enforces it from there)
                 dst.partition_by = list(pcols)
-            fields = []
-            for _, name, ddl, _nn in col_specs[:n_pre]:
-                # per-column parse: loud, with the offending column named
-                try:
-                    fields += _parse_datatype_string(f"`{name}` {ddl}").fields
-                except Exception:
-                    raise ValueError(
-                        f"unparseable DDL type {ddl!r} for column "
-                        f"'{name}'"
-                    ) from None
-            info = dst.commit_overwrite(
-                spark.createDataFrame([], StructType(fields))
-            )
-            for sp in col_specs[n_pre:]:
+            # Stage the WHOLE declaration — schema in declared order,
+            # NOT NULL / CHECK constraints, generated + identity specs,
+            # the bloom property, partitioning — into ONE atomic commit:
+            # a crash leaves either the fully-declared table or nothing
+            # (never a half-declared root that refuses a re-run), and
+            # no commit ever exists on which the declared enforcement
+            # is not yet in force (a concurrent writer racing the DDL
+            # cannot land violating rows before the constraints exist).
+            fields: list = []
+            gen: dict[str, str] = {}
+            ident: dict[str, dict] = {}
+            for sp in col_specs:
                 if sp[0] == "plain":
-                    info = dst.add_column(sp[1], sp[2], attempts=attempts)
+                    _, cname, ddl, _nn = sp
+                    # per-column parse: loud, with the column named
+                    try:
+                        fields += _parse_datatype_string(
+                            f"`{cname}` {ddl}"
+                        ).fields
+                    except Exception:
+                        raise ValueError(
+                            f"unparseable DDL type {ddl!r} for column "
+                            f"'{cname}'"
+                        ) from None
                 elif sp[0] == "generated":
-                    info = dst.add_generated_column(
-                        sp[1], sp[2], sp[3], attempts=attempts
+                    _, cname, ddl, expr = sp
+                    try:
+                        dt = _parse_datatype_string(ddl)
+                    except Exception:
+                        raise ValueError(
+                            f"unparseable DDL type {ddl!r} for column "
+                            f"'{cname}'"
+                        ) from None
+                    # loud on a bad expression / unknown source columns:
+                    # analyze against the columns declared SO FAR (the
+                    # same frame add_generated_column validates against)
+                    spark.createDataFrame([], StructType(list(fields))).select(
+                        F.expr(expr).cast(dt).alias(cname)
                     )
-                else:
-                    info = dst.add_identity_column(
-                        sp[1], sp[2], sp[3], attempts=attempts
-                    )
+                    gen[cname] = expr
+                    fields.append(StructField(cname, dt, True))
+                else:  # identity
+                    _, cname, start, step = sp
+                    if int(step) == 0:
+                        raise ValueError("identity step cannot be 0")
+                    ident[cname] = {"start": int(start), "step": int(step)}
+                    fields.append(StructField(cname, LongType(), True))
+            names = [f.name for f in fields]
+            dup = sorted({n for n in names if names.count(n) > 1})
+            if dup:
+                raise ValueError(f"duplicate column(s) in CREATE TABLE: {dup}")
+            cons: dict[str, str] = {}
             for sp in col_specs:
                 if sp[0] == "plain" and sp[3]:
-                    info = dst.add_not_null(sp[1], attempts=attempts)
+                    cons[f"{sp[1]}_not_null"] = f"{sp[1]} IS NOT NULL"
             for _, cname, pred in cons_specs:
-                info = dst.add_constraint(cname, pred, attempts=attempts)
+                if cname in cons:
+                    raise ValueError(f"duplicate constraint '{cname}'")
+                cons[cname] = pred
+            extra: dict[str, Any] = {}
             if props is not None:
-                info = dst.set_bloom_index(*props, attempts=attempts)
+                extra["bloom_index"] = {
+                    "col": props[0], "bits": int(props[1]), "k": int(props[2]),
+                }
+            info = dst._commit(
+                "overwrite",
+                [],
+                StructType(fields).simpleString(),
+                constraints=cons or None,
+                generated=gen or None,
+                identity=ident or None,
+                **extra,
+            )
             return info
         pbm = re.match(
             rf"PARTITIONED{_WS}BY\s*\(([^)]*)\)\s*", tail_masked, re.I

@@ -846,12 +846,31 @@ def test_create_table_column_list_guards(spark, tmp_path):
             spark,
             f"CREATE OR REPLACE TABLE versioned.`{root}2` (id bigint)",
         )
-    with pytest.raises(ValueError, match="first column"):
+    # the whole declaration stages into ONE atomic commit now, so an
+    # identity-first column list is legal and order is preserved
+    versioned_sql(
+        spark,
+        f"CREATE TABLE versioned.`{root}3` "
+        "(rid bigint GENERATED ALWAYS AS IDENTITY, v int)",
+    )
+    t3 = VersionedTable(spark, f"{root}3")
+    assert t3.latest_version() == 0  # one commit, atomic
+    assert t3._schema_of(t3.manifest()).fieldNames() == ["rid", "v"]
+    assert t3.identity() == {"rid": {"start": 1, "step": 1}}
+    # ... and no whitespace is needed before the column list
+    versioned_sql(spark, f"CREATE TABLE versioned.`{root}6`(id bigint)")
+    assert VersionedTable(spark, f"{root}6").latest_version() == 0
+    # a bad clause must leave NO half-declared root behind (atomicity):
+    # the failing statement aborts before any commit, so a corrected
+    # re-run succeeds instead of hitting 'already exists'
+    with pytest.raises(Exception, match="nope|unparseable|cannot resolve"):
         versioned_sql(
             spark,
-            f"CREATE TABLE versioned.`{root}3` "
-            "(rid bigint GENERATED ALWAYS AS IDENTITY, v int)",
+            f"CREATE TABLE versioned.`{root}7` (id bigint, "
+            "c bigint GENERATED ALWAYS AS (nope + 1))",
         )
+    versioned_sql(spark, f"CREATE TABLE versioned.`{root}7` (id bigint)")
+    assert VersionedTable(spark, f"{root}7").latest_version() == 0
     with pytest.raises(ValueError, match="unparseable DDL type"):
         versioned_sql(
             spark, f"CREATE TABLE versioned.`{root}4` (id notatype)"
