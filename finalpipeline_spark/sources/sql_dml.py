@@ -1042,25 +1042,30 @@ def versioned_sql(
         return vt.rollback(vt.version_as_of_timestamp(epoch))
 
     if verb == "OPTIMIZE":
-        # OPTIMIZE <target> [ZORDER BY (col, ...)] — Delta's SQL shape
+        # OPTIMIZE <target> [WHERE <partition pred>] [ZORDER BY (...)]
+        # — Delta's SQL shape; WHERE restricts the rewrite to whole
+        # partitions (partition-columns-only predicate)
         m = re.match(
             rf"OPTIMIZE{_WS}({_REF})"
+            rf"(?:{_WS}WHERE{_WS}(.+?))?"
             rf"(?:{_WS}ZORDER{_WS}BY\s*\(([^)]*)\))?\s*$",
-            masked, re.I,
+            masked, re.I | re.S,
         )
         if not m:
             raise ValueError(
                 "unsupported OPTIMIZE shape — expected: OPTIMIZE "
-                "<target> [ZORDER BY (col, ...)]"
+                "<target> [WHERE <partition predicate>] "
+                "[ZORDER BY (col, ...)]"
             )
         target = stmt[m.start(1):m.end(1)]
+        where = stmt[m.start(2):m.end(2)].strip() if m.group(2) else None
         zcols = (
-            [c.strip().strip("`") for c in stmt[m.start(2):m.end(2)].split(",")]
-            if m.group(2)
+            [c.strip().strip("`") for c in stmt[m.start(3):m.end(3)].split(",")]
+            if m.group(3)
             else None
         )
         vt = VersionedTable(spark, _resolve_root(spark, target))
-        return vt.optimize(zorder_by=zcols, attempts=attempts)
+        return vt.optimize(zorder_by=zcols, where=where, attempts=attempts)
 
     if verb == "VACUUM":
         # VACUUM <target> [RETAIN <n> VERSIONS | RETAIN <n> HOURS]

@@ -1389,6 +1389,7 @@ class DmlMixin:
         mode: str = "full",
         attempts: int = 10,
         target_bytes_per_file: int | None = None,
+        where: str | None = None,
     ) -> CommitInfo:
         """OPTIMIZE: rewrite small files into ~target-sized files
         (bin-packing), optionally range-clustered on ``cluster_by``
@@ -1422,6 +1423,13 @@ class DmlMixin:
         observed bytes-per-row, or rewritten outright in compact
         mode — their size is unknown, so they are fair game).
 
+        ``where`` (Delta's ``OPTIMIZE ... WHERE``) restricts the
+        candidate set to whole partitions selected by a
+        partition-columns-only predicate — the steady-state shape for
+        partitioned ingest ("optimize yesterday's partition"), cost ∝
+        the named partitions. Refuses on an unpartitioned table or a
+        predicate touching non-partition columns.
+
         Either mode is one atomic commit, so concurrent readers never
         see a half-compacted table; retries on a lost CAS race."""
         if cluster_by and zorder_by:
@@ -1433,7 +1441,7 @@ class DmlMixin:
         return self.commit_with_retry(
             lambda t: t._optimize_once(
                 target_rows_per_file, cluster_by, zorder_by, mode,
-                target_bytes_per_file,
+                target_bytes_per_file, where,
             ),
             attempts,
         )
@@ -1445,16 +1453,36 @@ class DmlMixin:
         zorder_by: list[str] | None,
         mode: str,
         target_bytes_per_file: int | None = None,
+        where: str | None = None,
     ) -> CommitInfo:
         m = self.manifest()
         schema = self._schema_of(m)
         if not m["files"]:
             raise VersionNotFoundError(f"version {m['version']} is empty")
+        # OPTIMIZE ... WHERE (Delta semantics): restrict the candidate
+        # set to whole partitions selected by a partition-columns-only
+        # predicate — maintenance cost scales with the named partitions
+        # (e.g. yesterday's ingest), never the table
+        scope, out_of_scope = list(m["files"]), []
+        if where is not None:
+            split = self._partition_pred_split(m, where)
+            if split is None:
+                raise ValueError(
+                    "OPTIMIZE ... WHERE requires a partitioned table "
+                    "and a predicate over partition columns only "
+                    "(Delta semantics)"
+                )
+            scope, out_of_scope = split
+            if not scope:
+                return self._commit(
+                    "optimize", list(m["files"]), m["schema"],
+                    base_version=m["version"],
+                )
         if mode == "compact":
             if target_bytes_per_file is not None:
                 rewrite = [
                     e
-                    for e in m["files"]
+                    for e in scope
                     if e.get("dv")
                     or e.get("bytes") is None  # size unknown: fair game
                     or e["bytes"] < target_bytes_per_file
@@ -1462,7 +1490,7 @@ class DmlMixin:
             else:
                 rewrite = [
                     e
-                    for e in m["files"]
+                    for e in scope
                     if e.get("dv")
                     or self._entry_live_rows(e) < target_rows_per_file
                 ]
@@ -1477,7 +1505,7 @@ class DmlMixin:
                 )
             current = self._scan_entries(rewrite, schema)
         else:
-            rewrite, keep = list(m["files"]), []
+            rewrite, keep = list(scope), list(out_of_scope)
             current = self._scan_entries(rewrite, schema)
         if target_bytes_per_file is not None:
             known = [e for e in rewrite if e.get("bytes")]

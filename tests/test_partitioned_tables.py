@@ -146,6 +146,47 @@ def test_optimize_preserves_partition_layout(spark, pt):
     ).count() == 0
 
 
+def test_optimize_where_is_partition_scoped(spark, pt):
+    """OPTIMIZE ... WHERE <partition pred> rewrites ONLY the named
+    partitions' files (Delta semantics) — out-of-scope partitions
+    carry over by reference; refuses a non-partition predicate."""
+    # fragment one partition with extra small appends
+    for lo in (100, 110, 120):
+        pt.commit_append(
+            spark.range(lo, lo + 5)
+            .selectExpr("id", "cast(1 as int) as grp", "id * 2 as v")
+            .coalesce(1)
+        )
+    m0 = pt.manifest()
+    other = {f["path"] for f in m0["files"] if f["pv"]["grp"] != "1"}
+    n_grp1 = sum(1 for f in m0["files"] if f["pv"]["grp"] == "1")
+    assert n_grp1 >= 4
+    pt.optimize(
+        target_rows_per_file=1_000_000, mode="full", where="grp = 1"
+    )
+    m1 = pt.manifest()
+    # untouched partitions carried by reference
+    assert other <= {f["path"] for f in m1["files"]}
+    assert sum(1 for f in m1["files"] if f["pv"]["grp"] == "1") < n_grp1
+    assert pt.read().count() == 115
+    # SQL shape, and the refusals
+    from finalpipeline_spark.sources.pyds import register_versioned_source
+    from finalpipeline_spark.sources.sql_dml import versioned_sql
+
+    register_versioned_source(spark)
+    info = versioned_sql(
+        spark, f"OPTIMIZE versioned.`{pt.root}` WHERE grp = 2"
+    )
+    assert info.action == "optimize"
+    assert pt.read().count() == 115
+    with pytest.raises(ValueError, match="partition"):
+        pt.optimize(where="id < 10")  # non-partition predicate
+    # empty scope: metadata-only no-op commit
+    before = {f["path"] for f in pt.manifest()["files"]}
+    pt.optimize(where="grp = 99")
+    assert {f["path"] for f in pt.manifest()["files"]} == before
+
+
 def test_vacuum_reaps_partition_subdirectories(spark, pt):
     pt.delete_where("grp = 0")  # metadata-only drop
     pt.optimize(target_rows_per_file=1_000_000, mode="full")
