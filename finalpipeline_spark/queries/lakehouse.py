@@ -974,3 +974,86 @@ def versioned_sql_create_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         ORDER BY tag NULLS FIRST
         """
     )
+
+
+@register(
+    "versioned_copy_into",
+    oracle="""
+        SELECT cast(o_orderkey % 4 AS int) AS bucket,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(cast(round(o_totalprice * 100) AS bigint))
+                    AS bigint) AS sum_cents,
+               cast(2 AS bigint) AS first_files,
+               cast(0 AS bigint) AS rerun_files,
+               cast(1 AS bigint) AS incr_files
+        FROM orders
+        WHERE o_orderkey % 4 IN (0, 1, 2)
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    tags=("extension",),
+)
+def versioned_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 ``COPY INTO``, attested end-to-end: file-granular
+    idempotent ingestion (sources/versioned_dml.copy_into — the
+    lakehouse-level twin of the reference's ``used_input_files``
+    processed-file ledger, reference main.py:37-43). Two staged parquet
+    files COPY into a DDL-declared table; an identical re-run must load
+    ZERO files (the ledger rides commit metadata, so idempotence
+    survives process restarts); a third staged file then loads alone.
+
+    Three engine facts ride the result as oracle-pinned constants:
+    ``first_files`` = 2 (both staged files load), ``rerun_files`` = 0
+    (idempotent re-run commits NOTHING), ``incr_files`` = 1 (only the
+    new arrival loads). The per-bucket aggregates of the final table
+    must match the oracle's direct reconstruction from orders.
+
+    Scale shape: the source LISTING is one driver-side glob; the data
+    read is a distributed scan of exactly the new files; the ledger
+    scan is O(manifests), metadata-only."""
+    from finalpipeline_spark.sources.sql_dml import versioned_sql
+    from finalpipeline_spark.sources.versioned import VersionedTable
+
+    base = tempfile.mkdtemp(prefix="fps_copy_")
+    src, root = f"{base}/src", f"{base}/t"
+    orders = load_table(spark, sf_dir, "orders")
+
+    def stage(tag: str, residue: int) -> None:
+        orders.filter(f"o_orderkey % 4 = {residue}").selectExpr(
+            "o_orderkey",
+            "o_totalprice",
+            "cast(o_orderkey % 4 AS int) AS bucket",
+        ).coalesce(1).write.parquet(f"{src}/{tag}")
+
+    stage("a", 0)
+    stage("b", 1)
+    versioned_sql(
+        spark,
+        f"CREATE TABLE versioned.`{root}` "
+        "(o_orderkey BIGINT, o_totalprice DOUBLE, bucket INT)",
+    )
+    copy_stmt = (
+        f"COPY INTO versioned.`{root}` FROM '{src}' "
+        "FILEFORMAT = PARQUET PATTERN = '*/*.parquet'"
+    )
+    m1 = versioned_sql(spark, copy_stmt).first()
+    m2 = versioned_sql(spark, copy_stmt).first()  # idempotent re-run
+    stage("c", 2)
+    m3 = versioned_sql(spark, copy_stmt).first()  # incremental pickup
+    VersionedTable(spark, root).read().createOrReplaceTempView(
+        "__fps_copy_final"
+    )
+    return spark.sql(
+        f"""
+        SELECT bucket,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(cast(round(o_totalprice * 100) AS bigint))
+                    AS bigint) AS sum_cents,
+               cast({int(m1["num_loaded_files"])} AS bigint) AS first_files,
+               cast({int(m2["num_loaded_files"])} AS bigint) AS rerun_files,
+               cast({int(m3["num_loaded_files"])} AS bigint) AS incr_files
+        FROM __fps_copy_final
+        GROUP BY bucket
+        ORDER BY bucket
+        """
+    )

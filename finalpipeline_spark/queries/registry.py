@@ -82,7 +82,9 @@ _PRIORITY_MODULES: tuple[str, ...] = ()
 # lineitem_mergeable_quantiles (the sketch trio) and tpch_q11; then the
 # 50-query block whose latest green row is r8, minus the
 # most-locally-covered members, displaced in this order and promised
-# the HEAD OF THE R13 WINDOW:
+# the HEAD OF THE R13 WINDOW (plus versioned_copy_into, added late in
+# r12 with no driver row yet — never-attested counts as oldest):
+#   versioned_copy_into (locked by tests/test_copy_into.py),
 #   versioned_sql_time_travel, versioned_sql_table_changes,
 #   versioned_identity_generated (each locked by the dedicated
 #   versioned-table pytest suites), tpch_grouping_sets (same family as

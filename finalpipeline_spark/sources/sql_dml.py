@@ -60,6 +60,18 @@ Maintenance statements (Delta SQL parity, same target forms):
   guard protects in-flight commits either way.
 * ``DESCRIBE HISTORY <target>`` → the commit history DataFrame
   (version, parent, action, operation metrics).
+* ``COPY INTO <target> FROM '<path>' [FILEFORMAT = PARQUET|CSV|JSON|
+  ORC] [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k' = 'v', ...)]
+  [COPY_OPTIONS ('force'|'mergeSchema' = 'true'|'false')]`` —
+  Databricks COPY INTO: file-granular idempotent ingestion (a re-run
+  loads NOTHING; the loaded-file ledger rides commit metadata), by-name
+  aligned + cast onto the table schema with full constraint/generated/
+  identity enforcement; returns the one-row load-metrics DataFrame
+  (versioned_dml.copy_into).
+* ``SHOW PARTITIONS <target>`` → distinct live partition-value tuples
+  from the manifest (metadata-only; typed where the encoding
+  round-trips exactly); refuses unpartitioned versioned tables,
+  ordinary catalog tables pass through to Spark.
 * ``ANALYZE TABLE <target> COMPUTE STATISTICS`` → metadata-only
   per-file ``bytes`` backfill (versioned_dml.refresh_file_sizes), so
   legacy tables get an exact ``DESCRIBE DETAIL.sizeInBytes`` and real
@@ -365,6 +377,21 @@ def _parse_create_cols(s: str, masked: str) -> list[tuple]:
             not_null,
         ))
     return out
+
+
+def _parse_kv_props(inner: str, imask: str, what: str) -> dict[str, str]:
+    """A ``('k' = 'v', ...)`` option body → dict. Loud on any other
+    shape — silently dropping an option the user wrote is corruption."""
+    props: dict[str, str] = {}
+    for part in _split_top(inner, imask):
+        pm = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", part)
+        if not pm:
+            raise ValueError(
+                f"unsupported {what} entry {part.strip()!r} — "
+                "expected 'key' = 'value'"
+            )
+        props[pm.group(1)] = pm.group(2)
+    return props
 
 
 def _parse_bloom_props(inner: str, imask: str) -> tuple[str, int, int]:
@@ -755,7 +782,7 @@ def versioned_sql(
     masked = _mask_literals(stmt)
     kw = re.match(
         r"(INSERT|UPDATE|DELETE|MERGE|OPTIMIZE|VACUUM|DESCRIBE|CREATE|"
-        r"RESTORE|ALTER|SHOW|ANALYZE)\b",
+        r"RESTORE|ALTER|SHOW|ANALYZE|COPY)\b",
         masked, re.I,
     )
     if not kw:
@@ -1106,6 +1133,87 @@ def versioned_sql(
             [(p,) for p in reclaimed], "path string"
         )
 
+    if verb == "COPY":
+        # COPY INTO <target> FROM '<path>' [FILEFORMAT = fmt]
+        #   [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k' = 'v', ...)]
+        #   [COPY_OPTIONS ('force'|'mergeSchema' = 'true'|'false')]
+        # — Databricks COPY INTO: file-granular idempotent load
+        # (versioned_dml.copy_into). Returns the load metrics as a
+        # one-row DataFrame (Databricks' result shape).
+        m = re.match(
+            rf"COPY{_WS}INTO{_WS}({_REF}){_WS}FROM{_WS}('(?:[^']|'')*')"
+            rf"(?:{_WS}FILEFORMAT\s*=\s*(\w+))?"
+            rf"(?:{_WS}PATTERN\s*=\s*('(?:[^']|'')*'))?"
+            rf"(?:{_WS}FORMAT_OPTIONS\s*(\([^)]*\)))?"
+            rf"(?:{_WS}COPY_OPTIONS\s*(\([^)]*\)))?\s*$",
+            masked, re.I | re.S,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported COPY INTO shape — expected: COPY INTO "
+                "<target> FROM '<path>' [FILEFORMAT = PARQUET|CSV|JSON|"
+                "ORC] [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k' = 'v', "
+                "...)] [COPY_OPTIONS ('force'|'mergeSchema' = "
+                "'true'|'false')]"
+            )
+        target = stmt[m.start(1):m.end(1)]
+        source = stmt[m.start(2) + 1:m.end(2) - 1].replace("''", "'")
+        fmt = stmt[m.start(3):m.end(3)] if m.group(3) else "parquet"
+        pattern = (
+            stmt[m.start(4) + 1:m.end(4) - 1].replace("''", "'")
+            if m.group(4)
+            else None
+        )
+        fmt_opts = None
+        if m.group(5):
+            fmt_opts = _parse_kv_props(
+                stmt[m.start(5) + 1:m.end(5) - 1],
+                masked[m.start(5) + 1:m.end(5) - 1],
+                "FORMAT_OPTIONS",
+            )
+        copy_opts: dict[str, str] = {}
+        if m.group(6):
+            copy_opts = _parse_kv_props(
+                stmt[m.start(6) + 1:m.end(6) - 1],
+                masked[m.start(6) + 1:m.end(6) - 1],
+                "COPY_OPTIONS",
+            )
+        unknown = sorted(
+            k for k in copy_opts if k.lower() not in ("force", "mergeschema")
+        )
+        if unknown:
+            raise ValueError(
+                f"unsupported COPY_OPTIONS key(s) {unknown} — "
+                "supported: force, mergeSchema"
+            )
+
+        def _flag(name: str) -> bool:
+            for k, v in copy_opts.items():
+                if k.lower() == name:
+                    return v.strip().lower() == "true"
+            return False
+
+        vt = VersionedTable(spark, _resolve_root(spark, target))
+        r = vt.copy_into(
+            source,
+            file_format=fmt,
+            pattern=pattern,
+            format_options=fmt_opts,
+            force=_flag("force"),
+            merge_schema=_flag("mergeschema"),
+            attempts=attempts,
+        )
+        return spark.createDataFrame(
+            [(
+                r["files_loaded"],
+                r["rows_loaded"],
+                r["files_skipped"],
+                r["version"],
+            )],
+            "num_loaded_files bigint, num_inserted_rows bigint, "
+            "num_skipped_files bigint, version bigint",
+        )
+
     if verb == "ANALYZE":
         m = re.match(
             rf"ANALYZE{_WS}TABLE{_WS}({_REF}){_WS}"
@@ -1125,6 +1233,38 @@ def versioned_sql(
         )
 
     if verb == "SHOW":
+        pm_ = re.match(
+            rf"SHOW{_WS}PARTITIONS{_WS}({_REF})\s*$", masked, re.I
+        )
+        if pm_:
+            try:
+                root = _resolve_root(spark, stmt[pm_.start(1):pm_.end(1)])
+            except Exception:
+                return spark.sql(stmt)  # ordinary catalog table
+            vt = VersionedTable(spark, root)
+            vals = vt.partition_values()  # raises on unpartitioned
+            pcols = vt.effective_partitioning()
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            sdf = spark.createDataFrame(
+                [tuple(v[c] for c in pcols) for v in vals],
+                StructType([StructField(c, StringType()) for c in pcols]),
+            )
+            # typed where the path-string encoding provably round-trips
+            # (same set as metadata-only predicate evaluation); other
+            # types stay the recorded strings — never a lossy cast
+            types = {
+                f.name: f.dataType
+                for f in vt._schema_of(vt.manifest()).fields
+            }
+            return sdf.select(
+                *[
+                    F.col(c).cast(types[c]).alias(c)
+                    if types[c].simpleString() in vt._PV_EXACT_TYPES
+                    else F.col(c)
+                    for c in pcols
+                ]
+            ).orderBy(*pcols)
         m = re.match(rf"SHOW{_WS}TBLPROPERTIES{_WS}({_REF})\s*$", masked, re.I)
         if not m:
             return spark.sql(stmt)  # other SHOW forms: Spark's own

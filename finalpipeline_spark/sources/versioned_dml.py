@@ -405,6 +405,7 @@ class DmlMixin:
         df: DataFrame,
         meta: dict[str, Any] | None = None,
         merge_schema: bool = False,
+        expected_base: int | None = None,
     ) -> CommitInfo:
         """New version = previous file list + ``df``'s new files. The
         old files carry over BY REFERENCE — an append never rewrites.
@@ -421,7 +422,22 @@ class DmlMixin:
         files backfill NULL for the added columns at read time (no
         rewrite — a metadata-only migration). A same-name field with a
         different type always raises: silent type widening changes
-        existing rows' meaning."""
+        existing rows' meaning.
+
+        ``expected_base``: callers whose ``df`` DERIVES from an earlier
+        snapshot read (e.g. ``copy_into``'s loaded-file ledger) pass
+        the version that read observed; the append then refuses —
+        before writing anything — if the table has advanced past it,
+        closing the TOCTOU window the internal CAS (which guards
+        against commits racing THIS method's own snapshot) cannot see."""
+        if (
+            expected_base is not None
+            and self.latest_version() != expected_base
+        ):
+            raise ConcurrentCommitError(
+                f"{self.root} advanced past expected base version "
+                f"{expected_base} — re-derive and retry"
+            )
         prev_exists = self.latest_version() is not None
         prev: dict[str, Any] = {"files": [], "version": None}
         if prev_exists:
@@ -488,9 +504,221 @@ class DmlMixin:
             list(prev["files"]) + new_files,
             schema_ddl,
             meta,
-            base_version=prev["version"],
+            # with expected_base the caller's snapshot is the CAS base:
+            # the exclusive slot claim + this check make "ledger read
+            # at V, commit claims V+1" atomic (a racer in ANY window
+            # trips one of the two) — the early fast-fail above only
+            # saves the data write
+            base_version=(
+                prev["version"] if expected_base is None else expected_base
+            ),
         )
 
+    # -- COPY INTO ---------------------------------------------------
+
+    _COPY_FORMATS = {"parquet", "csv", "json", "orc"}
+
+    def _copy_into_loaded(self) -> set[str]:
+        """Every source-file path ever recorded by a ``copy_into``
+        commit's manifest meta — the idempotence ledger. Includes
+        expired/archived manifests (mirrors ``committed_meta``: load
+        identity must survive vacuum, or a re-run after retention
+        would double-ingest). O(versions) manifest reads, same cost
+        class as the streaming sink's epoch scan; manifests are
+        immutable so callers may snapshot-cache per head version."""
+        out: set[str] = set()
+        for v in self.versions():
+            m = self._read_manifest_file(v).get("meta") or {}
+            ci = m.get("copy_into")
+            if ci:
+                out.update(e["path"] for e in ci.get("files", []))
+        return out
+
+    def _copy_list_source(
+        self, source: str, pattern: str | None
+    ) -> list[dict[str, Any]]:
+        """Driver-side Hadoop glob of the COPY source → candidate file
+        entries (fully-qualified path = the ledger identity, plus
+        size/mtime provenance). The LISTING is driver-side and
+        O(source-listing) — the data read stays a normal distributed
+        Spark scan of only the selected files. ``_``/``.``-prefixed
+        names are skipped (Spark marker/hidden convention)."""
+        jvm = self._jvm
+        P = jvm.org.apache.hadoop.fs.Path
+        src = source.rstrip("/")
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        sfs = P(src).getFileSystem(conf)
+        if pattern is not None:
+            glob = P(f"{src}/{pattern}")
+        elif any(ch in src for ch in "*?[{"):
+            glob = P(src)
+        elif sfs.exists(P(src)) and sfs.getFileStatus(P(src)).isDirectory():
+            glob = P(f"{src}/*")
+        else:
+            glob = P(src)
+        sts = sfs.globStatus(glob)
+        cand = []
+        for st in sts or []:
+            if not st.isFile():
+                continue
+            hp = st.getPath()
+            if hp.getName().startswith(("_", ".")):
+                continue
+            cand.append(
+                {
+                    "path": sfs.makeQualified(hp).toString(),
+                    "bytes": int(st.getLen()),
+                    "mtime_ms": int(st.getModificationTime()),
+                }
+            )
+        cand.sort(key=lambda e: e["path"])
+        return cand
+
+    def copy_into(
+        self,
+        source: str,
+        file_format: str = "parquet",
+        pattern: str | None = None,
+        format_options: dict[str, str] | None = None,
+        force: bool = False,
+        merge_schema: bool = False,
+        attempts: int = 10,
+    ) -> dict[str, Any]:
+        """Databricks/Delta ``COPY INTO``: file-granular, idempotent,
+        exactly-once ingestion. Lists ``source`` (a directory, file,
+        or glob; ``pattern`` is a glob relative to a directory
+        source), skips every file a previous COPY commit already
+        recorded (ledger = ``meta.copy_into.files[*].path`` across the
+        whole log, keyed on the fully-qualified URI), reads the rest
+        with ``file_format``/``format_options``, aligns BY NAME onto
+        the table schema (casts; missing stored columns NULL-backfill;
+        unknown source columns refuse unless ``merge_schema`` — then
+        they evolve the schema additively, parquet only since text
+        formats read under the imposed stored-column schema), and
+        appends in ONE commit whose meta carries the loaded file list.
+        CHECK constraints, GENERATED compute, and IDENTITY assignment
+        apply exactly as on any append. ``force=True`` bypasses the
+        skip (and still records, so later non-force runs skip).
+
+        Exactly-once under races: the append asserts ``expected_base``
+        = the snapshot version the ledger was read at, so a racing
+        COPY of the same files trips the CAS and the retry re-reads
+        the ledger instead of double-loading.
+
+        This is the lakehouse-level twin of the reference's
+        ``used_input_files`` processed-file ledger (reference
+        main.py:37-43); the medallion plan keeps the batch anti-join
+        variant (plans/medallion.py).
+
+        Returns ``{"version", "files_loaded", "rows_loaded",
+        "files_skipped"}`` (version None when nothing new — a no-op
+        run commits NOTHING)."""
+        fmt = file_format.lower()
+        if fmt not in self._COPY_FORMATS:
+            raise ValueError(
+                f"unsupported COPY INTO FILEFORMAT {file_format!r} — "
+                f"supported: {sorted(f.upper() for f in self._COPY_FORMATS)}"
+            )
+        if self.latest_version() is None:
+            raise ValueError(
+                f"COPY INTO target {self.root} does not exist — CREATE "
+                "the table first (COPY never infers a table)"
+            )
+        cand = self._copy_list_source(source, pattern)
+
+        def _once(t: "DmlMixin") -> dict[str, Any]:
+            snap = t.manifest()
+            base = snap["version"]
+            loaded = t._copy_into_loaded()
+            new = [
+                e for e in cand if force or e["path"] not in loaded
+            ]
+            skipped = len(cand) - len(new)
+            if not new:
+                return {
+                    "version": None,
+                    "files_loaded": 0,
+                    "rows_loaded": 0,
+                    "files_skipped": skipped,
+                }
+            reader = t.spark.read.format(fmt)
+            opts = dict(format_options or {})
+            if fmt == "csv" and not any(
+                k.lower() == "header" for k in opts
+            ):
+                opts["header"] = "true"
+            if opts:
+                reader = reader.options(**opts)
+            schema = t._schema_of(snap)
+            gen = set(snap.get("generated") or {})
+            ident = set(snap.get("identity") or {})
+            stored = [
+                f
+                for f in schema.fields
+                if f.name not in gen and f.name not in ident
+            ]
+            if fmt in ("csv", "json"):
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(StructType(stored))
+            df = reader.load([e["path"] for e in new])
+            by_name = {f.name for f in schema.fields}
+            extra = [c for c in df.columns if c not in by_name]
+            if extra and not merge_schema:
+                raise SchemaMismatchError(
+                    f"COPY source carries column(s) {extra} not in the "
+                    f"table schema — pass mergeSchema for additive "
+                    "evolution"
+                )
+            out = []
+            for f in stored:
+                if f.name in df.columns:
+                    out.append(
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                    )
+                else:
+                    out.append(F.lit(None).cast(f.dataType).alias(f.name))
+            out.extend(F.col(c) for c in extra)
+            aligned = df.select(*out)
+            prev_rows = sum(
+                t._entry_live_rows(f) for f in snap["files"]
+            )
+            ci = t.commit_append(
+                aligned,
+                meta={
+                    "copy_into": {
+                        "source": source,
+                        "format": fmt,
+                        "files": new,
+                    }
+                },
+                merge_schema=merge_schema,
+                expected_base=base,
+            )
+            return {
+                "version": ci.version,
+                "files_loaded": len(new),
+                "rows_loaded": ci.n_rows - prev_rows,
+                "files_skipped": skipped,
+            }
+
+        return self.commit_with_retry(_once, attempts=attempts)
+
+    def partition_values(self) -> list[dict[str, Any]]:
+        """Distinct live partition-value tuples (string-encoded, as
+        recorded per file entry) — metadata-only, zero data I/O.
+        Raises on an unpartitioned table (Spark SHOW PARTITIONS
+        behavior)."""
+        pcols = self.effective_partitioning()
+        if not pcols:
+            raise ValueError(
+                f"SHOW PARTITIONS: {self.root} is not partitioned"
+            )
+        m = self.manifest()
+        seen = {
+            tuple(f["pv"][c] for c in pcols) for f in m["files"]
+        }
+        return [dict(zip(pcols, t)) for t in sorted(seen, key=str)]
 
     def delete_where(
         self, predicate: str, attempts: int = 10, mode: str = "cow"
