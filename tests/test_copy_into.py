@@ -372,3 +372,77 @@ def test_show_partitions_unpartitioned_refuses(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not partitioned"):
         versioned_sql(spark, f"SHOW PARTITIONS versioned.`{root}`")
+
+
+_COPY_WORKER = r"""
+import sys
+sys.path.insert(0, ".")
+root, src, wid = sys.argv[1], sys.argv[2], int(sys.argv[3])
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName(f"mp-copier-{wid}")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+from finalpipeline_spark.sources.versioned import VersionedTable
+
+vt = VersionedTable(spark, root)
+r = vt.copy_into(src, pattern="*/*.parquet", attempts=60)
+print("COPIER-OK", wid, r["files_loaded"], r["files_skipped"])
+"""
+
+
+def test_cross_process_racing_copies_load_exactly_once(spark, tmp_path):
+    """Three independent driver JVMs COPY the same source dir into one
+    table simultaneously; the snapshot-pinned CAS must make the union
+    of their loads exactly-once (every file loaded by exactly one
+    winner, losers skip on retry). This is the deployment shape of a
+    shared landing zone with redundant ingest jobs."""
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path / "vt")
+    t = VersionedTable(spark, root)
+    t.commit_overwrite(
+        spark.range(0, 0).selectExpr("id", "cast(id as int) as part")
+    )
+    src = str(tmp_path / "src")
+    for k in range(4):
+        _stage(spark, f"{src}/f{k}",
+               ["id", f"cast({k} as int) as part"], 100 * k, 100 * k + 25)
+
+    env = {**os.environ, "PYSPARK_PYTHON": _sys.executable}
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", _COPY_WORKER, root, src, str(w)],
+            cwd="/root/repo",
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for w in range(3)
+    ]
+    outs = [p.communicate(timeout=800)[0] for p in procs]
+    loaded = skipped = 0
+    for w, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"copier {w} failed:\n{out[-4000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("COPIER-OK")]
+        assert line, out[-2000:]
+        _, _, fl, fs = line[0].split()
+        loaded += int(fl)
+        skipped += int(fs)
+    # exactly-once across the fleet: 4 files loaded in total, the
+    # other 8 observations were ledger skips
+    assert loaded == 4
+    assert skipped == 8
+    assert t.read().count() == 100
+    # ledger holds each path exactly once across commits
+    paths = []
+    for v in t.versions():
+        m = t._read_manifest_file(v).get("meta") or {}
+        if "copy_into" in m:
+            paths.extend(e["path"] for e in m["copy_into"]["files"])
+    assert len(paths) == 4 and len(set(paths)) == 4

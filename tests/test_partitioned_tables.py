@@ -329,3 +329,45 @@ def test_null_partition_values_roundtrip(spark, tmp_path):
     t.delete_where("tag = 'a'")
     assert {f["path"] for f in t.manifest()["files"]} - before == set()
     assert {r["id"] for r in t.read().collect()} == {2, 3, 4}
+
+
+def test_source_column_predicate_prunes_without_partition_derivation(
+    spark, tmp_path
+):
+    """Delta needs generated-column PARTITION PRUNING (deriving a
+    partition predicate from a filter on the generating source column,
+    whitelisted expressions only) because it keeps stats for a capped
+    column prefix. Here that machinery is SUBSUMED: every file records
+    min/max for every stat-able column, and the one-value-per-file
+    partition layout makes source-column ranges per file exactly as
+    tight as the partition value — so a filter on the raw timestamp
+    prunes to the matching date-partition's files with no expression
+    analysis at all. This test locks the subsumption: predicate on the
+    SOURCE column plans exactly the files of its date partition."""
+    t = VersionedTable(spark, str(tmp_path / "dt"), partition_by=["d"])
+    # three "days" of epoch-micro timestamps, partitioned by date string
+    day = 86_400_000_000
+    t.commit_overwrite(
+        spark.range(0, 300).selectExpr(
+            "id",
+            f"cast(id div 100 as bigint) * {day} + id * 1000000 as ts_us",
+            "cast(date_add('2024-01-01', cast(id div 100 as int)) as "
+            "string) as d",
+        ).repartition(2)
+    )
+    m = t.manifest()
+    day1 = {f["path"] for f in m["files"] if f["pv"]["d"] == "2024-01-02"}
+    assert day1  # partition exists over >0 files
+    # range predicate on the RAW timestamp column, spanning only day 1
+    lo, hi = day + 1, 2 * day - 1
+    got = t.read_pruned("ts_us", lo, hi)
+    assert got.count() == 100  # ids 100..199 (day 1's rows)
+    # the plan read exactly day 1's files: per-file stats on ts_us are
+    # as selective as the partition value itself
+    planned = {
+        r["f"][r["f"].find("data/"):]
+        for r in got.selectExpr("_metadata.file_path as f")
+        .distinct()
+        .collect()
+    }
+    assert planned == day1
