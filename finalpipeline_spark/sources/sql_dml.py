@@ -394,6 +394,72 @@ def _parse_kv_props(inner: str, imask: str, what: str) -> dict[str, str]:
     return props
 
 
+def _parse_copy(stmt: str, masked: str) -> dict[str, Any]:
+    """COPY INTO text → kwargs (pure parse, no session): target ref,
+    unescaped source path, lowercased file format, optional pattern,
+    format options dict, and the validated force/mergeSchema flags."""
+    m = re.match(
+        rf"COPY{_WS}INTO{_WS}({_REF}){_WS}FROM{_WS}('(?:[^']|'')*')"
+        rf"(?:{_WS}FILEFORMAT\s*=\s*(\w+))?"
+        rf"(?:{_WS}PATTERN\s*=\s*('(?:[^']|'')*'))?"
+        rf"(?:{_WS}FORMAT_OPTIONS\s*(\([^)]*\)))?"
+        rf"(?:{_WS}COPY_OPTIONS\s*(\([^)]*\)))?\s*$",
+        masked, re.I | re.S,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported COPY INTO shape — expected: COPY INTO "
+            "<target> FROM '<path>' [FILEFORMAT = PARQUET|CSV|JSON|"
+            "ORC] [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k' = 'v', "
+            "...)] [COPY_OPTIONS ('force'|'mergeSchema' = "
+            "'true'|'false')]"
+        )
+    fmt_opts = None
+    if m.group(5):
+        fmt_opts = _parse_kv_props(
+            stmt[m.start(5) + 1:m.end(5) - 1],
+            masked[m.start(5) + 1:m.end(5) - 1],
+            "FORMAT_OPTIONS",
+        )
+    copy_opts: dict[str, str] = {}
+    if m.group(6):
+        copy_opts = _parse_kv_props(
+            stmt[m.start(6) + 1:m.end(6) - 1],
+            masked[m.start(6) + 1:m.end(6) - 1],
+            "COPY_OPTIONS",
+        )
+    unknown = sorted(
+        k for k in copy_opts if k.lower() not in ("force", "mergeschema")
+    )
+    if unknown:
+        raise ValueError(
+            f"unsupported COPY_OPTIONS key(s) {unknown} — "
+            "supported: force, mergeSchema"
+        )
+
+    def _flag(name: str) -> bool:
+        for k, v in copy_opts.items():
+            if k.lower() == name:
+                return v.strip().lower() == "true"
+        return False
+
+    return {
+        "target": stmt[m.start(1):m.end(1)],
+        "source": stmt[m.start(2) + 1:m.end(2) - 1].replace("''", "'"),
+        "file_format": (
+            stmt[m.start(3):m.end(3)] if m.group(3) else "parquet"
+        ),
+        "pattern": (
+            stmt[m.start(4) + 1:m.end(4) - 1].replace("''", "'")
+            if m.group(4)
+            else None
+        ),
+        "format_options": fmt_opts,
+        "force": _flag("force"),
+        "merge_schema": _flag("mergeschema"),
+    }
+
+
 def _parse_bloom_props(inner: str, imask: str) -> tuple[str, int, int]:
     """A ``TBLPROPERTIES ('k' = 'v', ...)`` body restricted to the
     bloom-index trio → ``(column, bits, k)``. Loud on anything else —
@@ -1140,69 +1206,9 @@ def versioned_sql(
         # — Databricks COPY INTO: file-granular idempotent load
         # (versioned_dml.copy_into). Returns the load metrics as a
         # one-row DataFrame (Databricks' result shape).
-        m = re.match(
-            rf"COPY{_WS}INTO{_WS}({_REF}){_WS}FROM{_WS}('(?:[^']|'')*')"
-            rf"(?:{_WS}FILEFORMAT\s*=\s*(\w+))?"
-            rf"(?:{_WS}PATTERN\s*=\s*('(?:[^']|'')*'))?"
-            rf"(?:{_WS}FORMAT_OPTIONS\s*(\([^)]*\)))?"
-            rf"(?:{_WS}COPY_OPTIONS\s*(\([^)]*\)))?\s*$",
-            masked, re.I | re.S,
-        )
-        if not m:
-            raise ValueError(
-                "unsupported COPY INTO shape — expected: COPY INTO "
-                "<target> FROM '<path>' [FILEFORMAT = PARQUET|CSV|JSON|"
-                "ORC] [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k' = 'v', "
-                "...)] [COPY_OPTIONS ('force'|'mergeSchema' = "
-                "'true'|'false')]"
-            )
-        target = stmt[m.start(1):m.end(1)]
-        source = stmt[m.start(2) + 1:m.end(2) - 1].replace("''", "'")
-        fmt = stmt[m.start(3):m.end(3)] if m.group(3) else "parquet"
-        pattern = (
-            stmt[m.start(4) + 1:m.end(4) - 1].replace("''", "'")
-            if m.group(4)
-            else None
-        )
-        fmt_opts = None
-        if m.group(5):
-            fmt_opts = _parse_kv_props(
-                stmt[m.start(5) + 1:m.end(5) - 1],
-                masked[m.start(5) + 1:m.end(5) - 1],
-                "FORMAT_OPTIONS",
-            )
-        copy_opts: dict[str, str] = {}
-        if m.group(6):
-            copy_opts = _parse_kv_props(
-                stmt[m.start(6) + 1:m.end(6) - 1],
-                masked[m.start(6) + 1:m.end(6) - 1],
-                "COPY_OPTIONS",
-            )
-        unknown = sorted(
-            k for k in copy_opts if k.lower() not in ("force", "mergeschema")
-        )
-        if unknown:
-            raise ValueError(
-                f"unsupported COPY_OPTIONS key(s) {unknown} — "
-                "supported: force, mergeSchema"
-            )
-
-        def _flag(name: str) -> bool:
-            for k, v in copy_opts.items():
-                if k.lower() == name:
-                    return v.strip().lower() == "true"
-            return False
-
-        vt = VersionedTable(spark, _resolve_root(spark, target))
-        r = vt.copy_into(
-            source,
-            file_format=fmt,
-            pattern=pattern,
-            format_options=fmt_opts,
-            force=_flag("force"),
-            merge_schema=_flag("mergeschema"),
-            attempts=attempts,
-        )
+        pk = _parse_copy(stmt, masked)
+        vt = VersionedTable(spark, _resolve_root(spark, pk.pop("target")))
+        r = vt.copy_into(attempts=attempts, **pk)
         return spark.createDataFrame(
             [(
                 r["files_loaded"],

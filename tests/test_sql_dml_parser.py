@@ -335,3 +335,79 @@ def test_parse_bloom_props():
     for bad in ["'other' = 'x'", "'bloom.bits' = '64'"]:
         with pytest.raises(ValueError):
             _parse_bloom_props(bad, _mask_literals(bad))
+
+
+# -- COPY INTO parse -------------------------------------------------
+
+_copy_nasty_path = st.lists(
+    st.sampled_from(
+        list("abc/ .-_09")
+        + ["''", " FROM ", "FILEFORMAT", "COPY_OPTIONS", "PATTERN",
+           "(", ")", ","]
+    ),
+    min_size=1,
+    max_size=10,
+).map(lambda parts: "".join(parts))
+
+
+@given(path=_copy_nasty_path, pat=_copy_nasty_path)
+@settings(max_examples=200, deadline=None)
+def test_copy_parse_roundtrips_path_and_pattern(path, pat):
+    """Grammar keywords, parens, and doubled quotes INSIDE the path or
+    pattern literal must never derail the parse: the unescaped text
+    comes back verbatim and options parse independently."""
+    from finalpipeline_spark.sources.sql_dml import _parse_copy
+
+    stmt = (
+        f"COPY INTO versioned.`/t` FROM '{path}' FILEFORMAT = CSV "
+        f"PATTERN = '{pat}' FORMAT_OPTIONS ('sep' = ';') "
+        "COPY_OPTIONS ('force' = 'true')"
+    )
+    pk = _parse_copy(stmt, _mask_literals(stmt))
+    assert pk["source"] == path.replace("''", "'")
+    assert pk["pattern"] == pat.replace("''", "'")
+    assert pk["file_format"] == "CSV"
+    assert pk["format_options"] == {"sep": ";"}
+    assert pk["force"] is True and pk["merge_schema"] is False
+
+
+@given(
+    keys=st.lists(
+        st.sampled_from(["force", "FORCE", "mergeSchema", "MERGESCHEMA"]),
+        min_size=0,
+        max_size=2,
+        unique_by=lambda k: k.lower(),
+    ),
+    val=st.sampled_from(["true", "false", "TRUE", " True "]),
+)
+@settings(max_examples=100, deadline=None)
+def test_copy_options_case_and_whitespace_insensitive(keys, val):
+    from finalpipeline_spark.sources.sql_dml import _parse_copy
+
+    opts = ", ".join(f"'{k}' = '{val}'" for k in keys)
+    stmt = f"COPY INTO versioned.`/t` FROM '/src'" + (
+        f" COPY_OPTIONS ({opts})" if keys else ""
+    )
+    pk = _parse_copy(stmt, _mask_literals(stmt))
+    expect = val.strip().lower() == "true"
+    assert pk["force"] == (expect and any(k.lower() == "force" for k in keys))
+    assert pk["merge_schema"] == (
+        expect and any(k.lower() == "mergeschema" for k in keys)
+    )
+
+
+def test_copy_parse_defaults_and_refusals():
+    from finalpipeline_spark.sources.sql_dml import _parse_copy
+
+    stmt = "COPY INTO versioned.`/t` FROM '/landing/zone'"
+    pk = _parse_copy(stmt, _mask_literals(stmt))
+    assert pk["file_format"] == "parquet" and pk["pattern"] is None
+    assert pk["format_options"] is None
+    for bad in (
+        "COPY INTO versioned.`/t`",  # no FROM
+        "COPY INTO versioned.`/t` FROM /unquoted",
+        "COPY INTO versioned.`/t` FROM '/p' COPY_OPTIONS ('nope' = '1')",
+        "COPY INTO versioned.`/t` FROM '/p' FORMAT_OPTIONS (header)",
+    ):
+        with pytest.raises(ValueError):
+            _parse_copy(bad, _mask_literals(bad))
