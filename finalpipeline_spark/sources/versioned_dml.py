@@ -12,6 +12,7 @@ methods run on the composed table object.
 from __future__ import annotations
 
 import json
+import threading
 import time
 import uuid
 from typing import Any
@@ -38,6 +39,12 @@ from finalpipeline_spark.sources.versioned_base import (
     _trunc_upper,
     cdf_final_state,
 )
+
+
+# COPY INTO ledger cache — see DmlMixin._copy_into_loaded
+_COPY_LEDGER_CACHE: dict[str, dict] = {}
+_COPY_LEDGER_MAX = 64
+_COPY_LEDGER_LOCK = threading.Lock()
 
 
 class DmlMixin:
@@ -523,15 +530,40 @@ class DmlMixin:
         commit's manifest meta — the idempotence ledger. Includes
         expired/archived manifests (mirrors ``committed_meta``: load
         identity must survive vacuum, or a re-run after retention
-        would double-ingest). O(versions) manifest reads, same cost
-        class as the streaming sink's epoch scan; manifests are
-        immutable so callers may snapshot-cache per head version."""
-        out: set[str] = set()
-        for v in self.versions():
-            m = self._read_manifest_file(v).get("meta") or {}
-            ci = m.get("copy_into")
-            if ci:
-                out.update(e["path"] for e in ci.get("files", []))
+        would double-ingest).
+
+        Incremental via the per-root contiguity cache (mirror of the
+        stream sink's epoch cache, pyds_write._committed_epochs):
+        committed manifests are immutable (vacuum only flips
+        ``expired``; archival renames preserve name + content), so the
+        path set over versions 0..upto never changes — a steady
+        ingest-loop COPY pays O(commits since the last call), not
+        O(all commits ever). Table REPLACEMENT at the same root is
+        detected by pinning version 0's commit timestamp: a changed v0
+        rebuilds from scratch, so a fresh table never inherits the
+        dead table's ledger."""
+        vs = self.versions()
+        if not vs:
+            return set()
+        v0_ts = self._read_manifest_file(vs[0]).get("ts")
+        with _COPY_LEDGER_LOCK:
+            c = _COPY_LEDGER_CACHE.pop(self.root, None)
+            if c is None or c["v0_ts"] != v0_ts:
+                c = {"upto": -1, "paths": set(), "v0_ts": v0_ts}
+            for v in vs:
+                if v <= c["upto"]:
+                    continue
+                m = self._read_manifest_file(v).get("meta") or {}
+                ci = m.get("copy_into")
+                if ci:
+                    c["paths"].update(
+                        e["path"] for e in ci.get("files", [])
+                    )
+                c["upto"] = v
+            out = set(c["paths"])
+            if len(_COPY_LEDGER_CACHE) >= _COPY_LEDGER_MAX:
+                _COPY_LEDGER_CACHE.pop(next(iter(_COPY_LEDGER_CACHE)))
+            _COPY_LEDGER_CACHE[self.root] = c
         return out
 
     def _copy_list_source(

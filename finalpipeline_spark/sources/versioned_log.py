@@ -152,13 +152,24 @@ class LogProtocolMixin:
         # by one in the writers-vs-vacuum soak); a gap in the listing
         # never means a gap in the log.
         latest = anchor
+        parsed = []
         for name in names:
             try:
-                v = int(name[1:-5])
-                if v <= latest:
-                    continue  # implied by a later version / the anchor
+                parsed.append(int(name[1:-5]))
+            except ValueError:
+                continue  # stray junk name
+        # probe DESCENDING: the first parseable manifest proves all its
+        # ancestors (contiguity), so the loop normally opens ONE
+        # manifest — not every unanchored one (ascending order made a
+        # young log's every versions() call O(commits since anchor)
+        # manifest reads; only crash fragments/racing quarantines cost
+        # extra probes, and those are tail-bounded)
+        for v in sorted(parsed, reverse=True):
+            if v <= latest:
+                break  # descending: everything below is implied
+            try:
                 self._read_manifest_file(v)
-            except (ValueError, json.JSONDecodeError):
+            except json.JSONDecodeError:
                 continue  # an aborted fragment is invisible
             except VersionNotFoundError:
                 # vanished between listStatus and the read: an aborted
@@ -166,6 +177,7 @@ class LogProtocolMixin:
                 # read itself already probes the archive)
                 continue
             latest = v
+            break  # ancestors implied
         # forward probe past the listed max — heals a racing archival
         # of the newest manifest; normally one O(1) miss
         v = latest + 1
