@@ -25,9 +25,16 @@ supported shape in the message; silent misparse of DML is corruption):
   NULL-backfill except GENERATED (engine computes) and IDENTITY
   (engine assigns — identity tables must use the column-list form
   omitting the identity column, Delta's own requirement for ALWAYS).
+* ``INSERT INTO <target> REPLACE WHERE <pred> <query>`` — Delta's SQL
+  replaceWhere: atomically delete the predicate's rows AND insert the
+  query's rows in ONE commit (partition-only predicates drop whole
+  partitions metadata-only); the predicate ends at the first
+  SELECT/VALUES/WITH/TABLE at paren depth 0, so subqueries inside it
+  parse correctly.
 * ``UPDATE <target> SET col = expr [, ...] [WHERE <pred>]``
 * ``DELETE FROM <target> [WHERE <pred>]``
-* ``MERGE INTO <target> AS t USING <source> AS s ON <equi-keys>
+* ``MERGE [WITH SCHEMA EVOLUTION] INTO <target> AS t USING <source>
+  AS s ON <equi-keys>
   [WHEN MATCHED [AND <cond>] THEN UPDATE SET c = e, ... | DELETE]...
   [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
   [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ... |
@@ -661,11 +668,15 @@ def _parse_merge(stmt: str, masked: str) -> dict[str, Any]:
         "expressions are evaluated in that frame)"
     )
     head = re.match(
-        rf"MERGE{_WS}INTO{_WS}({_REF})(?:{_WS}AS)?{_WS}t{_WS}USING\s*",
+        rf"MERGE(?:{_WS}WITH{_WS}SCHEMA{_WS}EVOLUTION)?"
+        rf"{_WS}INTO{_WS}({_REF})(?:{_WS}AS)?{_WS}t{_WS}USING\s*",
         masked, re.I | re.S,
     )
     if not head:
         raise shape_err
+    evolve = re.match(
+        rf"MERGE{_WS}WITH{_WS}SCHEMA{_WS}EVOLUTION\b", masked, re.I
+    )
     target = stmt[head.start(1):head.end(1)]
     src_start = head.end()
     if masked[src_start] == "(":
@@ -727,6 +738,9 @@ def _parse_merge(stmt: str, masked: str) -> dict[str, Any]:
         # ordered multi-clause form (Delta semantics, first-match-wins)
         "matched_clauses": [], "not_matched_by_source_clauses": [],
         "insert_condition": None,
+        # MERGE WITH SCHEMA EVOLUTION (Delta 3.2 SQL): source columns
+        # absent from the target evolve the schema additively
+        "merge_schema": bool(evolve),
     }
 
     def _parse_set(sets_text: str, sets_masked: str) -> dict[str, str]:
@@ -1337,6 +1351,50 @@ def versioned_sql(
         query = stmt[m.start(4):]
         root = _resolve_root(spark, target)
         vt = VersionedTable(spark, root)
+        # INSERT INTO <t> REPLACE WHERE <pred> <query> — Delta's SQL
+        # replaceWhere: atomically delete the predicate's rows AND
+        # insert the query's, one commit (versioned_dml.replace_where;
+        # partition-only predicates take the metadata-only fast path).
+        # The predicate runs up to the query head keyword at paren
+        # depth 0 of the masked text, so subquery SELECTs inside the
+        # predicate cannot truncate it.
+        seg = masked[m.start(4):]
+        rwh = re.match(rf"REPLACE{_WS}WHERE{_WS}", seg, re.I)
+        if rwh:
+            if m.group(1).upper() != "INTO":
+                raise ValueError(
+                    "REPLACE WHERE pairs with INSERT INTO, not INSERT "
+                    "OVERWRITE (which replaces the whole table)"
+                )
+            if col_list is not None:
+                raise ValueError(
+                    "INSERT INTO ... REPLACE WHERE takes no column "
+                    "list — the query must supply the full row"
+                )
+            qstart = None
+            depth = 0
+            for km in re.finditer(
+                r"\(|\)|\b(?:SELECT|VALUES|WITH|TABLE)\b",
+                seg[rwh.end():], re.I,
+            ):
+                tok = km.group(0)
+                if tok == "(":
+                    depth += 1
+                elif tok == ")":
+                    depth -= 1
+                elif depth == 0:
+                    qstart = rwh.end() + km.start()
+                    break
+            off = m.start(4)
+            pred = stmt[off + rwh.end():off + (qstart or 0)].strip()
+            if qstart is None or not pred:
+                raise ValueError(
+                    "unsupported REPLACE WHERE shape — expected: INSERT "
+                    "INTO <target> REPLACE WHERE <pred> SELECT|VALUES ..."
+                )
+            rquery = stmt[off + qstart:]
+            df = _align_insert(spark, vt, spark.sql(rquery), None)
+            return vt.replace_where(pred, df, attempts=attempts)
         df = spark.sql(query)
         df = _align_insert(spark, vt, df, col_list)
         if m.group(1).upper() == "OVERWRITE":
@@ -1402,6 +1460,19 @@ def versioned_sql(
         and all(cl["action"] == "delete" for cl in nmbs)
         and pk["insert_condition"] is None
     )
+    if pk["merge_schema"]:
+        # WITH SCHEMA EVOLUTION: the clause/SET-form merge engine
+        # projects the source onto the TARGET schema (extras are the
+        # CDC op-column shape and must not land), so genuinely-new
+        # source columns evolve via metadata-only ADD COLUMN commits
+        # FIRST, then the merge sees them as target columns and
+        # carries their values. Delta folds the evolution into the
+        # merge commit — documented nuance (the same one as ADD
+        # COLUMNS: one evolution commit per column).
+        have = {f.name for f in vt._schema_of(vt.manifest()).fields}
+        for f in source.schema.fields:
+            if f.name not in have:
+                vt.add_column(f.name, f.dataType.simpleString())
     if not legacy_single:
         # multi-clause (or by-source UPDATE / conditional INSERT / no
         # matched clause): route the ordered clause lists natively —
@@ -1413,6 +1484,7 @@ def versioned_sql(
             source,
             pk["keys"],
             attempts=attempts,
+            merge_schema=pk["merge_schema"],
             matched_clauses=mc,
             not_matched_by_source_clauses=nmbs,
             insert_unmatched=pk["insert_unmatched"],
@@ -1453,6 +1525,7 @@ def versioned_sql(
         pk["keys"],
         delete_col=delete_col,
         attempts=attempts,
+        merge_schema=pk["merge_schema"],
         when_matched_update=when_matched_update,
         when_matched_condition=pk["when_matched_condition"],
         insert_unmatched=pk["insert_unmatched"],

@@ -328,3 +328,48 @@ def test_clause_merge_respects_vectors_and_history(spark, table):
     # source row counts as UNMATCHED (Delta semantics) → re-inserted
     assert got[3] == (None, None)
     assert table.read(v).filter("id = 2 AND amount = 20").count() == 1
+
+
+def test_sql_merge_with_schema_evolution(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION (Delta 3.2 SQL): source columns
+    absent from the target evolve additively (metadata-only ADD COLUMN
+    pass before the clause merge — documented nuance vs Delta's
+    in-commit fold); pre-merge rows read NULL for them. WITHOUT the
+    modifier extra source columns are IGNORED: that is the CDC
+    op-column shape (clause conditions reference s.<col>s that must
+    not land in the table)."""
+    from finalpipeline_spark.sources.sql_dml import versioned_sql
+    from finalpipeline_spark.sources.versioned import VersionedTable
+
+    root = str(tmp_path / "mse")
+    t = VersionedTable(spark, root)
+    t.commit_overwrite(
+        spark.range(0, 6).selectExpr("id", "id * 10 as v")
+    )
+    spark.range(4, 8).selectExpr(
+        "id", "id * 100 as v", "concat('x', id) as note"
+    ).createOrReplaceTempView("__mse_src")
+    versioned_sql(
+        spark,
+        f"MERGE INTO versioned.`{root}` AS t USING __mse_src AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert t.read().columns == ["id", "v"]  # extras ignored, no modifier
+    t.rollback(0)  # back to the pre-merge content for the evolved run
+    versioned_sql(
+        spark,
+        f"MERGE WITH SCHEMA EVOLUTION INTO versioned.`{root}` AS t "
+        "USING __mse_src AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = {r["id"]: (r["v"], r["note"]) for r in t.read().collect()}
+    assert set(got) == set(range(8))
+    for i in range(4):
+        assert got[i] == (i * 10, None)  # pre-merge rows: NULL backfill
+    for i in range(4, 6):
+        assert got[i][0] == i * 100  # matched update took the new v
+    for i in range(6, 8):
+        assert got[i] == (i * 100, f"x{i}")  # inserts carry the column

@@ -907,3 +907,71 @@ def test_analyze_table_backfills_bytes(spark, tmp_path):
         versioned_sql(spark, "ANALYZE TABLE an_plain COMPUTE STATISTICS")
     finally:
         spark.sql("DROP TABLE IF EXISTS an_plain")
+
+
+def test_sql_insert_replace_where(spark, tmp_path):
+    """INSERT INTO ... REPLACE WHERE: one commit deletes the
+    predicate's rows and inserts the query's (Delta's SQL
+    replaceWhere), with subquery-bearing predicates parsing intact."""
+    root = str(tmp_path / "rw")
+    t = VersionedTable(spark, root)
+    t.commit_overwrite(
+        spark.range(0, 10).selectExpr("id", "cast(id % 2 as int) as par")
+    )
+    head = t.latest_version()
+    versioned_sql(
+        spark,
+        f"INSERT INTO versioned.`{root}` REPLACE WHERE par = 1 "
+        "SELECT id, cast(1 as int) AS par FROM range(100, 103)",
+    )
+    assert t.latest_version() == head + 1  # ONE commit
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == [0, 2, 4, 6, 8, 100, 101, 102]
+    # subquery inside the predicate must not truncate the parse
+    versioned_sql(
+        spark,
+        f"INSERT INTO versioned.`{root}` REPLACE WHERE id IN "
+        "(SELECT id FROM range(100, 103)) "
+        "SELECT id, cast(1 as int) AS par FROM range(200, 201)",
+    )
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == [0, 2, 4, 6, 8, 200]
+    # refusals: OVERWRITE pairing and column lists
+    with pytest.raises(ValueError, match="INSERT INTO"):
+        versioned_sql(
+            spark,
+            f"INSERT OVERWRITE versioned.`{root}` REPLACE WHERE par = 0 "
+            "SELECT id, cast(0 as int) AS par FROM range(1)",
+        )
+    with pytest.raises(ValueError, match="column"):
+        versioned_sql(
+            spark,
+            f"INSERT INTO versioned.`{root}` (id) REPLACE WHERE par = 0 "
+            "SELECT id FROM range(1)",
+        )
+
+
+def test_sql_insert_replace_where_partition_scoped(spark, tmp_path):
+    """On a PARTITIONED table a partition-only REPLACE WHERE drops the
+    matching partitions metadata-only: zero survivor rewrites, only
+    the replacement's files are new."""
+    root = str(tmp_path / "rwp")
+    t = VersionedTable(spark, root, partition_by=["par"])
+    t.commit_overwrite(
+        spark.range(0, 40).selectExpr("id", "cast(id % 4 as int) as par")
+    )
+    before = {f["path"] for f in t.manifest()["files"]}
+    versioned_sql(
+        spark,
+        f"INSERT INTO versioned.`{root}` REPLACE WHERE par = 2 "
+        "SELECT id, cast(2 as int) AS par FROM range(1000, 1002)",
+    )
+    m = t.manifest()
+    new = [f for f in m["files"] if f["path"] not in before]
+    # every new file is replacement data (pv par=2), no survivor
+    # rewrite of other partitions
+    assert all(f["pv"]["par"] == "2" for f in new)
+    kept = [f for f in m["files"] if f["path"] in before]
+    assert all(f["pv"]["par"] != "2" for f in kept)
+    assert t.read().filter("par = 2").count() == 2
+    assert t.read().count() == 32
