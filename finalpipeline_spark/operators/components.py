@@ -87,10 +87,11 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    e = truncate_lineage(e, eager=True)
+    e = truncate_lineage(e)  # lazy: materialized by the first round's checksum job
     prev = None
     for _ in range(max_rounds):
-        e = truncate_lineage(_small_star(_large_star(e)), eager=True)
+        # lazy checkpoint + checksum aggregate = ONE job per round
+        e = truncate_lineage(_small_star(_large_star(e)))
         row = e.agg(
             F.count(F.lit(1)).alias("c"),
             F.sum("u").alias("su"),

@@ -145,7 +145,7 @@ def chembl_tanimoto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "part").createOrReplaceTempView(SPARK_VIEW)
     fps = scoped_cache(
         spark.sql(_fps_sql(D.SPARK)).repartition(
-            spark.sparkContext.defaultParallelism
+            spark.sparkContext.defaultParallelism, "molregno"
         ),
         "chembl_tanimoto_topk",
     )
@@ -287,7 +287,7 @@ def _stage_lsh_sigs(spark: SparkSession, sf_dir: str, scope: str) -> None:
     load_table(spark, sf_dir, "part").createOrReplaceTempView(SPARK_VIEW)
     sigs = scoped_cache(
         spark.sql(_lsh_sigs_sql(D.SPARK)).repartition(
-            spark.sparkContext.defaultParallelism
+            spark.sparkContext.defaultParallelism, "molregno"
         ),
         scope,
     )

@@ -175,7 +175,7 @@ def doc_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH candidate generator — see _decontam_sql for the broadcast
     scale shape."""
     load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "doc_id"
     ).createOrReplaceTempView(SPARK_VIEW)
     return spark.sql(_decontam_sql(D.SPARK))
 
@@ -209,7 +209,7 @@ def emb_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(E.SPARK_VIEW)
     d = scoped_cache(
         spark.sql(E._normed_sql(D.SPARK)).repartition(
-            spark.sparkContext.defaultParallelism
+            spark.sparkContext.defaultParallelism, "vec_id"
         ),
         "emb_ann_recall_eval",
     )
@@ -453,7 +453,7 @@ def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = scoped_cache(
         spark.sql(
             f"SELECT vec_id, embedding, {nrm} AS nrm FROM {E.SPARK_VIEW}"
-        ).repartition(par),
+        ).repartition(par, "vec_id"),
         "emb_kmeans_lloyd",
     )
     v.createOrReplaceTempView("__fps_km_v")
@@ -560,7 +560,7 @@ def emb_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = scoped_cache(
         spark.sql(
             f"SELECT vec_id, embedding, {nrm} AS nrm FROM {E.SPARK_VIEW}"
-        ).repartition(par),
+        ).repartition(par, "vec_id"),
         "emb_ivf_kmeans_topk",
     )
     v.createOrReplaceTempView("__fps_ivfkm_v")
@@ -670,7 +670,7 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     subn = scoped_cache(
         spark.sql(
             f"SELECT vec_id, s, sv, {vnrm} AS vnrm FROM ({slices}) sub"
-        ).repartition(par),
+        ).repartition(par, "vec_id", "s"),
         "emb_pq_encode",
     )
     subn.createOrReplaceTempView("__fps_pq_subn")
@@ -756,7 +756,7 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged (cached, repartitioned) because both the term-frequency and
     vocabulary aggregations consume it."""
     load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "doc_id"
     ).createOrReplaceTempView(SPARK_VIEW)
     toks = D.tokens("text", D.SPARK)
     ex = scoped_cache(
@@ -947,7 +947,7 @@ def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     subn = scoped_cache(
         spark.sql(
             f"SELECT vec_id, label, s, sv, {vnrm} AS vnrm FROM ({slices}) sl"
-        ).repartition(par),
+        ).repartition(par, "vec_id", "s"),
         "emb_ivf_pq_topk",
     )
     subn.createOrReplaceTempView("__fps_ivfpq_subn")

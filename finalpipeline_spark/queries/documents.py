@@ -108,8 +108,13 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Quality scoring per document
 # --------------------------------------------------------------------------
-def _quality_exprs(dialect: str) -> dict[str, str]:
-    toks = _toks(dialect)
+def _quality_exprs_on(toks: str, dialect: str) -> dict[str, str]:
+    """Quality-stat expressions over an arbitrary token-array source —
+    pass a *column name* to evaluate the tokenizer once per row (Spark
+    cannot CSE repeated lambda expressions: each inlined copy mints
+    fresh lambda-variable IDs, so 10+ structurally-distinct tokenizer
+    evaluations per row survive optimization — measured 3× on
+    doc_quality_score at sf0.1)."""
     n_tok = D.arr_size(toks, dialect)
     n_uniq = D.arr_size(D.arr_distinct(toks, dialect), dialect)
     contains = "array_contains" if dialect == D.SPARK else "list_contains"
@@ -122,15 +127,23 @@ def _quality_exprs(dialect: str) -> dict[str, str]:
     }
 
 
-def _quality_score_expr(dialect: str) -> str:
-    """The composite quality score in [0, 1] — shared by
-    doc_quality_score and curation.doc_quality_weighted_sample so the
-    two can never drift apart."""
-    e = _quality_exprs(dialect)
+def _quality_exprs(dialect: str) -> dict[str, str]:
+    return _quality_exprs_on(_toks(dialect), dialect)
+
+
+def _quality_score_on(toks: str, dialect: str) -> str:
+    e = _quality_exprs_on(toks, dialect)
     return (
         f"0.4 * least(cast({e['n_tokens']} as double) / 100.0, 1.0)"
         f" + 0.3 * {e['ttr']} + 0.3 * (1.0 - {e['stop_ratio']})"
     )
+
+
+def _quality_score_expr(dialect: str) -> str:
+    """The composite quality score in [0, 1] — shared by
+    doc_quality_score and curation.doc_quality_weighted_sample so the
+    two can never drift apart."""
+    return _quality_score_on(_toks(dialect), dialect)
 
 
 def _quality_sql(dialect: str) -> str:
@@ -150,15 +163,23 @@ def _quality_sql(dialect: str) -> str:
 @register("doc_quality_score", oracle=_quality_sql(D.DUCK), tags=("extension", "headline"))
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length saturation, type-token ratio, stopword
-    ratio, combined score — all JVM-side expressions, no UDF."""
+    ratio, combined score — all JVM-side expressions, no UDF.
+
+    The tokenizer runs ONCE per row: tokens are staged as a column in
+    their own projection (CollapseProject keeps a non-cheap lambda
+    alias referenced many times), and the n_tokens > 0 gate is applied
+    as the equivalent `text rlike '[A-Za-z0-9]'` — the tokenizer keeps
+    a token iff it contains an alphanumeric char, so the predicates
+    select identical rows while the rlike form costs one regex probe
+    instead of a full tokenize (and never drags a tokenizer copy down
+    into the scan-level filter the way a pushed-down size(toks) > 0
+    does)."""
     docs = load_table(spark, sf_dir, "documents")
-    e = _quality_exprs(D.SPARK)
-    score = (
-        f"0.4 * least(cast({e['n_tokens']} as double) / 100.0, 1.0)"
-        f" + 0.3 * {e['ttr']} + 0.3 * (1.0 - {e['stop_ratio']})"
-    )
+    e = _quality_exprs_on("__toks", D.SPARK)
+    score = _quality_score_on("__toks", D.SPARK)
     return (
-        docs.filter(F.expr(f"{e['n_tokens']} > 0"))
+        docs.filter(F.col("text").rlike("[A-Za-z0-9]"))
+        .select("doc_id", F.expr(_toks(D.SPARK)).alias("__toks"))
         .select(
             "doc_id",
             F.expr(e["n_tokens"]).alias("n_tokens"),
@@ -188,8 +209,10 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID n-gram/stopword heuristic: classify by function-word
     density (a real system swaps in per-language marker sets)."""
     docs = load_table(spark, sf_dir, "documents")
-    e = _quality_exprs(D.SPARK)
+    e = _quality_exprs_on("__toks", D.SPARK)
     return docs.select(
+        "doc_id", "lang", F.expr(_toks(D.SPARK)).alias("__toks")
+    ).select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         F.expr(
@@ -430,9 +453,11 @@ def doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Repartition BEFORE the hashing chain: the single source file is
     # one partition, which would put all signature computation on one
-    # task; the exchange is cheap (doc_id + raw text).
+    # task; the exchange is cheap (doc_id + raw text).  Hash on doc_id
+    # rather than round-robin — same parallelism, no local
+    # sort-before-exchange (round-robin pays one for determinism).
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
     base = scoped_cache(minhash_base(docs), "doc_dedup_minhash_lsh")
     bands = minhash_bands(base)
@@ -526,7 +551,7 @@ def doc_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric Jaccard misses. Shares the staged signature/shingle cache
     design of doc_dedup_minhash_lsh. See _containment_pairs_sql."""
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
     base = scoped_cache(minhash_base(docs), "doc_dedup_containment")
     bands = minhash_bands(base)
@@ -696,7 +721,7 @@ def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_dedup_minhash_lsh); the DuckDB oracle keeps the single-SQL
     formulation."""
     load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "doc_id"
     ).createOrReplaceTempView(SPARK_VIEW)
     sims = scoped_cache(spark.sql(_simhash_sql(D.SPARK)), "doc_simhash_near_dup")
     sims.createOrReplaceTempView("__fps_simhash_sims")
@@ -779,7 +804,7 @@ def doc_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical pick, language identification, and per-language token
     accounting — one scan, one window shuffle, one aggregation."""
     load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     ).createOrReplaceTempView(SPARK_VIEW)
     return spark.sql(_curation_sql(D.SPARK))
 
@@ -826,11 +851,19 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     The tf table is cached because both the df aggregation and the
     final join consume it.
     """
+    # Hash-repartition by doc_id (not round-robin): parallelizes the
+    # single-file scan WITHOUT round-robin's local sort-before-exchange,
+    # and — because HashPartitioning(doc_id) satisfies the clustered
+    # distribution of BOTH the (doc_id, term) aggregation and the
+    # doc_id window below — the whole tf→rank chain runs on this one
+    # exchange (plan: 3 exchanges on the tf path → 1).  The rlike gate
+    # is equivalent to size(toks) > 0 (a token exists iff an alnum char
+    # exists) and keeps a pushed-down tokenizer copy out of the scan.
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
-    toks = docs.select("doc_id", F.expr(_toks(D.SPARK)).alias("toks")).filter(
-        F.expr(D.arr_size("toks", D.SPARK)) > 0
+    toks = docs.filter(F.col("text").rlike("[A-Za-z0-9]")).select(
+        "doc_id", F.expr(_toks(D.SPARK)).alias("toks")
     )
     tf = scoped_cache(
         toks.select("doc_id", F.explode("toks").alias("term"))
@@ -965,7 +998,7 @@ def doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tie-break (count desc, shingle asc) makes the
     boundary cut engine-stable."""
     load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "doc_id"
     ).createOrReplaceTempView(SPARK_VIEW)
     return spark.sql(_top_ngrams_sql(D.SPARK))
 
@@ -1124,7 +1157,13 @@ def cluster_documents(pairs: DataFrame) -> DataFrame:
 
     fwd = pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
     rev = pairs.select(F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst"))
-    edges = truncate_lineage(fwd.union(rev), eager=True)
+    # LAZY checkpoints throughout: each round's single driver action (the
+    # label-sum aggregate) materializes that round's checkpoint blocks as
+    # a side effect of computing them, so every round costs ONE Spark job
+    # instead of two (checkpoint job + sum job) — same work, half the
+    # job-scheduling round trips. Lineage is still truncated at exactly
+    # the same points.
+    edges = truncate_lineage(fwd.union(rev))
     # Seed with round 1 fused into the initialization: every node is a
     # dst (edges are symmetrized), so min(self, in-neighbors) is one
     # aggregation — saving the identity-label pass and its join.
@@ -1136,7 +1175,7 @@ def cluster_documents(pairs: DataFrame) -> DataFrame:
             F.least(F.col("dst"), F.col("nbr_min")).alias("label"),
         )
     )
-    labels = truncate_lineage(labels, eager=True)
+    labels = truncate_lineage(labels)
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
     for _ in range(_LP_GUARD_ROUNDS):
@@ -1158,7 +1197,6 @@ def cluster_documents(pairs: DataFrame) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             ),
-            eager=True,
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:

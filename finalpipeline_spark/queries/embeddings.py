@@ -100,7 +100,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(SPARK_VIEW)
     d = scoped_cache(
         spark.sql(_normed_sql(D.SPARK)).repartition(
-            spark.sparkContext.defaultParallelism
+            spark.sparkContext.defaultParallelism, "vec_id"
         ),
         "emb_cosine_topk",
     )
@@ -312,7 +312,7 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(SPARK_VIEW)
     d = scoped_cache(
         spark.sql(_normed_sql(D.SPARK)).repartition(
-            spark.sparkContext.defaultParallelism
+            spark.sparkContext.defaultParallelism, "vec_id"
         ),
         "emb_ivf_topk",
     )
@@ -780,7 +780,7 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(SPARK_VIEW)
     d = scoped_cache(
         spark.sql(_normed_sql(D.SPARK)).repartition(
-            spark.sparkContext.defaultParallelism
+            spark.sparkContext.defaultParallelism, "vec_id"
         ),
         "emb_hard_negatives",
     )

@@ -115,7 +115,7 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exploded token relation is staged once (cached) because both
     the tf and the per-term aggregations consume it."""
     load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "doc_id"
     ).createOrReplaceTempView(SPARK_VIEW)
     toks = D.tokens("text", D.SPARK)
     ex = scoped_cache(
@@ -225,7 +225,7 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     b=0.75, Lucene idf). See _bm25_sql for the parity scheme and why
     the query-term filter sits inside the scan projection."""
     load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "doc_id"
     ).createOrReplaceTempView(SPARK_VIEW)
     return spark.sql(_bm25_sql(D.SPARK))
 
@@ -321,7 +321,7 @@ def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     by Reciprocal Rank Fusion (K=60). See _hybrid_rrf_sql for the
     exactness scheme and the K×K fusion-join scale story."""
     load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "doc_id"
     ).createOrReplaceTempView(SPARK_VIEW)
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(_EMB_VIEW)
     return spark.sql(_hybrid_rrf_sql(D.SPARK))
@@ -391,6 +391,6 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 bigram continuations with conditional probabilities —
     the n-gram LM counting core. See _bigram_lm_sql."""
     load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "doc_id"
     ).createOrReplaceTempView(SPARK_VIEW)
     return spark.sql(_bigram_lm_sql(D.SPARK))
