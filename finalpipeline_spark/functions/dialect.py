@@ -193,7 +193,19 @@ def containment(a: str, b: str, dialect: str) -> str:
 
 
 def dot(a: str, b: str, dim: int, dialect: str) -> str:
-    """Dot product of two float arrays (cast to double, sequential sum)."""
+    """Dot product of two float arrays (cast to double, sequential sum).
+
+    Spark side fuses the product into the fold — one aggregate() over
+    the (constant-folded) index sequence instead of materializing a
+    dim-sized product array per pair first. The multiply/add sequence
+    is unchanged (acc + a_i*b_i, left-to-right), so results stay
+    bit-identical with the DuckDB two-step form."""
+    if dialect == SPARK:
+        return (
+            f"aggregate({seq(1, dim, SPARK)}, cast(0 as double), "
+            f"(acc, i) -> acc + cast({arr_index(a, 'i', SPARK)} as double)"
+            f" * cast({arr_index(b, 'i', SPARK)} as double))"
+        )
     prods = transform_arr(
         seq(1, dim, dialect),
         "i",

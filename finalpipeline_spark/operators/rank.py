@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from finalpipeline_spark.functions.frames import local_df
 from finalpipeline_spark.operators.checkpointing import truncate_lineage
 
 
@@ -61,7 +62,7 @@ def _two_phase_rank(
     # analyzer/codegen blowup, while a parallelism-sized broadcast join
     # stays O(1) per row at any partition count (the same mechanism as
     # partitioned_prefix_sum/min).
-    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
+    off_df = local_df(df.sparkSession, offsets, "_pid int, _offset long")
     ranked = (
         numbered.join(F.broadcast(off_df), "_pid")
         .withColumn(out_col, (F.col("_local_rn") + F.col("_offset")).cast("long"))
@@ -126,9 +127,10 @@ def partitioned_prefix_sum(
         offsets.append(tuple(g) + (r["_pid"], acc.get(g, zero)))
         acc[g] = acc.get(g, zero) + (zero if r["_w"] is None else r["_w"])
     spark = df.sparkSession
-    off_df = spark.createDataFrame(
+    off_df = local_df(
+        spark,
         offsets,
-        schema=local.select(*group_cols, "_pid").schema.add("_offset", sum_type),
+        local.select(*group_cols, "_pid").schema.add("_offset", sum_type),
     )
     return (
         local.join(F.broadcast(off_df), [*group_cols, "_pid"])
@@ -197,9 +199,10 @@ def partitioned_prefix_min(
         if cur is not None and (prev is None or cur < prev):
             run[g] = cur
     spark = df.sparkSession
-    off_df = spark.createDataFrame(
+    off_df = local_df(
+        spark,
         offsets,
-        schema=local.select(*group_cols, "_pid").schema.add(
+        local.select(*group_cols, "_pid").schema.add(
             "_offset", local.schema[value_col].dataType
         ),
     )

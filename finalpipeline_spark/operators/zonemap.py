@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from finalpipeline_spark.operators.compaction import atomic_replace
+from finalpipeline_spark.functions.frames import empty_df
 
 
 def write_zonemap(
@@ -76,7 +77,7 @@ def pruned_read(
     ]
     schema = spark.read.parquet(data_path).schema
     if not files:
-        return spark.createDataFrame([], schema), 0, total
+        return empty_df(spark, schema), 0, total
     rows = (
         spark.read.schema(schema)
         .parquet(*files)

@@ -53,6 +53,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from finalpipeline_spark.functions.frames import local_df
 from finalpipeline_spark.operators.compaction import dir_exists
 
 K_LISTS = 8
@@ -174,7 +175,8 @@ def _next_seq(spark: SparkSession, index_path: str, epoch: int) -> int:
 
 def _record_ingest(spark: SparkSession, index_path: str, epoch: int,
                    n: int, sum_dist: float) -> None:
-    stats = spark.createDataFrame(
+    stats = local_df(
+        spark,
         [(
             epoch,
             _next_seq(spark, index_path, epoch),

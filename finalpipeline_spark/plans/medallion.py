@@ -44,6 +44,7 @@ from finalpipeline_spark.sources.catalog import (
     read_ledger,
 )
 from finalpipeline_spark.sources.readers import read_target_csvs_with_fallback
+from finalpipeline_spark.functions.frames import empty_df
 
 TOP_K = 10
 MIN_SIM = 0.0  # pre-shuffle cutoff; 0.0 = reference parity (see __init__)
@@ -332,4 +333,4 @@ class MedallionPipeline:
         duplicate fact/dim rows)."""
         if dir_exists(self.spark, path):
             return self.spark.read.parquet(path)
-        return self.spark.createDataFrame([], schema)
+        return empty_df(self.spark, schema)

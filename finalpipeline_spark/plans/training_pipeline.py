@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from finalpipeline_spark.functions.frames import empty_df, local_df
 from finalpipeline_spark.functions import dialect as D
 from finalpipeline_spark.sources.versioned import VersionedTable
 from finalpipeline_spark.tables import load_table
@@ -294,8 +295,8 @@ class TrainingPipeline:
         # lineage: which bronze snapshot produced this gold version
         self.gold.commit_overwrite(out, meta={"bronze_version": bronze_version})
         rows = [(s.stage, s.docs_in, s.docs_out) for s in self.report]
-        return self.spark.createDataFrame(
-            rows, "stage string, docs_in bigint, docs_out bigint"
+        return local_df(
+            self.spark, rows, "stage string, docs_in bigint, docs_out bigint"
         )
 
     def seed_indexes(self) -> None:
@@ -461,8 +462,8 @@ class TrainingPipeline:
         self.gold.commit_append(out, meta={"bronze_version": bronze_version})
         self.report.append(StageCount("retract", len(retract_ids), len(retract_ids)))
         rows = [(s.stage, s.docs_in, s.docs_out) for s in self.report]
-        return self.spark.createDataFrame(
-            rows, "stage string, docs_in bigint, docs_out bigint"
+        return local_df(
+            self.spark, rows, "stage string, docs_in bigint, docs_out bigint"
         )
 
     def repack_shards(self) -> DataFrame:
@@ -498,8 +499,8 @@ class TrainingPipeline:
             for r in stats.filter(F.expr(f"t <= mx * {SEQ_LEN}")).collect()
         )  # bounded by N_SHARDS
         if not affected:
-            return self.spark.createDataFrame(
-                [], "shard bigint, seqs_before bigint, seqs_after bigint"
+            return empty_df(
+                self.spark, "shard bigint, seqs_before bigint, seqs_after bigint"
             )
         pred = "shard IN (" + ",".join(str(s) for s in affected) + ")"
         before = {
@@ -517,6 +518,6 @@ class TrainingPipeline:
             .collect()
         }
         rows = [(s, before[s], after.get(s, 0)) for s in affected]
-        return self.spark.createDataFrame(
-            rows, "shard bigint, seqs_before bigint, seqs_after bigint"
+        return local_df(
+            self.spark, rows, "shard bigint, seqs_before bigint, seqs_after bigint"
         )

@@ -310,10 +310,19 @@ def chembl_tanimoto_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_tanimoto_lsh_sql(D.SPARK, sigs_rel=_LSH_SIGS_VIEW))
 
 
-def _lsh_recall_sql(dialect: str, sigs_rel: str | None = None) -> str:
+def _lsh_recall_sql(
+    dialect: str, sigs_rel: str | None = None, fps_rel: str | None = None
+) -> str:
     """Recall of the banded top-10 against the dense top-10 (pair-level,
-    plus the candidate-pruning ratio that justifies the banding)."""
-    dense = _tanimoto_sql(dialect)
+    plus the candidate-pruning ratio that justifies the banding).
+
+    ``fps_rel`` lets the Spark side point the dense baseline at the
+    staged sigs relation (it carries molregno + w0..w3, which is all
+    the dense scorer reads) — otherwise the fingerprint chain inlines
+    into BOTH cross-join sides of the dense CTE on the unpartitioned
+    source scan (single task, 2× recompute; measured 5.4 s vs 1.1 s at
+    sf0.01). The DuckDB oracle keeps the inline form."""
+    dense = _tanimoto_sql(dialect, fps_rel=fps_rel)
     lsh = _tanimoto_lsh_sql(dialect, sigs_rel=sigs_rel)
     return f"""
         WITH dense_k AS ({dense}),
@@ -346,7 +355,9 @@ def chembl_tanimoto_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dense side is the quadratic verification baseline — sampled in
     production, full at test scale."""
     _stage_lsh_sigs(spark, sf_dir, "chembl_tanimoto_lsh_recall")
-    return spark.sql(_lsh_recall_sql(D.SPARK, sigs_rel=_LSH_SIGS_VIEW))
+    return spark.sql(
+        _lsh_recall_sql(D.SPARK, sigs_rel=_LSH_SIGS_VIEW, fps_rel=_LSH_SIGS_VIEW)
+    )
 
 
 @register("chembl_crossscore_udf", oracle=None, tags=("reference",))

@@ -135,23 +135,35 @@ def _decontam_sql(dialect: str) -> str:
     streams map-side with NO shuffle of the corpus. The DuckDB oracle
     states the same join relationally.
     """
+    return f"""
+        WITH {_decontam_shingled_cte(dialect)},
+        {_decontam_join_sql(dialect, "shingled")}
+    """
+
+
+def _decontam_shingled_cte(dialect: str) -> str:
+    """The per-doc (doc_id, sh, n_sh) shingle-set CTE body."""
     toks = D.tokens("text", dialect)
     hs = D.transform_arr("toks", "t", D.token_hash("t", dialect), dialect)
     sh = D.arr_distinct(D.shingle_hashes("hs", dialect), dialect)
-    if dialect == D.SPARK:
-        expl = "SELECT doc_id, n_sh, explode(sh) AS h FROM shingled"
-    else:
-        expl = "SELECT doc_id, n_sh, unnest(sh) AS h FROM shingled"
-    return f"""
-        WITH toks AS (
+    return f"""toks AS (
             SELECT doc_id, {toks} AS toks FROM {_doc_tbl(dialect)}
         ),
         shingled AS (
             SELECT doc_id, sh, {D.arr_size('sh', dialect)} AS n_sh
             FROM (SELECT doc_id, {sh} AS sh
                   FROM (SELECT doc_id, {hs} AS hs FROM toks) hh) ss
-        ),
-        ex AS ({expl}),
+        )"""
+
+
+def _decontam_join_sql(dialect: str, shingled_rel: str) -> str:
+    """Explode + train⋈eval overlap count over a shingled relation
+    (CTE tail — prefix with WITH when used standalone)."""
+    if dialect == D.SPARK:
+        expl = f"SELECT doc_id, n_sh, explode(sh) AS h FROM {shingled_rel}"
+    else:
+        expl = f"SELECT doc_id, n_sh, unnest(sh) AS h FROM {shingled_rel}"
+    return f"""ex AS ({expl}),
         train AS (SELECT doc_id AS train_doc_id, h FROM ex WHERE doc_id % {_EVAL_MOD} != 0),
         eval_side AS (
             SELECT doc_id AS eval_doc_id, n_sh AS n_sh_eval, h
@@ -173,11 +185,48 @@ def doc_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing >= 2 word-3-gram shingles, with the overlap fraction of
     the eval doc. The exact verifier behind doc_contamination_check's
     LSH candidate generator — see _decontam_sql for the broadcast
-    scale shape."""
+    scale shape.
+
+    The per-doc shingle-set table is STAGED (cached + explicitly
+    computed once): inlined as a CTE, Catalyst re-expands it into every
+    consumer — two join sides × (sh, n_sh, explode) ≈ 22 copies of the
+    tokenize→hash→shingle lambda chain in the physical plan, measured
+    20 s at sf0.01 versus ~1 s staged."""
     load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     ).createOrReplaceTempView(SPARK_VIEW)
-    return spark.sql(_decontam_sql(D.SPARK))
+    shingled = scoped_cache(
+        spark.sql(
+            f"WITH {_decontam_shingled_cte(D.SPARK)} SELECT * FROM shingled"
+        ),
+        "doc_decontam_ngram_overlap",
+    )
+    # The tail is DataFrame ops over the cached frame OBJECT (not a view
+    # re-resolving the SQL): a re-derived plan canonicalizes differently
+    # once the explode's implied size(sh) > 0 filter is pushed below the
+    # staging subtree, so the cache is silently missed and every filter
+    # copy re-expands the full chain into the scan.
+    ex = shingled.select("doc_id", "n_sh", F.explode("sh").alias("h"))
+    train = ex.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "h"
+    )
+    eval_side = ex.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.col("n_sh").alias("n_sh_eval"),
+        "h",
+    )
+    return (
+        train.join(eval_side, "h")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            (
+                F.count(F.lit(1)).cast("double")
+                / F.max("n_sh_eval").cast("double")
+            ).alias("eval_overlap_frac"),
+        )
+        .filter(F.col("n_shared") >= _MIN_SHARED)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -259,13 +308,17 @@ def doc_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     acceptance metric for the banded dedup deployment, mirroring
     emb_ann_recall_eval on the embedding side.
 
-    Reuses the two registered queries' own plans, so the LSH side
-    shares its scoped signature cache; the exact side is the quadratic
-    verification baseline (sampled in production, full here)."""
+    Reuses the two registered queries' own plans under ONE shared cache
+    scope (scoped_cache evicts other scopes, so calling the two queries
+    directly would drop the exact side's staged shingle relation before
+    the final join consumes it — re-expanding the tokenizer chain into
+    every join branch); the exact side is the quadratic verification
+    baseline (sampled in production, full here)."""
     from finalpipeline_spark.queries import documents as DOC
 
-    exact = DOC.doc_dedup_ngram_jaccard(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    lsh = DOC.doc_dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    scope = "doc_dedup_lsh_recall"
+    exact = DOC._ngram_pairs_df(spark, sf_dir, scope).select("doc_id_a", "doc_id_b")
+    lsh = DOC._minhash_lsh_pairs_df(spark, sf_dir, scope).select("doc_id_a", "doc_id_b")
     hit = lsh.withColumn("hit", F.lit(1))
     agg = exact.join(hit, ["doc_id_a", "doc_id_b"], "left").agg(
         F.count(F.lit(1)).alias("n_exact"),

@@ -336,6 +336,58 @@ def _ngram_pairs_sql(dialect: str) -> str:
     """
 
 
+def _ngram_blocked_df(spark: SparkSession, sf_dir: str, scope: str) -> DataFrame:
+    """Staged (doc_id, shingles, blk) relation of _ngram_pairs_sql's `d`
+    CTE — cached, because the self-join consumes it on BOTH sides.
+    Inlined as a CTE, Catalyst re-expands the tokenize→hash→shingle
+    chain into each join side and the pushed-down jaccard/blk filters
+    (measured 18 s vs 0.9 s staged at sf0.01).  Expressions are
+    byte-identical to the oracle SQL; only the physical staging
+    differs."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    hashed = D.transform_arr("toks", "t", D.token_hash("t", D.SPARK), D.SPARK)
+    d = (
+        docs.select("doc_id", F.expr(_toks(D.SPARK)).alias("toks"))
+        .filter(F.expr(D.arr_size("toks", D.SPARK)) >= 5)
+        .select("doc_id", F.expr(hashed).alias("hs0"))
+        .select(
+            "doc_id",
+            F.expr(
+                D.arr_distinct(D.shingle_hashes("hs0", D.SPARK), D.SPARK)
+            ).alias("shingles"),
+        )
+        .select(
+            "doc_id",
+            "shingles",
+            F.expr(f"{D.arr_size('shingles', D.SPARK)} div 5").alias("blk"),
+        )
+    )
+    return scoped_cache(d, scope)
+
+
+def _ngram_pairs_df(spark: SparkSession, sf_dir: str, scope: str) -> DataFrame:
+    """doc_dedup_ngram_jaccard's plan against a caller-chosen cache
+    scope (doc_dedup_lsh_recall shares one scope across both of its
+    inputs so neither cache is evicted before use)."""
+    d = _ngram_blocked_df(spark, sf_dir, scope)
+    a, b = d.alias("a"), d.alias("b")
+    jac = D.jaccard("a.shingles", "b.shingles", D.SPARK)
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.expr(jac).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
 @register("doc_dedup_ngram_jaccard", oracle=_ngram_pairs_sql(D.DUCK), tags=("extension",))
 def doc_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram (word-3-gram) Jaccard near-dup pairs, size-bucket blocked.
@@ -346,9 +398,12 @@ def doc_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection; quadratic within a bucket, so the 100 TB path is
     doc_dedup_minhash_lsh — this stays the verification oracle for
     samples.
+
+    The Spark side stages the per-doc blocked-shingle relation once
+    (cached; see _ngram_blocked_df) and self-joins the staged frame;
+    the DuckDB oracle keeps the single-SQL formulation.
     """
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
-    return spark.sql(_ngram_pairs_sql(D.SPARK))
+    return _ngram_pairs_df(spark, sf_dir, "doc_dedup_ngram_jaccard")
 
 
 # --------------------------------------------------------------------------
@@ -451,6 +506,12 @@ def doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1). The DuckDB oracle keeps the single-SQL formulation —
     same values, different physical staging.
     """
+    return _minhash_lsh_pairs_df(spark, sf_dir, "doc_dedup_minhash_lsh")
+
+
+def _minhash_lsh_pairs_df(spark: SparkSession, sf_dir: str, scope: str) -> DataFrame:
+    """doc_dedup_minhash_lsh's plan against a caller-chosen cache scope
+    (doc_dedup_lsh_recall shares one scope across both of its inputs)."""
     # Repartition BEFORE the hashing chain: the single source file is
     # one partition, which would put all signature computation on one
     # task; the exchange is cheap (doc_id + raw text).  Hash on doc_id
@@ -459,7 +520,7 @@ def doc_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
-    base = scoped_cache(minhash_base(docs), "doc_dedup_minhash_lsh")
+    base = scoped_cache(minhash_base(docs), scope)
     bands = minhash_bands(base)
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (
@@ -1176,12 +1237,11 @@ def cluster_documents(pairs: DataFrame) -> DataFrame:
         )
     )
     labels = truncate_lineage(labels)
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    converged = False
-    for _ in range(_LP_GUARD_ROUNDS):
+
+    def _propagate(cur: DataFrame) -> DataFrame:
         nbr_min = (
             edges.join(
-                labels.select(
+                cur.select(
                     F.col("doc_id").alias("src"), F.col("label").alias("src_label")
                 ),
                 "src",
@@ -1190,19 +1250,39 @@ def cluster_documents(pairs: DataFrame) -> DataFrame:
             .agg(F.min("src_label").alias("nbr_min"))
             .select(F.col("dst").alias("doc_id"), "nbr_min")
         )
-        labels = truncate_lineage(
-            labels.join(nbr_min, "doc_id", "left").select(
+        return truncate_lineage(
+            cur.join(nbr_min, "doc_id", "left").select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             ),
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            converged = True
-            break
+
+    # First propagation round fused with the seed-sum: ONE driver action
+    # computes sum(seed) and sum(round-1) together (a tagged union of the
+    # two 1-row aggregates; both generations' checkpoint blocks
+    # materialize as a side effect).  LSH dup graphs are near-cliques
+    # that fixpoint at the seed, so the common case finishes in a single
+    # action where it used to take two.  Shared shuffle stages between
+    # the two aggregates are deduplicated by the scheduler.
+    nxt = _propagate(labels)
+    sums = dict(
+        labels.agg(F.sum("label").alias("s"))
+        .select(F.lit(0).alias("k"), "s")
+        .unionAll(nxt.agg(F.sum("label").alias("s")).select(F.lit(1).alias("k"), "s"))
+        .collect()
+    )
+    prev_sum, cur_sum = sums[0], sums[1]
+    labels = nxt
+    converged = cur_sum == prev_sum
+    rounds_left = _LP_GUARD_ROUNDS - 1
+    while not converged and rounds_left > 0:
         prev_sum = cur_sum
+        labels = _propagate(labels)
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        converged = cur_sum == prev_sum
+        rounds_left -= 1
     if not converged:
         # diameter guard tripped: this graph is chain-shaped, where
         # label propagation needs O(diameter) rounds — finish with the

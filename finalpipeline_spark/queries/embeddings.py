@@ -18,6 +18,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from finalpipeline_spark.functions.frames import local_df
 from finalpipeline_spark.functions import dialect as D
 from finalpipeline_spark.functions.caching import scoped_cache
 from finalpipeline_spark.queries.registry import register
@@ -197,6 +198,12 @@ def _ivf_topk_sql(dialect: str, d_rel: str | None = None) -> str:
     oracle checks the Spark plan computes exactly this approximation.
     """
     if dialect == D.SPARK:
+        # Deliberately explode from the RAW view, not the staged/cached
+        # relation: the centroid aggregation is then an independent
+        # parquet-scan branch that runs concurrently with the normed-
+        # table cache build instead of serializing behind it (A/B
+        # measured: reading centroids through the cache costs +50% on
+        # this query).
         expl = f"""
             SELECT label, posexplode(embedding) AS (dim_i, component)
             FROM {_emb_tbl(dialect)}
@@ -626,8 +633,8 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1 if nv[i] >= 0 else -1) for i in range(K) if abs(nv[i]) == m
         )
         v = [tdiv(sgn * x, V, m) for x in nv]
-    return spark.createDataFrame(
-        [(i + 1, v[i]) for i in range(K)], "dim_i int, loading bigint"
+    return local_df(
+        spark, [(i + 1, v[i]) for i in range(K)], "dim_i int, loading bigint"
     )
 
 

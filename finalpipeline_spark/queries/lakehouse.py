@@ -28,6 +28,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from finalpipeline_spark.functions.frames import local_df
 from finalpipeline_spark.queries.registry import register
 from finalpipeline_spark.tables import load_table
 
@@ -218,7 +219,7 @@ def versioned_identity_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("rid_distinct", int(row["nd"])),
         ("rid_step_aligned", int(row["aligned"])),
     ]
-    return spark.createDataFrame(rows, "stat string, value bigint")
+    return local_df(spark, rows, "stat string, value bigint")
 
 
 @register(

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from finalpipeline_spark.functions.frames import local_df
 from finalpipeline_spark.functions import dialect as D
 from finalpipeline_spark.queries.registry import register
 from finalpipeline_spark.tables import load_table
@@ -208,8 +209,8 @@ def doc_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i + 1, left, right, left + right, cnt)
         for i, (left, right, cnt) in enumerate(merges)
     ]
-    return spark.createDataFrame(
-        rows, "rank int, left_sym string, right_sym string, merged string, pair_count bigint"
+    return local_df(
+        spark, rows, "rank int, left_sym string, right_sym string, merged string, pair_count bigint"
     )
 
 

@@ -36,6 +36,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # -- Arrow transfer for pandas UDFs / toPandas --
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # -- InferFiltersFromGenerate re-inlines the generator's input
+        #    expression into an added size(..)>0 filter.  When that input
+        #    is a computed chain (tokenize -> hash -> shingle), the filter
+        #    copy cannot be CSE'd with the projection copy (fresh lambda
+        #    IDs), and predicate pushdown drags the full chain into the
+        #    scan filter — measured 11 tokenizer evaluations per row and
+        #    18x slowdown on doc_top_ngrams.  The rule only ever SKIPS
+        #    empty-array rows the generator would drop anyway, so
+        #    excluding it is semantics-preserving at every scale; the
+        #    (tiny) scan-prune benefit applies only to stored array
+        #    columns, which these pipelines explode rarely and cheaply. --
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # -- deterministic timezone handling (testdata is tz-naive) --
         .config("spark.sql.session.timeZone", "UTC")
         # -- events.parquet stores TIMESTAMP(NANOS): read as epoch-ns long --

@@ -11,6 +11,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from finalpipeline_spark.functions.frames import empty_df, local_df
 
 
 def table_exists(spark: SparkSession, name: str) -> bool:
@@ -35,7 +36,7 @@ def append_ledger_entries(
     not the reference's row-at-a-time INSERT loop (tanimoto.py:47-58)."""
     if not files:
         return
-    df = spark.createDataFrame([(f,) for f in files], "file string").withColumn(
+    df = local_df(spark, [(f,) for f in files], "file string").withColumn(
         "ts", F.current_timestamp()
     )
     df.coalesce(1).write.mode("append").parquet(ledger_path)
@@ -52,7 +53,7 @@ def read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
 
     if dir_exists(spark, ledger_path):
         return spark.read.parquet(ledger_path).select("file")
-    return spark.createDataFrame([], "file string")
+    return empty_df(spark, "file string")
 
 
 def write_partitioned(

@@ -153,6 +153,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from finalpipeline_spark.functions.frames import empty_df, local_df
 from finalpipeline_spark.sources.versioned import CommitInfo, VersionedTable
 
 _WS = r"\s+"
@@ -1049,7 +1050,7 @@ def versioned_sql(
                     # loud on a bad expression / unknown source columns:
                     # analyze against the columns declared SO FAR (the
                     # same frame add_generated_column validates against)
-                    spark.createDataFrame([], StructType(list(fields))).select(
+                    empty_df(spark, StructType(list(fields))).select(
                         F.expr(expr).cast(dt).alias(cname)
                     )
                     gen[cname] = expr
@@ -1209,9 +1210,7 @@ def versioned_sql(
             # concurrent writers
             kwargs["grace_seconds"] = float(m.group(4))
         reclaimed = vt.vacuum(**kwargs)
-        return spark.createDataFrame(
-            [(p,) for p in reclaimed], "path string"
-        )
+        return local_df(spark, [(p,) for p in reclaimed], "path string")
 
     if verb == "COPY":
         # COPY INTO <target> FROM '<path>' [FILEFORMAT = fmt]
@@ -1223,7 +1222,8 @@ def versioned_sql(
         pk = _parse_copy(stmt, masked)
         vt = VersionedTable(spark, _resolve_root(spark, pk.pop("target")))
         r = vt.copy_into(attempts=attempts, **pk)
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [(
                 r["files_loaded"],
                 r["rows_loaded"],
@@ -1266,7 +1266,8 @@ def versioned_sql(
             pcols = vt.effective_partitioning()
             from pyspark.sql.types import StringType, StructField, StructType
 
-            sdf = spark.createDataFrame(
+            sdf = local_df(
+                spark,
                 [tuple(v[c] for c in pcols) for v in vals],
                 StructType([StructField(c, StringType()) for c in pcols]),
             )
@@ -1291,8 +1292,8 @@ def versioned_sql(
         vt = VersionedTable(
             spark, _resolve_root(spark, stmt[m.start(1):m.end(1)])
         )
-        return spark.createDataFrame(
-            sorted(vt.table_properties().items()), "key string, value string"
+        return local_df(
+            spark, sorted(vt.table_properties().items()), "key string, value string"
         )
 
     if verb == "DESCRIBE":
@@ -1313,7 +1314,8 @@ def versioned_sql(
         # sizeInBytes only when every entry records it (pre-r10 files
         # may not) — a partial sum would silently under-report
         sizes = [f.get("bytes") for f in m_["files"]]
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [(
                 "versioned",
                 vt.root,

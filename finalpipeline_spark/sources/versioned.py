@@ -74,6 +74,7 @@ from finalpipeline_spark.operators.compaction import _fs_and_path
 
 # Re-exports: this module remains the package's single import surface —
 # the round-9 split into versioned_{base,log,schema,dml} is internal.
+from finalpipeline_spark.functions.frames import empty_df, local_df
 from finalpipeline_spark.sources.versioned_base import (  # noqa: F401
     _ANCHOR_FMT,
     _ARCHIVE_DIR,
@@ -274,7 +275,7 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
         referencing an OLDER vector — those must not leak in)."""
         paths = sorted({self._dv_abs(e) for e in entries if e.get("dv")})
         if not paths:
-            return self.spark.createDataFrame([], _DV_SCHEMA)
+            return empty_df(self.spark, _DV_SCHEMA)
         rels = [e["path"] for e in entries if e.get("dv")]
         return (
             self.spark.read.schema(_DV_SCHEMA)
@@ -871,7 +872,8 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
             )
             for f in m["files"]
         ]
-        return self.spark.createDataFrame(
+        return local_df(
+            self.spark,
             rows,
             "path string, base string, rows bigint, bytes bigint, "
             "stats string, stats_trunc array<string>, "
@@ -925,7 +927,8 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
                     dv_new,
                 )
             )
-        return self.spark.createDataFrame(
+        return local_df(
+            self.spark,
             rows,
             "version bigint, parent bigint, action string, n_files bigint, "
             "n_rows bigint, commit_ts double, n_added_files bigint, "

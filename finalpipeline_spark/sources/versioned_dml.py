@@ -20,6 +20,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from finalpipeline_spark.functions.frames import local_df
 from finalpipeline_spark.sources.versioned_base import (
     _DATA_DIR,
     _DV_BROADCAST_ROWS,
@@ -301,7 +302,8 @@ class DmlMixin:
         )
         from pyspark.sql.types import StructField, StructType, StringType, LongType
 
-        pdf = self.spark.createDataFrame(
+        pdf = local_df(
+            self.spark,
             [(i, *t) for i, t in enumerate(distinct)],
             StructType(
                 [StructField("__pv_idx", LongType())]

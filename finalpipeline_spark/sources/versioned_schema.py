@@ -18,6 +18,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from finalpipeline_spark.functions.frames import empty_df
 from finalpipeline_spark.sources.versioned_base import (
     _NO_CAS,
     CommitInfo,
@@ -167,7 +168,7 @@ class SchemaEvolutionMixin:
         dt = _parse_datatype_string(ddl_type)  # loud on a bad DDL type
         # loud on a bad expression / unknown source columns: analyze it
         # against the current schema without touching data
-        self.spark.createDataFrame([], schema).select(
+        empty_df(self.spark, schema).select(
             F.expr(expr).cast(dt).alias(name)
         )
         widened = StructType(
