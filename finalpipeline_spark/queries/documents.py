@@ -1057,11 +1057,32 @@ def doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial aggregation) → global top-k, which Spark executes
     as TakeOrderedAndProject (per-partition heaps, no full sort). The
     deterministic tie-break (count desc, shingle asc) makes the
-    boundary cut engine-stable."""
-    load_table(spark, sf_dir, "documents").repartition(
+    boundary cut engine-stable.
+
+    The per-doc shingle array is STAGED (cached) before the explode:
+    without a materialization barrier, InferFiltersFromGenerate copies
+    the tokenize→shingle chain into an added size(..)>0 filter that
+    pushdown drags into the scan — 11 tokenizer evaluations per row
+    (~8 s vs ~0.5 s at sf0.01 on a session without the rule excluded;
+    the tuned session also excludes the rule, but the staging keeps the
+    query fast under ANY consumer's session conf). The DuckDB oracle
+    keeps the single-SQL formulation — same values."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
-    ).createOrReplaceTempView(SPARK_VIEW)
-    return spark.sql(_top_ngrams_sql(D.SPARK))
+    )
+    staged = scoped_cache(
+        docs.select(F.expr(_toks(D.SPARK)).alias("toks")).select(
+            F.expr(_shingles("toks", D.SPARK)).alias("shingles")
+        ),
+        "doc_top_ngrams",
+    )
+    return (
+        staged.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "shingle")
+        .limit(_TOP_NGRAMS_K)
+    )
 
 
 # --------------------------------------------------------------------------
