@@ -12,6 +12,8 @@ methods run on the composed table object.
 from __future__ import annotations
 
 import json
+import math
+import os
 import threading
 import time
 import uuid
@@ -77,7 +79,18 @@ class DmlMixin:
         were actually truncated are listed in the entry's
         ``stats_trunc`` so ``column_stats`` refuses them (the bounds
         are no longer the exact extremes); columns that never exceed
-        the cap keep exact stats and no marker."""
+        the cap keep exact stats and no marker.
+
+        The stats pass normally comes FREE from the parquet footers
+        the write just produced (``_footer_stats``: a driver-side
+        metadata read, no Spark job — the commit-sized file list makes
+        it O(files), and at any scale the footers are written anyway).
+        The extra Spark aggregation job runs only when the footers
+        cannot answer exactly: a bloom index must be populated (needs
+        the data), a nested column needs outer null counts (footers
+        only carry leaf-level ones), or a footer omitted min/max for a
+        column with live values (parquet-mr drops stats for >4KB
+        binary values and never writes them for INT96 timestamps)."""
         if enforce:
             cons = self.constraints()
             if cons:
@@ -122,10 +135,19 @@ class DmlMixin:
             written = self._list_data_files(commit_dir)
             if not written:
                 return []
+            fast = self._footer_stats(df, commit_dir, written, pcols)
+            if fast is not None:
+                return fast
             back = self.spark.read.schema(df.schema).parquet(*written)
         else:
             df.write.mode("errorifexists").parquet(abs_dir)
-            back = self.spark.read.parquet(abs_dir)
+            written = self._list_data_files(commit_dir)
+            fast = self._footer_stats(df, commit_dir, written, pcols)
+            if fast is not None:
+                return fast
+            # imposed schema: the files were just written from ``df``,
+            # re-inferring it would re-read every footer through the JVM
+            back = self.spark.read.schema(df.schema).parquet(abs_dir)
         cols = _stat_cols(back)
         str_cols = {c for c, t in back.dtypes if c in set(cols) and t == "string"}
         all_cols = back.columns  # null counts work for EVERY type
@@ -202,6 +224,154 @@ class DmlMixin:
                 entry["bloom"] = blooms[full]
             files.append(entry)
         return files
+
+    def _footer_stats(
+        self,
+        df: DataFrame,
+        commit_dir: str,
+        written: list[str],
+        pcols: list[str] | None,
+    ) -> list[dict[str, Any]] | None:
+        """Manifest file entries computed from the parquet FOOTERS of
+        the files a write just produced — a driver-side metadata read
+        (milliseconds for a commit-sized file list), replacing the
+        per-write Spark aggregation job. Returns ``None`` whenever the
+        footers cannot reproduce the Spark pass EXACTLY, and the
+        caller falls back:
+
+        - a bloom index is configured (the filter needs the data);
+        - any column is nested (array/map/struct): footers carry only
+          leaf-level null counts, the manifest needs outer ones;
+        - a footer omits min/max for a stat column that has live
+          values (parquet-mr drops stats when min+max exceed 4KB and
+          never writes them for INT96 timestamps) — recording no
+          bounds would change pruning and ``column_stats``;
+        - the files are not locally readable (non-file:// scheme).
+
+        Semantics mirrored from the Spark pass: NaN folds as the
+        LARGEST double (parquet-mr's Double.compare order — same as
+        Spark's max); string bounds longer than ``_STR_STAT_MAX`` are
+        prefix-truncated with ``_trunc_upper`` on the upper bound and
+        the column marked ``stats_trunc`` (truncation is monotone, so
+        the prefix of the true extreme equals the extreme over
+        prefixes); zero-row files are skipped (the Spark groupBy never
+        produced an entry for them)."""
+        bcfg = self.effective_bloom()
+        if bcfg is not None and bcfg[0] in df.columns:
+            return None
+        fields = df.schema.fields
+        for f in fields:
+            t = f.dataType.simpleString()
+            if "array<" in t or "map<" in t or "struct<" in t:
+                return None
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover — pyarrow ships with pyspark
+            return None
+        cols = set(_stat_cols(df))
+        names = [f.name for f in fields]
+        is_str = {f.name for f in fields if f.dataType.simpleString() == "string"}
+        is_float = {
+            f.name
+            for f in fields
+            if f.dataType.simpleString() in ("float", "double")
+        }
+
+        def _is_nan(v: Any) -> bool:
+            return isinstance(v, float) and math.isnan(v)
+
+        def _fold_min(vals: list[Any]) -> Any:
+            real = [v for v in vals if not _is_nan(v)]
+            return min(real) if real else vals[0]
+
+        def _fold_max(vals: list[Any]) -> Any:
+            if any(_is_nan(v) for v in vals):
+                return float("nan")
+            return max(vals)
+
+        entries: list[dict[str, Any]] = []
+        for full in written:
+            local = full
+            if local.startswith("file:"):
+                local = local[len("file:"):]
+                while local.startswith("//"):
+                    local = local[1:]
+            elif ":" in local.split("/", 1)[0]:
+                return None  # non-local scheme — footers not readable here
+            try:
+                md = pq.ParquetFile(local).metadata
+            except Exception:
+                return None
+            if md.num_rows == 0:
+                continue
+            # leaf order == declaration order for a flat schema; verify
+            rg0 = md.row_group(0)
+            leaf_names = [
+                rg0.column(i).path_in_schema for i in range(rg0.num_columns)
+            ]
+            if leaf_names != names:
+                return None
+            rows = md.num_rows
+            nulls: dict[str, int] = {}
+            mins: dict[str, list[Any]] = {c: [] for c in cols}
+            maxs: dict[str, list[Any]] = {c: [] for c in cols}
+            ok = True
+            for gi in range(md.num_row_groups):
+                rg = md.row_group(gi)
+                for ci, name in enumerate(names):
+                    st = rg.column(ci).statistics
+                    if st is None or not st.has_null_count:
+                        ok = False
+                        break
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+                    if name not in cols:
+                        continue
+                    if rg.num_rows == st.null_count:
+                        continue  # this group holds no live values
+                    if not st.has_min_max:
+                        ok = False  # live values but no bounds — fall back
+                        break
+                    mins[name].append(st.min)
+                    maxs[name].append(st.max)
+                if not ok:
+                    break
+            if not ok:
+                return None
+            idx = full.find(commit_dir)
+            rel = full[idx:] if idx >= 0 else full
+            entry: dict[str, Any] = {
+                "path": rel,
+                "rows": rows,
+                "bytes": os.path.getsize(local),
+            }
+            if pcols:
+                entry["pv"] = self._pv_from_rel(rel, pcols)
+            ent_stats: dict[str, Any] = {}
+            trunc: list[str] = []
+            for f in fields:
+                c = f.name
+                if c not in cols:
+                    continue
+                if not mins[c]:
+                    ent_stats[c] = [None, None]  # every value null
+                    continue
+                if c in is_float:
+                    mn, mx = _fold_min(mins[c]), _fold_max(maxs[c])
+                else:
+                    mn, mx = min(mins[c]), max(maxs[c])
+                if c in is_str and (
+                    len(mn) > _STR_STAT_MAX or len(mx) > _STR_STAT_MAX
+                ):
+                    mn = mn[:_STR_STAT_MAX]
+                    mx = _trunc_upper(mx[:_STR_STAT_MAX])
+                    trunc.append(c)
+                ent_stats[c] = [_json_safe(mn), _json_safe(mx)]
+            entry["stats"] = ent_stats
+            if trunc:
+                entry["stats_trunc"] = trunc
+            entry["nulls"] = {c: int(nulls[c]) for c in names}
+            entries.append(entry)
+        return entries
 
     def _list_data_files(self, rel_dir: str) -> list[str]:
         """Recursive listing of the data files under one commit dir
