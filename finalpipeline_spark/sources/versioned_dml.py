@@ -1441,14 +1441,6 @@ class DmlMixin:
 
             schema = StructType(list(schema.fields) + extra)
         cols = [f.name for f in schema.fields]
-        dup = (
-            source.groupBy(*keys).count().filter("count > 1").limit(1).collect()
-        )
-        if dup:
-            raise ValueError(
-                f"merge source is not unique on {keys}: e.g. "
-                f"{tuple(dup[0][k] for k in keys)}"
-            )
         # lineage scan so existing deletion vectors are honored both in
         # hit discovery and in the survivor rewrite (a DV'd row must
         # neither mark its file as hit nor resurrect in the rewrite)
@@ -1469,18 +1461,35 @@ class DmlMixin:
                 self._apply_identity_merge(source, live, keys, m), m
             )
         src_keys = source.select(*keys).distinct()
-        hit_rels: set[str] = set()
+        # ONE driver action answers every pre-commit probe: source-key
+        # uniqueness (the error guard) plus the hit-file discovery for
+        # the matched and by-source clause sides — tagged branches of a
+        # two-column union, so a merge launches one probe job instead
+        # of up to three. Every branch is tiny by construction: the dup
+        # branch is LIMIT 1, the hit branches are distinct over file
+        # paths (bounded by file count, not rows).
+        probes = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .filter("__cnt > 1")
+            .limit(1)
+            .select(
+                F.lit("dup").alias("__tag"),
+                F.to_json(F.struct(*keys)).alias("__val"),
+            )
+        )
         if whole_row or matched_clauses or delete_col:
             # an INSERT-only clause merge touches no matched row —
             # matched files need no rewrite at all
-            hit_rels = {
-                r["__file"]
-                for r in live.select("__file", *keys)
+            probes = probes.unionByName(
+                live.select("__file", *keys)
                 .join(src_keys, keys, "left_semi")
-                .select("__file")
+                .select(
+                    F.lit("hit").alias("__tag"),
+                    F.col("__file").alias("__val"),
+                )
                 .distinct()
-                .collect()  # bounded by file count, not rows
-            }
+            )
         if not_matched_by_source_clauses:
             # files holding source-less rows ANY by-source clause hits
             # (doomed or re-stamped) must be rewritten too
@@ -1488,15 +1497,26 @@ class DmlMixin:
                 f"({cl['condition'] or 'true'})"
                 for cl in not_matched_by_source_clauses
             )
-            hit_rels |= {
-                r["__file"]
-                for r in live.select("__file", *base_schema.fieldNames())
+            probes = probes.unionByName(
+                live.select("__file", *base_schema.fieldNames())
                 .join(src_keys, keys, "left_anti")
                 .filter(F.expr(nmbs_any))
-                .select("__file")
+                .select(
+                    F.lit("hit").alias("__tag"),
+                    F.col("__file").alias("__val"),
+                )
                 .distinct()
-                .collect()  # bounded by file count
-            }
+            )
+        probe_rows = probes.collect()
+        dup = [r for r in probe_rows if r["__tag"] == "dup"]
+        if dup:
+            raise ValueError(
+                f"merge source is not unique on {keys}: e.g. "
+                f"{dup[0]['__val']}"
+            )
+        hit_rels: set[str] = {
+            r["__val"] for r in probe_rows if r["__tag"] == "hit"
+        }
         keep = [e for e in m["files"] if e["path"] not in hit_rels]
         rewrite = [e for e in m["files"] if e["path"] in hit_rels]
         if (
