@@ -79,6 +79,56 @@ def assign_global_rank(
     return ranked
 
 
+def _two_phase_rank_multi(
+    frames: Sequence[tuple[DataFrame, Sequence[str]]], out_col: str
+) -> list[tuple[DataFrame, int]]:
+    """k independent two-phase ranks with ONE driver action.
+
+    Each input gets its own range exchange + per-partition window
+    (identical to _two_phase_rank), but the per-partition counts of all
+    k inputs are collected through a single tagged union — one Spark
+    job runs the k exchanges concurrently and the k lazy
+    lineage-truncation checkpoints materialize as its side effect,
+    where k sequential _two_phase_rank calls pay k sampling+count
+    actions back to back (measured 0.37–0.64 s each at sf0.01).
+    Driver state stays k × parallelism rows."""
+    numbered_frames = []
+    for df, order_cols in frames:
+        ranged = df.repartitionByRange(*order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        ranged = truncate_lineage(ranged, eager=False)  # pin sampled boundaries
+        w = W.partitionBy("_pid").orderBy(*order_cols)
+        numbered_frames.append(
+            ranged.withColumn("_local_rn", F.row_number().over(w))
+        )
+    union = None
+    for i, numbered in enumerate(numbered_frames):
+        c = (
+            numbered.groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(i).alias("_tag"), "_pid", "cnt")
+        )
+        union = c if union is None else union.unionByName(c)
+    by_tag: dict[int, list[tuple[int, int]]] = {}
+    for r in union.collect():
+        by_tag.setdefault(r["_tag"], []).append((r["_pid"], r["cnt"]))
+    out = []
+    for i, numbered in enumerate(numbered_frames):
+        offsets, acc = [], 0
+        for pid, cnt in sorted(by_tag.get(i, [])):
+            offsets.append((pid, acc))
+            acc += cnt
+        off_df = local_df(numbered.sparkSession, offsets, "_pid int, _offset long")
+        ranked = (
+            numbered.join(F.broadcast(off_df), "_pid")
+            .withColumn(out_col, (F.col("_local_rn") + F.col("_offset")).cast("long"))
+            .drop("_pid", "_local_rn", "_offset")
+        )
+        out.append((ranked, acc))
+    return out
+
+
 def partitioned_prefix_sum(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -226,13 +276,34 @@ def global_ntile(
     # the rank pass's offsets collect already summed the total — no
     # second counting job
     ranked, n_total = _two_phase_rank(df, order_cols, out_col="_grank")
+    return ranked.withColumn(out_col, _tile_expr(n_total, n_tiles)).drop("_grank")
+
+
+def _tile_expr(n_total: int, n_tiles: int):
+    """SQL-standard ntile boundaries over the ``_grank`` column: the
+    first N mod n tiles get ceil(N/n) rows, the rest floor(N/n)."""
     q, r = divmod(n_total, n_tiles)
     big = q + 1
     # ranks 1 .. r*big fall in the r big tiles; the rest in small tiles
-    tile = F.when(
+    return F.when(
         F.col("_grank") <= r * big,
         ((F.col("_grank") - 1) / big).cast("long") + 1,
     ).otherwise(
         F.lit(r) + ((F.col("_grank") - 1 - r * big) / F.greatest(F.lit(q), F.lit(1))).cast("long") + 1
     )
-    return ranked.withColumn(out_col, tile).drop("_grank")
+
+
+def global_ntile_multi(
+    frames: Sequence[tuple[DataFrame, Sequence[str], str]], n_tiles: int
+) -> list[DataFrame]:
+    """k independent exact ntiles with ONE counting action (see
+    _two_phase_rank_multi). Each (df, order_cols, out_col) spec gets
+    the same result as ``global_ntile(df, order_cols, n_tiles,
+    out_col)``."""
+    ranked = _two_phase_rank_multi(
+        [(df, order_cols) for df, order_cols, _ in frames], out_col="_grank"
+    )
+    return [
+        rdf.withColumn(out_col, _tile_expr(n_total, n_tiles)).drop("_grank")
+        for (rdf, n_total), (_, _, out_col) in zip(ranked, frames)
+    ]

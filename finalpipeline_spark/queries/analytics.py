@@ -96,14 +96,15 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     average spend per (R,F,M) cell. See _rfm_sql for the semantics.
 
     Each quartile is computed by the DISTRIBUTED exact-ntile operator
-    (operators/rank.global_ntile: range exchange + offset broadcast) —
+    (operators/rank.global_ntile_multi: per-metric range exchange +
+    offset broadcast, all three metrics counted in ONE driver action) —
     no unpartitioned ``ntile() OVER (ORDER BY ...)`` window anywhere in
     the plan, so no single task ever ranks all |customers| rows. The
     tile arithmetic is bit-identical to the single-window oracle form
     (SQL-standard big-tiles-first boundaries over a total order)."""
     from pyspark.sql import functions as F
 
-    from finalpipeline_spark.operators.rank import global_ntile
+    from finalpipeline_spark.operators.rank import global_ntile_multi
 
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(_ORD_VIEW)
     per_cust = spark.sql(
@@ -121,15 +122,35 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("neg_frequency", -F.col("frequency")).withColumn(
         "neg_monetary", -F.col("monetary_cents")
     )
-    scored = global_ntile(
-        per_cust, ["recency_days", "o_custkey"], _N_TILES, out_col="r_tile"
-    )
-    scored = global_ntile(
-        scored, ["neg_frequency", "o_custkey"], _N_TILES, out_col="f_tile"
-    )
-    scored = global_ntile(
-        scored, ["neg_monetary", "o_custkey"], _N_TILES, out_col="m_tile"
-    )
+    # The three quartile passes are INDEPENDENT total orders over the
+    # same per-customer relation, so they run over one cached copy and
+    # re-join on the (unique) customer key — chaining them instead
+    # threads each pass's range exchange, window and offset join into
+    # the next pass's input, so pass k's boundary sampling and
+    # checkpoint re-evaluate the k-1 chain (measured: pass times grow
+    # 0.37/0.54/0.64 s chained at sf0.01; independent passes are flat).
+    # Each pass also range-exchanges only (key, order col), not the
+    # full row.
+    from finalpipeline_spark.functions.caching import scoped_cache
+
+    per_cust = scoped_cache(per_cust, "orders_rfm_segments")
+    specs = [
+        (per_cust.select("o_custkey", order_col), [order_col, "o_custkey"], out_col)
+        for order_col, out_col in (
+            ("recency_days", "r_tile"),
+            ("neg_frequency", "f_tile"),
+            ("neg_monetary", "m_tile"),
+        )
+    ]
+    tiles = [
+        t.select("o_custkey", out_col)
+        for t, (_, _, out_col) in zip(
+            global_ntile_multi(specs, _N_TILES), specs
+        )
+    ]
+    scored = per_cust.select("o_custkey", "monetary_cents")
+    for t in tiles:
+        scored = scored.join(t, "o_custkey")
     return scored.groupBy("r_tile", "f_tile", "m_tile").agg(
         F.expr("cast(count(*) as bigint)").alias("n_customers"),
         F.expr(

@@ -1312,7 +1312,9 @@ def _span_positions(dialect: str) -> str:
     return ""  # DuckDB: unnest(range(...)) in the SELECT list instead
 
 
-def _span_sql(dialect: str) -> str:
+def _span_sql(
+    dialect: str, tok_rel: str | None = None, occ_rel: str | None = None
+) -> str:
     """Per-source profile of text covered by {_SPAN_K}-token spans that
     repeat across DISTINCT documents — the Lee-et-al. repeated-span
     signal: spans shared verbatim between documents are boilerplate or
@@ -1357,13 +1359,21 @@ def _span_sql(dialect: str) -> str:
             SELECT DISTINCT o.doc_id, unnest(range(o.p, o.p + {_SPAN_K})) AS pos
             FROM occ o JOIN rep r ON o.span = r.span
         """
-    occ_cte = (
-        f"occ AS ({occ})" if dialect == D.SPARK else occ
+    if occ_rel is not None:
+        occ_cte = f"occ AS (SELECT * FROM {occ_rel})"
+    elif dialect == D.SPARK:
+        occ_cte = f"occ AS ({occ})"
+    else:
+        occ_cte = occ
+    tok_body = (
+        f"SELECT * FROM {tok_rel}"
+        if tok_rel is not None
+        else f"""SELECT doc_id, source, toks, {D.arr_size('toks', dialect)} AS n
+            FROM (SELECT doc_id, source, {toks} AS toks FROM {t}) raw"""
     )
     return f"""
         WITH tok AS {mat}(
-            SELECT doc_id, source, toks, {D.arr_size('toks', dialect)} AS n
-            FROM (SELECT doc_id, source, {toks} AS toks FROM {t}) raw
+            {tok_body}
         ),
         {occ_cte},
         rep AS {mat}(
@@ -1389,17 +1399,53 @@ def _span_sql(dialect: str) -> str:
     """
 
 
+def _stage_span_rels(spark: SparkSession, scope: str) -> tuple[str, str]:
+    """Stage the two span relations both span queries fan out over:
+    ``tok`` (per-doc tokens + length; consumed by the occurrence
+    explode AND the per-doc report join) and ``occ`` (per-position
+    span strings; consumed by the repeated-span aggregation AND the
+    coverage/cut join). Unstaged, Spark re-expands each inlined CTE
+    into every consumer — the measured plan ran the tokenizer 3x and
+    scanned the corpus 6x per query. Both relations are corpus-sized;
+    scoped_cache keeps them for exactly one query invocation (the same
+    staging policy as the LSH signature tables)."""
+    toks = D.tokens("text", D.SPARK)
+    tok = scoped_cache(
+        spark.sql(
+            f"SELECT doc_id, source, toks, {D.arr_size('toks', D.SPARK)} AS n "
+            f"FROM (SELECT doc_id, source, {toks} AS toks FROM {SPARK_VIEW}) raw"
+        ),
+        scope,
+    )
+    tok.createOrReplaceTempView("__fps_span_tok")
+    span = D.arr_join(D.arr_slice("toks", "p", _SPAN_K, D.SPARK), " ", D.SPARK)
+    occ = scoped_cache(
+        spark.sql(
+            f"SELECT doc_id, p, {span} AS span "
+            f"FROM __fps_span_tok {_span_positions(D.SPARK)}"
+        ),
+        scope,
+    )
+    occ.createOrReplaceTempView("__fps_span_occ")
+    return "__fps_span_tok", "__fps_span_occ"
+
+
 @register("doc_crossdoc_repeated_spans", oracle=_span_sql(D.DUCK), tags=("extension",))
 def doc_crossdoc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source fraction of tokens inside 5-token spans that repeat
     verbatim across distinct documents — the memorization-risk /
     boilerplate signal used to rank sources for aggressive dedup. See
-    _span_sql for the scale shape."""
+    _span_sql for the scale shape and _stage_span_rels for why the tok
+    and occ relations are staged (the DuckDB oracle keeps the
+    single-SQL formulation — same values)."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
-    return spark.sql(_span_sql(D.SPARK))
+    tok_rel, occ_rel = _stage_span_rels(spark, "doc_crossdoc_repeated_spans")
+    return spark.sql(_span_sql(D.SPARK, tok_rel=tok_rel, occ_rel=occ_rel))
 
 
-def _span_dedup_sql(dialect: str) -> str:
+def _span_dedup_sql(
+    dialect: str, tok_rel: str | None = None, occ_rel: str | None = None
+) -> str:
     """The repeated-span DEDUP TRANSFORM (not just the metric): for
     every {_SPAN_K}-token span appearing in >= 2 distinct documents,
     the lowest doc_id KEEPS its occurrences and every other document
@@ -1440,10 +1486,17 @@ def _span_dedup_sql(dialect: str) -> str:
             FROM occ o JOIN keeper k
               ON o.span = k.span AND o.doc_id != k.keep_doc
         """
+    if occ_rel is not None:
+        occ_cte = f"occ AS (SELECT * FROM {occ_rel})"
+    tok_body = (
+        f"SELECT * FROM {tok_rel}"
+        if tok_rel is not None
+        else f"""SELECT doc_id, source, toks, {D.arr_size('toks', dialect)} AS n
+            FROM (SELECT doc_id, source, {toks} AS toks FROM {t}) raw"""
+    )
     return f"""
         WITH tok AS {mat}(
-            SELECT doc_id, source, toks, {D.arr_size('toks', dialect)} AS n
-            FROM (SELECT doc_id, source, {toks} AS toks FROM {t}) raw
+            {tok_body}
         ),
         {occ_cte},
         keeper AS {mat}(
@@ -1475,4 +1528,5 @@ def doc_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     before/after token counts (the corpus-shrink report a dedup run
     emits). See _span_dedup_sql."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
-    return spark.sql(_span_dedup_sql(D.SPARK))
+    tok_rel, occ_rel = _stage_span_rels(spark, "doc_span_dedup_rewrite")
+    return spark.sql(_span_dedup_sql(D.SPARK, tok_rel=tok_rel, occ_rel=occ_rel))

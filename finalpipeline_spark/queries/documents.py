@@ -708,13 +708,75 @@ def _simhash_sql(dialect: str) -> str:
     """
 
 
+def _simhash_spark_df(spark: SparkSession) -> DataFrame:
+    """The Spark-side simhash computation as explode + codegen aggregate.
+
+    The single-SQL form (kept verbatim as the DuckDB oracle) evaluates a
+    nested higher-order ``aggregate`` — 60 interpreted passes over the
+    shingle-hash array per row (HOF lambdas block whole-stage codegen).
+    Here the distinct shingle hashes are exploded once, each paired with
+    the 60 bit positions, and the per-(doc, bit) one-count ``s`` plus
+    row count ``n`` come out of ONE codegen'd hash aggregate with
+    map-side combine; the ±1 vote sum is ``2·s − n``, so the sign test
+    is ``2·s >= n`` and the signature is a second per-doc aggregate
+    summing ``1 << b`` for the set bits. Every step is exact int64
+    arithmetic, so the result is bit-identical to the oracle's fold
+    (verified by the oracle check). Per-invocation cost ~0.5 s vs ~1.2 s
+    for the interpreted fold at sf0.01; the shuffle carries 60 compact
+    partial-vote rows per document (constant per doc), never raw
+    shingles.
+
+    A deliberately WIDE alternative (60 ``sum(CASE)`` columns in one
+    aggregate) measured 1.6–2.0 s per invocation — the generated code
+    for the 60-column aggregate recompiles on every fresh plan and
+    dwarfs the query itself; the narrow two-stage form keeps codegen
+    small and cache-friendly.
+
+    Docs with < 3 tokens have an empty shingle array and fall out of
+    the explode — exactly the rows the oracle's WHERE excludes
+    (>= 3 tokens ⇒ >= 1 shingle).
+    """
+    hashed = D.transform_arr("toks", "t", D.token_hash("t", D.SPARK), D.SPARK)
+    hs = D.transform_arr(
+        D.arr_distinct(D.shingle_hashes("hs0", D.SPARK), D.SPARK),
+        "s",
+        _spread60("s"),
+        D.SPARK,
+    )
+    staged = (
+        spark.table(SPARK_VIEW)
+        .select("doc_id", F.expr(_toks(D.SPARK)).alias("toks"))
+        .select("doc_id", F.expr(hashed).alias("hs0"))
+        .select("doc_id", F.expr(hs).alias("hs"))
+    )
+    bits = staged.select("doc_id", F.explode("hs").alias("h")).select(
+        "doc_id", F.expr(f"explode(sequence(0, {_SIMHASH_BITS - 1}))").alias("b"), "h"
+    )
+    per_bit = bits.groupBy("doc_id", "b").agg(
+        F.sum(F.expr("shiftright(h, b) & 1")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                2 * F.col("s") >= F.col("n"),
+                F.expr("shiftleft(cast(1 as bigint), b)"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
 @register("doc_simhash", oracle=_simhash_sql(D.DUCK), tags=("extension",))
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (sign of per-bit vote over distinct
     shingle hashes). Near-dup = small hamming distance; pairing is done
-    downstream by banding the simhash like any LSH key."""
+    downstream by banding the simhash like any LSH key. See
+    _simhash_spark_df for the codegen-aggregate formulation (the DuckDB
+    oracle keeps the single-SQL nested-fold form — same values)."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(SPARK_VIEW)
-    return spark.sql(_simhash_sql(D.SPARK))
+    return _simhash_spark_df(spark)
 
 
 # --------------------------------------------------------------------------
@@ -784,7 +846,7 @@ def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     ).createOrReplaceTempView(SPARK_VIEW)
-    sims = scoped_cache(spark.sql(_simhash_sql(D.SPARK)), "doc_simhash_near_dup")
+    sims = scoped_cache(_simhash_spark_df(spark), "doc_simhash_near_dup")
     sims.createOrReplaceTempView("__fps_simhash_sims")
     return spark.sql(_simhash_pairs_sql(D.SPARK, sims_rel="__fps_simhash_sims"))
 

@@ -134,7 +134,7 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _bm25_sql(dialect: str) -> str:
+def _bm25_sql(dialect: str, pd_rel: str | None = None) -> str:
     """BM25 top-k for a fixed keyword query.
 
         score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
@@ -155,13 +155,26 @@ def _bm25_sql(dialect: str) -> str:
     """
     toks = D.tokens("text", dialect)
     hit_arr = D.filter_arr("toks", "x", f"x IN {_terms_sql()}", dialect)
-    if dialect == D.SPARK:
-        hits = (
-            f"SELECT doc_id, t FROM (SELECT doc_id, {hit_arr} AS hs FROM toks) h "
-            f"LATERAL VIEW explode(hs) x AS t"
-        )
+    if pd_rel is not None:
+        toks_cte = ""
+        dl_body = f"SELECT doc_id, dl FROM {pd_rel}"
+        hits = f"SELECT doc_id, t FROM {pd_rel} LATERAL VIEW explode(hs) x AS t"
     else:
-        hits = f"SELECT doc_id, unnest({hit_arr}) AS t FROM toks"
+        toks_cte = (
+            f"toks AS (\n            SELECT doc_id, {toks} AS toks "
+            f"FROM {_doc_tbl(dialect)}\n        ),\n        "
+        )
+        dl_body = (
+            f"SELECT doc_id, cast({D.arr_size('toks', dialect)} as bigint) AS dl"
+            f"\n            FROM toks"
+        )
+        if dialect == D.SPARK:
+            hits = (
+                f"SELECT doc_id, t FROM (SELECT doc_id, {hit_arr} AS hs FROM toks) h "
+                f"LATERAL VIEW explode(hs) x AS t"
+            )
+        else:
+            hits = f"SELECT doc_id, unnest({hit_arr}) AS t FROM toks"
     qidf = (
         f"cast(floor(ln(1.0 + (cast(n_docs - df as double) + 0.5)"
         f" / (cast(df as double) + 0.5)) * {_LN_SCALE}.0 + 0.5) as bigint)"
@@ -178,12 +191,8 @@ def _bm25_sql(dialect: str) -> str:
     )
     score = " + ".join(part.format(term=t) for t in _QUERY_TERMS)
     return f"""
-        WITH toks AS (
-            SELECT doc_id, {toks} AS toks FROM {_doc_tbl(dialect)}
-        ),
-        dl AS (
-            SELECT doc_id, cast({D.arr_size("toks", dialect)} as bigint) AS dl
-            FROM toks
+        WITH {toks_cte}dl AS (
+            {dl_body}
         ),
         stats AS (
             SELECT cast(count(*) as bigint) AS n_docs,
@@ -219,15 +228,45 @@ def _terms_sql() -> str:
     return "(" + ", ".join(f"'{t}'" for t in _QUERY_TERMS) + ")"
 
 
+def _bm25_pd_sql() -> str:
+    """The Spark-side per-document BM25 input relation: one tokenize
+    pass emits the doc length and the query-term hit array (bounded by
+    the query terms\' frequency — tiny per doc). Staged (cached) by the
+    query functions because the BM25 CTE chain consumes it from four
+    sub-relations (dl x2 via stats/scored, hits, and the idf chain) and
+    Spark re-expands an inlined CTE into every consumer — without the
+    stage the corpus is re-scanned and re-tokenized per consumer (the
+    measured plan held 20 parquet scans for the hybrid query)."""
+    toks = D.tokens("text", D.SPARK)
+    hit_arr = D.filter_arr("toks", "x", f"x IN {_terms_sql()}", D.SPARK)
+    return (
+        f"SELECT doc_id, cast({D.arr_size('toks', D.SPARK)} as bigint) AS dl, "
+        f"{hit_arr} AS hs "
+        f"FROM (SELECT doc_id, {toks} AS toks FROM {SPARK_VIEW}) t"
+    )
+
+
+def _stage_bm25_pd(spark: SparkSession, scope: str) -> str:
+    pd = scoped_cache(spark.sql(_bm25_pd_sql()), scope)
+    view = "__fps_bm25_pd"
+    pd.createOrReplaceTempView(view)
+    return view
+
+
 @register("doc_bm25_topk", oracle=_bm25_sql(D.DUCK), tags=("extension",))
 def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 documents for a fixed 3-term keyword query (k1=1.2,
     b=0.75, Lucene idf). See _bm25_sql for the parity scheme and why
-    the query-term filter sits inside the scan projection."""
+    the query-term filter sits inside the scan projection; the per-doc
+    (dl, hits) relation is staged once (see _bm25_pd_sql) so the corpus
+    is scanned and tokenized exactly once. The DuckDB oracle keeps the
+    single-SQL formulation — same values."""
     load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     ).createOrReplaceTempView(SPARK_VIEW)
-    return spark.sql(_bm25_sql(D.SPARK))
+    return spark.sql(
+        _bm25_sql(D.SPARK, pd_rel=_stage_bm25_pd(spark, "doc_bm25_topk"))
+    )
 
 
 
@@ -245,7 +284,9 @@ def _emb_tbl(dialect: str) -> str:
     return _EMB_VIEW if dialect == D.SPARK else "embeddings"
 
 
-def _hybrid_rrf_sql(dialect: str) -> str:
+def _hybrid_rrf_sql(
+    dialect: str, pd_rel: str | None = None, normed_rel: str | None = None
+) -> str:
     """Hybrid search: the lexical leg (BM25 top-20) and the semantic
     leg (cosine top-20 to a fixed query vector — the corpus's min
     vec_id row, so the "query" is deterministic data, not a literal)
@@ -271,24 +312,30 @@ def _hybrid_rrf_sql(dialect: str) -> str:
         f"coalesce(1.0 / cast({_RRF_K} + b.r as double), 0.0)"
         f" + coalesce(1.0 / cast({_RRF_K} + v.r as double), 0.0)"
     )
+    nr = normed_rel or "normed"
+    normed_cte = (
+        ""
+        if normed_rel
+        else f"""normed AS (
+            SELECT vec_id, embedding, {nrm} AS nrm FROM {_emb_tbl(dialect)}
+        ),
+        """
+    )
     return f"""
-        WITH bm AS ({_bm25_sql(dialect)}),
+        WITH bm AS ({_bm25_sql(dialect, pd_rel=pd_rel)}),
         bm_rank AS (
             SELECT doc_id, cast(row_number() OVER (
                 ORDER BY score DESC, doc_id) as bigint) AS r
             FROM bm
         ),
-        normed AS (
-            SELECT vec_id, embedding, {nrm} AS nrm FROM {_emb_tbl(dialect)}
-        ),
-        q AS (
-            SELECT embedding, nrm FROM normed
-            WHERE vec_id = (SELECT min(vec_id) FROM normed)
+        {normed_cte}q AS (
+            SELECT embedding, nrm FROM {nr}
+            WHERE vec_id = (SELECT min(vec_id) FROM {nr})
         ),
         vec_scored AS (
             SELECT e.vec_id AS doc_id, {cos} AS cosine
-            FROM normed e CROSS JOIN q
-            WHERE e.vec_id != (SELECT min(vec_id) FROM normed)
+            FROM {nr} e CROSS JOIN q
+            WHERE e.vec_id != (SELECT min(vec_id) FROM {nr})
         ),
         vec_top AS (
             -- top-k BEFORE ranking: ORDER BY + LIMIT is per-partition
@@ -324,7 +371,26 @@ def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     ).createOrReplaceTempView(SPARK_VIEW)
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(_EMB_VIEW)
-    return spark.sql(_hybrid_rrf_sql(D.SPARK))
+    # Stage BOTH legs' base relations once (same scope): the BM25 CTE
+    # chain consumes the per-doc (dl, hits) relation four ways and the
+    # cosine leg consumes the normed embeddings four ways (q, the two
+    # min(vec_id) subqueries, the scored scan) — unstaged, Spark
+    # re-expands each into every consumer (measured: 20 parquet scans,
+    # 4 tokenizer evaluations per row). The DuckDB oracle keeps the
+    # single-SQL formulation — same values.
+    scope = "doc_hybrid_search_rrf"
+    pd_view = _stage_bm25_pd(spark, scope)
+    nrm = D.dot("embedding", "embedding", _EMB_DIM, D.SPARK)
+    normed = scoped_cache(
+        spark.sql(
+            f"SELECT vec_id, embedding, {nrm} AS nrm FROM {_EMB_VIEW}"
+        ),
+        scope,
+    )
+    normed.createOrReplaceTempView("__fps_hybrid_normed")
+    return spark.sql(
+        _hybrid_rrf_sql(D.SPARK, pd_rel=pd_view, normed_rel="__fps_hybrid_normed")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -333,7 +399,7 @@ def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_TOPK = 25
 
 
-def _bigram_lm_sql(dialect: str) -> str:
+def _bigram_lm_sql(dialect: str, bigrams_rel: str | None = None) -> str:
     """Top bigram continuations with conditional probability
     P(w2 | w1) = c(w1,w2) / c(w1 ·) — the counting core of n-gram
     language modeling (and of the contamination-detectable memorized-
@@ -352,13 +418,20 @@ def _bigram_lm_sql(dialect: str) -> str:
     n = D.arr_size("toks", dialect)
     if dialect == D.SPARK:
         # element_at requires an INT index; sequence() emits ints when
-        # given int bounds
+        # given int bounds. The generator is CASE-guarded (empty array
+        # for < 2 tokens) instead of a WHERE on the token count: a
+        # size() predicate on the projected array is pushed back through
+        # the projection and re-runs the tokenizer a second time per row
+        # at the scan.
         w1 = D.arr_index("toks", "i", dialect)
         w2 = D.arr_index("toks", "(i + 1)", dialect)
-        gen = f"explode(sequence(1, cast({n} as int) - 1))"
+        gen = (
+            f"explode(CASE WHEN {n} >= 2 THEN sequence(1, cast({n} as int) - 1)"
+            f" ELSE array() END)"
+        )
         pairs = (
             f"SELECT {w1} AS w1, {w2} AS w2 FROM "
-            f"(SELECT toks, {gen} AS i FROM toks_rel WHERE {n} >= 2) g"
+            f"(SELECT toks, {gen} AS i FROM toks_rel) g"
         )
     else:
         w1 = D.arr_index("toks", "cast(i as int)", dialect)
@@ -367,30 +440,66 @@ def _bigram_lm_sql(dialect: str) -> str:
             f"SELECT {w1} AS w1, {w2} AS w2 FROM "
             f"(SELECT toks, unnest(range(1, {n})) AS i FROM toks_rel WHERE {n} >= 2) g"
         )
-    return f"""
-        WITH toks_rel AS (
+    bigrams_body = (
+        f"SELECT w1, w2, cast(count(*) as bigint) AS c12 "
+        f"FROM ({pairs}) p GROUP BY w1, w2"
+    )
+    if bigrams_rel is None:
+        with_head = f"""toks_rel AS (
             SELECT {toks} AS toks FROM {_doc_tbl(dialect)}
         ),
-        bigrams AS (
-            SELECT w1, w2, cast(count(*) as bigint) AS c12
-            FROM ({pairs}) p GROUP BY w1, w2
-        ),
-        marginal AS (
-            SELECT w1, cast(sum(c12) as bigint) AS c1 FROM bigrams GROUP BY w1
+        bigrams AS ({bigrams_body}),
+        """
+        bigrams = "bigrams"
+    else:
+        with_head = ""
+        bigrams = bigrams_rel
+    return f"""
+        WITH {with_head}marginal AS (
+            SELECT w1, cast(sum(c12) as bigint) AS c1 FROM {bigrams} GROUP BY w1
         )
         SELECT b.w1, b.w2, b.c12, m.c1,
                cast(b.c12 as double) / cast(m.c1 as double) AS cond_prob
-        FROM bigrams b JOIN marginal m ON b.w1 = m.w1
+        FROM {bigrams} b JOIN marginal m ON b.w1 = m.w1
         ORDER BY b.c12 DESC, b.w1, b.w2
         LIMIT {_LM_TOPK}
     """
 
 
+def _bigram_counts_sql() -> str:
+    """The Spark-side bigram-count relation alone (the staged half of
+    _bigram_lm_sql when ``bigrams_rel`` is passed)."""
+    toks = D.tokens("text", D.SPARK)
+    n = D.arr_size("toks", D.SPARK)
+    w1 = D.arr_index("toks", "i", D.SPARK)
+    w2 = D.arr_index("toks", "(i + 1)", D.SPARK)
+    gen = (
+        f"explode(CASE WHEN {n} >= 2 THEN sequence(1, cast({n} as int) - 1)"
+        f" ELSE array() END)"
+    )
+    return (
+        f"SELECT w1, w2, cast(count(*) as bigint) AS c12 FROM ("
+        f"SELECT {w1} AS w1, {w2} AS w2 FROM "
+        f"(SELECT toks, {gen} AS i FROM "
+        f"(SELECT {toks} AS toks FROM {SPARK_VIEW}) t) g"
+        f") p GROUP BY w1, w2"
+    )
+
+
 @register("doc_bigram_lm", oracle=_bigram_lm_sql(D.DUCK), tags=("extension",))
 def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 bigram continuations with conditional probabilities —
-    the n-gram LM counting core. See _bigram_lm_sql."""
+    the n-gram LM counting core. See _bigram_lm_sql.
+
+    The bigram-count table is STAGED (cached) before the marginal: the
+    `bigrams` CTE is consumed by both the w1 marginal and the final
+    join, and Spark re-expands an inlined CTE into each consumer — two
+    full tokenize→explode→aggregate passes over the corpus for a
+    vocab²-bounded (tiny at any corpus size) relation. The DuckDB
+    oracle keeps the single-SQL formulation — same values."""
     load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     ).createOrReplaceTempView(SPARK_VIEW)
-    return spark.sql(_bigram_lm_sql(D.SPARK))
+    bigrams = scoped_cache(spark.sql(_bigram_counts_sql()), "doc_bigram_lm")
+    bigrams.createOrReplaceTempView("__fps_bigram_counts")
+    return spark.sql(_bigram_lm_sql(D.SPARK, bigrams_rel="__fps_bigram_counts"))

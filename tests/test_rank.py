@@ -39,6 +39,22 @@ def test_global_ntile_equals_window(spark, skewed, n_tiles):
     assert want.exceptAll(got).count() == 0
 
 
+@pytest.mark.parametrize("n_tiles", [4, 7])
+def test_global_ntile_multi_equals_singles(spark, skewed, n_tiles):
+    """The fused-count variant (one driver action for k rank passes)
+    must match k independent global_ntile calls spec for spec."""
+    from finalpipeline_spark.operators.rank import global_ntile_multi
+
+    a = skewed.selectExpr("k", "id")
+    b = skewed.selectExpr("cast((id * 31) % 7919 as bigint) as k2", "id")
+    specs = [(a, ["k", "id"], "t1"), (b, ["k2", "id"], "t2")]
+    multi = global_ntile_multi(specs, n_tiles)
+    for (df, order_cols, out_col), got in zip(specs, multi):
+        want = global_ntile(df, order_cols, n_tiles, out_col=out_col)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
 def test_ntile_more_tiles_than_rows(spark):
     df = spark.range(0, 3).selectExpr("id as k", "id")
     got = global_ntile(df, ["k", "id"], 10)
