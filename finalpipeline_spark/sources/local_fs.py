@@ -1,0 +1,180 @@
+"""Pure-Python local-filesystem adapter for the versioned log protocol.
+
+Every log operation of :class:`VersionedTable` used to go through the
+JVM Hadoop ``FileSystem`` handle — robust and storage-agnostic, but on
+a LOCAL root each call is a py4j socket round trip (~0.3–0.5 ms), and a
+single metadata-only commit makes hundreds of them (profiled: ~367
+round trips ≈ 90% of an ADD COLUMN's wall time). For local roots the
+same operations are kernel syscalls at ~10 µs, so ``VersionedTable``
+swaps in this adapter when the root has no remote scheme; any other
+scheme (hdfs://, s3a://, file: URIs) keeps the Hadoop client.
+
+The adapter mirrors the NARROW Hadoop surface the log layer actually
+uses — and its *semantics*, which the commit protocol reasons about:
+
+* ``create(path, overwrite=False)`` is an exclusive claim. POSIX
+  ``O_CREAT|O_EXCL`` is atomic (strictly stronger than Hadoop's local
+  exists-then-create window, and exactly the HDFS atomic-claim
+  semantics the protocol assumes); parent dirs auto-create like Hadoop.
+* ``rename`` returns False on any failure (Hadoop ``renameTo``); a
+  clobbering rename over an existing destination matches LocalFS (the
+  protocol's ``_rename_claim`` pre-checks the destination on BOTH
+  backends — the documented check→rename window is unchanged).
+* ``delete`` returns False instead of raising when the path is gone
+  (Hadoop local behavior callers rely on during racing vacuums).
+* ``getFileStatus``/``open`` on a missing path raise Python
+  ``FileNotFoundError`` — recognized by
+  ``versioned_base._is_file_not_found`` alongside the Java class, so
+  the TOCTOU handling keys on the same signal.
+* ``listStatus`` raises on a missing directory (Hadoop raises FNF) and
+  ``os.stat``s each child, skipping children that vanish between the
+  readdir and the stat (Hadoop's listing has the same race window).
+
+No durability change: Hadoop's local stream close() did not fsync and
+neither does this one — the protocol's safety comes from exclusive
+creates plus the writer's read-back verification, not from fsync.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import stat as _statmod
+
+
+def is_local_root(root: str) -> bool:
+    """True when ``root`` is a plain local path (no scheme). ``file:``
+    URIs keep the Hadoop client: their path arithmetic ("file:/x" vs
+    "/x") differs from the plain-string joins the log layer does."""
+    return "://" not in root and not root.startswith("file:")
+
+
+class LocalPath:
+    """String path with the ``org.apache.hadoop.fs.Path`` accessors the
+    log layer uses. Interchangeable with a plain ``str`` at every
+    consumer (``str(path)`` / f-string formatting yield the raw path)."""
+
+    __slots__ = ("_s",)
+
+    def __init__(self, s: str):
+        self._s = s
+
+    def getName(self) -> str:
+        return os.path.basename(self._s.rstrip("/"))
+
+    def toString(self) -> str:
+        return self._s
+
+    def __str__(self) -> str:
+        return self._s
+
+    def __repr__(self) -> str:
+        return self._s
+
+    def __fspath__(self) -> str:
+        return self._s
+
+
+class LocalFileStatus:
+    """``FileStatus`` twin over one ``os.stat`` result."""
+
+    __slots__ = ("_path", "_st")
+
+    def __init__(self, path: str, st: os.stat_result):
+        self._path = path
+        self._st = st
+
+    def getPath(self) -> LocalPath:
+        return LocalPath(self._path)
+
+    def getModificationTime(self) -> int:
+        return int(self._st.st_mtime * 1000)
+
+    def getLen(self) -> int:
+        return self._st.st_size
+
+    def isDirectory(self) -> bool:
+        return _statmod.S_ISDIR(self._st.st_mode)
+
+    def isFile(self) -> bool:
+        return _statmod.S_ISREG(self._st.st_mode)
+
+
+class _LocalOutStream:
+    """Output-stream twin: ``write(bytes-like)`` + ``close()``."""
+
+    __slots__ = ("_fh",)
+
+    def __init__(self, fh):
+        self._fh = fh
+
+    def write(self, b) -> None:
+        self._fh.write(bytes(b))
+
+    def close(self) -> None:
+        self._fh.close()
+
+
+class LocalFs:
+    """The Hadoop ``FileSystem`` method subset the log protocol uses,
+    over plain ``os`` calls. All methods accept ``LocalPath`` or
+    ``str``."""
+
+    @staticmethod
+    def _s(path) -> str:
+        return str(path)
+
+    def exists(self, path) -> bool:
+        return os.path.exists(self._s(path))
+
+    def getFileStatus(self, path) -> LocalFileStatus:
+        s = self._s(path)
+        return LocalFileStatus(s, os.stat(s))  # FileNotFoundError if gone
+
+    def listStatus(self, path) -> list[LocalFileStatus]:
+        base = self._s(path).rstrip("/")
+        out: list[LocalFileStatus] = []
+        for name in os.listdir(base):  # FileNotFoundError if gone
+            full = f"{base}/{name}"
+            try:
+                out.append(LocalFileStatus(full, os.stat(full)))
+            except OSError:
+                continue  # vanished between readdir and stat
+        return out
+
+    def mkdirs(self, path) -> bool:
+        os.makedirs(self._s(path), exist_ok=True)
+        return True
+
+    def create(self, path, overwrite: bool) -> _LocalOutStream:
+        s = self._s(path)
+        parent = os.path.dirname(s)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        # 'xb' = O_CREAT|O_EXCL: the atomic no-clobber claim the commit
+        # protocol needs; raises FileExistsError when the slot is taken.
+        return _LocalOutStream(open(s, "wb" if overwrite else "xb"))
+
+    def open(self, path):
+        return open(self._s(path), "rb")  # FileNotFoundError if gone
+
+    def rename(self, src, dst) -> bool:
+        try:
+            os.rename(self._s(src), self._s(dst))
+            return True
+        except OSError:
+            return False
+
+    def delete(self, path, recursive: bool = False) -> bool:
+        s = self._s(path)
+        try:
+            if os.path.isdir(s) and not os.path.islink(s):
+                if recursive:
+                    shutil.rmtree(s)
+                else:
+                    os.rmdir(s)  # refuses non-empty, like Hadoop
+            else:
+                os.remove(s)
+            return True
+        except OSError:
+            return False

@@ -52,10 +52,42 @@ _VERIFY_POLL_SECONDS = 1.0
 _VERIFY_MARGIN_SECONDS = 0.5
 
 
+# DDL-string → DataType.json() memo for parse_ddl_cached. Keyed on the
+# exact DDL text; schema strings repeat across every manifest access of
+# a table's lifetime, and each JVM parse is a ~5-10 ms py4j round trip.
+_DDL_JSON_MEMO: dict[str, str] = {}
+_DDL_MEMO_CAP = 4096
+
+
+def parse_ddl_cached(ddl: str):
+    """``_parse_datatype_string`` with a process-level memo. The JVM
+    parses each DISTINCT DDL string once; repeat calls rebuild the
+    DataType from its stored JSON in pure Python (~µs), and every call
+    returns a FRESH object — no aliasing, exactly like the uncached
+    parser. Invalid DDL stays loud (the miss path parses eagerly)."""
+    from pyspark.sql.types import (
+        _parse_datatype_json_string,
+        _parse_datatype_string,
+    )
+
+    js = _DDL_JSON_MEMO.get(ddl)
+    if js is None:
+        dt = _parse_datatype_string(ddl)  # loud on bad DDL
+        if len(_DDL_JSON_MEMO) >= _DDL_MEMO_CAP:
+            _DDL_JSON_MEMO.clear()
+        _DDL_JSON_MEMO[ddl] = dt.json()
+        return dt
+    return _parse_datatype_json_string(js)
+
+
 def _is_file_not_found(exc: Exception) -> bool:
-    """True when a py4j-wrapped Java exception is (or is caused by)
-    java.io.FileNotFoundException — the definitive vanished-mid-read
-    signal the commit protocol's TOCTOU handling keys on."""
+    """True when the exception is the vanished-mid-read signal the
+    commit protocol's TOCTOU handling keys on: a Python
+    ``FileNotFoundError`` (the local_fs adapter) or a py4j-wrapped
+    java.io.FileNotFoundException anywhere in the cause chain (the
+    Hadoop client)."""
+    if isinstance(exc, FileNotFoundError):
+        return True
     je = getattr(exc, "java_exception", None)
     for _ in range(8):  # bounded cause-chain walk
         if je is None:

@@ -45,6 +45,7 @@ from finalpipeline_spark.sources.versioned_base import (
 # (versioned_base) and every checkpoint — read gate, write gate,
 # stickiness — sees it.
 from finalpipeline_spark.sources import versioned_base as _base
+from finalpipeline_spark.sources.local_fs import LocalPath
 
 
 # sentinel: "no explicit bloom_index op on this commit" (None must
@@ -57,8 +58,10 @@ class LogProtocolMixin:
     directly."""
 
     def _p(self, *parts: str):
-        P = self._jvm.org.apache.hadoop.fs.Path
-        return P("/".join((self.root,) + parts))
+        s = "/".join((self.root,) + parts)
+        if self._fs_local:
+            return LocalPath(s)
+        return self._jvm.org.apache.hadoop.fs.Path(s)
 
     def _manifest_path(self, version: int):
         return self._p(_LOG_DIR, _MANIFEST_FMT % version)
@@ -345,8 +348,10 @@ class LogProtocolMixin:
         )
 
     def _read_raw(self, path) -> bytes:
-        stream = self._fs.open(path)
+        stream = self._fs.open(path)  # FileNotFoundError / FNF if gone
         try:
+            if self._fs_local:  # plain Python file object
+                return stream.read()
             ioutils = self._jvm.org.apache.commons.io.IOUtils
             return bytes(ioutils.toByteArray(stream))
         finally:

@@ -38,9 +38,11 @@ class SchemaEvolutionMixin:
         backfill NULL for it (standard parquet read-with-schema
         semantics), and column order never depends on which file the
         reader happened to open first."""
-        from pyspark.sql.types import _parse_datatype_string
+        from finalpipeline_spark.sources.versioned_base import (
+            parse_ddl_cached,
+        )
 
-        return _parse_datatype_string(m["schema"])
+        return parse_ddl_cached(m["schema"])
 
 
     def constraints(self, version: int | None = None) -> dict[str, str]:
