@@ -5,6 +5,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+# Types the Arrow fast path of local_df accepts: scalars whose
+# Arrow-side conversion is value-identical to the row-pickling path.
+# datetime/date are deliberately EXCLUDED (naive-timestamp timezone
+# handling differs between the two paths), as are NaN floats (Arrow's
+# from_pandas turns NaN into NULL where the row path keeps NaN).
+_ARROW_SAFE_SCALARS = (str, int, float, bytes)  # bool is an int subclass
+
 
 def empty_df(spark: SparkSession, schema: StructType | str) -> DataFrame:
     """Zero-row DataFrame with exactly ``schema``.
@@ -35,4 +42,43 @@ def local_df(spark: SparkSession, rows, schema: StructType | str) -> DataFrame:
     rows = list(rows)
     if not rows:
         return empty_df(spark, schema)
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    # Arrow fast path: even on one slice, a Python-RDD-backed frame
+    # launches a Python worker on EVERY consuming action (~0.15-0.2 s
+    # at local[32] — the floor of e.g. a zero-file COPY INTO, whose
+    # real work is 20 ms). A pandas+Arrow local frame collects in
+    # ~20 ms: the batches are serialized once at build time and the
+    # action is JVM-only. Guarded to sessions with Arrow enabled and
+    # to scalar shapes whose values are bit-identical on both paths
+    # (see _ARROW_SAFE_SCALARS); anything else — and any Arrow
+    # conversion failure — takes the original single-slice RDD path.
+    arrow_on = (
+        spark.conf.get(
+            "spark.sql.execution.arrow.pyspark.enabled", "false"
+        ).lower()
+        == "true"
+    )
+    if (
+        arrow_on
+        and all(isinstance(r, tuple) and len(r) == len(schema) for r in rows)
+        and all(
+            v is None
+            or (
+                isinstance(v, _ARROW_SAFE_SCALARS)
+                and not (isinstance(v, float) and v != v)  # NaN
+            )
+            for r in rows
+            for v in r
+        )
+    ):
+        try:
+            import pandas as pd
+
+            # dtype=object keeps every value verbatim (no int→float64
+            # widening for columns containing None, no NaN injection)
+            pdf = pd.DataFrame(rows, columns=schema.fieldNames(), dtype=object)
+            return spark.createDataFrame(pdf, schema)
+        except Exception:
+            pass  # fall through to the row path
     return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
