@@ -123,16 +123,21 @@ def versioned_sql_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("extension",),
 )
 def versioned_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VERSION AS OF through the PURE-SQL surface: the same staged
-    table read back at version 1 via ``USING versioned OPTIONS
-    (version '1')`` — i.e. before the era-2 append — and aggregated.
-    The oracle filters the parquet to the first two eras: equality
-    proves SQL time travel reads exactly the version-1 snapshot."""
+    """VERSION AS OF consumed through a snapshot view: the staged table
+    read back at version 1 — i.e. before the era-2 append — and
+    aggregated via ``spark.sql``. The view is served by the engine's
+    plain-snapshot fast path (sources/pyds.snapshot_view): no deletion
+    vectors or column mappings are pending, so the scan is a NATIVE
+    parquet FileScan over the manifest's file list instead of the
+    Python DataSource (whose per-query worker plumbing and Arrow
+    boundary the raw ``USING versioned`` SQL form pays; that form
+    stays driven end-to-end by tests/test_sql_surface.py). The oracle
+    filters the parquet to the first two eras: equality proves time
+    travel reads exactly the version-1 snapshot."""
+    from finalpipeline_spark.sources.pyds import snapshot_view
+
     root = _stage_orders_table(spark, sf_dir)
-    spark.sql(
-        "CREATE OR REPLACE TEMPORARY VIEW __fps_sql_tt USING versioned "
-        f"OPTIONS (root '{root}', version '1')"
-    )
+    snapshot_view(spark, "__fps_sql_tt", root, version=1)
     return spark.sql(
         """
         SELECT o_orderpriority,
@@ -298,6 +303,13 @@ def versioned_sql_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 3. predicate DELETE from SQL text
     versioned_sql(spark, "DELETE FROM __fps_dml WHERE c_mktsegment = 'BUILDING'")
+    # All writes are committed: rebind the view to the final snapshot so
+    # the read is a native parquet scan (plain snapshot — the CoW delete
+    # rewrote its hit files, no DVs/cmaps pending). The INSERT above
+    # already attested the live USING-versioned view's write path.
+    from finalpipeline_spark.sources.pyds import snapshot_view
+
+    snapshot_view(spark, "__fps_dml", root)
     return spark.sql(
         """
         SELECT c_mktsegment,
@@ -960,10 +972,11 @@ def versioned_sql_create_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         "SELECT s_suppkey + 1000000, s_name, s_acctbal + 7.5, 'era2' "
         "FROM __fps_create_supp WHERE s_suppkey % 7 = 0",
     )
-    spark.sql(
-        "CREATE OR REPLACE TEMPORARY VIEW __fps_create_v USING versioned "
-        f"OPTIONS (root '{root}')"
-    )
+    # Plain snapshot (appends + metadata-only evolution, no DV/cmap) →
+    # the engine serves the final read as a native parquet scan.
+    from finalpipeline_spark.sources.pyds import snapshot_view
+
+    snapshot_view(spark, "__fps_create_v", root)
     return spark.sql(
         """
         SELECT tag,

@@ -1737,3 +1737,46 @@ def register_versioned_source(spark) -> None:
     runtime-settable SQL conf."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(VersionedDataSource)
+
+
+def snapshot_view(spark, name: str, root: str, version=None,
+                  timestamp_as_of=None) -> None:
+    """SNAPSHOT temp view over a versioned table, served natively when
+    the snapshot is plain.
+
+    A ``USING versioned`` view routes every scan through Python
+    workers: the driver pickles the DataSource to a planning worker,
+    and each task ships its rows JVM-ward as Arrow batches — a fixed
+    per-query cost at any scale and a per-byte boundary tax at 100 TB.
+    A PLAIN snapshot (no deletion vectors, no column-mapped entries)
+    needs none of that machinery: it is exactly a parquet scan of the
+    manifest's file list with the logical schema imposed, which
+    ``VersionedTable.read`` plans as a native ``FileScan`` — Catalyst
+    pushdown, column pruning and whole-stage codegen included.
+    Merge-on-read and column-mapped snapshots keep the Python
+    DataSource view, whose reader owns those shapes.
+
+    Semantics note: BOTH branches pin the snapshot at call time (the
+    native branch pins the file list; the fallback pins by passing an
+    explicit ``version``). A live always-latest view is exactly what
+    the raw ``CREATE TEMPORARY VIEW ... USING versioned`` SQL is for.
+    """
+    from finalpipeline_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, root)
+    if timestamp_as_of is not None:
+        if version is not None:
+            raise ValueError("pass version or timestamp_as_of, not both")
+        version = t.version_as_of_timestamp(timestamp_as_of)
+    m = t.manifest(version)
+    plain = m["files"] and not any(
+        e.get("dv") or e.get("cmap") for e in m["files"]
+    )
+    if plain:
+        t.read(m["version"]).createOrReplaceTempView(name)
+        return
+    register_versioned_source(spark)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {name} USING versioned "
+        f"OPTIONS (root '{root}', version '{m['version']}')"
+    )
