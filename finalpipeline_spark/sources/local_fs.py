@@ -45,8 +45,42 @@ import stat as _statmod
 def is_local_root(root: str) -> bool:
     """True when ``root`` is a plain local path (no scheme). ``file:``
     URIs keep the Hadoop client: their path arithmetic ("file:/x" vs
-    "/x") differs from the plain-string joins the log layer does."""
+    "/x") differs from the plain-string joins the log layer does.
+
+    A scheme-less path is only *syntactically* local: Hadoop resolves
+    it against ``fs.defaultFS``, so on a cluster whose default is
+    hdfs:// the same string names an HDFS directory. Callers must ALSO
+    check :func:`default_fs_is_local` before treating the root as
+    driver-local — otherwise the versioned log would be written to the
+    driver's local disk while executor parquet writes for the same
+    root go to HDFS (silent split-brain table, and the multi-writer
+    commit protocol loses its single-filesystem atomicity ground)."""
     return "://" not in root and not root.startswith("file:")
+
+
+# Per-SparkContext memo for default_fs_is_local: one py4j round trip
+# per context instead of one per VersionedTable construction. Holding
+# the context in the value keeps the id() key from being reused.
+_DEFAULT_FS_MEMO: dict[int, tuple[object, bool]] = {}
+
+
+def default_fs_is_local(spark) -> bool:
+    """True when the session's Hadoop ``fs.defaultFS`` resolves
+    scheme-less paths to the driver-local filesystem (``file:`` scheme
+    — Hadoop's own default when unset). One py4j call per context,
+    memoized. Conservative on any failure: NOT local (the Hadoop
+    client path is always correct, just slower)."""
+    try:
+        sc = spark.sparkContext
+        hit = _DEFAULT_FS_MEMO.get(id(sc))
+        if hit is not None and hit[0] is sc:
+            return hit[1]
+        fs = sc._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+        local = str(fs).startswith("file:")
+        _DEFAULT_FS_MEMO[id(sc)] = (sc, local)
+        return local
+    except Exception:
+        return False
 
 
 class LocalPath:

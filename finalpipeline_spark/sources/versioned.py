@@ -102,7 +102,11 @@ from finalpipeline_spark.sources.versioned_base import (  # noqa: F401
     _stat_cols,
     cdf_final_state,
 )
-from finalpipeline_spark.sources.local_fs import LocalFs, is_local_root
+from finalpipeline_spark.sources.local_fs import (
+    LocalFs,
+    default_fs_is_local,
+    is_local_root,
+)
 from finalpipeline_spark.sources.versioned_dml import DmlMixin
 from finalpipeline_spark.sources.versioned_log import LogProtocolMixin
 from finalpipeline_spark.sources.versioned_schema import SchemaEvolutionMixin
@@ -156,14 +160,16 @@ class VersionedTable(LogProtocolMixin, SchemaEvolutionMixin, DmlMixin):
         # to the log). A crashed writer's fragment is stale forever, so
         # recovery still unwedges it after the grace.
         self.recovery_grace_seconds = recovery_grace_seconds
-        if is_local_root(self.root):
+        if is_local_root(self.root) and default_fs_is_local(spark):
             # Local root: pure-Python log I/O (see local_fs module — a
             # py4j round trip per FS call was ~90% of a metadata-only
             # commit's wall time). Same no-sidecar raw semantics as the
             # getRawFileSystem branch below, with an ATOMIC exclusive
             # create. The JVM handle is still needed for non-log work
             # (COPY INTO source listing) — plain attribute access, no
-            # round trip.
+            # round trip. Gated on the RESOLVED filesystem: a
+            # scheme-less root under fs.defaultFS=hdfs:// is an HDFS
+            # path and keeps the Hadoop client (split-brain guard).
             self._jvm = spark.sparkContext._jvm
             self._fs = LocalFs()
             self._fs_local = True

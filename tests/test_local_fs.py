@@ -13,6 +13,7 @@ import pytest
 from finalpipeline_spark.sources.local_fs import (
     LocalFs,
     LocalPath,
+    default_fs_is_local,
     is_local_root,
 )
 from finalpipeline_spark.sources.versioned import VersionedTable
@@ -29,6 +30,65 @@ def test_is_local_root():
     assert not is_local_root("s3a://bucket/t")
     assert not is_local_root("file:/tmp/x")
     assert not is_local_root("file:///tmp/x")
+
+
+class _StubSC:
+    """sparkContext stub exposing exactly the py4j chain
+    default_fs_is_local walks, with a configurable fs.defaultFS."""
+
+    def __init__(self, default_fs):
+        self._default_fs = default_fs
+
+    @property
+    def _jsc(self):
+        outer = self
+
+        class _JSC:
+            def hadoopConfiguration(self):
+                class _Conf:
+                    def get(self, key, default):
+                        return outer._default_fs or default
+
+                return _Conf()
+
+        return _JSC()
+
+
+class _StubSpark:
+    def __init__(self, default_fs):
+        self.sparkContext = _StubSC(default_fs)
+
+
+def test_default_fs_gate():
+    # Hadoop's own default (unset → file:///) is local
+    assert default_fs_is_local(_StubSpark(None))
+    assert default_fs_is_local(_StubSpark("file:///"))
+    # a cluster default makes scheme-less roots REMOTE: a local-path
+    # string resolves to HDFS, so the pure-Python adapter must not
+    # engage (split-brain guard)
+    assert not default_fs_is_local(_StubSpark("hdfs://namenode:8020"))
+    assert not default_fs_is_local(_StubSpark("s3a://bucket"))
+    # failure to read the conf is conservative: NOT local
+    assert not default_fs_is_local(object())
+
+
+def test_versioned_table_selects_adapter_by_resolved_fs(spark, tmp_path):
+    # real session: fs.defaultFS is file-scheme → local root gets the
+    # pure-Python adapter
+    t = VersionedTable(spark, str(tmp_path / "sel"))
+    assert t._fs_local
+    # same path string under a cluster defaultFS must NOT: simulate by
+    # poisoning the memo for this context (the decision input is the
+    # resolved scheme, not the path shape)
+    from finalpipeline_spark.sources import local_fs as lf
+
+    sc = spark.sparkContext
+    lf._DEFAULT_FS_MEMO[id(sc)] = (sc, False)
+    try:
+        t2 = VersionedTable(spark, str(tmp_path / "sel2"))
+        assert not t2._fs_local
+    finally:
+        del lf._DEFAULT_FS_MEMO[id(sc)]
 
 
 def test_exclusive_create_is_atomic_claim(tmp_path):
