@@ -3,14 +3,48 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    ByteType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructType,
+)
 
-# Types the Arrow fast path of local_df accepts: scalars whose
-# Arrow-side conversion is value-identical to the row-pickling path.
+# Arrow fast-path value guard for local_df: a value is safe only when
+# its Python type MATCHES its field's Spark type, because Arrow CASTS
+# mismatches where the row-pickling path's verifier RAISES — e.g. a
+# float 2.5 in a bigint column silently truncates to 2 via Arrow.
 # datetime/date are deliberately EXCLUDED (naive-timestamp timezone
 # handling differs between the two paths), as are NaN floats (Arrow's
 # from_pandas turns NaN into NULL where the row path keeps NaN).
-_ARROW_SAFE_SCALARS = (str, int, float, bytes)  # bool is an int subclass
+_INT_FIELD_TYPES = (ByteType, ShortType, IntegerType, LongType)
+
+
+def _arrow_value_ok(v, dt) -> bool:
+    if v is None:
+        return True
+    if isinstance(dt, _INT_FIELD_TYPES):
+        return isinstance(v, int) and not isinstance(v, bool)
+    if isinstance(dt, (FloatType, DoubleType)):
+        # int is fine (5 → 5.0 on both paths); NaN keeps the row path
+        return (
+            isinstance(v, (int, float))
+            and not isinstance(v, bool)
+            and v == v
+        )
+    if isinstance(dt, StringType):
+        return isinstance(v, str)
+    if isinstance(dt, BinaryType):
+        return isinstance(v, bytes)
+    if isinstance(dt, BooleanType):
+        return isinstance(v, bool)
+    return False  # anything else (dates, decimals, nested): row path
 
 
 def empty_df(spark: SparkSession, schema: StructType | str) -> DataFrame:
@@ -51,7 +85,7 @@ def local_df(spark: SparkSession, rows, schema: StructType | str) -> DataFrame:
     # ~20 ms: the batches are serialized once at build time and the
     # action is JVM-only. Guarded to sessions with Arrow enabled and
     # to scalar shapes whose values are bit-identical on both paths
-    # (see _ARROW_SAFE_SCALARS); anything else — and any Arrow
+    # (see _arrow_value_ok); anything else — and any Arrow
     # conversion failure — takes the original single-slice RDD path.
     arrow_on = (
         spark.conf.get(
@@ -59,17 +93,14 @@ def local_df(spark: SparkSession, rows, schema: StructType | str) -> DataFrame:
         ).lower()
         == "true"
     )
+    field_types = [f.dataType for f in schema.fields]
     if (
         arrow_on
         and all(isinstance(r, tuple) and len(r) == len(schema) for r in rows)
         and all(
-            v is None
-            or (
-                isinstance(v, _ARROW_SAFE_SCALARS)
-                and not (isinstance(v, float) and v != v)  # NaN
-            )
+            _arrow_value_ok(v, dt)
             for r in rows
-            for v in r
+            for v, dt in zip(r, field_types)
         )
     ):
         try:

@@ -38,6 +38,23 @@ def test_local_df_single_partition_plan(spark):
     assert [r["i"] for r in df.orderBy("i").collect()] == [1, 2]
 
 
+def test_local_df_type_mismatch_falls_back_to_verifier(spark):
+    import pytest
+
+    # a float in a bigint column must RAISE (the RDD path's verifier
+    # semantics), never Arrow-truncate 2.5 → 2
+    with pytest.raises(Exception):
+        local_df(spark, [(2.5,)], "i bigint").collect()
+    # bool in an int column likewise keeps the strict path
+    with pytest.raises(Exception):
+        local_df(spark, [(True,)], "i bigint").collect()
+    # a str in a double column: strict, not Arrow-cast
+    with pytest.raises(Exception):
+        local_df(spark, [("1.5",)], "d double").collect()
+    # int in a double column is value-identical on both paths: allowed
+    assert local_df(spark, [(5,)], "d double").collect()[0]["d"] == 5.0
+
+
 def test_local_df_nan_and_datetime_fall_back_exact(spark):
     v = local_df(spark, [(float("nan"), 1)], "d double, i bigint").collect()[0]["d"]
     assert v != v  # NaN preserved, not nulled
