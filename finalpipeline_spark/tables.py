@@ -55,7 +55,35 @@ def table_path(sf_dir: str, name: str) -> str:
 # DataFrame is a *plan*, not data: every action still scans the parquet
 # input, so this caches no results.  Holding the session object in the
 # value keeps the id() key from ever being reused by a new session.
+#
+# Lifecycle: the memoized plan pins the FILE LISTING captured at first
+# read — deliberate for the static testdata contract (each sf dir is
+# one immutable file per table), wrong for a directory that grows
+# mid-session.  Anyone pointing load_table at mutable directories must
+# call ``invalidate_table_cache`` after adding files.  Entries of
+# stopped sessions are purged on the next miss, and the map is bounded
+# (oldest-first eviction) so a long-lived driver cycling sessions or
+# sf dirs cannot grow it without bound.
 _SOURCE_MEMO: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+_SOURCE_MEMO_MAX = 256
+
+
+def invalidate_table_cache(path: str | None = None) -> None:
+    """Drop memoized source plans — all of them, or one path's entries
+    across sessions. Needed only when a table directory's FILE LISTING
+    changed mid-session (new files appended outside the engine)."""
+    if path is None:
+        _SOURCE_MEMO.clear()
+        return
+    for k in [k for k in _SOURCE_MEMO if k[1] == path]:
+        del _SOURCE_MEMO[k]
+
+
+def _session_stopped(s: SparkSession) -> bool:
+    try:
+        return s.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return True  # gateway gone or context torn down
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -65,6 +93,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     hit = _SOURCE_MEMO.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
+    # miss (rare once warm): purge dead sessions (one liveness probe
+    # per distinct session, not per entry), then bound the map
+    sessions = {id(s): s for s, _ in _SOURCE_MEMO.values()}
+    dead = {sid for sid, s in sessions.items() if _session_stopped(s)}
+    for k in [k for k, (s, _) in _SOURCE_MEMO.items() if id(s) in dead]:
+        del _SOURCE_MEMO[k]
+    while len(_SOURCE_MEMO) >= _SOURCE_MEMO_MAX:
+        del _SOURCE_MEMO[next(iter(_SOURCE_MEMO))]
     df = spark.read.parquet(path) if name != "events" else _load_events(spark, path)
     _SOURCE_MEMO[key] = (spark, df)
     return df
