@@ -85,10 +85,19 @@ def fingerprint_udf(smiles: pd.Series) -> pd.Series:
     return smiles.map(one)
 
 
+# 16-bit popcount lookup table: popcount via one gather per uint16 lane
+# instead of np.unpackbits, which materializes 64 bytes per word (8×
+# the memory traffic of the 2-byte lanes + uint8 counts used here).
+# Exact integer counts either way.
+_POP16 = np.unpackbits(
+    np.arange(1 << 16, dtype=np.uint16).view(np.uint8)
+).reshape(1 << 16, 16).sum(axis=1).astype(np.uint8)
+
+
 def _popcount_rows(words: np.ndarray) -> np.ndarray:
     """Per-row popcount of an (n, NUM_WORDS) int64 matrix."""
-    as_bytes = words.view(np.uint8)
-    return np.unpackbits(as_bytes, axis=-1).sum(axis=-1)
+    lanes = np.ascontiguousarray(words).view(np.uint16)
+    return _POP16[lanes].sum(axis=-1, dtype=np.int64)
 
 
 @pandas_udf(DoubleType())
@@ -107,5 +116,17 @@ def tanimoto(a: Column, b: Column) -> Column:
     return tanimoto_udf(a, b)
 
 
+# Every consumer filters ``fp IS NOT NULL`` right above the projection,
+# and the optimizer duplicates a *deterministic* UDF around such a
+# filter on its own output (guide §4.4: one BatchEvalPython below the
+# pushed filter + one in the projection → the kernel runs twice per
+# row). The function is deterministic in fact — the non-deterministic
+# marking only forbids the optimizer to clone or reorder it, halving
+# every fingerprint stage. Trade-off (documented §4.4): other filters
+# no longer push below the fingerprint projection — every call site
+# filters/dedups BEFORE fingerprinting, so nothing is lost.
+_fingerprint_nd = fingerprint_udf.asNondeterministic()
+
+
 def fingerprint(smiles: Column) -> Column:
-    return fingerprint_udf(smiles)
+    return _fingerprint_nd(smiles)

@@ -378,14 +378,25 @@ def chembl_crossscore_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finalpipeline_spark.operators.topk import top_k_per_group
 
     part = load_table(spark, sf_dir, "part")
-    mols = part.select(
-        F.col("p_partkey").alias("molregno"),
-        # Deterministic SMILES-like string (no whitespace → 'parses').
-        F.concat_ws(
-            "", F.lit("C"), F.regexp_replace("p_name", " ", ""), F.lit("N"),
-            F.col("p_partkey").cast("string")
-        ).alias("smiles"),
-    ).withColumn("fp", fingerprint(F.col("smiles"))).filter(F.col("fp").isNotNull())
+    # Stage the fingerprinted relation ONCE (guide §4.4/§1.3): unstaged,
+    # the optimizer duplicates the UDF around the isNotNull filter on
+    # its own output (plan: 2 ArrowEvalPython per side) and the cross
+    # join's two sides each re-fingerprint the scan — 4 structural
+    # evaluations of the kernel for 1 logical pass. The staged relation
+    # is O(molecules) — fingerprints only, no payloads.
+    mols = scoped_cache(
+        part.select(
+            F.col("p_partkey").alias("molregno"),
+            # Deterministic SMILES-like string (no whitespace → 'parses').
+            F.concat_ws(
+                "", F.lit("C"), F.regexp_replace("p_name", " ", ""), F.lit("N"),
+                F.col("p_partkey").cast("string")
+            ).alias("smiles"),
+        )
+        .withColumn("fp", fingerprint(F.col("smiles")))
+        .filter(F.col("fp").isNotNull()),
+        "chembl_crossscore_udf",
+    )
     targets = mols.filter(F.col("molregno") % 200 == 0).select(
         F.col("molregno").alias("target_molregno"), F.col("fp").alias("target_fp")
     )
