@@ -49,6 +49,46 @@ _COPY_LEDGER_CACHE: dict[str, dict] = {}
 _COPY_LEDGER_MAX = 64
 _COPY_LEDGER_LOCK = threading.Lock()
 
+# MERGE rewrite-join strategy gate (guide §3.1): when the key-unique
+# source is provably small, broadcast it so the rewrite scan — the
+# table-sized side — is never shuffled (unhinted, the planner
+# sort-merges whenever the POST-SHUFFLE size estimate exceeds the 10 MB
+# auto-broadcast ceiling, which a multi-TB rewrite set at 100 TB pays
+# with a full exchange of every surviving row). The probe action counts
+# the source exactly (one extra tagged branch, no extra job), and the
+# gate compares count × schema-width estimate against this byte budget
+# — conf-overridable, deployment-sized, NOT tuned to the local sandbox.
+_MERGE_BROADCAST_CONF = "spark.finalpipeline.merge.broadcastMaxBytes"
+_MERGE_BROADCAST_DEFAULT = 32 * 1024 * 1024
+
+
+def _merge_broadcast_bytes(spark) -> int:
+    try:
+        return int(
+            spark.conf.get(_MERGE_BROADCAST_CONF, str(_MERGE_BROADCAST_DEFAULT))
+        )
+    except Exception:
+        return _MERGE_BROADCAST_DEFAULT
+
+
+# Catalyst's per-type defaultSize values (PySpark doesn't expose them)
+_TYPE_WIDTHS = {
+    "boolean": 1, "byte": 1, "tinyint": 1, "short": 2, "smallint": 2,
+    "int": 4, "integer": 4, "float": 4, "date": 4, "long": 8, "bigint": 8,
+    "double": 8, "timestamp": 8, "timestamp_ntz": 8, "string": 20,
+    "binary": 100,
+}
+
+
+def _est_row_bytes(schema_or_fields) -> int:
+    """Planner-style row-width estimate from Catalyst's defaultSize
+    table; unknown (nested/decimal) types count a conservative 64."""
+    fields = getattr(schema_or_fields, "fields", schema_or_fields)
+    return (
+        sum(_TYPE_WIDTHS.get(f.dataType.simpleString(), 64) for f in fields)
+        or 8
+    )
+
 
 class DmlMixin:
     """Composed into VersionedTable — never instantiated directly."""
@@ -1462,12 +1502,14 @@ class DmlMixin:
             )
         src_keys = source.select(*keys).distinct()
         # ONE driver action answers every pre-commit probe: source-key
-        # uniqueness (the error guard) plus the hit-file discovery for
-        # the matched and by-source clause sides — tagged branches of a
-        # two-column union, so a merge launches one probe job instead
-        # of up to three. Every branch is tiny by construction: the dup
-        # branch is LIMIT 1, the hit branches are distinct over file
-        # paths (bounded by file count, not rows).
+        # uniqueness (the error guard), the source row count (input to
+        # the rewrite-join broadcast gate below), plus the hit-file
+        # discovery for the matched and by-source clause sides — tagged
+        # branches of a two-column union, so a merge launches one probe
+        # job instead of up to four. Every branch is tiny by
+        # construction: the dup branch is LIMIT 1, the count branch is
+        # one row, the hit branches are distinct over file paths
+        # (bounded by file count, not rows).
         probes = (
             source.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -1476,6 +1518,11 @@ class DmlMixin:
             .select(
                 F.lit("dup").alias("__tag"),
                 F.to_json(F.struct(*keys)).alias("__val"),
+            )
+        ).unionByName(
+            source.agg(F.count(F.lit(1)).alias("__n")).select(
+                F.lit("nsrc").alias("__tag"),
+                F.col("__n").cast("string").alias("__val"),
             )
         )
         if whole_row or matched_clauses or delete_col:
@@ -1517,8 +1564,27 @@ class DmlMixin:
         hit_rels: set[str] = {
             r["__val"] for r in probe_rows if r["__tag"] == "hit"
         }
+        n_src = sum(
+            int(r["__val"]) for r in probe_rows if r["__tag"] == "nsrc"
+        )
         keep = [e for e in m["files"] if e["path"] not in hit_rels]
         rewrite = [e for e in m["files"] if e["path"] in hit_rels]
+        # Rewrite-join strategy gate (guide §3.1): broadcast the
+        # source side when its estimated bytes fit the budget, so the
+        # hit-file scan — bounded only by table size — is never
+        # shuffled. Above the budget the planner keeps its own choice
+        # (sort-merge/AQE), which is the memory-safe default.
+        budget = _merge_broadcast_bytes(self.spark)
+        bcast_keys = (
+            F.broadcast
+            if n_src * _est_row_bytes(source.select(*keys).schema) <= budget
+            else (lambda d: d)
+        )
+        bcast_src = (
+            F.broadcast
+            if n_src * _est_row_bytes(source.schema) <= budget
+            else (lambda d: d)
+        )
         if (
             whole_row
             and not not_matched_by_source_clauses
@@ -1536,7 +1602,7 @@ class DmlMixin:
             if rewrite:
                 survivors = (
                     self._scan_entries(rewrite, schema)
-                    .join(src_keys, keys, "left_anti")
+                    .join(bcast_keys(src_keys), keys, "left_anti")
                 )
                 new_files += self._write_data_files(
                     survivors.unionByName(upserts)
@@ -1548,6 +1614,7 @@ class DmlMixin:
                 source, keys, delete_col, schema, rewrite, live,
                 matched_clauses, whole_row, insert_unmatched,
                 insert_condition, not_matched_by_source_clauses, m,
+                bcast_src=bcast_src,
             )
         return self._commit(
             "replace",
@@ -1571,6 +1638,7 @@ class DmlMixin:
         insert_condition: str | None,
         nmbs_clauses: list[dict[str, Any]],
         m: dict[str, Any],
+        bcast_src=None,
     ) -> list[dict[str, Any]]:
         """Rewrite-side row derivation for the clause MERGE path: ONE
         left join of the rewrite files against the source decides every
@@ -1613,7 +1681,11 @@ class DmlMixin:
             tgt = tgt.withColumn(
                 "__nc", nc.otherwise(0) if nc is not None else F.lit(0)
             ).alias("t")
-            j = tgt.join(src_flag, keys, "left")
+            # broadcast-gated by the caller's probe count (guide §3.1):
+            # the hit-file scan stays unshuffled when the source fits
+            j = tgt.join(
+                bcast_src(src_flag) if bcast_src else src_flag, keys, "left"
+            )
             matched = F.col("__m").isNotNull()
             # matched clause list in declared order; the delete_col
             # flag (CDC channel) is an implicit LEADING delete clause

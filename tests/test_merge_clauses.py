@@ -373,3 +373,66 @@ def test_sql_merge_with_schema_evolution(spark, tmp_path):
         assert got[i][0] == i * 100  # matched update took the new v
     for i in range(6, 8):
         assert got[i] == (i * 100, f"x{i}")  # inserts carry the column
+
+
+# -- rewrite-join broadcast gate (guide §3.1) ---------------------------
+
+def _spy_write_plans(monkeypatch):
+    """Capture the executed-plan string of every _write_data_files call."""
+    import finalpipeline_spark.sources.versioned_dml as VD
+
+    captured = []
+    orig = VD.DmlMixin._write_data_files
+
+    def spy(self, df, enforce=True):
+        captured.append(df._jdf.queryExecution().executedPlan().toString())
+        return orig(self, df, enforce)
+
+    monkeypatch.setattr(VD.DmlMixin, "_write_data_files", spy)
+    return captured
+
+
+def test_merge_broadcast_gate_plan_and_parity(spark, tmp_path, monkeypatch):
+    """A small source whose SIZE ESTIMATE is join-inflated must still
+    broadcast under the gate (probe count is exact), the planner's own
+    choice must return when the budget is 0, and both plans must land
+    identical table content."""
+    from finalpipeline_spark.sources.versioned_dml import (
+        _MERGE_BROADCAST_CONF,
+        _est_row_bytes,
+    )
+
+    base = spark.range(0, 20000).selectExpr("id as k", "id * 2 as v")
+    dim = spark.range(0, 20000).selectExpr("id as kk", "id % 7 as tag")
+    # join + dedup: tiny true size, inflated planner estimate
+    lazy_src = (
+        base.join(dim, F.expr("k = kk"))
+        .filter("k % 400 = 3")
+        .dropDuplicates(["k"])
+        .selectExpr("k", "v + 1 as v")
+    )
+    results = {}
+    for label, budget in (("on", str(32 << 20)), ("off", "0")):
+        t = VersionedTable(spark, str(tmp_path / f"vt_{label}"))
+        t.commit_overwrite(base.repartition(4, "k"))
+        captured = _spy_write_plans(monkeypatch)
+        spark.conf.set(_MERGE_BROADCAST_CONF, budget)
+        try:
+            t.merge(lazy_src, ["k"])
+        finally:
+            spark.conf.set(_MERGE_BROADCAST_CONF, str(32 << 20))
+            monkeypatch.undo()
+        plan = captured[-1]
+        if label == "on":
+            # gate engaged: rewrite side is never exchange-shuffled
+            assert "BroadcastHashJoin" in plan
+            assert "SortMergeJoin" not in plan
+        else:
+            # budget 0: planner's own choice on the inflated estimate
+            assert "SortMergeJoin" in plan
+        results[label] = sorted(
+            (r["k"], r["v"]) for r in t.read().collect()
+        )
+    assert results["on"] == results["off"]
+    # width estimate sanity: bigint+bigint = 16 bytes/row
+    assert _est_row_bytes(lazy_src.select("k", "v").schema) == 16
