@@ -169,7 +169,13 @@ def learn_bpe_merges(
     ).select("symbols", "cnt")
 
     merges: list[tuple[str, str, int]] = []
-    seqs = vocab
+    # Truncate lineage at the vocabulary ONCE before iterating: without
+    # this, every iteration until the first in-loop checkpoint (it 1..4)
+    # re-runs the corpus tokenize + word-frequency shuffle — the only
+    # corpus-sized work in the loop. The blocks materialize with
+    # iteration 1's argmax action (lazy), and every later iteration
+    # starts from the vocabulary-sized blocks. [guide §1.3, §5.4]
+    seqs = vocab.localCheckpoint(eager=False)
     for it in range(n_merges):
         pairs = (
             seqs.filter(F.expr("size(symbols) >= 2"))
