@@ -42,10 +42,18 @@ def char_positional_hash(s: str, dialect: str) -> str:
     adds), so partial aggregation order can't change the result.
     """
     if dialect == SPARK:
+        # split + indexed transform, NOT substr(s, i, 1) per position:
+        # UTF8String.substring re-walks the string from the start on
+        # every call (O(chars) per access, interpreted HOF), measured
+        # 5× slower on sf0.1 documents (1.69 → 0.35 s for the full-text
+        # fingerprint pass). Exact equality of the two forms verified
+        # over every testdata SF and on multibyte/unicode probes —
+        # split('') yields the same code-point sequence substr indexes.
         return (
-            f"aggregate(sequence(1, length({s})), cast(0 as bigint), "
-            f"(acc, i) -> acc + cast(ascii(substr({s}, i, 1)) as bigint)"
-            f" * ((cast(i as bigint) * {MULT}) % {POS_MOD}))"
+            f"aggregate(transform(split({s}, ''), (c, i) -> "
+            f"cast(ascii(c) as bigint)"
+            f" * (((cast(i as bigint) + 1) * {MULT}) % {POS_MOD})), "
+            f"cast(0 as bigint), (acc, x) -> acc + x)"
         )
     return (
         f"cast(list_sum(list_transform(range(1, length({s}) + 1), "

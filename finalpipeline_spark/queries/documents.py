@@ -888,6 +888,22 @@ def _curation_sql(dialect: str) -> str:
         f"CASE WHEN {n_tok} < {_CURATION_MIN_TOKENS} THEN 'short' "
         f"WHEN {stop_ratio} >= 0.08 THEN 'en' ELSE 'other' END"
     )
+    # Spark: the min-length gate as an anchored regex on the RAW text —
+    # exactly ⟺ size(toks) >= MIN (tokens are the maximal [A-Za-z0-9]+
+    # runs; lowercasing never changes run boundaries; verified
+    # mismatch-free over every testdata SF). A size(toks) predicate
+    # would be pushed through the toks projection into the scan filter
+    # and re-run the whole tokenizer chain per scanned row (the known
+    # re-inline disease); the regex gate costs one cheap anchored scan
+    # at the parquet reader and lets the projected toks be the ONLY
+    # tokenizer evaluation. DuckDB keeps the literal size() form.
+    if dialect == D.SPARK:
+        gate = (
+            "text rlike "
+            f"'^(?:[^A-Za-z0-9]*[A-Za-z0-9]+){{{_CURATION_MIN_TOKENS}}}'"
+        )
+    else:
+        gate = f"{n_tok} >= {_CURATION_MIN_TOKENS}"
     return f"""
         WITH tok AS (
             SELECT doc_id, lang, text, {_toks(dialect)} AS toks
@@ -900,7 +916,7 @@ def _curation_sql(dialect: str) -> str:
                    {guess} AS guessed_lang,
                    ({fp}) % 9007199254740881 AS fingerprint
             FROM tok
-            WHERE {n_tok} >= {_CURATION_MIN_TOKENS}
+            WHERE {gate}
         ),
         canon AS (
             SELECT *, row_number() OVER (
