@@ -72,90 +72,81 @@ def register(
 # the window.  After ANY registration change, re-print list(queries())
 # [:52] and re-curate this list.
 _PRIORITY_MODULES: tuple[str, ...] = ()
-# Round 12 window, OLDEST-EVIDENCE-FIRST (recomputed from
-# CORRECTNESS_r01..r11; the r11 VERDICT's recount agrees): this round's
-# never-driver-checked attestation queries head the window (added as
-# they land — each one displaces the last remaining member of the
-# next-to-displace list below), then the four queries the r11 registry
-# note promised these slots (displaced from r11, last green r7):
-# lineitem_approx_quantiles / lineitem_hll_distinct /
-# lineitem_mergeable_quantiles (the sketch trio) and tpch_q11; then the
-# 50-query block whose latest green row is r8, minus the
-# most-locally-covered members, displaced in this order and promised
-# the HEAD OF THE R13 WINDOW (plus versioned_copy_into, added late in
-# r12 with no driver row yet — never-attested counts as oldest):
-#   versioned_copy_into (locked by tests/test_copy_into.py),
-#   versioned_sql_time_travel, versioned_sql_table_changes,
-#   versioned_identity_generated (each locked by the dedicated
-#   versioned-table pytest suites), tpch_grouping_sets (same family as
-#   tpch_rollup_sales / tpch_cube_sales, green r11),
-#   hll_union_parts (bound-locked by tests/test_sketch_bounds.py;
-#   lineitem_hll_distinct is in THIS window), chembl_tanimoto_lsh_recall
-#   + chembl_tanimoto_lsh_topk (kernel spec tests + chembl_tanimoto_topk
-#   green r9), doc_bpe_pair_counts (differential-tested in
-#   test_tokenizer.py).
-# After this window no query's latest green row is older than r9 except
-# those documented displacements. Everything outside the window stays
+# Round 13 window, OLDEST-EVIDENCE-FIRST (recomputed from
+# CORRECTNESS_r01..r12): versioned_copy_into heads it (added late in
+# r12, never driver-checked — never-attested counts as oldest), then
+# the eight r8-evidence queries the r12 registry note promised these
+# slots (versioned_sql_time_travel / versioned_sql_table_changes /
+# versioned_identity_generated — versioned-suite locked;
+# tpch_grouping_sets — rollup/cube family green r11; hll_union_parts —
+# bound-locked by tests/test_sketch_bounds.py;
+# chembl_tanimoto_lsh_recall + chembl_tanimoto_lsh_topk — kernel spec
+# tests; doc_bpe_pair_counts — differential-tested in
+# test_tokenizer.py), then the r9-evidence block (50 queries) MINUS its
+# nine headline members (chembl_tanimoto_topk, doc_corpus_curation,
+# doc_dedup_clusters, doc_dedup_minhash_lsh, doc_quality_score,
+# doc_tfidf_topterms, emb_cosine_topk, emb_ivf_topk,
+# events_hourly_rollup) — headliners run the bench AND the local
+# oracle-parity suite every round, making them the most-covered
+# deferral candidates; they are promised the head of any future
+# window. After this window no query's latest green row is older than
+# r10 except those documented headline deferrals. The 4 rows-only
+# queries (chembl_crossscore_udf, ref_approx_distinct,
+# doc_bpe_learn_merges, doc_bpe_encode) get NO slots — a rows-only
+# slot can never go red or green. Everything outside the window stays
 # covered by the local oracle-parity suite (tests/test_oracle_parity.py
 # — same compare, dtype-strict).
 _PRIORITY_QUERIES = (
-    # -- never driver-checked: this round's additions ---------------------
-    "versioned_cdf_across_restore",
-    "versioned_merge_multi_clause",
-    "versioned_partitioned_table",
-    "versioned_type_widening",
-    # -- displaced from r11 (last green r7), promised these slots ---------
-    "lineitem_approx_quantiles",
-    "lineitem_hll_distinct",
-    "lineitem_mergeable_quantiles",
-    "tpch_q11",
-    # -- the r8-attested block (minus the displaced, see note above) ------
-    "chembl_id_resolution",
-    "customer_division_regions",
-    "doc_bigram_lm",
-    "doc_crossdoc_repeated_spans",
-    "doc_dedup_containment",
-    "doc_drift_psi",
-    "doc_dup_rate_by_source",
-    "doc_global_row_ids",
-    "doc_lang_source_contingency",
-    "doc_quality_linear_probe",
-    "doc_quality_weighted_sample",
-    "doc_simpson_diversity",
-    "doc_span_dedup_rewrite",
-    "doc_tokenizer_fertility",
-    "doc_unpivot_lang_counts",
-    "emb_covariance_prefix",
-    "emb_hard_negatives",
-    "emb_matryoshka_eval",
-    "events_ab_test_zscore",
-    "events_changepoint",
-    "events_cms_join_size",
-    "events_concurrency_curve",
-    "events_dow_hour_heatmap",
-    "events_drift_ks",
-    "events_first_touch_attribution",
-    "events_forecast_backtest",
-    "events_last_touch_attribution",
-    "events_mad_outliers",
-    "events_markov_transitions",
-    "events_skew_profile",
-    "events_top_paths",
-    "fk_integrity_audit",
-    "lineitem_basket_lift",
-    "lineitem_benford_audit",
-    "lineitem_price_histogram",
-    "mm_audio_energy",
-    "mm_video_scene_cut",
-    "nation_shortest_paths",
-    "orders_backlog_sweep",
-    "orders_cohort_ltv",
-    "orders_incremental_mv",
-    "orders_spend_tiles",
-    "doc_bpe_pair_counts",
-    "chembl_tanimoto_lsh_topk",
-    "chembl_tanimoto_lsh_recall",
+    "versioned_copy_into",
+    "versioned_sql_time_travel",
+    "versioned_sql_table_changes",
+    "versioned_identity_generated",
+    "tpch_grouping_sets",
     "hll_union_parts",
+    "chembl_tanimoto_lsh_recall",
+    "chembl_tanimoto_lsh_topk",
+    "doc_bpe_pair_counts",
+    "doc_bpe_token_count",
+    "doc_contamination_check",
+    "doc_dedup_exact",
+    "doc_dedup_ngram_jaccard",
+    "doc_edit_distance_pairs",
+    "doc_entropy_by_source",
+    "doc_fingerprint",
+    "doc_langid",
+    "doc_sample_per_lang",
+    "doc_simhash",
+    "doc_simhash_near_dup",
+    "doc_token_stats",
+    "doc_train_test_split",
+    "emb_ivf_centroids",
+    "emb_lsh_buckets",
+    "emb_near_dup_pairs",
+    "emb_scalar_quantize_int8",
+    "emb_silhouette",
+    "events_anomaly_zscore",
+    "events_asof_signup",
+    "events_cohort_retention",
+    "events_conversion_funnel",
+    "events_funnel_latency",
+    "events_json_extract",
+    "events_range_self_join",
+    "events_rank_functions",
+    "events_salted_agg",
+    "events_seasonal_decompose",
+    "events_sessionize",
+    "events_sliding_window",
+    "events_top_users_per_type",
+    "events_udaf_median",
+    "events_user_deltas",
+    "events_window_frames",
+    "lineitem_abc_analysis",
+    "lineitem_weighted_median",
+    "orders_gini_revenue",
+    "orders_median_gap",
+    "orders_rfm_segments",
+    "part_skyline",
+    "versioned_sql_dml_roundtrip",
 )
 
 # Queries ADDED in r7 should take slots here by displacing entries from
