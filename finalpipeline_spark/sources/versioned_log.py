@@ -562,8 +562,12 @@ class LogProtocolMixin:
             # wall-clock commit time: the raw input of timestamp time
             # travel (version_as_of_timestamp adjusts for multi-writer
             # clock skew at RESOLUTION time, Delta-style — recorded
-            # values stay honest)
-            "ts": round(time.time(), 3),
+            # values stay honest). FLOOR to ms, never round: rounding
+            # up can postdate the stored time past the true commit
+            # instant by ≤0.5 ms, so a reader grabbing time.time()
+            # right after the commit returns could miss its own commit
+            # (observed as a flaky TIMESTAMP AS OF miss).
+            "ts": int(time.time() * 1000) / 1000.0,
             "files": files,
         }
         if meta:
