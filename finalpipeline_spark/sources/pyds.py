@@ -364,6 +364,7 @@ class _FilePartition(InputPartition):
         dv_diff: bool = False,       # CDF: emit newly-vectored rows only
         cmap: dict | None = None,    # logical→physical names (renames)
         ts: float | None = None,     # CDF: the commit's wall clock
+        nbytes: int | None = None,   # file size (packing input)
     ):
         self.path = path
         self.change = change        # CDF mode: 'insert' | 'delete'
@@ -374,6 +375,7 @@ class _FilePartition(InputPartition):
         self.dv_old = dv_old
         self.dv_diff = dv_diff
         self.cmap = cmap or {}
+        self.nbytes = nbytes
 
 
 def _entry_partition(root: str, e: dict, **kw) -> _FilePartition:
@@ -388,8 +390,54 @@ def _entry_partition(root: str, e: dict, **kw) -> _FilePartition:
         rel=e["path"],
         dv=os.path.join(dv.get("base", base), dv["path"]) if dv else None,
         cmap=e.get("cmap"),
+        nbytes=e.get("bytes"),
         **kw,
     )
+
+
+# Input-split packing for the Python source, mirroring Spark's own scan
+# packing (spark.sql.files.maxPartitionBytes + openCostInBytes): every
+# Python task costs a worker dispatch + Arrow stream setup, so one task
+# per TINY file pays fixed overhead per file exactly like the JVM scan
+# would without packing. At production file sizes (~1 GiB targets) each
+# file exceeds the budget and keeps its own partition — parallelism at
+# scale is untouched; only many-small-files commits coalesce.
+_PACK_MAX_BYTES = 128 * 1024 * 1024
+_PACK_OPEN_COST = 4 * 1024 * 1024
+
+
+class _PackedPartition(InputPartition):
+    """Several file partitions served by ONE Python task (read chains
+    the per-file batch iterators; each spec keeps its own CDF tags,
+    vector references and column mapping)."""
+
+    __slots__ = ("specs",)
+
+    def __init__(self, specs: list[_FilePartition]):
+        self.specs = specs
+
+
+def _pack_partitions(parts: list) -> list:
+    """Greedy in-order byte-budget packing. A file without a recorded
+    size (pre-byte-stats manifest entries) is charged a full budget —
+    it keeps its own partition, never silently serializing an unknown
+    amount of data behind one task."""
+    groups: list[list[_FilePartition]] = []
+    cur: list[_FilePartition] = []
+    acc = 0
+    for p in parts:
+        w = max(
+            p.nbytes if p.nbytes is not None else _PACK_MAX_BYTES,
+            _PACK_OPEN_COST,
+        )
+        if cur and acc + w > _PACK_MAX_BYTES:
+            groups.append(cur)
+            cur, acc = [], 0
+        cur.append(p)
+        acc += w
+    if cur:
+        groups.append(cur)
+    return [g[0] if len(g) == 1 else _PackedPartition(g) for g in groups]
 
 
 def _schema_field_names(schema: str) -> list[str]:
@@ -619,6 +667,48 @@ def _arrow_type(ddl: str):
     )
 
 
+def _canonical_arrow_type(t):
+    """Per-file Arrow schema drift that is REPRESENTATION-only,
+    normalized to the shapes _arrow_type builds for backfill: parquet
+    reads hand back plain string/binary where Spark's conversion (and
+    the typed-NULL backfill) uses the large_ variants, and large_list
+    where the Python-source deserializer wants plain list. Value-
+    preserving offsets-width changes only — no numeric/temporal types
+    are touched. Needed so batches of DIFFERENT files can share one
+    Python task (input-split packing): Spark's Arrow writer requires
+    every batch of a task to carry the identical schema."""
+    import pyarrow as pa
+
+    if pa.types.is_string(t):
+        return pa.large_string()
+    if pa.types.is_binary(t):
+        return pa.large_binary()
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pa.list_(_canonical_arrow_type(t.value_type))
+    if pa.types.is_map(t):
+        return pa.map_(
+            _canonical_arrow_type(t.key_type),
+            _canonical_arrow_type(t.item_type),
+        )
+    if pa.types.is_struct(t):
+        return pa.struct(
+            [pa.field(f.name, _canonical_arrow_type(f.type)) for f in t]
+        )
+    return t
+
+
+def _canonicalize(table):
+    import pyarrow as pa
+
+    target = pa.schema(
+        [
+            pa.field(f.name, _canonical_arrow_type(f.type))
+            for f in table.schema
+        ]
+    )
+    return table if table.schema == target else table.cast(target)
+
+
 def _read_file_batches(
     path: str,
     fields: Sequence[tuple[str, str]],
@@ -698,7 +788,7 @@ def _read_file_batches(
         table = table.filter(pa.array(mask))
     elif keep_positions is not None:
         table = table.take(pa.array(sorted(keep_positions), pa.int64()))
-    yield from table.to_batches(max_chunksize=1 << 16)
+    yield from _canonicalize(table).to_batches(max_chunksize=1 << 16)
 
 
 def _adjusted_times(root: str, live: dict[int, dict]) -> Iterator[tuple[int, float]]:
@@ -1042,15 +1132,19 @@ class VersionedReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         ranges = self._ranges if self._prune else []
-        return [
-            _entry_partition(self._root, e)
-            for e in self._entries
-            if self._may_match(e, ranges)
-        ]
+        return _pack_partitions(
+            [
+                _entry_partition(self._root, e)
+                for e in self._entries
+                if self._may_match(e, ranges)
+            ]
+        )
 
-    def read(self, partition: _FilePartition) -> Iterator:
+    def read(self, partition) -> Iterator:
         if partition is None:  # all files pruned → one None split
             return iter(())
+        if isinstance(partition, _PackedPartition):
+            return (b for spec in partition.specs for b in self.read(spec))
         return _read_file_batches(
             partition.path,
             self._fields,
@@ -1402,6 +1496,7 @@ class VersionedStreamReader(DataSourceStreamReader):
                             dv_diff=True,
                             cmap=cmap,
                             ts=cur.get("ts"),
+                            nbytes=ne.get("bytes"),
                         )
                     )
             prev = cur
@@ -1524,9 +1619,13 @@ class VersionedStreamReader(DataSourceStreamReader):
             prev = cur
         return parts
 
-    def read(self, partition: _FilePartition) -> Iterator:
+    def read(self, partition) -> Iterator:
         if partition is None:  # empty partition list → one None split
             return iter(())
+        if isinstance(partition, _PackedPartition):
+            # the batch CDF reader packs small files per task; each
+            # spec keeps its own change/version tags and vector refs
+            return (b for spec in partition.specs for b in self.read(spec))
         if not self._cdf:
             return _read_file_batches(
                 partition.path,
@@ -1636,14 +1735,16 @@ class VersionedCDFBatchReader(DataSourceReader):
         ops = _scan_remap_ops(
             self._root, mans, self._start - 1, max(self._end, pin)
         )
-        return self._inner._cdf_partitions(
-            offset,
-            self._start - 1,
-            self._end,
-            mans,
-            directions=_pin_directions(
-                ops, pin, {n for n, _t in self._inner._fields}
-            ),
+        return _pack_partitions(
+            self._inner._cdf_partitions(
+                offset,
+                self._start - 1,
+                self._end,
+                mans,
+                directions=_pin_directions(
+                    ops, pin, {n for n, _t in self._inner._fields}
+                ),
+            )
         )
 
     def read(self, partition: _FilePartition) -> Iterator:

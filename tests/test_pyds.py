@@ -39,10 +39,37 @@ def test_batch_read_latest_and_time_travel(spark, vt):
     assert native.exceptAll(df).count() == 0
 
 
-def test_batch_read_is_partitioned_per_file(spark, vt):
+def test_batch_read_packs_small_files(spark, vt):
+    # input-split packing (Spark's maxPartitionBytes/openCost shape):
+    # tiny files coalesce into fewer Python tasks, values unchanged
     df = spark.read.format("versioned").option("root", vt.root).load()
     n_files = len(vt.manifest()["files"])
-    assert df.rdd.getNumPartitions() == n_files
+    n_parts = df.rdd.getNumPartitions()
+    assert 1 <= n_parts <= n_files
+    assert df.count() == vt.read().count()
+
+
+def test_pack_partitions_budget():
+    from finalpipeline_spark.sources.pyds import (
+        _PACK_MAX_BYTES,
+        _FilePartition,
+        _PackedPartition,
+        _pack_partitions,
+    )
+
+    small = [_FilePartition(f"/f{i}", nbytes=1024) for i in range(10)]
+    packed = _pack_partitions(small)
+    assert len(packed) == 1 and isinstance(packed[0], _PackedPartition)
+    assert [s.path for s in packed[0].specs] == [f"/f{i}" for i in range(10)]
+    # a file at/above the budget keeps its own partition
+    big = _FilePartition("/big", nbytes=_PACK_MAX_BYTES)
+    out = _pack_partitions(small[:2] + [big] + small[2:4])
+    assert any(getattr(p, "path", None) == "/big" for p in out)
+    # unknown size is charged a full budget: never packed with others
+    unk = _FilePartition("/unk", nbytes=None)
+    out = _pack_partitions([unk] + small[:2])
+    assert getattr(out[0], "path", None) == "/unk"
+    assert _pack_partitions([]) == []
 
 
 def test_stream_cdf_delivers_snapshot_then_deltas(spark, vt, tmp_path):
@@ -498,12 +525,39 @@ def test_batch_null_filter_pushdown_prunes_files(spark, tmp_path):
             .load()
         )
 
+    def planned_files(flt):
+        # unit-level pruning observable (partition COUNT no longer maps
+        # 1:1 to files since small-file packing): the reader's planned
+        # file list after the pushed filter
+        from finalpipeline_spark.sources.pyds import (
+            VersionedReader,
+            _PackedPartition,
+        )
+
+        m = vt.manifest()
+        fields = [
+            (f.name, f.dataType.simpleString())
+            for f in vt.read().schema.fields
+        ]
+        r = VersionedReader(vt.root, m, fields, prune=True)
+        r.pushFilters([flt])
+        paths = []
+        for p in r.partitions():
+            paths += (
+                [s.path for s in p.specs]
+                if isinstance(p, _PackedPartition)
+                else [p.path]
+            )
+        return paths
+
+    from pyspark.sql.datasource import IsNotNull, IsNull
+
     nulls = base().filter("tag is null")
     assert nulls.count() == 10 + 100
-    assert nulls.rdd.getNumPartitions() == 2  # zero-null file pruned
+    assert len(planned_files(IsNull(("tag",)))) == 2  # zero-null file pruned
     notnull = base().filter("tag is not null")
     assert notnull.count() == 100 + 90
-    assert notnull.rdd.getNumPartitions() == 2  # all-null file pruned
+    assert len(planned_files(IsNotNull(("tag",)))) == 2  # all-null pruned
     # a column added by evolution is provably NULL in every older file
     vt.add_column("score", "double")
     vt.commit_append(
@@ -520,7 +574,7 @@ def test_batch_null_filter_pushdown_prunes_files(spark, tmp_path):
     )
     scored = fresh.filter("score is not null")
     assert scored.count() == 10
-    assert scored.rdd.getNumPartitions() == 1  # only the new file scans
+    assert len(planned_files(IsNotNull(("score",)))) == 1  # only the new file
 
 
 def test_default_scan_is_sound_under_dataframe_reuse(spark, tmp_path):
